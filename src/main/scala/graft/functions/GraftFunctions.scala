@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.zorder.ZOrder
+
+/**
+ * Column-level function facade for the engine — the Spark analog of the
+ * reference's expression library (`Utils.java`, `Point.java:38-42`,
+ * `Range.java:42-64`; SURVEY §2.8). All functions are either native
+ * Catalyst expressions with codegen or compositions of builtin
+ * (codegen'd) functions — no Scala UDFs on the hot path.
+ */
+object GraftFunctions {
+
+  /** Morton key of two non-negative int coordinates. */
+  def zorder(x: Column, y: Column): Column =
+    Bridge.column(ZOrderKey(Bridge.expression(x), Bridge.expression(y)))
+
+  /** x coordinate of a Morton key. */
+  def zorder_x(z: Column): Column = Bridge.column(ZOrderX(Bridge.expression(z)))
+
+  /** y coordinate of a Morton key. */
+  def zorder_y(z: Column): Column = Bridge.column(ZOrderY(Bridge.expression(z)))
+
+  /** The bucket key (prefix of length `pl`, suffix zeroed) that owns a
+    * Morton key. Builtin bitwise AND — stays in codegen. */
+  def bucket_key(z: Column, prefixLen: Int): Column =
+    z.bitwiseAND(lit(ZOrder.makeMask(prefixLen)))
+
+  /** Bucket name rendering `011*****...` (64 chars) — the reference's
+    * `Utils.toString(key, pl)` (`Utils.java:161-182`) as a composition
+    * of builtin string functions. */
+  def bucket_name(z: Column, prefixLen: Int): Column =
+    concat(
+      substring(lpad(bin(z), 64, "0"), 1, prefixLen),
+      lit("*" * (64 - prefixLen)))
+
+  /** Squared Euclidean distance between (x, y) and a fixed query point,
+    * in exact Long arithmetic (no floating point — deterministic and
+    * oracle-friendly; the reference uses `double` Euclidean distance,
+    * `Point.java:38-42`, which ranks identically). */
+  def dist2(x: Column, y: Column, qx: Int, qy: Int): Column = {
+    val dx = x.cast("long") - lit(qx.toLong)
+    val dy = y.cast("long") - lit(qy.toLong)
+    dx * dx + dy * dy
+  }
+
+  /** Register `zorder`/`zorder_x`/`zorder_y` for SQL use in this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("zorder", es => ZOrderKey(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_x", es => ZOrderX(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zorder_y", es => ZOrderY(es.head), "built-in")
+  }
+}
