@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.PointStore
+import graft.sources.StatsTable
+import graft.zorder.{IntRange, ZOrder}
+
+/**
+ * The point-store query inventory (SURVEY §2.1/§2.2/§2.8) registered for
+ * the driver's DuckDB-oracle correctness gate. Each query derives 2-D
+ * integer points from the driver tables (FIXTURES.md §B) and exercises
+ * one reference operator; `oracle` holds the equivalent ANSI SQL —
+ * including an independent pure-SQL re-implementation of the Morton
+ * interleave (the same public mask-ladder, so the bit codec itself is
+ * cross-checked end-to-end).
+ */
+object PointQueries {
+
+  // events points: x = floor(value*100) in [1, 49002], y = user_id in [0, 149]
+  private def eventsPoints(s: SparkSession, dir: String, extra: Seq[String] = Nil): DataFrame =
+    PointStore.points(
+      s.read.parquet(s"$dir/events.parquet"),
+      col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"),
+      extra.map(col))
+
+  // part points: x = p_size in [1, 50], y = floor(p_retailprice) in [900, 999]
+  private def partPoints(s: SparkSession, dir: String): DataFrame =
+    PointStore.points(
+      s.read.parquet(s"$dir/part.parquet"),
+      col("p_partkey"), col("p_size"), expr("cast(floor(p_retailprice) as int)"))
+
+  /** DuckDB SQL computing `(… , x, y, zkey)` for a source table with the
+    * public Morton mask-ladder — the oracle twin of [[graft.zorder.ZOrder]]. */
+  private def zladder(table: String, xExpr: String, yExpr: String,
+                      idExpr: String = "NULL", extraCols: String = ""): String = {
+    val ex = if (extraCols.isEmpty) "" else extraCols + ", "
+    s"""WITH zsrc AS (SELECT $ex$idExpr AS id, CAST($xExpr AS BIGINT) AS x, CAST($yExpr AS BIGINT) AS y FROM $table),
+zg1 AS (SELECT *, ((x | (x<<16)) & 281470681808895) AS gx1, ((y | (y<<16)) & 281470681808895) AS gy1 FROM zsrc),
+zg2 AS (SELECT *, ((gx1 | (gx1<<8)) & 71777214294589695) AS gx2, ((gy1 | (gy1<<8)) & 71777214294589695) AS gy2 FROM zg1),
+zg3 AS (SELECT *, ((gx2 | (gx2<<4)) & 1085102592571150095) AS gx3, ((gy2 | (gy2<<4)) & 1085102592571150095) AS gy3 FROM zg2),
+zg4 AS (SELECT *, ((gx3 | (gx3<<2)) & 3689348814741910323) AS gx4, ((gy3 | (gy3<<2)) & 3689348814741910323) AS gy4 FROM zg3),
+zg5 AS (SELECT *, ((gx4 | (gx4<<1)) & 6148914691236517205) AS gx5, ((gy4 | (gy4<<1)) & 6148914691236517205) AS gy5 FROM zg4),
+zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5 AS zkey FROM zg5)"""
+  }
+
+  private val eventsLadder = zladder(
+    "events", "floor(value*100)", "user_id", "event_id", "event_type")
+  private val partLadder = zladder(
+    "part", "p_size", "floor(p_retailprice)", "p_partkey")
+
+  // query rectangle used by range_query / range_count
+  private val RX = IntRange(10000, 30000)
+  private val RY = IntRange(40, 110)
+  // get / knn anchors (chosen so get returns multiple ids at sf0.01)
+  private val GX = 48; private val GY = 945
+  private val QX = 25; private val QY = 950; private val K = 10
+  private val STATS_PL = 46
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1/X1 — the codec itself, cross-checked against the SQL ladder
+    "zorder_key" -> ((s, dir) =>
+      partPoints(s, dir).select(col("id"), col("zkey"))),
+
+    // O3 — rectangle query
+    "range_query" -> ((s, dir) =>
+      PointStore.rangeQuery(eventsPoints(s, dir), RX, RY)
+        .select(col("id"), col("x"), col("y"))),
+
+    // O4 — range count (grouped, so the result is a real aggregation)
+    "range_count" -> ((s, dir) =>
+      PointStore.rangeQuery(eventsPoints(s, dir, Seq("event_type")), RX, RY)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
+
+    // O2 — exact point lookup: all ids at (GX, GY)
+    "get_point" -> ((s, dir) =>
+      PointStore.get(partPoints(s, dir), GX, GY)
+        .select(col("id"), col("x"), col("y"))),
+
+    // O5 — exact kNN, deterministic (dist2, id) tie order
+    "knn" -> ((s, dir) =>
+      PointStore.knn(partPoints(s, dir), QX, QY, K)),
+
+    // O6/E3 — index inspection: uniform-depth bucket stats + name format
+    "index_stats" -> ((s, dir) =>
+      PointStore.indexStats(eventsPoints(s, dir), STATS_PL)),
+
+    // O1 — upsert semantics: keep-last per (x, y, id) over the put log
+    "upsert_last" -> ((s, dir) => {
+      val putLog = PointStore.points(
+        s.read.parquet(s"$dir/events.parquet"),
+        col("user_id"), col("user_id") % 25, col("user_id") / 25,
+        Seq(col("ts"), col("event_id"), col("value")))
+      PointStore.latest(putLog, Seq(col("ts"), col("event_id")))
+        .select(col("id"), col("x"), col("y"), col("value").as("last_value"))
+    }),
+
+    // S2 — as-of (getRowOrBefore) routing against a bucket-stats table
+    "stats_asof" -> ((s, dir) => {
+      val pts = eventsPoints(s, dir)
+      val stats = PointStore.indexStats(pts, STATS_PL)
+        .filter(col("bucket_size") >= 100)
+      val probes = pts.filter(col("id") % 100 === 0).select(col("id"), col("zkey"))
+      StatsTable.asofLookup(s, probes, "zkey", stats, "bucket_key")
+        .select(col("id"), col("bucket_key"))
+    })
+  )
+
+  private def maskLit(pl: Int): String = ZOrder.makeMask(pl).toString
+
+  val oracle: Map[String, String] = Map(
+    "zorder_key" ->
+      s"""$partLadder SELECT id, zkey FROM zpts""",
+
+    "range_query" ->
+      s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, CAST(user_id AS INT) AS y
+FROM events
+WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
+  AND user_id BETWEEN ${RY.min} AND ${RY.max}""",
+
+    "range_count" ->
+      s"""SELECT event_type, count(*) AS cnt
+FROM events
+WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
+  AND user_id BETWEEN ${RY.min} AND ${RY.max}
+GROUP BY event_type""",
+
+    "get_point" ->
+      s"""SELECT p_partkey AS id, p_size AS x, CAST(floor(p_retailprice) AS INT) AS y
+FROM part
+WHERE p_size = $GX AND CAST(floor(p_retailprice) AS INT) = $GY""",
+
+    "knn" ->
+      s"""SELECT p_partkey AS id, p_size AS x, CAST(floor(p_retailprice) AS INT) AS y,
+  (CAST(p_size AS BIGINT) - $QX) * (CAST(p_size AS BIGINT) - $QX)
+  + (CAST(floor(p_retailprice) AS BIGINT) - $QY) * (CAST(floor(p_retailprice) AS BIGINT) - $QY) AS dist2
+FROM part
+ORDER BY dist2, id LIMIT $K""",
+
+    "index_stats" ->
+      s"""$eventsLadder,
+buckets AS (SELECT zkey & CAST(${maskLit(STATS_PL)} AS BIGINT) AS bucket_key, count(*) AS bucket_size FROM zpts GROUP BY 1)
+SELECT bucket_key,
+  concat(substring(lpad(bin(bucket_key), 64, '0'), 1, $STATS_PL), repeat('*', ${64 - STATS_PL})) AS bucket_name,
+  bucket_size
+FROM buckets""",
+
+    "upsert_last" ->
+      """SELECT user_id AS id, CAST(user_id % 25 AS INT) AS x, CAST(user_id // 25 AS INT) AS y, last_value
+FROM (
+  SELECT user_id, value AS last_value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1""",
+
+    "stats_asof" ->
+      s"""$eventsLadder,
+buckets AS (SELECT zkey & CAST(${maskLit(STATS_PL)} AS BIGINT) AS k, count(*) AS n FROM zpts GROUP BY 1),
+big AS (SELECT k FROM buckets WHERE n >= 100),
+probes AS (SELECT id, zkey FROM zpts WHERE id % 100 = 0)
+SELECT p.id, (SELECT max(k) FROM big b WHERE b.k <= p.zkey) AS bucket_key
+FROM probes p"""
+  )
+}

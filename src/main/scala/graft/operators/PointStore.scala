@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.zorder.{IntRange, ZOrder}
+
+/**
+ * The engine's multi-dimensional point store: the Spark-native
+ * re-expression of the reference's whole API surface
+ * (`Client.java:169-231` — put/get/rangeQuery/count/nearestNeighbor/
+ * index/drop) over Z-clustered Parquet.
+ *
+ * Design (SURVEY §1.4, §7.1):
+ *  - A point is `(id: Long, x: Int, y: Int)` plus the derived Morton key
+ *    `zkey` (`Bucket.java:40-47` analog).
+ *  - The data layout is Parquet, range-partitioned AND sorted by `zkey`:
+ *    Parquet row-group min/max statistics on `zkey` (and on raw x/y) then
+ *    act as the reference's quad-tree index — file/row-group skipping
+ *    replaces the index-table probe (`Index.java:144-164`).
+ *  - Every query returns a `DataFrame` and stays fully distributed; the
+ *    reference's client-side materialization (`Client.java:78-82`) is the
+ *    anti-pattern this design avoids — at 100 TB nothing may fold into
+ *    the driver except final small results.
+ *  - Filters always include the raw x/y predicates; zkey predicates are
+ *    redundant pruning hints, so correctness never depends on them
+ *    (SURVEY §7.3).
+ *
+ * The static methods operate on any point DataFrame `(id, x, y, zkey)`;
+ * the [[PointStore]] class binds them to a Z-clustered Parquet path.
+ */
+object PointStore {
+
+  /** Derive a point DataFrame `(id, x, y, zkey)` from arbitrary columns.
+    * The zkey is computed by the codegen'd [[graft.functions.ZOrderKey]]
+    * expression. Extra payload columns survive via `extra`. */
+  def points(df: DataFrame, id: Column, x: Column, y: Column,
+             extra: Seq[Column] = Nil): DataFrame =
+    df.select(Seq(id.cast("long").as("id"), x.cast("int").as("x"),
+      y.cast("int").as("y")) ++ extra: _*)
+      .withColumn("zkey", zorder(col("x"), col("y")))
+
+  /** Combined predicate for an inclusive 2-D rectangle: raw x/y bounds
+    * (correctness) AND the covering zkey interval (pruning-only — the
+    * interval `[zorder(mins), zorder(maxs)]` is a superset of the
+    * rectangle's z-image by dominance monotonicity). */
+  def rangeFilter(rx: IntRange, ry: IntRange): Column =
+    col("x").between(rx.min, rx.max) && col("y").between(ry.min, ry.max) &&
+      col("zkey").between(ZOrder.zorder(rx.min, ry.min), ZOrder.zorder(rx.max, ry.max))
+
+  /** 2-D rectangle query, inclusive bounds (`Client.java:76-83`,
+    * `Range.java:28-44`). */
+  def rangeQuery(pts: DataFrame, rx: IntRange, ry: IntRange): DataFrame =
+    pts.filter(rangeFilter(rx, ry))
+
+  /** Exact point lookup — all ids at (x, y) (`Client.java:61-65`,
+    * `Bucket.java:90-98`). zkey equality prunes to the single
+    * file/row-group whose stats cover the key. */
+  def get(pts: DataFrame, x: Int, y: Int): DataFrame =
+    pts.filter(col("zkey") === lit(ZOrder.zorder(x, y)) &&
+               col("x") === x && col("y") === y)
+
+  /**
+   * Exact k-nearest-neighbor with deterministic (dist², id) tie order —
+   * the reference's best-first search (`Client.java:92-152`) re-expressed
+   * as at most two pruned scans plus a final `TakeOrderedAndProject`
+   * (`orderBy(dist2, id).limit(k)`), which Spark executes as a
+   * distributed per-partition top-k + small driver merge: no full sort,
+   * no driver materialization of candidates.
+   *
+   * Phase 1 probes an expanding window around the query point (analog of
+   * `Client.java:118-126`) until it holds ≥ k points; the k-th distance
+   * in the window bounds the true k-th distance, so phase 2's rectangle
+   * `[q ± ceil(sqrt(kth))]` is a guaranteed superset of the true kNN —
+   * the reference's termination invariant (`Client.java:131-134`).
+   * Distance ties are KEPT up to k results (the reference's TreeSet
+   * silently drops equidistant points, `Client.java:94-101` — documented
+   * divergence, SURVEY §2.1).
+   */
+  def knn(pts: DataFrame, qx: Int, qy: Int, k: Int, initialRadius: Int = 64): DataFrame = {
+    def window(r: Long): DataFrame = {
+      val rx = IntRange(math.max(0L, qx - r).toInt, math.min(Int.MaxValue.toLong, qx + r).toInt)
+      val ry = IntRange(math.max(0L, qy - r).toInt, math.min(Int.MaxValue.toLong, qy + r).toInt)
+      rangeQuery(pts, rx, ry)
+    }
+    var r = math.max(1L, initialRadius.toLong)
+    var probeCount = 0L
+    var exhausted = false
+    while (!exhausted && probeCount < k) {
+      probeCount = window(r).count()
+      if (probeCount < k) {
+        if (r >= Int.MaxValue.toLong) exhausted = true
+        else r = math.min(r * 8, Int.MaxValue.toLong)
+      }
+    }
+    val base = if (exhausted) pts else {
+      val kth = window(r)
+        .select(dist2(col("x"), col("y"), qx, qy).as("d2"))
+        .orderBy("d2").limit(k)
+        .agg(max(col("d2"))).head().getLong(0)
+      val rFinal = math.min(math.ceil(math.sqrt(kth.toDouble)).toLong + 1, Int.MaxValue.toLong)
+      window(rFinal)
+    }
+    base
+      .withColumn("dist2", dist2(col("x"), col("y"), qx, qy))
+      .orderBy(col("dist2"), col("id"))
+      .limit(k)
+      .select("id", "x", "y", "dist2")
+  }
+
+  /** Uniform-depth bucket statistics — the reference's index table
+    * (`Index.java:44-57`) derived by grouping on the zkey prefix.
+    * One shuffle with map-side partial counts. */
+  def indexStats(pts: DataFrame, prefixLen: Int): DataFrame =
+    pts.groupBy(bucket_key(col("zkey"), prefixLen).as("bucket_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .select(col("bucket_key"),
+        bucket_name(col("bucket_key"), prefixLen).as("bucket_name"),
+        col("bucket_size"))
+
+  /** Upsert-on-read: reference `Put` overwrite semantics per (x, y, id)
+    * (`Bucket.java:76-81`) over an append-only put log — keep the row
+    * with the greatest sequence columns per key. */
+  def latest(putLog: DataFrame, seq: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("x"), col("y"), col("id"))
+      .orderBy(seq.map(_.desc): _*)
+    putLog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Z-clustered write — the analog of the reference's z-sorted HBase data
+   * table (`Bucket.java:40-47`). `repartitionByRange(zkey)` gives a
+   * global range partitioning (each output file covers a disjoint
+   * z-interval ≈ a bucket); `sortWithinPartitions` makes row groups
+   * internally ordered so Parquet min/max stats are tight. At cluster
+   * scale the same two calls distribute; only the partition count grows.
+   */
+  def write(pts: DataFrame, path: String, numPartitions: Int = 0): Unit =
+    clustered(pts, numPartitions).write.mode("overwrite").parquet(path)
+
+  /** Append a batch of puts (reference `Client.insert`, `Bucket.java:76-81`). */
+  def append(pts: DataFrame, path: String, numPartitions: Int = 0): Unit =
+    clustered(pts, numPartitions).write.mode("append").parquet(path)
+
+  private def clustered(pts: DataFrame, numPartitions: Int): DataFrame = {
+    val p = if (numPartitions > 0) pts.repartitionByRange(numPartitions, col("zkey"))
+            else pts.repartitionByRange(col("zkey"))
+    p.sortWithinPartitions("zkey")
+  }
+
+  def open(spark: SparkSession, path: String): PointStore =
+    new PointStore(spark, path)
+}
+
+/** A Z-clustered Parquet point store at a fixed path. */
+class PointStore(spark: SparkSession, path: String) {
+  import PointStore._
+
+  /** The full store as a DataFrame `(id, x, y, zkey [, payload...])`. */
+  def df: DataFrame = spark.read.parquet(path)
+
+  def get(x: Int, y: Int): DataFrame = PointStore.get(df, x, y)
+  def rangeQuery(rx: IntRange, ry: IntRange): DataFrame = PointStore.rangeQuery(df, rx, ry)
+  def rangeCount(rx: IntRange, ry: IntRange): DataFrame =
+    rangeQuery(rx, ry).agg(count(lit(1)).as("cnt"))
+  def knn(qx: Int, qy: Int, k: Int, initialRadius: Int = 64): DataFrame =
+    PointStore.knn(df, qx, qy, k, initialRadius)
+  def indexStats(prefixLen: Int): DataFrame = PointStore.indexStats(df, prefixLen)
+  def latest(seq: Seq[Column] = Nil): DataFrame =
+    if (seq.isEmpty) df.dropDuplicates("x", "y", "id") else PointStore.latest(df, seq)
+
+  /**
+   * Adaptive bucket stats — the true analog of the reference's
+   * variable-depth index (`Index.java:183-230`): recursively split any
+   * bucket larger than `threshold`, like `maySplit`, computed from ONE
+   * data-scale aggregation at `statsDepth` (driver state is bounded by
+   * the number of occupied fine buckets ≤ 2^statsDepth — metadata-scale
+   * even at 100 TB when statsDepth is chosen sensibly).
+   */
+  def adaptiveStats(threshold: Long, statsDepth: Int = 24, baseDepth: Int = 2): DataFrame = {
+    import spark.implicits._
+    val fine: Array[(Long, Long)] = df
+      .groupBy(bucket_key(col("zkey"), statsDepth).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    // Metadata-scale recursive roll-up — batch re-expression of the
+    // reference's recursive `maySplit` (`Index.java:183-230`).
+    def splitLevel(entries: Seq[(Long, Long)], pl: Int): Seq[(Long, Int, Long)] = {
+      val grouped = entries.groupBy { case (key, _) => key & ZOrder.makeMask(pl) }
+      grouped.toSeq.flatMap { case (bk, kids) =>
+        val total = kids.map(_._2).sum
+        if (total <= threshold || pl >= statsDepth) Seq((bk, pl, total))
+        else splitLevel(kids, pl + 1)
+      }
+    }
+    splitLevel(fine.toSeq, baseDepth)
+      .toDF("bucket_key", "prefix_len", "bucket_size")
+      .withColumn("bucket_name", expr(
+        "concat(substring(lpad(bin(bucket_key), 64, '0'), 1, prefix_len)," +
+        " repeat('*', 64 - prefix_len))"))
+  }
+
+  /** Drop the store (`Client.java:217-224`). */
+  def drop(): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hadoopPath, true)
+    ()
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.zorder.{IntRange, ZOrder}
+
+/** Fixture-driven point-store tests (FIXTURES.md family A) with in-memory
+  * brute-force oracles — no pruning path — that must agree exactly. */
+class PointStoreSpec extends SparkSpec {
+
+  private def mkStore(pts: Seq[(Long, Int, Int)], parts: Int = 4): PointStore = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pstore").toString + "/store"
+    val df = PointStore.points(pts.toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    PointStore.write(df, dir, parts)
+    PointStore.open(spark, dir)
+  }
+
+  private def collectPts(df: DataFrame): Set[(Long, Int, Int)] =
+    df.select("id", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  // uniform-10k fixture: seed-42 points in [0, 1024)^2
+  private lazy val uniform: Seq[(Long, Int, Int)] = {
+    val rnd = new scala.util.Random(42)
+    (0 until 10000).map(i => (i.toLong, rnd.nextInt(1024), rnd.nextInt(1024)))
+  }
+  private lazy val uniformStore = mkStore(uniform)
+
+  test("range query matches brute force on uniform-10k") {
+    val (rx, ry) = (IntRange(100, 300), IntRange(700, 750))
+    val expect = uniform.filter(p => rx.include(p._2) && ry.include(p._3)).toSet
+    assert(collectPts(uniformStore.rangeQuery(rx, ry)) === expect)
+    assert(uniformStore.rangeCount(rx, ry).head().getLong(0) === expect.size.toLong)
+  }
+
+  test("degenerate rectangles: single row / column / cell, inclusive bounds") {
+    for ((rx, ry) <- Seq(
+        (IntRange(500, 500), IntRange(0, 1023)),   // single column
+        (IntRange(0, 1023), IntRange(500, 500)),   // single row
+        (IntRange(207, 207), IntRange(101, 101)))) // single cell
+    {
+      val expect = uniform.filter(p => rx.include(p._2) && ry.include(p._3)).toSet
+      assert(collectPts(uniformStore.rangeQuery(rx, ry)) === expect)
+    }
+  }
+
+  test("get returns every id at the coordinate (tiny-walkthrough: multiple ids per point)") {
+    // 15 points; 3 ids share (5, 5); duplicates of (x, y, id) are upserts
+    val pts: Seq[(Long, Int, Int)] = Seq(
+      (1L, 5, 5), (2L, 5, 5), (3L, 5, 5),
+      (4L, 0, 0), (5L, 1023, 1023), (6L, 0, 1023), (7L, 1023, 0),
+      (8L, 10, 20), (9L, 20, 10), (10L, 7, 7), (11L, 8, 8),
+      (12L, 300, 4), (13L, 4, 300), (14L, 512, 512), (15L, 5, 6))
+    val store = mkStore(pts ++ Seq((3L, 5, 5))) // re-put of (5,5,3): upsert
+    assert(collectPts(store.latest()) === pts.toSet)
+    assert(collectPts(store.get(5, 5)) === Set((1L, 5, 5), (2L, 5, 5), (3L, 5, 5)))
+    assert(collectPts(store.get(999, 999)) === Set.empty)
+  }
+
+  test("knn matches brute force incl. boundary radius (uniform-10k)") {
+    for ((qx, qy, k) <- Seq((512, 512, 10), (0, 0, 5), (1023, 0, 25), (100, 900, 1))) {
+      val expect = uniform
+        .map(p => (p._1, p._2, p._3,
+          (p._2.toLong - qx) * (p._2.toLong - qx) + (p._3.toLong - qy) * (p._3.toLong - qy)))
+        .sortBy(t => (t._4, t._1)).take(k)
+      val got = uniformStore.knn(qx, qy, k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+      assert(got === expect, s"knn($qx,$qy,$k)")
+    }
+  }
+
+  test("knn keeps equidistant ties deterministically (knn-ties ring fixture)") {
+    // 8 points all at distance 5 from (100, 100), plus the center
+    val ring = Seq((3, 4), (4, 3), (-3, 4), (4, -3), (-4, 3), (3, -4), (-4, -3), (-3, -4))
+      .zipWithIndex.map { case ((dx, dy), i) => (i.toLong, 100 + dx, 100 + dy) }
+    val store = mkStore(ring :+ (99L, 100, 100))
+    val got = store.knn(100, 100, 5).collect().map(_.getLong(0)).toSeq
+    // center first, then ring members in id order (dist ties → id asc)
+    assert(got === Seq(99L, 0L, 1L, 2L, 3L))
+  }
+
+  test("knn where k exceeds store size returns everything") {
+    val store = mkStore(Seq((1L, 3, 3), (2L, 9, 9)))
+    assert(store.knn(0, 0, 10).count() === 2)
+  }
+
+  test("edge coordinates: 0 and Int.MaxValue round-trip the store") {
+    val pts = Seq((1L, 0, 0), (2L, Int.MaxValue, Int.MaxValue),
+      (3L, 0, Int.MaxValue), (4L, Int.MaxValue, 0))
+    val store = mkStore(pts, 2)
+    assert(collectPts(store.rangeQuery(
+      IntRange(0, Int.MaxValue), IntRange(0, Int.MaxValue))) === pts.toSet)
+    assert(collectPts(store.get(Int.MaxValue, Int.MaxValue)) ===
+      Set((2L, Int.MaxValue, Int.MaxValue)))
+    // zkeys stay non-negative across the whole domain → sort order is safe
+    assert(store.df.agg(min(col("zkey"))).head().getLong(0) >= 0L)
+  }
+
+  test("skew-cluster: adaptive stats split hot buckets deeper (maySplit analog)") {
+    val rnd = new scala.util.Random(7)
+    // 95% of points inside one 64x64 cell, 5% uniform
+    val skew = (0 until 10000).map { i =>
+      if (i % 20 != 0) (i.toLong, 512 + rnd.nextInt(64), 512 + rnd.nextInt(64))
+      else (i.toLong, rnd.nextInt(1024), rnd.nextInt(1024))
+    }
+    val store = mkStore(skew)
+    val stats = store.adaptiveStats(threshold = 500, statsDepth = 64, baseDepth = 2)
+      .collect()
+    // sizes sum to the row count and every leaf respects the threshold
+    assert(stats.map(_.getAs[Long]("bucket_size")).sum === 10000L)
+    val splittable = stats.filter(r =>
+      r.getAs[Long]("bucket_size") > 500 && r.getAs[Int]("prefix_len") < 64)
+    assert(splittable.isEmpty, s"oversized leaves: ${splittable.mkString(",")}")
+    // the hot cell forces deeper prefixes than the sparse region
+    assert(stats.map(_.getAs[Int]("prefix_len")).max >
+      stats.map(_.getAs[Int]("prefix_len")).min)
+  }
+
+  test("z-clustered layout: files cover disjoint zkey ranges and a small range prunes files") {
+    val store = uniformStore
+    // per-file zkey min/max must not overlap (repartitionByRange guarantee)
+    val perFile = store.df
+      .select(input_file_name().as("f"), col("zkey"))
+      .groupBy("f").agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // a tiny rectangle's zkey window intersects few of the 4 file ranges
+    val (rx, ry) = (IntRange(10, 20), IntRange(10, 20))
+    val zlo = ZOrder.zorder(rx.min, ry.min); val zhi = ZOrder.zorder(rx.max, ry.max)
+    val touched = perFile.count { case (lo, hi) => lo <= zhi && zlo <= hi }
+    assert(touched < perFile.length)
+  }
+
+  test("drop removes the store (Client drop analog)") {
+    val store = mkStore(Seq((1L, 1, 1)))
+    store.drop()
+    intercept[Exception] { store.df.count() }
+  }
+}
