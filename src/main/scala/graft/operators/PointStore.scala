@@ -43,12 +43,16 @@ object PointStore {
       .withColumn("zkey", zorder(col("x"), col("y")))
 
   /** Combined predicate for an inclusive 2-D rectangle: raw x/y bounds
-    * (correctness) AND the covering zkey interval (pruning-only — the
-    * interval `[zorder(mins), zorder(maxs)]` is a superset of the
-    * rectangle's z-image by dominance monotonicity). */
-  def rangeFilter(rx: IntRange, ry: IntRange): Column =
-    col("x").between(rx.min, rx.max) && col("y").between(ry.min, ry.max) &&
-      col("zkey").between(ZOrder.zorder(rx.min, ry.min), ZOrder.zorder(rx.max, ry.max))
+    * (correctness) AND a union of tight zkey intervals from the budgeted
+    * quad decomposition ([[graft.zorder.ZRanges]]) — pruning-only, a
+    * guaranteed superset of the rectangle's z-image, pushed to Parquet
+    * for row-group skipping. */
+  def rangeFilter(rx: IntRange, ry: IntRange): Column = {
+    val zpred = graft.zorder.ZRanges.decompose(rx, ry, 16)
+      .map { case (lo, hi) => col("zkey").between(lo, hi) }
+      .reduce(_ || _)
+    col("x").between(rx.min, rx.max) && col("y").between(ry.min, ry.max) && zpred
+  }
 
   /** 2-D rectangle query, inclusive bounds (`Client.java:76-83`,
     * `Range.java:28-44`). */

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{ZOrderKey, ZOrderX, ZOrderY}
+import graft.zorder.{IntRange, ZRanges}
+
+/**
+ * Optimizer rule injecting z-key interval predicates into 2-D range
+ * filters over point-store relations — the Catalyst re-expression of the
+ * reference's index-probe pruning (`Index.java:144-164`; SURVEY §4 P2).
+ *
+ * A `Filter` whose top-level conjuncts bound both `x` and `y` (the
+ * store's point schema: int columns `x`, `y` beside a long `zkey`) gains
+ * an OR of tight z-key intervals from [[graft.zorder.ZRanges]]. The raw
+ * predicates are kept verbatim, so the rewrite is pure pruning —
+ * correctness NEVER depends on it (SURVEY §7.3); its effect is that the
+ * Parquet reader can skip files/row groups whose zkey min/max stats miss
+ * every interval, exactly like the reference skipping non-intersecting
+ * buckets.
+ *
+ * Soundness of the injected conjunct: it only drops a row where `zkey`
+ * is NULL or outside the intervals. Our stores derive `zkey =
+ * zorder(x, y)` (null-intolerant), so zkey is NULL only when x or y is —
+ * and the existing x/y bounds (present by construction of the match)
+ * already drop those rows; non-null zkeys of in-rectangle points are
+ * covered by the decomposition's soundness guarantee.
+ *
+ * Idempotent: skips filters already referencing `zkey`.
+ */
+object ZOrderPruningRule extends Rule[LogicalPlan] {
+
+  private val MaxRanges = 16
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val xA = child.output.find(a => a.name == "x" && a.dataType == IntegerType)
+      val yA = child.output.find(a => a.name == "y" && a.dataType == IntegerType)
+      val zA = child.output.find(a => a.name == "zkey" && a.dataType == LongType)
+      (xA, yA, zA) match {
+        case (Some(x), Some(y), Some(z)) if !cond.references.contains(z) =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          (boundsOf(conjuncts, x), boundsOf(conjuncts, y)) match {
+            case (Some(rx), Some(ry)) =>
+              val zpred = ZRanges.decompose(rx, ry, MaxRanges)
+                .map { case (lo, hi) =>
+                  And(GreaterThanOrEqual(z, Literal(lo)), LessThanOrEqual(z, Literal(hi)))
+                }
+                .reduceOption[Expression](Or)
+                .getOrElse(Literal.FalseLiteral) // empty decomposition: empty rect
+              Filter(And(cond, zpred), child)
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+
+  /** Closed int bounds for `attr` implied by top-level conjuncts, if both
+    * sides are bounded. Only literal comparisons count. */
+  private def boundsOf(conjuncts: Seq[Expression], attr: Attribute): Option[IntRange] = {
+    var lo = Int.MinValue
+    var hi = Int.MaxValue
+    var sawLo = false
+    var sawHi = false
+    def asInt(l: Literal): Option[Int] = l.value match {
+      case i: java.lang.Integer => Some(i.intValue)
+      case _ => None
+    }
+    conjuncts.foreach {
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => lo = math.max(lo, v); sawLo = true }
+      case LessThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => hi = math.min(hi, v); sawHi = true }
+      case GreaterThan(a: Attribute, l: Literal) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => if (v < Int.MaxValue) { lo = math.max(lo, v + 1); sawLo = true } }
+      case LessThan(a: Attribute, l: Literal) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => if (v > Int.MinValue) { hi = math.min(hi, v - 1); sawHi = true } }
+      case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); sawLo = true; sawHi = true }
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => hi = math.min(hi, v); sawHi = true }
+      case LessThanOrEqual(l: Literal, a: Attribute) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => lo = math.max(lo, v); sawLo = true }
+      case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(attr) =>
+        asInt(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); sawLo = true; sawHi = true }
+      case _ =>
+    }
+    // clamp to the store's valid coordinate domain
+    lo = math.max(lo, 0)
+    if (sawLo && sawHi && lo <= hi) Some(IntRange(lo, hi)) else None
+  }
+}
+
+/**
+ * Session extensions registering the engine's Catalyst surface:
+ * the [[ZOrderPruningRule]] optimizer rule and the `zorder` /
+ * `zorder_x` / `zorder_y` SQL functions.
+ *
+ * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)…`
+ * or `spark.sql.extensions=graft.plans.GraftExtensions`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => ZOrderPruningRule)
+    e.injectFunction((FunctionIdentifier("zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder"),
+      (es: Seq[Expression]) => ZOrderKey(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("zorder_x"),
+      new ExpressionInfo(classOf[ZOrderX].getName, "zorder_x"),
+      (es: Seq[Expression]) => ZOrderX(es.head)))
+    e.injectFunction((FunctionIdentifier("zorder_y"),
+      new ExpressionInfo(classOf[ZOrderY].getName, "zorder_y"),
+      (es: Seq[Expression]) => ZOrderY(es.head)))
+  }
+}
