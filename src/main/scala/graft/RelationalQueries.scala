@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator coverage beyond the reference's surface: the
+ * aggregations, joins, window functions, sorts and top-k the extension
+ * operators lean on (SURVEY §2.4-§2.6 — absent in the reference, free in
+ * Catalyst, but still gated here against the DuckDB oracle).
+ *
+ * Determinism policy for the oracle gate: monetary doubles are exact at
+ * two decimals in the driver tables, so aggregates are computed in
+ * integer cents (`round(v*100)` → BIGINT) — bit-exact and
+ * order-independent in both engines, unlike floating-point sums.
+ * Timestamps are nanosecond INT64 (read as BIGINT via
+ * `nanosAsLong`) and surface as epoch seconds.
+ *
+ * Scale notes (100 TB): every query below is shuffle-bounded with
+ * map-side partial aggregation; small dimensions (nation, region,
+ * filtered customer) are broadcast, so the only wide shuffles are on
+ * high-cardinality keys. Top-k uses TakeOrderedAndProject (per-partition
+ * k + driver merge of k·partitions rows).
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** nanos → epoch seconds (ts columns arrive as BIGINT nanos). */
+  private def epochS(c: String) =
+    col(c).cast("timestamp").cast("long")
+
+  private val priceCents = "cast(round(l_extendedprice*100) as bigint)"
+  private val discPct    = "cast(round(l_discount*100) as bigint)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // grouped aggregation with distinct agg (TPC-H Q1 flavor)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"),
+          sum(expr(priceCents)).as("sum_price_cents"),
+          sum(expr(s"$priceCents * (100 - $discPct)")).as("sum_disc_price_e4"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_suppkey")).as("n_supp"))),
+
+    // 3-way join + agg + top-k (TPC-H Q3 flavor); the filtered customer
+    // side is broadcast, lineitem⋈orders shuffles on the join key
+    "q3_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), epochS("o_orderdate").as("o_epoch"))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_epoch"))
+        .agg(sum(expr(s"$priceCents * (100 - $discPct)")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // broadcast-dimension join chain + agg (TPC-H Q5 flavor)
+    "revenue_by_nation" -> ((s, dir) => {
+      val cn = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      t(s, dir, "orders")
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(round(o_totalprice*100) as bigint)")).as("rev_cents"))
+    }),
+
+    // window functions: rank + running sum per customer
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_cents",
+          sum(expr("cast(round(o_totalprice*100) as bigint)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderkey"), col("o_custkey"), col("rn"), col("run_cents"))
+    }),
+
+    // tumbling-window aggregation over the event stream table — the
+    // batch twin of the streaming ingest aggregation (SURVEY §2.9)
+    "events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hour_epoch",
+          (col("ts") / lit(3600000000000L)).cast("long") * 3600)
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))),
+
+    // anti join: customers with no orders, rolled up by nation
+    "cust_no_orders" -> ((s, dir) => {
+      val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      val noOrders = t(s, dir, "customer")
+        .join(pOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      noOrders
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+  count(*) AS cnt,
+  count(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_topk" ->
+      """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_epoch
+ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""",
+
+    "revenue_by_nation" ->
+      """SELECT n_name, count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+
+    "window_running" ->
+      """SELECT o_orderkey, o_custkey,
+  row_number() OVER w AS rn,
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+  count(*) AS cnt,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY hour_epoch, event_type""",
+
+    "cust_no_orders" ->
+      """SELECT n_name, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY n_name"""
+  )
+}
