@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/**
+ * Text-analysis + deduplication query inventory over `documents`
+ * (LLM-pipeline extensions; SURVEY §7.1 step 6). The DuckDB oracles
+ * re-implement the full pipelines — including MinHash/SimHash — in pure
+ * SQL: both engines derive hashes from md5, so even the sketching
+ * operators are hash-match gated, not just row-count gated.
+ */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
+    "lang_id"     -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // exact 3-shingle Jaccard >= 1/2 — isolates the planted near-dups
+    "dedup_near_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 1, 2)),
+    "minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), NumHashes)),
+    "lsh_candidates" -> ((s, dir) =>
+      Dedup.lshCandidates(Dedup.minhashSignatures(docs(s, dir), NumHashes),
+        Bands, RowsPerBand)),
+    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)))
+  )
+
+  /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
+  private val shingleCte =
+    """dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh FROM dwords WHERE len(ws) >= 3)"""
+
+  /** 60-bit md5-derived hash — the oracle twin of Dedup.h60. */
+  private def oh60(e: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
+
+  private val sigCols = (0 until NumHashes)
+    .map(i => s"  min(${oh60("sh", i)}) AS m${"%02d".format(i)}")
+    .mkString(",\n")
+  private val sigCte =
+    s"""WITH $shingleCte,
+sigs AS (SELECT doc_id,\n$sigCols\nFROM dsh GROUP BY doc_id)"""
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS n_distinct,
+  CAST(length(lower(trim(text))) AS BIGINT) AS n_chars_norm,
+  CAST(len(regexp_extract_all(lower(trim(text)), '[^a-z0-9\s]')) AS BIGINT) AS n_punct,
+  CAST((length(lower(trim(text))) + 3) // 4 AS BIGINT) AS bpe_est,
+  CAST((CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) * 1000) // len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS quality_e3
+FROM documents""",
+
+    "lang_id" ->
+      """SELECT doc_id,
+  CASE
+    WHEN octet_length(encode(text)) > length(text) THEN 'zh'
+    WHEN contains(' '||lower(trim(text))||' ', ' der ') OR contains(' '||lower(trim(text))||' ', ' die ') OR contains(' '||lower(trim(text))||' ', ' und ') OR contains(' '||lower(trim(text))||' ', ' ist ') THEN 'de'
+    WHEN contains(' '||lower(trim(text))||' ', ' le ') OR contains(' '||lower(trim(text))||' ', ' les ') OR contains(' '||lower(trim(text))||' ', ' et ') OR contains(' '||lower(trim(text))||' ', ' est ') THEN 'fr'
+    WHEN contains(' '||lower(trim(text))||' ', ' el ') OR contains(' '||lower(trim(text))||' ', ' los ') OR contains(' '||lower(trim(text))||' ', ' las ') OR contains(' '||lower(trim(text))||' ', ' es ') THEN 'es'
+    WHEN contains(' '||lower(trim(text))||' ', ' the ') OR contains(' '||lower(trim(text))||' ', ' a ') OR contains(' '||lower(trim(text))||' ', ' is ') OR contains(' '||lower(trim(text))||' ', ' and ') THEN 'en'
+    ELSE 'unknown'
+  END AS lang_pred
+FROM documents""",
+
+    "fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)""",
+
+    "dedup_near_pairs" ->
+      s"""WITH $shingleCte,
+cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter, ca.n AS na, cb.n AS nb
+FROM inter
+JOIN cnt ca ON id_a = ca.doc_id
+JOIN cnt cb ON id_b = cb.doc_id
+WHERE 3 * inter >= 1 * (ca.n + cb.n)""",
+
+    "minhash_signatures" -> s"$sigCte SELECT * FROM sigs",
+
+    "lsh_candidates" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until RowsPerBand)
+          .map(r => s"CAST(m${"%02d".format(b * RowsPerBand + r)} AS VARCHAR)")
+        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', ${cols.mkString(", ")})) AS sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""$sigCte,
+bandsigs AS ($bandSelects)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandsigs a JOIN bandsigs b
+  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+    },
+
+    "simhash" ->
+      s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+dw AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM dwords),
+wh AS (SELECT doc_id, ${oh60("w", 0)} AS h FROM dw),
+bits AS (SELECT doc_id, t.range AS b,
+    sum(CASE WHEN (h >> t.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh, range(0, 60) t GROUP BY doc_id, t.range)
+SELECT doc_id,
+  CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for LLM-data pipelines over `(doc_id, text)`:
+ *
+ *  - exact dedup (content-hash groupBy);
+ *  - exact n-gram Jaccard near-dup pairs (shingle inverted-index join —
+ *    never an all-pairs cross product);
+ *  - MinHash signatures + banded LSH candidate generation (the 100 TB
+ *    scale path: candidates come from equality joins on band
+ *    signatures, candidate count ≈ true near-dups, then exact Jaccard
+ *    re-verification);
+ *  - SimHash (64-bit-ish bit-vote fingerprint; near-dups = small
+ *    Hamming distance).
+ *
+ * All hashing derives from md5 (deterministic everywhere, including the
+ * DuckDB oracle: Spark `conv(substr(md5(s),1,15),16,10)` ==
+ * DuckDB `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`, 60-bit positive).
+ *
+ * Shuffle profile at scale: exact dedup and MinHash shuffle once on
+ * content-hash / shingle; the Jaccard join shuffles on shingle (skew on
+ * stop-shingles can be salted or frequency-capped); LSH joins shuffle on
+ * band signature — tiny. Nothing materializes on the driver.
+ */
+object Dedup {
+
+  /** 60-bit positive hash of a string column, seeded. */
+  private def h60(c: Column, seed: Int): Column =
+    expr(s"cast(conv(substr(md5(concat('$seed:', ${c.toString})), 1, 15), 16, 10) as bigint)")
+
+  /** Exact duplicate groups by content hash: one row per distinct text,
+    * with the surviving (minimum) doc_id and the group size. */
+  def exact(df: DataFrame): DataFrame =
+    df.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * Exact word-k-shingle Jaccard near-duplicate pairs with similarity
+   * ≥ num/den, via an inverted-index self-join on shingles (the join
+   * key bounds the work to pairs that share ≥ 1 shingle). Threshold is
+   * applied in exact integer arithmetic:
+   * `i/(na+nb-i) >= num/den  <=>  (den+num)*i >= num*(na+nb)`.
+   */
+  def jaccardPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3): DataFrame = {
+    val sh = TextAnalysis.shingles(df, k).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Per-document MinHash signature: `numHashes` independent 60-bit
+    * min-hashes over the distinct k-shingle set, as columns m00..mNN. */
+  def minhashSignatures(df: DataFrame, numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val sh = TextAnalysis.shingles(df, k)
+    val mins = (0 until numHashes).map(i =>
+      min(h60(col("sh"), i)).as(f"m$i%02d"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * Banded-LSH candidate pairs from MinHash signatures: split the
+   * signature into `bands` bands of `rowsPerBand`, hash each band, and
+   * equality-join per band — two documents collide iff some band
+   * matches (probability ≈ 1-(1-s^r)^b for Jaccard s). Returns distinct
+   * `(id_a, id_b)`, id_a < id_b. Candidates must be re-verified with
+   * exact Jaccard (see [[jaccardPairs]]); banding only bounds the
+   * candidate set, which is what makes near-dup detection feasible at
+   * 100 TB (no all-pairs comparison anywhere).
+   */
+  def lshCandidates(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"cast(m${"%02d".format(b * rowsPerBand + r)} as string)")
+      s"md5(concat_ws(',', ${cols.mkString(", ")}))"
+    }
+    val stacked = sigs.select(col("doc_id"),
+      expr(s"explode(array(${bandCols.zipWithIndex
+        .map { case (c, i) => s"struct($i as band_id, $c as sig)" }.mkString(", ")}))").as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.sig").as("sig"))
+    stacked.as("a").join(stacked.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * 60-bit SimHash over the distinct word set: per bit position, words
+   * vote +1/-1 by their hash bit; the fingerprint sets bits with a
+   * positive vote. Near-dups differ in few bits (Hamming distance).
+   * The bit-explode formulation here is oracle-friendly; at 100 TB the
+   * same computation folds into a single `TypedImperativeAggregate`
+   * over 60 counters per document (one pass, no explode).
+   */
+  def simhash(df: DataFrame, bits: Int = 60): DataFrame = {
+    val words = df.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("doc_id"), h60(col("w"), 0).as("h"))
+    words
+      .select(col("doc_id"), col("h"), explode(expr(s"sequence(0, ${bits - 1})")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1 = 1"), 1).otherwise(-1)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM-data pipelines over a `(doc_id, text)`
+ * relation: normalization, token/quality statistics, heuristic language
+ * identification, and document fingerprinting.
+ *
+ * Everything is built from codegen'd builtin expressions (no UDFs) and
+ * is embarrassingly parallel — per-row projections only, no shuffle —
+ * so it scales linearly to 100 TB document stores.
+ *
+ * Determinism policy: all derived metrics are integers (counts,
+ * integer-scaled ratios) so the DuckDB oracle comparison is bit-exact.
+ */
+object TextAnalysis {
+
+  /** Canonical text form: lowercased, trimmed. */
+  def normalized(text: Column): Column = lower(trim(text))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalized(text), "\\s+")
+
+  /**
+   * Per-document statistics + quality score:
+   * token count, distinct-token count, normalized char length,
+   * punctuation count, a BPE-flavored subword estimate (`ceil(chars/4)` —
+   * the common ~4-chars-per-token rule of thumb), and
+   * `quality_e3` = lexical diversity (distinct/total tokens) ×1000 —
+   * a standard crude quality signal (near-0 for degenerate repetition).
+   */
+  def stats(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), normalized(col("text")).as("norm"))
+      .withColumn("ws", split(col("norm"), "\\s+"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        size(regexp_extract_all(col("norm"), lit("[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_punct"),
+        expr("cast(div(length(norm) + 3, 4) as bigint)").as("bpe_est"),
+        expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)")
+          .as("quality_e3"))
+
+  /**
+   * Heuristic language identification: multibyte (non-ASCII) content →
+   * `zh`; otherwise stopword markers for de/fr/es/en; else `unknown`.
+   * A real corpus gets real signal from this; the driver's synthetic
+   * corpus shares one English-ish vocabulary across its `lang` labels,
+   * so here the heuristic (correctly) reports what the TEXT looks like —
+   * the oracle verifies the operator, not the synthetic labels.
+   */
+  def langId(df: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), normalized(col("text")), lit(" "))
+    def any(words: String*): Column =
+      words.map(w => padded.contains(s" $w ")).reduce(_ || _)
+    df.select(col("doc_id"),
+      when(octet_length(col("text")) > length(col("text")), "zh")
+        .when(any("der", "die", "und", "ist"), "de")
+        .when(any("le", "les", "et", "est"), "fr")
+        .when(any("el", "los", "las", "es"), "es")
+        .when(any("the", "a", "is", "and"), "en")
+        .otherwise("unknown").as("lang_pred"))
+  }
+
+  /** Whitespace-insensitive content fingerprint (rolling-hash analog):
+    * md5 of the whitespace-collapsed normalized text. */
+  def fingerprint(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      md5(regexp_replace(normalized(col("text")), "\\s+", " ")).as("fp"))
+
+  /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
+    * shorter than k tokens are dropped (no k-shingle exists). */
+  def shingles(df: DataFrame, k: Int = 3): DataFrame = {
+    val body = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(ws)-$k), i -> $body)")).as("sh"))
+      .distinct()
+  }
+}

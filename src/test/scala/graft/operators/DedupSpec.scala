@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val documents =
+    spark.read.parquet(sf("sf0.01") + "/documents.parquet").cache()
+
+  test("LSH candidates achieve full recall of true near-dup pairs (banding property)") {
+    val truePairs = Dedup.jaccardPairs(documents, 1, 2).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = Dedup.lshCandidates(Dedup.minhashSignatures(documents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    val recall = truePairs.intersect(candidates).size.toDouble / truePairs.size
+    assert(recall >= 0.95, s"LSH recall $recall; missed ${truePairs -- candidates}")
+    // candidate set stays near the true pair count — no all-pairs blowup
+    assert(candidates.size < truePairs.size * 20 + 50)
+  }
+
+  test("near-dup pairs have higher simhash agreement than random pairs") {
+    val sh = Dedup.simhash(documents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = Dedup.jaccardPairs(documents, 1, 2).select("id_a", "id_b")
+      .collect().map(r => hamming(sh(r.getLong(0)), sh(r.getLong(1))))
+    val rnd = new scala.util.Random(42)
+    val ids = sh.keys.toArray
+    val random = (1 to 200).map { _ =>
+      hamming(sh(ids(rnd.nextInt(ids.length))), sh(ids(rnd.nextInt(ids.length))))
+    }
+    assert(near.nonEmpty)
+    assert(near.sum.toDouble / near.length < random.sum.toDouble / random.length,
+      s"near avg ${near.sum.toDouble / near.length} vs random ${random.sum.toDouble / random.length}")
+  }
+
+  test("exact dedup groups duplicated texts and keeps the minimum id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (5L, "alpha beta gamma"),
+      (3L, "unique doc here"), (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exact(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups === Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("jaccard threshold arithmetic is exact at the boundary") {
+    import spark.implicits._
+    // docs with 4-shingle sets overlapping in exactly 2: j = 2/(4+4-2) = 1/3
+    val a = "w1 w2 w3 w4 w5 w6" // shingles: 4
+    val b = "w3 w4 w5 w6 x1 x2" // shares shingles "w3 w4 w5","w4 w5 w6" => inter=2
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(df, 1, 3).count() === 1) // 1/3 >= 1/3 inclusive
+    assert(Dedup.jaccardPairs(df, 1, 2).count() === 0) // 1/3 <  1/2
+  }
+
+  test("langId detects real language signal (non-synthetic sanity)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick brown fox is jumping and running"),
+      (2L, "Der Hund ist gross und schnell"),
+      (3L, "Le chat est noir et les chiens sont grands"),
+      (4L, "El perro es grande y los gatos son pequenos"),
+      (5L, "你好 世界"),
+      (6L, "zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "unknown"))
+  }
+
+  test("fingerprint is whitespace-insensitive but content-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello   world"), (2L, "Hello world"), (3L, "hello worlds")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}
