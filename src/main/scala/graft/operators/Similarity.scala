@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`) — the
+ * high-dimensional generalization of the point store's kNN (SURVEY §7.1
+ * step 6).
+ *
+ *  - Exact top-k by inner product / cosine: broadcast the (small) query
+ *    set against the embedding table — one scan, no all-pairs shuffle.
+ *  - Near-dup pairs: blocked all-pairs within a blocking key (label,
+ *    cluster id, LSH bucket …) — the blocking bound is what makes this
+ *    feasible at scale; never an unblocked cross join.
+ *  - Random-hyperplane LSH: L tables × b sign bits from seeded
+ *    hyperplanes; candidates share a bucket in ≥1 table, then exact
+ *    re-rank. Scan cost drops to the candidate fraction; recall is
+ *    tunable via (L, b) — measured deterministically in `SimilaritySpec`.
+ *
+ * Determinism policy: the oracle-gated paths use fixed-point integer
+ * arithmetic — elements scaled by 1e6 to BIGINT, so dot products
+ * (≤ ~6e12 per pair here) are exact integers in any engine and any
+ * summation order. Float cosine is exposed too (`cosine`) for ranking
+ * use; its ordering equals integer-dot ordering for same-norm inputs.
+ */
+object Similarity {
+
+  val Scale = 1000000L
+
+  /** Fixed-point copy of the embedding table: `(vec_id, label, v)` with
+    * `v: Array[Long]` = round(embedding * 1e6). Element-cast to double
+    * first so scaling and rounding are IEEE-double in every engine. */
+  def intEmbeddings(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
+        .as("v"))
+
+  /** Exact integer inner product of two BIGINT vectors (codegen'd
+    * higher-order functions — no UDF, no explode). */
+  def dotInt(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, z) -> acc + z)")
+
+  /** Float cosine similarity of two float-array columns (double math). */
+  def cosine(a: String, b: String): Column = {
+    def dot(u: String, w: String) =
+      s"aggregate(zip_with($u, $w, (x, y) -> cast(x as double) * cast(y as double)), 0d, (acc, z) -> acc + z)"
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  /**
+   * Exact top-k neighbors by integer inner product for each query
+   * vector: broadcast the query side, rank with a per-query window.
+   * Ties break on neighbor id — fully deterministic.
+   */
+  def ipTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("v").as("qv")))
+    val scored = emb.select(col("vec_id").as("nid"), col("v"))
+      .join(q, col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), dotInt("qv", "v").as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
+  /** Blocked near-duplicate pairs: all pairs sharing `blockCol` with
+    * integer inner product ≥ `minDot`. */
+  def nearDupPairs(emb: DataFrame, minDot: Long, blockCol: String = "label"): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col(blockCol).as("blk"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col(blockCol).as("blk"), col("v").as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dotInt("va", "vb").as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+
+  /**
+   * Random-hyperplane LSH index: for each of `tables` hash tables,
+   * a `bits`-bit signature of hyperplane sign tests. Hyperplane
+   * components are seeded and baked into the plan as literals, so the
+   * index is reproducible. Returns `(vec_id, table_id, bucket)`.
+   */
+  def lshBuckets(emb: DataFrame, dim: Int, tables: Int = 16, bits: Int = 6,
+                 seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // gaussian hyperplanes, scaled to integers (sign tests are scale-free)
+    def plane(): Array[Long] = Array.fill(dim)(math.round(rnd.nextGaussian() * 1000))
+    val tableExprs = (0 until tables).map { t =>
+      val bitExprs = (0 until bits).map { _ =>
+        val p = plane().mkString("array(", "L,", "L)")
+        s"(case when aggregate(zip_with(v, $p, (x, y) -> x * y), cast(0 as bigint), (acc, z) -> acc + z) >= 0 then 1 else 0 end)"
+      }
+      val bucket = bitExprs.zipWithIndex
+        .map { case (e, i) => s"($e) * ${1 << i}" }.mkString(" + ")
+      s"struct($t as table_id, $bucket as bucket)"
+    }
+    emb.select(col("vec_id"), col("v"),
+        explode(expr(s"array(${tableExprs.mkString(", ")})")).as("tb"))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+  }
+
+  /**
+   * Approximate top-k: LSH candidate generation (same bucket in ≥1
+   * table) + exact integer-dot re-rank. The scale path for ANN when the
+   * table no longer admits a full scan per query.
+   */
+  def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              tables: Int = 16, bits: Int = 6, seed: Long = 42L): DataFrame = {
+    val buckets = lshBuckets(emb, dim, tables, bits, seed)
+    val qb = lshBuckets(queries, dim, tables, bits, seed)
+      .withColumnRenamed("vec_id", "qid")
+    val candidates = buckets.join(qb, Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("v").as("qv")))
+    val scored = candidates
+      .join(emb.select(col("vec_id").as("nid"), col("v")), "nid")
+      .join(q, "qid")
+      .select(col("qid"), col("nid"), dotInt("qv", "v").as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb =
+    Similarity.intEmbeddings(
+      spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")).cache()
+
+  test("integer dot product matches a driver-side exact computation") {
+    val vecs = emb.filter(col("vec_id") < 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
+    val got = Similarity.ipTopK(emb.filter(col("vec_id") < 3),
+        emb.filter(col("vec_id") === 0), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for ((nid, d) <- got) assert(d === dot(vecs(0L), vecs(nid)))
+  }
+
+  test("LSH top-k: deterministic recall vs exact baseline, bounded candidate work") {
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.ipTopK(emb, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 64, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // weak-similarity synthetic data; with seed 42 recall is deterministic.
+    // The floor documents the measured operating point of (L=16, b=6).
+    assert(recall >= 0.5, s"recall $recall")
+    // the candidate set must be a small fraction of all pairs
+    val nCand = Similarity.lshBuckets(emb, 64).join(
+        Similarity.lshBuckets(queries, 64).withColumnRenamed("vec_id", "qid"),
+        Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct().count()
+    val allPairs = 10L * (emb.count() - 1)
+    assert(nCand < allPairs / 2, s"candidates $nCand of $allPairs")
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, 350000000000L).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 350000000000L)
+    }
+  }
+
+  test("cosine column agrees in ordering with integer dot for unit-normed pairs") {
+    val raw = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val a = raw.filter(col("vec_id") === 0)
+      .select(col("embedding").as("ea")).crossJoin(
+        raw.filter(col("vec_id").between(1, 50)).select(col("vec_id"), col("embedding").as("eb")))
+    val cos = a.select(col("vec_id"), Similarity.cosine("ea", "eb").as("c"))
+      .orderBy(col("c").desc).collect().map(_.getLong(0)).take(5).toSeq
+    val ip = Similarity.ipTopK(emb.filter(col("vec_id").between(1, 50)),
+        emb.filter(col("vec_id") === 0), 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // norms are not exactly equal, so allow set-level agreement at the top
+    assert(cos.toSet.intersect(ip.toSet).size >= 3, s"cos=$cos ip=$ip")
+  }
+}
