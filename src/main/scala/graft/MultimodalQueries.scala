@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Multimodal
+
+/**
+ * Multimodal-column query inventory: binary payload plumbing gated
+ * against DuckDB (byte lengths, sha256 digests, frame sampling — all
+ * deterministic); the stubbed decode/feature kernels are covered by
+ * `MultimodalSpec` (no SQL equivalent by design — they model codec
+ * calls).
+ */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> ((s, dir) => Multimodal.meta(media(s, dir))),
+    "frame_sample"    -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4))
+  )
+
+  // DuckDB 1.0 has no BLOB sha256/substring, so the oracle hashes and
+  // slices the VARCHAR and encodes afterwards — byte-identical to the
+  // engine's binary path because the corpus is pure ASCII
+  // (octet_length(encode(text)) == length(text) for every row, asserted
+  // by the byte_len column itself).
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS sha256,
+  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+FROM documents""",
+
+    "frame_sample" ->
+      """WITH mm AS (SELECT doc_id, text AS content FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT doc_id,
+  unnest(list_transform(range(0, CAST((length(content) + 255) // 256 AS INT)),
+    i -> {'idx': i, 'frame': encode(substring(content, CAST(i*256+1 AS INT), 256))})) AS s
+  FROM mm)
+SELECT doc_id, CAST(s.idx AS INT) AS frame_idx, s.frame AS frame
+FROM f WHERE s.idx % 4 = 0"""
+  )
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column handling for LLM-data pipelines: image/audio/video
+ * payloads ride as opaque `binary` columns with typed metadata, and the
+ * compute-heavy steps (decode, feature-extract, resize, frame-sample)
+ * run as partition-local typed transformations.
+ *
+ * The container has no media codecs, so the DECODE KERNELS BELOW ARE
+ * DETERMINISTIC STAND-INS (clearly marked): they parse the byte stream
+ * with a fake but stable algorithm. Swapping in a real codec changes
+ * only the kernel body — the Spark-side contract (schema, typed
+ * Dataset encoders, per-partition batching, shuffle-free execution) is
+ * the real, tested design:
+ *
+ *  - payloads never pass through the driver;
+ *  - kernels run via `mapPartitions` (the Scala analog of
+ *    `mapInPandas`: one iterator per partition => per-batch codec
+ *    state amortization, e.g. a decoder handle reused per partition);
+ *  - derived columns (metadata, features) are small; the binary column
+ *    is pruned away the moment it is no longer needed, which keeps
+ *    scan width minimal at 100 TB.
+ */
+object Multimodal {
+
+  /** A media row: payload + discriminator. */
+  final case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** Decoded media metadata (what a real codec would surface). */
+  final case class MediaInfo(doc_id: Long, media_type: String,
+    width: Int, height: Int, n_frames: Int, mean_byte: Double)
+
+  /** Extracted feature vector. */
+  final case class MediaFeature(doc_id: Long, feature: Array[Float])
+
+  val FrameBytes = 256 // fake fixed-size frame for the video stand-in
+
+  /**
+   * Derive a deterministic media table from the `documents` fixture:
+   * the UTF-8 text bytes stand in for an encoded payload; media_type
+   * cycles by id. (Real pipelines read binary files or parquet binary
+   * columns directly — the downstream operators don't care.)
+   */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** Payload metadata — pure column ops, fully pushdown/codegen friendly. */
+  def meta(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"),
+      octet_length(col("content")).cast("long").as("byte_len"),
+      sha2(col("content"), 256).as("sha256"),
+      expr(s"cast(div(octet_length(content) + ${FrameBytes - 1}, $FrameBytes) as bigint)")
+        .as("n_frames"))
+
+  /**
+   * STAND-IN DECODER: a real implementation would hand the bytes to an
+   * image/audio codec here. The fake derives stable "dimensions" from
+   * the payload length and a brightness proxy from the byte mean. Runs
+   * partition-local with one "decoder" per partition.
+   */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder handle (amortized setup — the real-codec pattern)
+      it.map { r =>
+        val len = r.content.length
+        val w = math.max(1, math.sqrt(len.toDouble).toInt)
+        val h = math.max(1, len / w)
+        val frames = if (r.media_type == "video") (len + FrameBytes - 1) / FrameBytes else 1
+        val mean = if (len == 0) 0.0
+          else r.content.map(b => (b & 0xFF).toLong).sum.toDouble / len
+        MediaInfo(r.doc_id, r.media_type, w, h, frames, mean)
+      }
+    }
+  }
+
+  /**
+   * STAND-IN RESIZE: truncate/cycle the payload to the target "pixel"
+   * count. Keeps the binary column partition-local end to end.
+   */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    val target = w * h
+    media.mapPartitions(_.map { r =>
+      val out = Array.tabulate(target)(i => r.content(i % math.max(1, r.content.length)))
+      MediaRecord(r.doc_id, r.media_type, out)
+    })
+  }
+
+  /** Frame sampling for "video" payloads: every `everyN`-th fixed-size
+    * frame, exploded to one row per sampled frame — shuffle-free. */
+  def frameSample(media: DataFrame, everyN: Int): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""filter(transform(sequence(0, cast(div(octet_length(content) + ${FrameBytes - 1}, $FrameBytes) as int) - 1),
+             i -> struct(i as idx, substring(content, i * $FrameBytes + 1, $FrameBytes) as frame)),
+             s -> s.idx % $everyN = 0)""")))
+      .select(col("doc_id"), col("col.idx").as("frame_idx"), col("col.frame").as("frame"))
+
+  /**
+   * STAND-IN FEATURE EXTRACTOR: 16-bin byte histogram, L1-normalized —
+   * where a real vision/audio model forward pass would run (batched per
+   * partition, exactly this shape).
+   */
+  def features(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val hist = new Array[Float](16)
+      r.content.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+      val n = math.max(1, r.content.length).toFloat
+      MediaFeature(r.doc_id, hist.map(_ / n))
+    })
+  }
+
+  def asRecords(spark: SparkSession, media: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord]
+  }
+}

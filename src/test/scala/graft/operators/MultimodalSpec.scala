@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.mediaFromDocuments(
+      spark.read.parquet(sf("sf0.01") + "/documents.parquet")).cache()
+
+  test("media derivation: typed binary payloads with cycling media_type") {
+    val types = media.groupBy("media_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.keySet === Set("image", "audio", "video"))
+    assert(types.values.sum === 500L)
+  }
+
+  test("decode stub: partition-local, deterministic, length-consistent") {
+    val recs = Multimodal.asRecords(spark, media)
+    val infos = Multimodal.decode(recs).collect()
+    assert(infos.length === 500)
+    infos.foreach { i =>
+      assert(i.width >= 1 && i.height >= 1)
+      assert(i.mean_byte > 0.0 && i.mean_byte < 256.0)
+      if (i.media_type != "video") assert(i.n_frames === 1)
+    }
+    // deterministic across runs
+    val again = Multimodal.decode(recs).collect()
+    assert(infos.map(_.mean_byte).sorted.toSeq === again.map(_.mean_byte).sorted.toSeq)
+  }
+
+  test("resize stub: payload becomes exactly w*h bytes") {
+    val out = Multimodal.resize(Multimodal.asRecords(spark, media.limit(20)), 8, 8)
+      .collect()
+    out.foreach(r => assert(r.content.length === 64))
+  }
+
+  test("frame sampling keeps every 4th fixed-size frame of video payloads") {
+    val frames = Multimodal.frameSample(media, 4).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getInt(1) % 4 === 0)
+      assert(r.getAs[Array[Byte]](2).length <= Multimodal.FrameBytes)
+    }
+  }
+
+  test("feature stub: 16-dim L1-normalized histograms") {
+    val feats = Multimodal.features(Multimodal.asRecords(spark, media.limit(50)))
+      .collect()
+    feats.foreach { f =>
+      assert(f.feature.length === 16)
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("binary column prunes away: meta projection does not retain content") {
+    val m = Multimodal.meta(media)
+    assert(!m.columns.contains("content"))
+    assert(m.count() === 500)
+  }
+}
