@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.PointStore
+
+class StreamingIngestSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("streaming ingest: per-batch z-keyed append + stats + split compaction") {
+    val src = tmp("stream-src"); val store = tmp("stream-store") + "/store"
+    val stats = tmp("stream-stats") + "/stats"; val ckpt = tmp("stream-ckpt")
+
+    val events = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(3000).cache()
+    // stage the first micro-batch before the stream starts
+    events.filter(col("event_id") % 3 === 0).write.parquet(s"$src/b0")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$src/*")
+    val q = StreamingIngest.start(stream, store, stats, ckpt, splitThreshold = 200L)
+    try {
+      q.processAllAvailable()
+      // two more micro-batches arrive
+      events.filter(col("event_id") % 3 === 1).write.parquet(s"$src/b1")
+      q.processAllAvailable()
+      events.filter(col("event_id") % 3 === 2).write.parquet(s"$src/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = spark.read.parquet(store)
+    // every ingested event is present exactly once
+    assert(stored.count() === 3000L)
+    assert(stored.select(countDistinct(col("id"))).head().getLong(0) === 3000L)
+    // streaming result == batch result through the same derivation
+    val batchPts = PointStore.points(events,
+      col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
+    assert(stored.select(sum(col("zkey"))).head().getLong(0) ===
+      batchPts.select(sum(col("zkey"))).head().getLong(0))
+    // minor compaction ran inside each batch: no file over threshold
+    val perFile = stored.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.max <= 200L, s"oversized file: ${perFile.max}")
+    // stats table exists and sums to the store size
+    val st = spark.read.parquet(stats)
+    assert(st.agg(sum("bucket_size")).head().getLong(0) === 3000L)
+
+    // major compaction restores globally disjoint per-file z-ranges
+    StreamingIngest.recluster(spark, store, 200L)
+    val after = spark.read.parquet(store)
+    assert(after.count() === 3000L)
+    val ranges = after.groupBy(input_file_name())
+      .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
+  test("hourly rollup: streaming result equals the batch twin") {
+    val src = tmp("roll-src")
+    val events = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(2000).cache()
+    events.write.parquet(s"$src/b0")
+
+    val batch = StreamingIngest.hourlyCounts(events).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val sdf = spark.readStream.schema(events.schema).parquet(s"$src/*")
+    val q = StreamingIngest.hourlyCounts(sdf).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+}
