@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.PointStore
+import graft.zorder.IntRange
+
+/**
+ * Benchmark main (driver contract): times every registered query at
+ * `SPARK_GRAFT_SF_DIR`, plus the Z-clustered store paths (build, pruned
+ * range scan, kNN) that the inventory queries exercise only in
+ * derive-on-the-fly form. Prints exactly one JSON line.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,18 +20,47 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm up the JVM/session so the first measured query isn't charged
+    // for codegen bootstrap and filesystem metadata
+    spark.read.parquet(s"$sfDir/part.parquet").count()
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val inventory = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+    }
+
+    // z-clustered store lifecycle on the largest point source
+    val storePath = s"/tmp/graft_bench_store_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val storeBench = {
+      val pts = PointStore.points(
+        spark.read.parquet(s"$sfDir/events.parquet"),
+        col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
+      val tBuild = time { PointStore.write(pts, storePath, 32) }
+      val store = PointStore.open(spark, storePath)
+      val tRange = time {
+        store.rangeQuery(IntRange(10000, 30000), IntRange(40, 110))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tKnn = time { store.knn(25000, 75, 10).write.format("noop").mode("overwrite").save() }
+      Seq("store_build" -> tBuild, "store_range" -> tRange, "store_knn" -> tKnn)
+    }
+
+    val results = inventory ++ storeBench
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
