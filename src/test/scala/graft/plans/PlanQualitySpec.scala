@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.PointStore
+import graft.zorder.IntRange
+
+/**
+ * Plan-quality assertions: the physical plans the engine relies on at
+ * scale actually materialize — predicate pushdown to Parquet (the
+ * reference's RangeFilter analog, SURVEY §4 P3), column pruning (P4),
+ * distributed top-k for kNN, and broadcast joins on small dimensions.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  test("range filters reach the Parquet scan (PushedFilters) with pruned schema") {
+    val pts = PointStore.points(
+      spark.read.parquet(sf("sf0.01") + "/part.parquet"),
+      col("p_partkey"), col("p_size"), expr("cast(floor(p_retailprice) as int)"))
+    val q = PointStore.rangeQuery(pts, IntRange(10, 20), IntRange(900, 950))
+      .select("id")
+    val scan = q.queryExecution.executedPlan.toString
+    // raw predicates pushed to the reader
+    assert(scan.contains("PushedFilters: [") && scan.contains("GreaterThanOrEqual(p_size"), scan)
+    // column pruning: only the three source columns are read
+    assert(scan.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"), scan)
+  }
+
+  test("kNN plans as distributed top-k (TakeOrderedAndProject), not a global sort") {
+    val pts = PointStore.points(
+      spark.read.parquet(sf("sf0.01") + "/part.parquet"),
+      col("p_partkey"), col("p_size"), expr("cast(floor(p_retailprice) as int)"))
+    val plan = PointStore.knn(pts, 25, 950, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortExec"), plan)
+  }
+
+  test("small-dimension joins broadcast (no shuffle of the big side's join key)") {
+    val plan = graft.RelationalQueries.queries("revenue_by_nation")(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregations use map-side partial aggregation") {
+    val plan = graft.RelationalQueries.queries("q1_agg")(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    // partial_ marks the map-side combine before the exchange
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
+    val pts = PointStore.points(
+      spark.read.parquet(sf("sf0.01") + "/part.parquet"),
+      col("p_partkey"), col("p_size"), expr("cast(floor(p_retailprice) as int)"))
+    val plan = pts.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen stage marker
+    assert(plan.contains("zorder"), plan)
+  }
+}
