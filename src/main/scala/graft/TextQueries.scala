@@ -45,8 +45,12 @@ dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> 
   private def oh60(e: String, seed: Int): String =
     s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
 
-  private val sigCols = (0 until NumHashes)
-    .map(i => s"  min(${oh60("sh", i)}) AS m${"%02d".format(i)}")
+  // universal-hash minima over the 32-bit base hash — constants shared
+  // with Dedup.minhashSignatures (single source of truth)
+  private val sigCols = Dedup.minhashParams(NumHashes).zipWithIndex
+    .map { case ((a, b), i) =>
+      s"  min(CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) * $a + $b) AS m${"%02d".format(i)}"
+    }
     .mkString(",\n")
   private val sigCte =
     s"""WITH $shingleCte,

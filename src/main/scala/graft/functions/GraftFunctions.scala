@@ -48,11 +48,17 @@ object GraftFunctions {
     dx * dx + dy * dy
   }
 
-  /** Register `zorder`/`zorder_x`/`zorder_y` for SQL use in this session. */
+  /** Fused exact integer inner product of two BIGINT arrays (native
+    * codegen loop — no intermediate array, unlike aggregate∘zip_with). */
+  def dot_long(a: Column, b: Column): Column =
+    Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register the engine functions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("zorder", es => ZOrderKey(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder_x", es => ZOrderX(es.head), "built-in")
     reg.createOrReplaceTempFunction("zorder_y", es => ZOrderY(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_long", es => DotLong(es.head, es(1)), "built-in")
   }
 }

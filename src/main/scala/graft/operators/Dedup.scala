@@ -58,12 +58,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
   }
 
-  /** Per-document MinHash signature: `numHashes` independent 60-bit
-    * min-hashes over the distinct k-shingle set, as columns m00..mNN. */
+  /**
+   * Universal-hash family for MinHash: `h_i(s) = A_i * base32(s) + B_i`
+   * where `base32` is a 32-bit md5-derived hash and A_i/B_i are fixed
+   * odd/offset constants. One md5 per shingle (instead of one per
+   * shingle per hash) and the products stay exact in 64-bit
+   * (A < 2^31, base < 2^32), so every engine computes identical values.
+   * These constants are the single source of truth — the DuckDB oracle
+   * SQL is generated from them.
+   */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(1234567L)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue).toLong | 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 32-bit md5-derived base hash of a string column. */
+  def base32(c: Column): Column =
+    expr(s"cast(conv(substr(md5(${c.toString}), 1, 8), 16, 10) as bigint)")
+
+  /** Per-document MinHash signature: `numHashes` universal-hash minima
+    * over the distinct k-shingle set, as columns m00..mNN. */
   def minhashSignatures(df: DataFrame, numHashes: Int = 16, k: Int = 3): DataFrame = {
     val sh = TextAnalysis.shingles(df, k)
-    val mins = (0 until numHashes).map(i =>
-      min(h60(col("sh"), i)).as(f"m$i%02d"))
+      .withColumn("h", base32(col("sh")))
+    val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(f"m$i%02d")
+    }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 

@@ -37,10 +37,11 @@ object Similarity {
       expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
         .as("v"))
 
-  /** Exact integer inner product of two BIGINT vectors (codegen'd
-    * higher-order functions — no UDF, no explode). */
+  /** Exact integer inner product of two BIGINT vectors — the native
+    * fused-loop expression [[graft.functions.DotLong]] (no UDF, no
+    * intermediate array per pair). */
   def dotInt(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, z) -> acc + z)")
+    graft.functions.GraftFunctions.dot_long(col(a), col(b))
 
   /** Float cosine similarity of two float-array columns (double math). */
   def cosine(a: String, b: String): Column = {
@@ -87,17 +88,14 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     // gaussian hyperplanes, scaled to integers (sign tests are scale-free)
     def plane(): Array[Long] = Array.fill(dim)(math.round(rnd.nextGaussian() * 1000))
-    val tableExprs = (0 until tables).map { t =>
-      val bitExprs = (0 until bits).map { _ =>
-        val p = plane().mkString("array(", "L,", "L)")
-        s"(case when aggregate(zip_with(v, $p, (x, y) -> x * y), cast(0 as bigint), (acc, z) -> acc + z) >= 0 then 1 else 0 end)"
-      }
-      val bucket = bitExprs.zipWithIndex
-        .map { case (e, i) => s"($e) * ${1 << i}" }.mkString(" + ")
-      s"struct($t as table_id, $bucket as bucket)"
+    val tableCols = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { i =>
+        when(graft.functions.GraftFunctions.dot_long(
+          col("v"), typedLit(plane())) >= 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
     }
-    emb.select(col("vec_id"), col("v"),
-        explode(expr(s"array(${tableExprs.mkString(", ")})")).as("tb"))
+    emb.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
       .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
   }
 

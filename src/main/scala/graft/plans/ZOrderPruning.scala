@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{ZOrderKey, ZOrderX, ZOrderY}
+import graft.functions.{DotLong, ZOrderKey, ZOrderX, ZOrderY}
 import graft.zorder.{IntRange, ZRanges}
 
 /**
@@ -121,5 +121,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("zorder_y"),
       new ExpressionInfo(classOf[ZOrderY].getName, "zorder_y"),
       (es: Seq[Expression]) => ZOrderY(es.head)))
+    e.injectFunction((FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (es: Seq[Expression]) => DotLong(es.head, es(1))))
   }
 }
