@@ -100,6 +100,66 @@ object Similarity {
   }
 
   /**
+   * IVF coarse quantizer: `nCentroids` centroids picked by a
+   * deterministic stride over vec_id order (a seeded k-means refinement
+   * would slot in here; stride suffices for a partitioning quantizer),
+   * every vector assigned to its max-inner-product centroid. The
+   * assignment is a plan-literal broadcast — one pass, no shuffle.
+   * Returns `(vec_id, centroid_id, v)`.
+   */
+  def ivfAssign(emb: DataFrame, centroids: Seq[(Int, Array[Long])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(graft.functions.GraftFunctions.dot_long(col("v"), typedLit(c)).as("d"),
+        lit(cid).as("cid"))
+    }
+    emb.withColumn("centroid_id",
+      array_max(array(scored: _*)).getField("cid"))
+      .select(col("vec_id"), col("centroid_id"), col("v"))
+  }
+
+  /** Deterministic centroid choice: every (n/nCentroids)-th vector in
+    * vec_id order. Metadata-scale driver state (nCentroids vectors). */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int): Seq[(Int, Array[Long])] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / nCentroids)
+    emb.filter(col("vec_id") % stride === 0).orderBy("vec_id")
+      .limit(nCentroids).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](r.fieldIndex("v")).toArray) }
+      .toSeq
+  }
+
+  /**
+   * IVF approximate top-k: probe the `nProbe` nearest centroids per
+   * query, rerank candidates exactly. Scan cost ≈ nProbe/nCentroids of
+   * the table — the standard ANN trade (recall measured in
+   * `SimilaritySpec`).
+   */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, nCentroids)
+    val assigned = ivfAssign(emb, cents)
+    val scored = cents.map { case (cid, c) =>
+      struct(graft.functions.GraftFunctions.dot_long(col("v"), typedLit(c)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val qProbes = queries
+      .withColumn("probes",
+        slice(sort_array(array(scored: _*), asc = false), 1, nProbe))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(expr("transform(probes, p -> p.cid)")).as("centroid_id"))
+    val scoredCand = assigned
+      .join(broadcast(qProbes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), dotInt("qv", "v").as("dot"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    scoredCand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
+  /**
    * Approximate top-k: LSH candidate generation (same bucket in ≥1
    * table) + exact integer-dot re-rank. The scale path for ANN when the
    * table no longer admits a full scan per query.

@@ -64,4 +64,30 @@ class SimilaritySpec extends SparkSpec {
     // norms are not exactly equal, so allow set-level agreement at the top
     assert(cos.toSet.intersect(ip.toSet).size >= 3, s"cos=$cos ip=$ip")
   }
+
+  test("IVF top-k: deterministic recall vs exact, probe-bounded candidate work") {
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.ipTopK(emb, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+    // candidates bounded by the probed partitions (~nProbe/nCentroids)
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val sizes = Similarity.ivfAssign(emb, cents)
+      .groupBy("centroid_id").count().collect().map(_.getLong(1))
+    assert(sizes.sum === emb.count())
+    assert(sizes.length > 4, "degenerate quantizer: everything in few cells")
+  }
+
+  test("GraftCatalog registers tables and functions for plain SQL") {
+    graft.sources.GraftCatalog.registerAll(spark, sf("sf0.001"))
+    assert(spark.sql("SELECT count(*) FROM part").head().getLong(0) === 200L)
+    assert(spark.sql(
+      "SELECT zorder(p_size, cast(floor(p_retailprice) as int)) FROM part LIMIT 1")
+      .head().getLong(0) >= 0L)
+    assert(spark.sql("SELECT dot_long(array(1L,2L), array(3L,4L))").head().getLong(0) === 11L)
+  }
 }
