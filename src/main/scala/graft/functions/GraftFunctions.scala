@@ -53,6 +53,11 @@ object GraftFunctions {
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
 
+  /** One-pass SimHash aggregate over per-element 64-bit hashes
+    * ([[SimHashAgg]] — map-side combinable counter buffer). */
+  def simhash_agg(h: Column, bits: Int = 60): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(h), bits).toAggregateExpression())
+
   /** Register the engine functions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

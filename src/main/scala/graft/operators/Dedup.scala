@@ -119,21 +119,16 @@ object Dedup {
    * 60-bit SimHash over the distinct word set: per bit position, words
    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
    * positive vote. Near-dups differ in few bits (Hamming distance).
-   * The bit-explode formulation here is oracle-friendly; at 100 TB the
-   * same computation folds into a single `TypedImperativeAggregate`
-   * over 60 counters per document (one pass, no explode).
+   * Computed in ONE aggregation pass by the custom
+   * [[graft.functions.SimHashAgg]] counter-buffer aggregate (map-side
+   * combinable — no 60× bit explode), value-identical to the bit-vote
+   * definition the DuckDB oracle spells out relationally.
    */
-  def simhash(df: DataFrame, bits: Int = 60): DataFrame = {
-    val words = df.select(col("doc_id"),
+  def simhash(df: DataFrame, bits: Int = 60): DataFrame =
+    df.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
       .distinct()
       .select(col("doc_id"), h60(col("w"), 0).as("h"))
-    words
-      .select(col("doc_id"), col("h"), explode(expr(s"sequence(0, ${bits - 1})")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(h >> b) & 1 = 1"), 1).otherwise(-1)).as("v"))
       .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-        .otherwise(0L)).as("simhash"))
-  }
+      .agg(graft.functions.GraftFunctions.simhash_agg(col("h"), bits).as("simhash"))
 }

@@ -89,21 +89,20 @@ object PointStore {
       val ry = IntRange(math.max(0L, qy - r).toInt, math.min(Int.MaxValue.toLong, qy + r).toInt)
       rangeQuery(pts, rx, ry)
     }
+    // one job per probe: the k smallest window distances give BOTH the
+    // saturation check (fewer than k rows => widen) and the k-th bound
     var r = math.max(1L, initialRadius.toLong)
-    var probeCount = 0L
+    var kth = -1L
     var exhausted = false
-    while (!exhausted && probeCount < k) {
-      probeCount = window(r).count()
-      if (probeCount < k) {
-        if (r >= Int.MaxValue.toLong) exhausted = true
-        else r = math.min(r * 8, Int.MaxValue.toLong)
-      }
+    while (!exhausted && kth < 0) {
+      val top = window(r)
+        .select(dist2(col("x"), col("y"), qx, qy).as("d2"))
+        .orderBy("d2").limit(k).collect()
+      if (top.length >= k) kth = top.last.getLong(0)
+      else if (r >= Int.MaxValue.toLong) exhausted = true
+      else r = math.min(r * 8, Int.MaxValue.toLong)
     }
     val base = if (exhausted) pts else {
-      val kth = window(r)
-        .select(dist2(col("x"), col("y"), qx, qy).as("d2"))
-        .orderBy("d2").limit(k)
-        .agg(max(col("d2"))).head().getLong(0)
       val rFinal = math.min(math.ceil(math.sqrt(kth.toDouble)).toLong + 1, Int.MaxValue.toLong)
       window(rFinal)
     }
