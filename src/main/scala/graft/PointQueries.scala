@@ -97,6 +97,11 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         .select(col("id"), col("x"), col("y"), col("value").as("last_value"))
     }),
 
+    // O6/P7 — variable-depth (maySplit-analog) adaptive index stats
+    "index_adaptive" -> ((s, dir) =>
+      PointStore.adaptiveStats(eventsPoints(s, dir),
+        threshold = 500L, statsDepth = 48, baseDepth = 2)),
+
     // S2 — as-of (getRowOrBefore) routing against a bucket-stats table
     "stats_asof" -> ((s, dir) => {
       val pts = eventsPoints(s, dir)
@@ -154,6 +159,30 @@ FROM (
     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1""",
+
+    // the reference's recursive maySplit as a recursive CTE: split any
+    // bucket over the threshold until depth 48 (DuckDB disallows
+    // left-shifting negatives, hence the -(1 << s) mask spelling)
+    "index_adaptive" -> {
+      val recur = s"""WITH RECURSIVE ${eventsLadder.stripPrefix("WITH ")},
+split(bucket_key, prefix_len, bucket_size) AS (
+  SELECT zkey & (-(CAST(1 AS BIGINT) << 62)), 2, count(*) FROM zpts GROUP BY 1
+  UNION ALL
+  SELECT child.k, s.prefix_len + 1, (
+      SELECT count(*) FROM zpts
+      WHERE (zkey & (-(CAST(1 AS BIGINT) << (64 - (s.prefix_len + 1))))) = child.k)
+  FROM split s,
+    LATERAL (SELECT s.bucket_key | (CAST(c.c AS BIGINT) << (63 - s.prefix_len)) AS k
+             FROM (VALUES (0), (1)) c(c)) child
+  WHERE s.bucket_size > 500 AND s.prefix_len < 48
+)
+SELECT bucket_key, prefix_len,
+  concat(substring(lpad(bin(bucket_key), 64, '0'), 1, prefix_len), repeat('*', 64 - prefix_len)) AS bucket_name,
+  bucket_size
+FROM split
+WHERE bucket_size > 0 AND (bucket_size <= 500 OR prefix_len = 48)"""
+      recur
+    },
 
     "stats_asof" ->
       s"""$eventsLadder,

@@ -123,6 +123,37 @@ object PointStore {
         bucket_name(col("bucket_key"), prefixLen).as("bucket_name"),
         col("bucket_size"))
 
+  /**
+   * Adaptive bucket stats — the variable-depth analog of the
+   * reference's index (`Index.java:183-230`): recursively split any
+   * bucket larger than `threshold`, computed from ONE data-scale
+   * aggregation at `statsDepth` plus a metadata-scale driver roll-up
+   * (driver state bounded by occupied fine buckets ≤ 2^statsDepth).
+   */
+  def adaptiveStats(pts: DataFrame, threshold: Long, statsDepth: Int = 24,
+                    baseDepth: Int = 2): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val fine: Array[(Long, Long)] = pts
+      .groupBy(bucket_key(col("zkey"), statsDepth).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    // batch re-expression of the reference's recursive `maySplit`
+    def splitLevel(entries: Seq[(Long, Long)], pl: Int): Seq[(Long, Int, Long)] = {
+      val grouped = entries.groupBy { case (key, _) => key & ZOrder.makeMask(pl) }
+      grouped.toSeq.flatMap { case (bk, kids) =>
+        val total = kids.map(_._2).sum
+        if (total <= threshold || pl >= statsDepth) Seq((bk, pl, total))
+        else splitLevel(kids, pl + 1)
+      }
+    }
+    splitLevel(fine.toSeq, baseDepth)
+      .toDF("bucket_key", "prefix_len", "bucket_size")
+      .withColumn("bucket_name", expr(
+        "concat(substring(lpad(bin(bucket_key), 64, '0'), 1, prefix_len)," +
+        " repeat('*', 64 - prefix_len))"))
+  }
+
   /** Upsert-on-read: reference `Put` overwrite semantics per (x, y, id)
     * (`Bucket.java:76-81`) over an append-only put log — keep the row
     * with the greatest sequence columns per key. */
@@ -175,36 +206,9 @@ class PointStore(spark: SparkSession, path: String) {
   def latest(seq: Seq[Column] = Nil): DataFrame =
     if (seq.isEmpty) df.dropDuplicates("x", "y", "id") else PointStore.latest(df, seq)
 
-  /**
-   * Adaptive bucket stats — the true analog of the reference's
-   * variable-depth index (`Index.java:183-230`): recursively split any
-   * bucket larger than `threshold`, like `maySplit`, computed from ONE
-   * data-scale aggregation at `statsDepth` (driver state is bounded by
-   * the number of occupied fine buckets ≤ 2^statsDepth — metadata-scale
-   * even at 100 TB when statsDepth is chosen sensibly).
-   */
-  def adaptiveStats(threshold: Long, statsDepth: Int = 24, baseDepth: Int = 2): DataFrame = {
-    import spark.implicits._
-    val fine: Array[(Long, Long)] = df
-      .groupBy(bucket_key(col("zkey"), statsDepth).as("k"))
-      .agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect()
-    // Metadata-scale recursive roll-up — batch re-expression of the
-    // reference's recursive `maySplit` (`Index.java:183-230`).
-    def splitLevel(entries: Seq[(Long, Long)], pl: Int): Seq[(Long, Int, Long)] = {
-      val grouped = entries.groupBy { case (key, _) => key & ZOrder.makeMask(pl) }
-      grouped.toSeq.flatMap { case (bk, kids) =>
-        val total = kids.map(_._2).sum
-        if (total <= threshold || pl >= statsDepth) Seq((bk, pl, total))
-        else splitLevel(kids, pl + 1)
-      }
-    }
-    splitLevel(fine.toSeq, baseDepth)
-      .toDF("bucket_key", "prefix_len", "bucket_size")
-      .withColumn("bucket_name", expr(
-        "concat(substring(lpad(bin(bucket_key), 64, '0'), 1, prefix_len)," +
-        " repeat('*', 64 - prefix_len))"))
-  }
+  /** Variable-depth bucket stats — see [[PointStore.adaptiveStats]]. */
+  def adaptiveStats(threshold: Long, statsDepth: Int = 24, baseDepth: Int = 2): DataFrame =
+    PointStore.adaptiveStats(df, threshold, statsDepth, baseDepth)
 
   /** Drop the store (`Client.java:217-224`). */
   def drop(): Unit = {
