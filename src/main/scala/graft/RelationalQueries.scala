@@ -100,6 +100,12 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))),
 
+    // gap-based sessionization (24h gap) — batch twin of the
+    // flatMapGroupsWithState streaming state machine (Sessionize)
+    "sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(
+        t(s, dir, "events"), gapNanos = 86400L * 1000000000L)),
+
     // anti join: customers with no orders, rolled up by nation
     "cust_no_orders" -> ((s, dir) => {
       val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
@@ -153,6 +159,16 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
   count(*) AS cnt,
   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY hour_epoch, event_type""",
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+l AS (SELECT *, lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev FROM e),
+m AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > 86400000000000 THEN 1 ELSE 0 END AS ns FROM l),
+s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+SELECT user_id, CAST(min(tns) // 1000000000 AS BIGINT) AS session_start,
+  count(*) AS n_events,
+  CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, sid""",
 
     "cust_no_orders" ->
       """SELECT n_name, count(*) AS n_cust
