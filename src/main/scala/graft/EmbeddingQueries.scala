@@ -36,7 +36,8 @@ object EmbeddingQueries {
     // SimilaritySpec against the exact baseline)
     "ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < NQueries), Dim, K)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < NQueries), Dim, K,
+        queriesWithinEmb = Some(col("vec_id") < NQueries))
     })
   )
 

@@ -64,6 +64,15 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
     "zorder_key" -> ((s, dir) =>
       partPoints(s, dir).select(col("id"), col("zkey"))),
 
+    // E1 inverse — zorder_x/zorder_y decode gated against an
+    // independent SQL bit-compress ladder
+    "zorder_roundtrip" -> ((s, dir) => {
+      val p = partPoints(s, dir)
+      p.select(col("id"), col("x"), col("y"),
+        graft.functions.GraftFunctions.zorder_x(col("zkey")).as("rx"),
+        graft.functions.GraftFunctions.zorder_y(col("zkey")).as("ry"))
+    }),
+
     // O3 — rectangle query
     "range_query" -> ((s, dir) =>
       PointStore.rangeQuery(eventsPoints(s, dir), RX, RY)
@@ -118,6 +127,17 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
   val oracle: Map[String, String] = Map(
     "zorder_key" ->
       s"""$partLadder SELECT id, zkey FROM zpts""",
+
+    "zorder_roundtrip" ->
+      s"""$partLadder,
+unz AS (SELECT id, x, y,
+  (zkey >> 1) & 6148914691236517205 AS gx, zkey & 6148914691236517205 AS gy FROM zpts),
+c1 AS (SELECT id, x, y, ((gx | (gx>>1)) & 3689348814741910323) AS gx1, ((gy | (gy>>1)) & 3689348814741910323) AS gy1 FROM unz),
+c2 AS (SELECT id, x, y, ((gx1 | (gx1>>2)) & 1085102592571150095) AS gx2, ((gy1 | (gy1>>2)) & 1085102592571150095) AS gy2 FROM c1),
+c3 AS (SELECT id, x, y, ((gx2 | (gx2>>4)) & 71777214294589695) AS gx3, ((gy2 | (gy2>>4)) & 71777214294589695) AS gy3 FROM c2),
+c4 AS (SELECT id, x, y, ((gx3 | (gx3>>8)) & 281470681808895) AS gx4, ((gy3 | (gy3>>8)) & 281470681808895) AS gy4 FROM c3),
+c5 AS (SELECT id, x, y, ((gx4 | (gx4>>16)) & 4294967295) AS gx5, ((gy4 | (gy4>>16)) & 4294967295) AS gy5 FROM c4)
+SELECT id, x, y, CAST(gx5 AS INT) AS rx, CAST(gy5 AS INT) AS ry FROM c5""",
 
     "range_query" ->
       s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, CAST(user_id AS INT) AS y

@@ -33,7 +33,18 @@ object TextQueries {
     "lsh_candidates" -> ((s, dir) =>
       Dedup.lshCandidates(Dedup.minhashSignatures(docs(s, dir), NumHashes),
         Bands, RowsPerBand)),
-    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)))
+    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    // corpus-level token frequency, top-k
+    "word_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)),
+    // quality-gated survivor set — the filtering step of a data pipeline
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.stats(docs(s, dir))
+        .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
+        .select("doc_id"))
   )
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
@@ -113,6 +124,20 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bandsigs a JOIN bandsigs b
   ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id"""
     },
+
+    "word_freq" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
+SELECT word, count(*) AS cnt FROM w GROUP BY word
+ORDER BY cnt DESC, word LIMIT 20""",
+
+    "quality_filter" ->
+      """SELECT doc_id FROM (
+  SELECT doc_id,
+    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\s+')) AS quality_e3
+  FROM documents)
+WHERE n_tokens >= 30 AND quality_e3 >= 500""",
 
     "simhash" ->
       s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),

@@ -45,9 +45,17 @@ object Dedup {
    * `i/(na+nb-i) >= num/den  <=>  (den+num)*i >= num*(na+nb)`.
    */
   def jaccardPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3): DataFrame = {
-    val sh = TextAnalysis.shingles(df, k).cache()
+    // no .cache(): a cached plan would leak across repeated builds of
+    // this query (cache manager holds it until an explicit unpersist);
+    // recomputing the shingle projection is cheap next to the join
+    val sh = TextAnalysis.shingles(df, k)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // lossless join pruning: shingles held by a single document cannot
+    // produce a pair (they still count toward na/nb via `cnt`)
+    val shared = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+        .select("sh"), "sh")
+    val inter = shared.as("a").join(shared.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

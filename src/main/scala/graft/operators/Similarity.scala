@@ -165,10 +165,17 @@ object Similarity {
    * table no longer admits a full scan per query.
    */
   def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              tables: Int = 16, bits: Int = 6, seed: Long = 42L): DataFrame = {
+              tables: Int = 16, bits: Int = 6, seed: Long = 42L,
+              queriesWithinEmb: Option[Column] = None): DataFrame = {
     val buckets = lshBuckets(emb, dim, tables, bits, seed)
-    val qb = lshBuckets(queries, dim, tables, bits, seed)
-      .withColumnRenamed("vec_id", "qid")
+    // when the query set is a predicate over the indexed table itself,
+    // reuse the bucket table instead of re-hashing (halves the codegen
+    // and scan work — the common "self-join ANN" shape)
+    val qb = queriesWithinEmb match {
+      case Some(pred) => buckets.filter(pred).withColumnRenamed("vec_id", "qid")
+      case None => lshBuckets(queries, dim, tables, bits, seed)
+        .withColumnRenamed("vec_id", "qid")
+    }
     val candidates = buckets.join(qb, Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid")).distinct()
