@@ -44,7 +44,18 @@ object TextQueries {
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.stats(docs(s, dir))
         .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
-        .select("doc_id"))
+        .select("doc_id")),
+    // the composed training-data pipeline: quality gate, then drop the
+    // higher-id member of every near-dup pair (deterministic keeper rule)
+    "pipeline_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = TextAnalysis.stats(d)
+        .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
+        .select("doc_id", "n_tokens")
+      val dupLosers = Dedup.jaccardPairs(d, 1, 2)
+        .select(col("id_b").as("doc_id")).distinct()
+      survivors.join(dupLosers, Seq("doc_id"), "left_anti")
+    })
   )
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
@@ -109,6 +120,23 @@ FROM inter
 JOIN cnt ca ON id_a = ca.doc_id
 JOIN cnt cb ON id_b = cb.doc_id
 WHERE 3 * inter >= 1 * (ca.n + cb.n)""",
+
+    "pipeline_corpus" ->
+      s"""WITH $shingleCte,
+cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM inter
+  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+  WHERE 3 * inter >= 1 * (ca.n + cb.n)),
+q AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
+  FROM documents)
+SELECT doc_id, n_tokens FROM q
+WHERE n_tokens >= 30 AND quality_e3 >= 500
+  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = q.doc_id)""",
 
     "minhash_signatures" -> s"$sigCte SELECT * FROM sigs",
 
