@@ -2,6 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.SortedFloor
 
 /**
  * Bucket-stats metadata table + as-of lookup — the Spark analog of the
@@ -10,11 +13,10 @@ import org.apache.spark.sql.functions._
  * greatest bucket key ≤ probe.
  *
  * The stats relation is metadata-scale (one row per bucket), so the
- * lookup side is broadcast as a sorted array and each probe does a
- * driver-free binary search inside the executors — the same asymptotics
- * as HBase's reverse row lookup, but embarrassingly parallel over the
- * probe side. Correct for any probe ≥ the smallest bucket key (probes
- * below the first bucket return null, like an empty `getRowOrBefore`).
+ * sorted key array rides the plan as a literal and each probe
+ * binary-searches inside generated code (the [[SortedFloor]] native
+ * expression — no UDF, stays in WholeStageCodegen). Probes below the
+ * first bucket return null, like an empty `getRowOrBefore`.
  */
 object StatsTable {
 
@@ -25,16 +27,9 @@ object StatsTable {
     val keys: Array[Long] = stats.select(col(statsKeyCol).cast("long"))
       .distinct().orderBy(col(statsKeyCol))
       .collect().map(_.getLong(0))
-    val bc = spark.sparkContext.broadcast(keys)
-    val floorOf = udf { probe: Long =>
-      val ks = bc.value
-      var lo = 0; var hi = ks.length - 1; var ans = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (ks(mid) <= probe) { ans = mid; lo = mid + 1 } else hi = mid - 1
-      }
-      if (ans < 0) None else Some(ks(ans))
-    }
-    probes.withColumn("bucket_key", floorOf(col(probeCol).cast("long")))
+    probes.withColumn("bucket_key",
+      Bridge.column(SortedFloor(
+        Bridge.expression(typedLit(keys)),
+        Bridge.expression(col(probeCol).cast("long")))))
   }
 }
