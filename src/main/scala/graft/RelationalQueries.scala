@@ -94,8 +94,8 @@ object RelationalQueries {
     // batch twin of the streaming ingest aggregation (SURVEY §2.9)
     "events_hourly" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("hour_epoch",
-          (col("ts") / lit(3600000000000L)).cast("long") * 3600)
+        // integer division: epoch-nanos exceed double precision (2^53)
+        .withColumn("hour_epoch", expr("div(ts, 3600000000000) * 3600"))
         .groupBy(col("hour_epoch"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))),

@@ -90,7 +90,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     val target = w * h
     media.mapPartitions(_.map { r =>
-      val out = Array.tabulate(target)(i => r.content(i % math.max(1, r.content.length)))
+      val out =
+        if (r.content.isEmpty) new Array[Byte](target) // blank canvas
+        else Array.tabulate(target)(i => r.content(i % r.content.length))
       MediaRecord(r.doc_id, r.media_type, out)
     })
   }
@@ -99,6 +101,10 @@ object Multimodal {
     * frame, exploded to one row per sampled frame — shuffle-free. */
   def frameSample(media: DataFrame, everyN: Int): DataFrame =
     media.filter(col("media_type") === "video")
+      // empty payloads have zero frames; without the octet_length guard
+      // sequence(0, -1) would yield [0, -1] (descending) and emit
+      // phantom frames
+      .filter(octet_length(col("content")) > 0)
       .select(col("doc_id"),
         posexplode(expr(
           s"""filter(transform(sequence(0, cast(div(octet_length(content) + ${FrameBytes - 1}, $FrameBytes) as int) - 1),

@@ -33,6 +33,15 @@ import graft.zorder.{IntRange, ZOrder}
  */
 object PointStore {
 
+  /** Column metadata marking a zkey as genuinely `zorder(x, y)`-derived;
+    * [[graft.plans.ZOrderPruningRule]] only fires when it is present, so
+    * a user relation that merely happens to have x/y/zkey columns is
+    * never rewritten. Persisted through parquet (Spark stores field
+    * metadata in the footer schema). */
+  val ZkeyMetadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.zorder", true).build()
+
   /** Derive a point DataFrame `(id, x, y, zkey)` from arbitrary columns.
     * The zkey is computed by the codegen'd [[graft.functions.ZOrderKey]]
     * expression. Extra payload columns survive via `extra`. */
@@ -40,7 +49,7 @@ object PointStore {
              extra: Seq[Column] = Nil): DataFrame =
     df.select(Seq(id.cast("long").as("id"), x.cast("int").as("x"),
       y.cast("int").as("y")) ++ extra: _*)
-      .withColumn("zkey", zorder(col("x"), col("y")))
+      .withColumn("zkey", zorder(col("x"), col("y")).as("zkey", ZkeyMetadata))
 
   /** Combined predicate for an inclusive 2-D rectangle: raw x/y bounds
     * (correctness) AND a union of tight zkey intervals from the budgeted
@@ -131,19 +140,30 @@ object PointStore {
    * (driver state bounded by occupied fine buckets ≤ 2^statsDepth).
    */
   def adaptiveStats(pts: DataFrame, threshold: Long, statsDepth: Int = 24,
-                    baseDepth: Int = 2): DataFrame = {
+                    baseDepth: Int = 2, driverRowCap: Long = 2000000L): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
+    // The roll-up collects one row per OCCUPIED depth-`depth` bucket; on
+    // a huge store a deep statsDepth could approach one row per point.
+    // Probe with approx_count_distinct (one cheap pass each) and coarsen
+    // until the collect stays within the driver budget.
+    var depth = statsDepth
+    while (depth > baseDepth &&
+      pts.select(approx_count_distinct(bucket_key(col("zkey"), depth)))
+        .head().getLong(0) > driverRowCap) {
+      depth = math.max(baseDepth, depth - 8)
+    }
     val fine: Array[(Long, Long)] = pts
-      .groupBy(bucket_key(col("zkey"), statsDepth).as("k"))
+      .groupBy(bucket_key(col("zkey"), depth).as("k"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect()
+    val statsDepthEff = depth
     // batch re-expression of the reference's recursive `maySplit`
     def splitLevel(entries: Seq[(Long, Long)], pl: Int): Seq[(Long, Int, Long)] = {
       val grouped = entries.groupBy { case (key, _) => key & ZOrder.makeMask(pl) }
       grouped.toSeq.flatMap { case (bk, kids) =>
         val total = kids.map(_._2).sum
-        if (total <= threshold || pl >= statsDepth) Seq((bk, pl, total))
+        if (total <= threshold || pl >= statsDepthEff) Seq((bk, pl, total))
         else splitLevel(kids, pl + 1)
       }
     }

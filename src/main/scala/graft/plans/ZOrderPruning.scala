@@ -24,12 +24,17 @@ import graft.zorder.{IntRange, ZRanges}
  * every interval, exactly like the reference skipping non-intersecting
  * buckets.
  *
- * Soundness of the injected conjunct: it only drops a row where `zkey`
- * is NULL or outside the intervals. Our stores derive `zkey =
- * zorder(x, y)` (null-intolerant), so zkey is NULL only when x or y is —
- * and the existing x/y bounds (present by construction of the match)
- * already drop those rows; non-null zkeys of in-rectangle points are
- * covered by the decomposition's soundness guarantee.
+ * Soundness of the injected conjunct: the rule only fires when the
+ * `zkey` attribute carries the `graft.zorder` metadata marker that
+ * [[graft.operators.PointStore.points]] attaches (persisted through
+ * parquet), i.e. when zkey is genuinely `zorder(x, y)` — a user
+ * relation that merely happens to have x/y/zkey columns is never
+ * rewritten. Given that, the conjunct only drops a row where `zkey` is
+ * NULL or outside the intervals: zkey is NULL only when x or y is
+ * (null-intolerant derivation) — and the existing x/y bounds (present
+ * by construction of the match) already drop those rows; non-null
+ * zkeys of in-rectangle points are covered by the decomposition's
+ * soundness guarantee.
  *
  * Idempotent: skips filters already referencing `zkey`.
  */
@@ -41,7 +46,8 @@ object ZOrderPruningRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val xA = child.output.find(a => a.name == "x" && a.dataType == IntegerType)
       val yA = child.output.find(a => a.name == "y" && a.dataType == IntegerType)
-      val zA = child.output.find(a => a.name == "zkey" && a.dataType == LongType)
+      val zA = child.output.find(a => a.name == "zkey" && a.dataType == LongType &&
+        a.metadata.contains("graft.zorder"))
       (xA, yA, zA) match {
         case (Some(x), Some(y), Some(z)) if !cond.references.contains(z) =>
           val conjuncts = splitConjunctivePredicates(cond)

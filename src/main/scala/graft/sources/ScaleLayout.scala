@@ -34,8 +34,11 @@ object ScaleLayout {
    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
+    // salt from row CONTENT, not monotonically_increasing_id: mid is
+    // nondeterministic across stage retries (SPARK-23207 class), which
+    // could drop/duplicate rows after a shuffle-fetch failure
     val salted = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(struct(left.columns.map(col): _*)), lit(saltFactor)))
     val expanded = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")

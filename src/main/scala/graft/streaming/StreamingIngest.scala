@@ -40,7 +40,8 @@ object StreamingIngest {
     * nanoseconds (driver tables) → event-time timestamp. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: epoch-nanos exceed double precision (2^53)
+      .withColumn("event_time", expr("timestamp_micros(div(ts, 1000))"))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -51,19 +52,41 @@ object StreamingIngest {
   /**
    * Start streaming ingest of an events stream into a z-clustered point
    * store at `storePath`, maintaining stats and compacting per batch.
+   *
+   * Idempotent under micro-batch REPLAY (foreachBatch is
+   * at-least-once): each batch publishes its files two-phase under the
+   * deterministic prefix `ingest-<batchId>` ([[graft.sources.TxDir]]) —
+   * a replayed batch whose set is already complete is skipped, a
+   * half-published set is wiped and redone.
    */
   def start(events: DataFrame, storePath: String, statsPath: String,
             checkpoint: String, splitThreshold: Long): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pts = PointStore.points(batch,
-          col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
-        PointStore.append(pts, storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, storePath)
         compactOversizedFiles(batch.sparkSession, storePath, splitThreshold)
         refreshStats(batch.sparkSession, storePath, statsPath, splitThreshold)
       }
       .start()
+
+  /** One micro-batch of the put path — safe to call repeatedly with the
+    * same (batch, batchId): replays converge instead of duplicating. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(storePath)
+    val prefix = s"ingest-$batchId"
+    if (!graft.sources.TxDir.isComplete(fs, dest, prefix)) {
+      graft.sources.TxDir.cleanPartial(fs, dest, prefix)
+      val pts = PointStore.points(batch,
+        col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
+      val scratch = new Path(storePath + s".batch-$batchId")
+      fs.delete(scratch, true)
+      PointStore.write(pts, scratch.toString)
+      graft.sources.TxDir.publish(fs, scratch, dest, prefix)
+    }
+  }
 
   /** Recompute the bucket-stats table (metadata-scale overwrite —
     * idempotent, unlike the reference's non-transactional in-place
@@ -79,24 +102,64 @@ object StreamingIngest {
   /**
    * Major compaction: globally re-cluster the store by zkey (restores
    * pairwise-disjoint per-file z-ranges across all generations).
-   * Written to a scratch dir first, then atomically swapped in.
+   *
+   * The dir swap cannot be one atomic rename, so a `_READY` marker
+   * makes every crash state recoverable: scratch without marker =
+   * unfinished build (discard); scratch with marker = finished build
+   * (the swap can complete regardless of whether the old store was
+   * already deleted). [[recoverRecluster]] runs first and converges any
+   * interrupted prior attempt. Single-writer maintenance job.
    */
   def recluster(spark: SparkSession, storePath: String, threshold: Long): Unit = {
+    recoverRecluster(spark, storePath)
+    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new Path(storePath)
+    val scratch = new Path(storePath + ".compacting")
     val df = spark.read.parquet(storePath)
     val parts = math.max(1, math.ceil(df.count().toDouble / threshold).toInt)
-    val scratch = storePath + ".compacting"
-    PointStore.write(df, scratch, parts)
+    fs.delete(scratch, true)
+    PointStore.write(df, scratch.toString, parts)
+    fs.create(new Path(scratch, ReadyMarker)).close()
+    fs.delete(store, true)
+    fs.rename(scratch, store)
+    fs.delete(new Path(store, ReadyMarker), false)
+    ()
+  }
+
+  private val ReadyMarker = "_GRAFT_RECLUSTER_READY"
+
+  /** Converge an interrupted [[recluster]] (call before reads/writes
+    * when a crash may have occurred). */
+  def recoverRecluster(spark: SparkSession, storePath: String): Unit = {
     val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(storePath), true)
-    fs.rename(new Path(scratch), new Path(storePath))
+    val store = new Path(storePath)
+    val scratch = new Path(storePath + ".compacting")
+    if (fs.exists(scratch)) {
+      if (fs.exists(new Path(scratch, ReadyMarker))) {
+        // build finished: complete the swap
+        fs.delete(store, true)
+        fs.rename(scratch, store)
+      } else {
+        // build unfinished: old store is intact, discard the scratch
+        fs.delete(scratch, true)
+      }
+    }
+    if (fs.exists(new Path(store, ReadyMarker)))
+      fs.delete(new Path(store, ReadyMarker), false)
     ()
   }
 
   /**
    * Split every data file holding more than `threshold` rows into
    * z-range-partitioned files of at most ~threshold rows (the
-   * `splitBucket` analog, `Index.java:193-230`). File-local and
-   * idempotent: replaying it after a crash converges.
+   * `splitBucket` analog, `Index.java:193-230`). File-local, and
+   * CRASH-CONVERGENT: outputs publish two-phase under a prefix derived
+   * from the source file name, so a replay after a crash either skips
+   * (complete set found → just drop the source), or wipes a partial set
+   * and redoes. A reader between crash and the next maintenance run may
+   * transiently see a partial set alongside the source — single-writer
+   * maintenance, same dirty-window as any file-layout compaction
+   * without a commit log.
    */
   def compactOversizedFiles(spark: SparkSession, storePath: String,
                             threshold: Long): Unit = {
@@ -106,14 +169,23 @@ object StreamingIngest {
       .collect()
     if (perFile.isEmpty) return
     val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(storePath)
     perFile.foreach { row =>
       val file = row.getString(0)
-      val n = row.getLong(1)
-      val parts = math.max(2, math.ceil(n.toDouble / threshold).toInt)
-      // rewrite this file's rows into `parts` z-ranged files, then drop it
-      val rows = spark.read.parquet(file)
-      PointStore.append(rows, storePath, parts)
-      fs.delete(new Path(new java.net.URI(file)), false)
+      val srcPath = new Path(new java.net.URI(file))
+      val prefix = "split-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(srcPath.getName.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      if (!graft.sources.TxDir.isComplete(fs, dest, prefix)) {
+        graft.sources.TxDir.cleanPartial(fs, dest, prefix)
+        val n = row.getLong(1)
+        val parts = math.max(2, math.ceil(n.toDouble / threshold).toInt)
+        val scratch = new Path(storePath + s".$prefix")
+        fs.delete(scratch, true)
+        PointStore.write(spark.read.parquet(file), scratch.toString, parts)
+        graft.sources.TxDir.publish(fs, scratch, dest, prefix)
+      }
+      fs.delete(srcPath, false)
       ()
     }
   }

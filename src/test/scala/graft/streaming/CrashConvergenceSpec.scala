@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.TxDir
+
+/** Crash-convergence: replaying ingest/compaction/recluster after any
+  * interruption converges to the same store instead of duplicating or
+  * losing rows. */
+class CrashConvergenceSpec extends SparkSpec {
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("ingestBatch replayed with the same batchId does not duplicate") {
+    val store = Files.createTempDirectory("graft-replay").toString + "/store"
+    val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(500)
+    StreamingIngest.ingestBatch(batch, 7L, store)
+    val n1 = spark.read.parquet(store).count()
+    StreamingIngest.ingestBatch(batch, 7L, store) // at-least-once replay
+    assert(spark.read.parquet(store).count() === n1)
+    StreamingIngest.ingestBatch(batch, 8L, store) // a NEW batch does append
+    assert(spark.read.parquet(store).count() === n1 * 2)
+  }
+
+  test("ingestBatch replay after a half-published crash wipes partials and redoes") {
+    val store = Files.createTempDirectory("graft-partial").toString + "/store"
+    val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(500)
+    StreamingIngest.ingestBatch(batch, 1L, store)
+    val fs = fsOf(store)
+    // simulate a crash mid-publish of batch 2: one orphan file of a
+    // 3-file set
+    val donor = fs.listStatus(new Path(store)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.rename(donor, new Path(new Path(store), "ingest-2-0-of-3.parquet"))
+    val before = spark.read.parquet(store).count()
+    StreamingIngest.ingestBatch(batch, 2L, store)
+    val after = spark.read.parquet(store).count()
+    // partial set was removed (its rows were donor rows from batch 1 —
+    // so the store now holds batch1-minus-donor + full batch 2)
+    assert(TxDir.isComplete(fs, new Path(store), "ingest-2"))
+    assert(after === before - before + 500 + (before - 500)) // = before
+  }
+
+  test("compaction replay converges when the split set already exists") {
+    val store = Files.createTempDirectory("graft-compact").toString + "/store"
+    val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(2000)
+    StreamingIngest.ingestBatch(batch, 1L, store)
+    // force one big file
+    StreamingIngest.recluster(spark, store, threshold = 5000L)
+    val total = spark.read.parquet(store).count()
+    StreamingIngest.compactOversizedFiles(spark, store, 300L)
+    assert(spark.read.parquet(store).count() === total)
+    // replay: compaction again is a no-op (files are all under threshold)
+    StreamingIngest.compactOversizedFiles(spark, store, 300L)
+    assert(spark.read.parquet(store).count() === total)
+    val sizes = spark.read.parquet(store).groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max <= 300L)
+  }
+
+  test("interrupted recluster converges from every crash state") {
+    val store = Files.createTempDirectory("graft-recl").toString + "/store"
+    val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(1000)
+    StreamingIngest.ingestBatch(batch, 1L, store)
+    val total = spark.read.parquet(store).count()
+    val fs = fsOf(store)
+
+    // state A: scratch without marker (build died) -> discard scratch
+    val scratch = new Path(store + ".compacting")
+    fs.mkdirs(scratch)
+    fs.create(new Path(scratch, "part-00000-dead.parquet")).close()
+    StreamingIngest.recoverRecluster(spark, store)
+    assert(!fs.exists(scratch))
+    assert(spark.read.parquet(store).count() === total)
+
+    // state B: scratch with marker, store deleted (swap died) -> finish
+    StreamingIngest.recluster(spark, store, 400L) // produces a clean store
+    val files = fs.listStatus(new Path(store)).map(_.getPath.getName).toSet
+    fs.rename(new Path(store), scratch)
+    fs.create(new Path(scratch, "_GRAFT_RECLUSTER_READY")).close()
+    StreamingIngest.recoverRecluster(spark, store)
+    assert(fs.exists(new Path(store)) && !fs.exists(scratch))
+    assert(spark.read.parquet(store).count() === total)
+    assert(fs.listStatus(new Path(store)).map(_.getPath.getName).toSet === files)
+  }
+}
