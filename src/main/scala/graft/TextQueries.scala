@@ -45,6 +45,8 @@ object TextQueries {
       TextAnalysis.stats(docs(s, dir))
         .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
         .select("doc_id")),
+    // fixed-window token chunking with overlap (window 50, stride 40)
+    "chunk_docs" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir), 50, 40)),
     // the composed training-data pipeline: quality gate, then drop the
     // higher-id member of every near-dup pair (deterministic keeper rule)
     "pipeline_corpus" -> ((s, dir) => {
@@ -120,6 +122,16 @@ FROM inter
 JOIN cnt ca ON id_a = ca.doc_id
 JOIN cnt cb ON id_b = cb.doc_id
 WHERE 3 * inter >= 1 * (ca.n + cb.n)""",
+
+    "chunk_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+c AS (SELECT doc_id, unnest(list_transform(range(0, len(ws), 40),
+        s -> {'idx': s // 40, 'toks': ws[s+1:s+50]})) AS ch
+      FROM w WHERE len(ws) >= 1)
+SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
+  array_to_string(ch.toks, ' ') AS chunk_text,
+  CAST(len(ch.toks) AS BIGINT) AS n_tokens
+FROM c""",
 
     "pipeline_corpus" ->
       s"""WITH $shingleCte,

@@ -72,6 +72,24 @@ object TextAnalysis {
     df.select(col("doc_id"),
       md5(regexp_replace(normalized(col("text")), "\\s+", " ")).as("fp"))
 
+  /**
+   * Fixed-size token-window chunking with overlap — the standard
+   * training-data preprocessing step: windows of `window` tokens every
+   * `stride` tokens (overlap = window - stride). Pure per-row
+   * higher-order-function work, shuffle-free, one output row per chunk:
+   * `(doc_id, chunk_idx, chunk_text, n_tokens)`.
+   */
+  def chunk(df: DataFrame, window: Int = 50, stride: Int = 40): DataFrame =
+    df.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(ws) - 1, $stride),
+            s -> struct(cast(div(s, $stride) as int) as idx,
+                        slice(ws, s + 1, $window) as toks))""")).as("ch"))
+      .select(col("doc_id"), col("ch.idx").as("chunk_idx"),
+        array_join(col("ch.toks"), " ").as("chunk_text"),
+        size(col("ch.toks")).cast("long").as("n_tokens"))
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists). */
   def shingles(df: DataFrame, k: Int = 3): DataFrame = {
