@@ -140,6 +140,33 @@ class PointStoreSpec extends SparkSpec {
     assert(touched < perFile.length)
   }
 
+  test("random rectangles match brute force (seeded sweep)") {
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 1 to 20) {
+      val x1 = rnd.nextInt(1024); val x2 = rnd.nextInt(1024)
+      val y1 = rnd.nextInt(1024); val y2 = rnd.nextInt(1024)
+      val rx = IntRange(math.min(x1, x2), math.max(x1, x2))
+      val ry = IntRange(math.min(y1, y2), math.max(y1, y2))
+      val expect = uniform.filter(p => rx.include(p._2) && ry.include(p._3)).toSet
+      assert(collectPts(uniformStore.rangeQuery(rx, ry)) === expect, s"$rx $ry")
+    }
+  }
+
+  test("random knn queries match brute force (seeded sweep)") {
+    val rnd = new scala.util.Random(2027)
+    for (_ <- 1 to 8) {
+      val qx = rnd.nextInt(1200) // may fall outside the data domain
+      val qy = rnd.nextInt(1200)
+      val k = 1 + rnd.nextInt(20)
+      val expect = uniform
+        .map(p => (p._1, (p._2.toLong - qx) * (p._2.toLong - qx) +
+          (p._3.toLong - qy) * (p._3.toLong - qy)))
+        .sortBy(t => (t._2, t._1)).take(k).map(_._1)
+      val got = uniformStore.knn(qx, qy, k).collect().map(_.getLong(0)).toSeq
+      assert(got === expect, s"knn($qx,$qy,$k)")
+    }
+  }
+
   test("drop removes the store (Client drop analog)") {
     val store = mkStore(Seq((1L, 1, 1)))
     store.drop()
