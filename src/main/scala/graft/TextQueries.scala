@@ -34,6 +34,7 @@ object TextQueries {
       Dedup.lshCandidates(Dedup.minhashSignatures(docs(s, dir), NumHashes),
         Bands, RowsPerBand)),
     "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "simhash_near_pairs" -> ((s, dir) => Dedup.simhashNearPairs(docs(s, dir), 8)),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -179,15 +180,29 @@ ORDER BY cnt DESC, word LIMIT 20""",
   FROM documents)
 WHERE n_tokens >= 30 AND quality_e3 >= 500""",
 
-    "simhash" ->
-      s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+    "simhash" -> s"$simhashCte SELECT doc_id, simhash FROM shash",
+
+    "simhash_near_pairs" ->
+      s"""$simhashCte,
+banded AS (SELECT doc_id, simhash, t.range AS band,
+    (simhash >> (t.range * 15)) & 32767 AS v
+  FROM shash, range(0, 4) t)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
+  )
+
+  /** Shared oracle CTE computing per-doc SimHash (`shash`). */
+  private lazy val simhashCte: String =
+    s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
 dw AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM dwords),
 wh AS (SELECT doc_id, ${oh60("w", 0)} AS h FROM dw),
 bits AS (SELECT doc_id, t.range AS b,
     sum(CASE WHEN (h >> t.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM wh, range(0, 60) t GROUP BY doc_id, t.range)
-SELECT doc_id,
+  FROM wh, range(0, 60) t GROUP BY doc_id, t.range),
+shash AS (SELECT doc_id,
   CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id"""
-  )
+FROM bits GROUP BY doc_id)"""
 }

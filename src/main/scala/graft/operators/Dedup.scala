@@ -124,6 +124,30 @@ object Dedup {
   }
 
   /**
+   * SimHash near-duplicate pairs: 60-bit fingerprints banded into four
+   * 15-bit bands; candidate pairs share ≥ 1 intact band (pigeonhole:
+   * any pair within Hamming distance 3 must — higher distances are
+   * found best-effort), then the exact Hamming filter `≤ maxHamming`
+   * applies. Join work is bounded by band-collision counts — never
+   * all-pairs.
+   */
+  def simhashNearPairs(df: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(df)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 15) & 32767 as v))"))
+        .as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * 60-bit SimHash over the distinct word set: per bit position, words
    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
    * positive vote. Near-dups differ in few bits (Hamming distance).
