@@ -60,6 +60,44 @@ class StreamingIngestSpec extends SparkSpec {
     }
   }
 
+  test("watermark drops events later than the 1h threshold (append mode)") {
+    import spark.implicits._
+    val src = tmp("late-src")
+    val schema = spark.read.parquet(sf("sf0.01") + "/events.parquet").schema
+    def mk(id: Long, tsNanos: Long, typ: String) =
+      Seq((id, tsNanos, 1L, typ, 1.0, "")).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    val h0 = 1704067200000000000L // 2024-01-01 00:00 in nanos
+
+    mk(1, h0 + 1000L, "on_time").write.parquet(s"$src/b0")
+    val sdf = spark.readStream.schema(schema).parquet(s"$src/*")
+    val q = StreamingIngest.hourlyCounts(sdf).writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance event time (and thus the watermark) by 6 hours
+      mk(2, h0 + 6L * 3600 * 1000000000L, "advance").write.parquet(s"$src/b1")
+      q.processAllAvailable()
+      // a late event for the long-closed first hour: beyond the 1h
+      // watermark, so it must be dropped
+      mk(3, h0 + 2000L, "too_late").write.parquet(s"$src/b2")
+      q.processAllAvailable()
+      // close the advance window too
+      mk(4, h0 + 12L * 3600 * 1000000000L, "flush").write.parquet(s"$src/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byType = spark.table("late_out").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byType.get("on_time") === Some(1L))   // emitted when window closed
+    assert(!byType.contains("too_late"))         // dropped by the watermark
+    // the batch twin (no watermark effect in batch) KEEPS the late event
+    val batchAll = StreamingIngest.hourlyCounts(
+      spark.read.parquet(s"$src/b0").unionByName(spark.read.parquet(s"$src/b2")))
+      .collect().map(r => r.getString(1)).toSet
+    assert(batchAll.contains("too_late"))
+  }
+
   test("hourly rollup: streaming result equals the batch twin") {
     val src = tmp("roll-src")
     val events = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(2000).cache()
