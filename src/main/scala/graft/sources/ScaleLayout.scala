@@ -38,7 +38,7 @@ object ScaleLayout {
     // nondeterministic across stage retries (SPARK-23207 class), which
     // could drop/duplicate rows after a shuffle-fetch failure
     val salted = left.withColumn("__salt",
-      pmod(hash(struct(left.columns.map(col): _*)), lit(saltFactor)))
+      pmod(hash(struct(left.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)))
     val expanded = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")
