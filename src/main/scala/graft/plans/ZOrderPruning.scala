@@ -130,5 +130,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
       (es: Seq[Expression]) => DotLong(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("sorted_floor"),
+      new ExpressionInfo(classOf[graft.functions.SortedFloor].getName, "sorted_floor"),
+      (es: Seq[Expression]) => graft.functions.SortedFloor(es.head, es(1))))
   }
 }
