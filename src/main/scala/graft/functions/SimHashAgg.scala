@@ -26,6 +26,8 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
+  require(bits > 0 && bits <= 64, s"bits must be in [1, 64]: $bits") // shifts wrap past 64
+
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType

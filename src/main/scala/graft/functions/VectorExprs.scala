@@ -17,6 +17,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Long],
                              tables: Int, bits: Int, dim: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(planes.length == tables * bits * dim)
+  require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits") // 1 << b wraps past 31
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

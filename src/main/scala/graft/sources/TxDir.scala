@@ -23,28 +23,42 @@ object TxDir {
 
   private val NamePattern = """(.+)-(\d+)-of-(\d+)\.parquet""".r
 
-  /** Move every data file of `scratch` into `dest` under the prefix.
-    * Call only after the scratch content is fully written. */
-  def publish(fs: FileSystem, scratch: Path, dest: Path, prefix: String): Unit = {
+  /** Move every data file of `scratch` into `dest` under the prefix,
+    * then return the published file names. Call only after the scratch
+    * content is fully written. Rename failures throw — silently
+    * dropping a batch is never acceptable — and the scratch dir is only
+    * removed once every rename succeeded. */
+  def publish(fs: FileSystem, scratch: Path, dest: Path, prefix: String): Seq[String] = {
     val parts = fs.listStatus(scratch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     val n = parts.length
-    parts.zipWithIndex.foreach { case (p, i) =>
-      fs.rename(p, new Path(dest, s"$prefix-$i-of-$n.parquet"))
+    fs.mkdirs(dest) // HDFS rename into a missing parent returns false
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val target = new Path(dest, s"$prefix-$i-of-$n.parquet")
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(s"TxDir.publish: rename $p -> $target failed")
+      target.getName
     }
     fs.delete(scratch, true)
-    ()
+    names.toSeq
   }
 
-  /** Is a complete `<prefix>-*-of-n` set present in `dest`? */
+  /** Is a complete `<prefix>-*-of-n` set present in `dest`? All members
+    * must agree on `n` (a stale file from an older generation that a
+    * failed delete left behind must not validate a newer partial set). */
   def isComplete(fs: FileSystem, dest: Path, prefix: String): Boolean = {
     val mine = published(fs, dest, prefix)
     mine.nonEmpty && {
       val n = mine.head._3
-      mine.length == n && mine.map(_._2).sorted.sameElements(0 until n)
+      mine.forall(_._3 == n) && mine.length == n &&
+        mine.map(_._2).distinct.sorted.sameElements(0 until n)
     }
   }
+
+  /** File names of a published set (complete or not). */
+  def publishedNames(fs: FileSystem, dest: Path, prefix: String): Seq[String] =
+    published(fs, dest, prefix).map(_._1.getName).toSeq
 
   /** Remove an incomplete published set (no-op when complete or absent). */
   def cleanPartial(fs: FileSystem, dest: Path, prefix: String): Unit =

@@ -59,6 +59,11 @@ object Sessionize {
           var open = state.getOption
           evs.toSeq.sortBy(_.ts).foreach { e =>
             open match {
+              case Some(s) if e.ts < s.last =>
+                // out-of-contract late arrival (older than state): drop it
+                // like a watermark would — merging would rewind `last`
+                // and corrupt every subsequent session boundary
+                ()
               case Some(s) if e.ts - s.last <= gapNanos =>
                 open = Some(s.copy(last = e.ts, n = s.n + 1))
               case Some(s) =>

@@ -60,24 +60,41 @@ object StreamingIngest {
    * half-published set is wiped and redone.
    */
   def start(events: DataFrame, storePath: String, statsPath: String,
-            checkpoint: String, splitThreshold: Long): StreamingQuery =
+            checkpoint: String, splitThreshold: Long): StreamingQuery = {
+    // converge any recluster interrupted in a previous run BEFORE new
+    // batches land — otherwise a later recovery would swap a stale
+    // snapshot over them
+    recoverRecluster(events.sparkSession, storePath)
+    // Compaction is DEFERRED one batch: batch N's files are split while
+    // processing batch N+1, after N's checkpoint committed — splitting
+    // them inside batch N would consume the very ingest-N marker files
+    // that make a replay of N idempotent. (After a restart the deferred
+    // list is empty; files missed that way stay merely coarse until the
+    // next recluster.)
+    var pendingFiles: Seq[String] = Nil
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, storePath)
-        compactOversizedFiles(batch.sparkSession, storePath, splitThreshold)
+        val published = ingestBatch(batch, batchId, storePath)
+        compactOversizedFiles(batch.sparkSession, storePath, splitThreshold,
+          Some(pendingFiles))
+        pendingFiles = published
         refreshStats(batch.sparkSession, storePath, statsPath, splitThreshold)
       }
       .start()
+  }
 
   /** One micro-batch of the put path — safe to call repeatedly with the
-    * same (batch, batchId): replays converge instead of duplicating. */
-  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
+    * same (batch, batchId): replays converge instead of duplicating.
+    * Returns the batch's published data file names. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Seq[String] = {
     val spark = batch.sparkSession
     val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(storePath)
     val prefix = s"ingest-$batchId"
-    if (!graft.sources.TxDir.isComplete(fs, dest, prefix)) {
+    if (graft.sources.TxDir.isComplete(fs, dest, prefix)) {
+      graft.sources.TxDir.publishedNames(fs, dest, prefix)
+    } else {
       graft.sources.TxDir.cleanPartial(fs, dest, prefix)
       val pts = PointStore.points(batch,
         col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
@@ -162,11 +179,20 @@ object StreamingIngest {
    * without a commit log.
    */
   def compactOversizedFiles(spark: SparkSession, storePath: String,
-                            threshold: Long): Unit = {
+                            threshold: Long,
+                            onlyFiles: Option[Seq[String]] = None): Unit = {
+    if (onlyFiles.exists(_.isEmpty)) return
     val perFile = spark.read.parquet(storePath)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min("zkey").as("zlo"), max("zkey").as("zhi"))
       .filter(col("n") > threshold)
+      // a file whose rows all share one zkey cannot be range-split —
+      // rewriting it would churn forever; it is one logical bucket
+      // (the reference's max-depth case, Index.java:200-203)
+      .filter(col("zlo") =!= col("zhi"))
       .collect()
+      .filter(row => onlyFiles.forall(allow =>
+        allow.exists(name => row.getString(0).endsWith("/" + name))))
     if (perFile.isEmpty) return
     val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(storePath)

@@ -63,6 +63,36 @@ class CrashConvergenceSpec extends SparkSpec {
     assert(sizes.max <= 300L)
   }
 
+  test("isComplete rejects a mixed-generation set (stale file + partial redo)") {
+    val dir = Files.createTempDirectory("graft-mixed").toString
+    val fs = fsOf(dir)
+    val d = new Path(dir)
+    // stale survivor of an old 2-file generation + partial 3-file redo
+    fs.create(new Path(d, "ingest-9-2-of-2.parquet")).close()
+    fs.create(new Path(d, "ingest-9-0-of-3.parquet")).close()
+    fs.create(new Path(d, "ingest-9-1-of-3.parquet")).close()
+    assert(!TxDir.isComplete(fs, d, "ingest-9"))
+    TxDir.cleanPartial(fs, d, "ingest-9")
+    assert(fs.listStatus(d).isEmpty)
+  }
+
+  test("a single-zkey oversized file is not churned by compaction") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-hotkey").toString + "/store"
+    // 1000 points at ONE coordinate: unsplittable by z-range
+    val pts = graft.operators.PointStore.points(
+      (1 to 1000).map(i => (i.toLong, 7, 9)).toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    graft.operators.PointStore.write(pts, store, 1)
+    val before = fsOf(store).listStatus(new Path(store))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    StreamingIngest.compactOversizedFiles(spark, store, 100L)
+    val after = fsOf(store).listStatus(new Path(store))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    assert(after === before, "unsplittable file was rewritten")
+    assert(spark.read.parquet(store).count() === 1000L)
+  }
+
   test("interrupted recluster converges from every crash state") {
     val store = Files.createTempDirectory("graft-recl").toString + "/store"
     val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(1000)

