@@ -100,6 +100,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))),
 
+    // temporal as-of join: for each error event, the latest preceding
+    // (or simultaneous) purchase of the same user
+    "asof_match" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("e_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      graft.operators.AsOfJoin.asof(errors, purchases, "user_id", "ts", "p_id")
+        .select(col("e_id"), col("p_id"))
+    }),
+
     // gap-based sessionization (24h gap) — batch twin of the
     // flatMapGroupsWithState streaming state machine (Sessionize)
     "sessionize" -> ((s, dir) =>
@@ -159,6 +171,12 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
   count(*) AS cnt,
   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY hour_epoch, event_type""",
+
+    "asof_match" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+e AS (SELECT user_id, ts, event_id AS e_id FROM events WHERE event_type = 'error')
+SELECT e.e_id, p.p_id
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
