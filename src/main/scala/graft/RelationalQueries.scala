@@ -112,6 +112,18 @@ object RelationalQueries {
         .select(col("e_id"), col("p_id"))
     }),
 
+    // band join: error/purchase pairs of the same user within 30 min
+    "band_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      graft.operators.RangeJoin.bandJoin(errors, purchases,
+          "user_id", "e_ts", "p_ts", 1800L * 1000000000L)
+        .select(col("e_id"), col("p_id"))
+    }),
+
     // gap-based sessionization (24h gap) — batch twin of the
     // flatMapGroupsWithState streaming state machine (Sessionize)
     "sessionize" -> ((s, dir) =>
@@ -177,6 +189,13 @@ FROM events GROUP BY hour_epoch, event_type""",
 e AS (SELECT user_id, ts, event_id AS e_id FROM events WHERE event_type = 'error')
 SELECT e.e_id, p.p_id
 FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    "band_join" ->
+      """SELECT e.event_id AS e_id, p.event_id AS p_id
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND abs(epoch_ns(e.ts) - epoch_ns(p.ts)) <= 1800000000000""",
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),

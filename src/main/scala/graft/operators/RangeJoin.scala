@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Band (interval-tolerance) join — pairs of rows with equal key whose
+ * timestamps lie within `tol` of each other: the relational operator
+ * Spark has no native physical strategy for (a raw
+ * `|l.ts - r.ts| <= tol` condition plans as a nested-loop join).
+ *
+ * Re-expressed as an EQUALITY join on time bins of width `tol`: any
+ * qualifying pair is at most one bin apart, so the left side explodes
+ * to its bin ± 1 (3 rows) and joins `(key, bin)` — a plain hash join
+ * whose work is bounded by true pair density, followed by the exact
+ * band filter. At 100 TB this shuffles each side once on (key, bin);
+ * skew on hot keys is handled like any equi-join (AQE / salting).
+ */
+object RangeJoin {
+
+  /** @return columns of `left` and `right` (key deduplicated) for pairs
+    *         with equal `key` and `|left.lts - right.rts| <= tol`. */
+  def bandJoin(left: DataFrame, right: DataFrame, key: String,
+               lts: String, rts: String, tol: Long): DataFrame = {
+    require(tol > 0)
+    val l = left
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bin", col("__off") + expr(s"div($lts, $tol)"))
+      .drop("__off")
+    val r = right.withColumn("__bin", expr(s"div($rts, $tol)"))
+    l.join(r, Seq(key, "__bin"))
+      .filter(abs(col(lts) - col(rts)) <= tol)
+      .drop("__bin")
+      .distinct()
+  }
+}
