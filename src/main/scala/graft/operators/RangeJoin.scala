@@ -28,9 +28,10 @@ object RangeJoin {
       .withColumn("__bin", col("__off") + expr(s"div($lts, $tol)"))
       .drop("__off")
     val r = right.withColumn("__bin", expr(s"div($rts, $tol)"))
+    // no dedup needed: the right row has one bin, so each qualifying
+    // pair joins on exactly one of the left row's three bins
     l.join(r, Seq(key, "__bin"))
       .filter(abs(col(lts) - col(rts)) <= tol)
       .drop("__bin")
-      .distinct()
   }
 }
