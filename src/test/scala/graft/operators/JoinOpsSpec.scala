@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinOpsSpec extends SparkSpec {
+
+  test("asof: matches latest right at-or-before left, inclusive, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 12L), (3L, 10L, 13L))
+      .toDF("k", "ts", "l_id")
+    val right = Seq((1L, 100L, 500L), (1L, 200L, 501L), (1L, 300L, 502L), (2L, 60L, 503L))
+      .toDF("k", "ts", "r_id")
+    val got = AsOfJoin.asof(left, right, "k", "ts", "r_id")
+      .select("l_id", "r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(
+      10L -> 500L, // simultaneous right matches (inclusive)
+      11L -> 501L, // latest at-or-before 205
+      12L -> -1L,  // right exists only later
+      13L -> -1L)) // no right rows for key 3
+  }
+
+  test("asof: same-(key,ts) right duplicates resolve to the greatest value") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "l_id")
+    val right = Seq((1L, 90L, 7L), (1L, 90L, 9L), (1L, 90L, 8L)).toDF("k", "ts", "r_id")
+    val got = AsOfJoin.asof(left, right, "k", "ts", "r_id").select("r_id").head().getLong(0)
+    assert(got === 9L)
+  }
+
+  test("band join equals the naive quadratic definition on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong, i.toLong))
+    val r = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong, 1000L + i))
+    val tol = 137L
+    val expect = (for {
+      (lk, lt, lid) <- l
+      (rk, rt, rid) <- r
+      if lk == rk && math.abs(lt - rt) <= tol
+    } yield (lid, rid)).toSet
+    val got = RangeJoin.bandJoin(
+        l.toDF("k", "lts", "l_id"), r.toDF("k", "rts", "r_id"), "k", "lts", "rts", tol)
+      .select("l_id", "r_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("chunking: windows cover all tokens with the configured overlap") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 95).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, window = 50, stride = 40)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length === 3) // starts 0, 40, 80
+    assert(chunks.map(_.getLong(3)).toSeq === Seq(50L, 50L, 15L))
+    // overlap: chunk 1 starts at token 41
+    assert(chunks(1).getString(2).startsWith("w41 "))
+    // full coverage: last token present in the last chunk
+    assert(chunks(2).getString(2).endsWith("w95"))
+  }
+}
