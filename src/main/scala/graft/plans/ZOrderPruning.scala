@@ -133,5 +133,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_floor"),
       new ExpressionInfo(classOf[graft.functions.SortedFloor].getName, "sorted_floor"),
       (es: Seq[Expression]) => graft.functions.SortedFloor(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
+      (es: Seq[Expression]) =>
+        graft.functions.SimHashAgg(es.head).toAggregateExpression()))
   }
 }

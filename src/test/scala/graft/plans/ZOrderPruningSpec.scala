@@ -80,6 +80,11 @@ class ZOrderPruningSpec extends SparkSpec {
       assert(z === graft.zorder.ZOrder.zorder(3, 5))
       assert(s2.sql(s"SELECT zorder_x($z) AS x, zorder_y($z) AS y").collect()(0)
         .toSeq === Seq(3, 5))
+      assert(s2.sql("SELECT sorted_floor(array(1L, 5L, 9L), 7L)").collect()(0)
+        .getLong(0) === 5L)
+      assert(s2.sql(
+        "SELECT simhash_agg(h) FROM VALUES (1L), (3L) AS t(h)").collect()(0)
+        .getLong(0) >= 0L)
       // optimizer rule active: x/y filter gains zkey predicate
       val df = s2.read.parquet(storeDir)
         .filter(col("x").between(0, 100) && col("y").between(0, 100))
