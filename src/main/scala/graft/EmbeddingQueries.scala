@@ -7,10 +7,11 @@ import graft.operators.Similarity
 
 /**
  * Similarity-search query inventory over `embeddings` (LLM-pipeline
- * extension). Oracle-gated paths use fixed-point integer arithmetic
- * (exact in any engine/order); the LSH path is registered without an
- * oracle (approximate by design) and its recall is pinned by
- * `SimilaritySpec` under a fixed seed.
+ * extension). Every path — including the approximate LSH one — is
+ * oracle-gated: fixed-point integer dot products are exact in any
+ * engine/order, and the LSH hyperplanes are md5-derived
+ * ([[Similarity.hyperplanes]]), so DuckDB reproduces the candidate
+ * generation bit-for-bit in pure SQL.
  */
 object EmbeddingQueries {
 
@@ -21,6 +22,10 @@ object EmbeddingQueries {
   private val NQueries = 10
   private val NearDupMinDot = 350000000000L // ~cosine 0.35 at unit norms
   private val Dim = 64
+  // LSH operating point — single source of truth for engine AND oracle
+  private val LshTables = 16
+  private val LshBits = 6
+  private val LshSeed = 42L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact ANN baseline: top-k by integer inner product, per query
@@ -31,13 +36,27 @@ object EmbeddingQueries {
     // blocked embedding near-dup pairs
     "emb_near_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), NearDupMinDot)),
-    // approximate ANN: LSH buckets + exact re-rank (no oracle — the
-    // candidate set is approximate by construction; recall is pinned in
-    // SimilaritySpec against the exact baseline)
+    // approximate ANN: LSH buckets + exact re-rank — deterministic and
+    // fully oracle-gated (md5-derived hyperplanes)
     "ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < NQueries), Dim, K,
+        LshTables, LshBits, LshSeed,
         queriesWithinEmb = Some(col("vec_id") < NQueries))
+    }),
+    // gated recall metric: per query, how many of the LSH top-k appear
+    // in the exact top-k (zero-hit queries included — 10 rows always)
+    "ann_lsh_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pred = col("vec_id") < NQueries
+      val q = e.filter(pred)
+      val exact = Similarity.ipTopK(e, q, K).select(col("qid"), col("nid"))
+      val approx = Similarity.lshTopK(e, q, Dim, K,
+          LshTables, LshBits, LshSeed, queriesWithinEmb = Some(pred))
+        .select(col("qid"), col("nid"))
+      q.select(col("vec_id").as("qid"))
+        .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
+        .groupBy("qid").agg(count(col("nid")).as("hits"))
     })
   )
 
@@ -46,23 +65,69 @@ object EmbeddingQueries {
     """ie AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v FROM embeddings),
 iex AS (SELECT vec_id, label, unnest(v) AS ev, generate_subscripts(v, 1) AS i FROM ie)"""
 
+  /** Oracle CTEs reproducing the LSH pipeline: md5-derived planes →
+    * sign-test bits → per-table buckets → candidates → exact re-rank.
+    * `iex.i` is 1-based (generate_subscripts) vs the 0-based plane
+    * dimension, hence `p.d = x.i - 1`. */
+  private val lshCte =
+    s"""pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
+  CAST(('0x' || substr(md5('plane:$LshSeed:' || t.range || ':' || b.range || ':' || d.range), 1, 5)) AS BIGINT) - 524288 AS coef
+  FROM range(0, $LshTables) t, range(0, $LshBits) b, range(0, $Dim) d),
+sg AS (SELECT x.vec_id, p.t, p.b,
+    CASE WHEN sum(x.ev * p.coef) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM iex x JOIN pl p ON p.d = x.i - 1
+  GROUP BY 1, 2, 3),
+bk AS (SELECT vec_id, t AS table_id, CAST(sum(bit << b) AS INT) AS bucket FROM sg GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nid
+  FROM bk q JOIN bk e ON q.table_id = e.table_id AND q.bucket = e.bucket AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < $NQueries),
+lsc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
+  FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
+  GROUP BY 1, 2),
+lshtop AS (SELECT qid, nid, dot, rank FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+    FROM lsc)
+  WHERE rank <= $K)"""
+
+  /** Exact top-k CTE (the `ann_topk_ip` pipeline as a named CTE). */
+  private val exactTopCte =
+    s"""p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
+  FROM iex a JOIN iex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $NQueries GROUP BY 1, 2),
+extop AS (SELECT qid, nid, dot, rank FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+    FROM p)
+  WHERE rank <= $K)"""
+
   val oracle: Map[String, String] = Map(
     "ann_topk_ip" ->
       s"""WITH $intCte,
-p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
-  FROM iex a JOIN iex b ON a.i = b.i AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < $NQueries GROUP BY 1, 2)
-SELECT qid, nid, dot, rank FROM (
-  SELECT qid, nid, dot,
-    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
-  FROM p)
-WHERE rank <= $K""",
+$exactTopCte
+SELECT qid, nid, dot, rank FROM extop""",
 
     "emb_near_pairs" ->
       s"""WITH $intCte,
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
   FROM iex a JOIN iex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
   GROUP BY 1, 2)
-SELECT id_a, id_b, dot FROM p WHERE dot >= $NearDupMinDot"""
+SELECT id_a, id_b, dot FROM p WHERE dot >= $NearDupMinDot""",
+
+    "ann_lsh_topk" ->
+      s"""WITH $intCte,
+$lshCte
+SELECT qid, nid, dot, rank FROM lshtop""",
+
+    "ann_lsh_recall" ->
+      s"""WITH $intCte,
+$exactTopCte,
+$lshCte
+SELECT q.vec_id AS qid, CAST(count(j.nid) AS BIGINT) AS hits
+FROM ie q LEFT JOIN (
+  SELECT e.qid, e.nid FROM extop e JOIN lshtop l ON e.qid = l.qid AND e.nid = l.nid) j
+  ON j.qid = q.vec_id
+WHERE q.vec_id < $NQueries
+GROUP BY 1"""
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
@@ -18,7 +19,12 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> ((s, dir) => Multimodal.meta(media(s, dir))),
-    "frame_sample"    -> ((s, dir) => Multimodal.frameSample(media(s, dir), 4))
+    // the frame payload is surfaced hex-encoded: comparison harnesses
+    // (pandas, DuckDB) cannot sort/hash raw binary columns, and hex is
+    // the lossless text twin both engines produce identically
+    "frame_sample"    -> ((s, dir) =>
+      Multimodal.frameSample(media(s, dir), 4)
+        .withColumn("frame", upper(hex(col("frame")))))
   )
 
   // DuckDB 1.0 has no BLOB sha256/substring, so the oracle hashes and
@@ -39,7 +45,7 @@ FROM documents""",
       """WITH mm AS (SELECT doc_id, text AS content FROM documents WHERE doc_id % 3 = 2),
 f AS (SELECT doc_id,
   unnest(list_transform(range(0, CAST((length(content) + 255) // 256 AS INT)),
-    i -> {'idx': i, 'frame': encode(substring(content, CAST(i*256+1 AS INT), 256))})) AS s
+    i -> {'idx': i, 'frame': upper(hex(encode(substring(content, CAST(i*256+1 AS INT), 256))))})) AS s
   FROM mm)
 SELECT doc_id, CAST(s.idx AS INT) AS frame_idx, s.frame AS frame
 FROM f WHERE s.idx % 4 = 0"""

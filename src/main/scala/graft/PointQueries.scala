@@ -92,6 +92,18 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
     "knn" -> ((s, dir) =>
       PointStore.knn(partPoints(s, dir), QX, QY, K)),
 
+    // O5 tie fixture (SURVEY §2.1): collinear points x = n_nationkey on
+    // y = 0, query (12, 0), k = 4 — x=10 and x=14 are equidistant at the
+    // k boundary; the deterministic (dist2, id) order keeps the smaller
+    // id, pinning the documented divergence from the reference's lossy
+    // TreeSet (Client.java:94-101), which silently DROPS an equidistant
+    // point instead of ranking it
+    "knn_ties" -> ((s, dir) => {
+      val pts = PointStore.points(s.read.parquet(s"$dir/nation.parquet"),
+        col("n_nationkey"), col("n_nationkey"), lit(0))
+      PointStore.knn(pts, 12, 0, 4)
+    }),
+
     // O6/E3 — index inspection: uniform-depth bucket stats + name format
     "index_stats" -> ((s, dir) =>
       PointStore.indexStats(eventsPoints(s, dir), STATS_PL)),
@@ -163,6 +175,12 @@ WHERE p_size = $GX AND CAST(floor(p_retailprice) AS INT) = $GY""",
   + (CAST(floor(p_retailprice) AS BIGINT) - $QY) * (CAST(floor(p_retailprice) AS BIGINT) - $QY) AS dist2
 FROM part
 ORDER BY dist2, id LIMIT $K""",
+
+    "knn_ties" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(n_nationkey AS INT) AS x, CAST(0 AS INT) AS y,
+  (CAST(n_nationkey AS BIGINT) - 12) * (CAST(n_nationkey AS BIGINT) - 12) AS dist2
+FROM nation
+ORDER BY dist2, id LIMIT 4""",
 
     "index_stats" ->
       s"""$eventsLadder,

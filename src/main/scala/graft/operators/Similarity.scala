@@ -78,18 +78,40 @@ object Similarity {
   }
 
   /**
+   * Hyperplane matrix for [[lshBuckets]]: component (t, b, d) is an
+   * md5-derived integer in [-2^19, 2^19) — `md5("plane:<seed>:<t>:<b>:<d>")`,
+   * first 5 hex chars, minus 2^19. md5-derivation (rather than a JVM
+   * PRNG) makes the planes reproducible in ANY engine, so the whole LSH
+   * pipeline is oracle-checkable in SQL. Uniform-cube directions are a
+   * standard sign-projection variant (vs gaussian — spherically
+   * symmetric); the operating recall is what's measured, and it is
+   * pinned in `SimilaritySpec`. 20-bit coefficients keep the sign-test
+   * dot exact in 64-bit: |acc| ≤ dim · 2^19 · max|v| ≪ 2^63 for
+   * fixed-point inputs up to ~2^30.
+   */
+  def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables * bits * dim) { idx =>
+      val t = idx / (bits * dim); val b = (idx / dim) % bits; val d = idx % dim
+      val hex = md.digest(s"plane:$seed:$t:$b:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5)
+      java.lang.Long.parseLong(hex, 16) - 524288L
+    }
+  }
+
+  /**
    * Random-hyperplane LSH index: for each of `tables` hash tables,
-   * a `bits`-bit signature of hyperplane sign tests. Hyperplane
-   * components are seeded and baked into the plan as literals, so the
-   * index is reproducible. Returns `(vec_id, table_id, bucket)`.
+   * a `bits`-bit signature of hyperplane sign tests (`dot >= 0`).
+   * Hyperplane components are md5-derived from the seed
+   * ([[hyperplanes]]) and baked into the plan as literals, so the index
+   * is reproducible — bit-identical even cross-engine. Returns
+   * `(vec_id, table_id, bucket)`.
    */
   def lshBuckets(emb: DataFrame, dim: Int, tables: Int = 16, bits: Int = 6,
                  seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    // gaussian hyperplanes, scaled to integers (sign tests are scale-free),
     // flattened into one matrix evaluated by a single fused expression —
     // tables*bits separate dot expressions ran ~40x slower (plan bloat)
-    val planes = Array.fill(tables * bits * dim)(math.round(rnd.nextGaussian() * 1000))
+    val planes = hyperplanes(dim, tables, bits, seed)
     val bucketsCol = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.HyperplaneBuckets(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),

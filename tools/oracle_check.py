@@ -18,7 +18,7 @@ def canon(df):
     df = df[cols]
     rows = df.values.tolist()
     def key(row):
-        return tuple((str(type(v)), str(v)) for v in row)
+        return tuple((str(type(v)), norm(v)) for v in row)
     rows.sort(key=key)
     return cols, rows
 
@@ -27,6 +27,10 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision
+    if isinstance(v, (bytes, bytearray)):
+        # binary columns hex-encode so they sort/compare deterministically
+        # (raw bytearray is unhashable and engine repr differs)
+        return bytes(v).hex().upper()
     return str(v)
 
 def main(sf_dir, out_dir):
