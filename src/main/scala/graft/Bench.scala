@@ -70,7 +70,15 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the JSON also lands in a file: stdout can be polluted by build-tool
+    // log prefixes, and the file is unambiguous for any driver
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // print LAST, after Spark's shutdown chatter, and bare on stdout
+    println(json)
+    System.out.flush()
   }
 }

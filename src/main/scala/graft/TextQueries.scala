@@ -20,6 +20,10 @@ object TextQueries {
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = 4
+  // skew cap for the exact-Jaccard inverted-index join (see
+  // Dedup.jaccardPairs): shingles in more than this many documents are
+  // stop-shingles and excluded from the join (mirrored in the oracle)
+  private val MaxShingleDf = 100
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
@@ -27,7 +31,8 @@ object TextQueries {
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // exact 3-shingle Jaccard >= 1/2 — isolates the planted near-dups
-    "dedup_near_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 1, 2)),
+    "dedup_near_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), 1, 2, maxDf = MaxShingleDf)),
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), NumHashes)),
     "lsh_candidates" -> ((s, dir) =>
@@ -55,7 +60,7 @@ object TextQueries {
       val survivors = TextAnalysis.stats(d)
         .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
         .select("doc_id", "n_tokens")
-      val dupLosers = Dedup.jaccardPairs(d, 1, 2)
+      val dupLosers = Dedup.jaccardPairs(d, 1, 2, maxDf = MaxShingleDf)
         .select(col("id_b").as("doc_id")).distinct()
       survivors.join(dupLosers, Seq("doc_id"), "left_anti")
     })
@@ -115,8 +120,10 @@ FROM documents GROUP BY md5(text)""",
     "dedup_near_pairs" ->
       s"""WITH $shingleCte,
 cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+keep AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+dshc AS (SELECT d.doc_id, d.sh FROM dsh d JOIN keep USING (sh)),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM dshc a JOIN dshc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, inter, ca.n AS na, cb.n AS nb
 FROM inter
@@ -137,8 +144,10 @@ FROM c""",
     "pipeline_corpus" ->
       s"""WITH $shingleCte,
 cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+keep AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+dshc AS (SELECT d.doc_id, d.sh FROM dsh d JOIN keep USING (sh)),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM dshc a JOIN dshc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 losers AS (SELECT DISTINCT id_b AS doc_id FROM inter
   JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id

@@ -65,5 +65,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("zorder_x", es => ZOrderX(es.head), "built-in")
     reg.createOrReplaceTempFunction("zorder_y", es => ZOrderY(es.head), "built-in")
     reg.createOrReplaceTempFunction("dot_long", es => DotLong(es.head, es(1)), "built-in")
+    // keep this surface identical to GraftExtensions — both registration
+    // paths must expose the same SQL functions
+    reg.createOrReplaceTempFunction("sorted_floor",
+      es => SortedFloor(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash_agg",
+      es => SimHashAgg(es.head).toAggregateExpression(), "built-in")
   }
 }

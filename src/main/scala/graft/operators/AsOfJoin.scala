@@ -26,12 +26,16 @@ object AsOfJoin {
     * @return left rows + nullable `rightVal` column of the matched row */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightVal: String): DataFrame = {
+    // carry the right value at its own type (any orderable type works
+    // for the same-(key,ts) tie rule); a fixed cast would silently null
+    // out non-conforming columns instead of failing fast
+    val rightValType = right.schema(rightVal).dataType
     val leftCols = left.columns.filterNot(_ == rightVal)
     val l = left.select(
-      Seq(col(key), col(ts), lit(1).as("__side"), lit(null).cast("long").as(rightVal)) ++
+      Seq(col(key), col(ts), lit(1).as("__side"), lit(null).cast(rightValType).as(rightVal)) ++
         leftCols.filterNot(c => c == key || c == ts).map(col): _*)
     val r = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side"), col(rightVal).cast("long")) ++
+      Seq(col(key), col(ts), lit(0).as("__side"), col(rightVal)) ++
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))

@@ -43,17 +43,28 @@ object Dedup {
    * key bounds the work to pairs that share ≥ 1 shingle). Threshold is
    * applied in exact integer arithmetic:
    * `i/(na+nb-i) >= num/den  <=>  (den+num)*i >= num*(na+nb)`.
+   *
+   * `maxDf` caps the document frequency of join-eligible shingles: a
+   * stop-shingle shared by m documents contributes O(m²) join rows, the
+   * one quadratic door of the inverted-index shape, so shingles with
+   * df > maxDf are dropped from the JOIN (standard practice at corpus
+   * scale). They still count toward na/nb, so similarity is only ever
+   * UNDER-estimated for pairs whose overlap is all boilerplate — near
+   * identical documents share plenty of rare shingles and are
+   * unaffected. Join work is thus bounded by maxDf² per capped shingle.
    */
-  def jaccardPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3): DataFrame = {
+  def jaccardPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
+                   maxDf: Int = 1000): DataFrame = {
     // no .cache(): a cached plan would leak across repeated builds of
     // this query (cache manager holds it until an explicit unpersist);
     // recomputing the shingle projection is cheap next to the join
     val sh = TextAnalysis.shingles(df, k)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // lossless join pruning: shingles held by a single document cannot
-    // produce a pair (they still count toward na/nb via `cnt`)
+    // df >= 2 is lossless pruning (singleton shingles cannot pair);
+    // df <= maxDf is the skew cap documented above
     val shared = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
         .select("sh"), "sh")
     val inter = shared.as("a").join(shared.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

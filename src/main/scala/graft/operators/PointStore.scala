@@ -145,14 +145,16 @@ object PointStore {
     import spark.implicits._
     // The roll-up collects one row per OCCUPIED depth-`depth` bucket; on
     // a huge store a deep statsDepth could approach one row per point.
-    // Probe with approx_count_distinct (one cheap pass each) and coarsen
-    // until the collect stays within the driver budget.
-    var depth = statsDepth
-    while (depth > baseDepth &&
-      pts.select(approx_count_distinct(bucket_key(col("zkey"), depth)))
-        .head().getLong(0) > driverRowCap) {
-      depth = math.max(baseDepth, depth - 8)
-    }
+    // Probe every candidate depth with approx_count_distinct in ONE
+    // aggregation pass and pick the deepest that stays within the
+    // driver budget (coarsening by 8 bits per step, floored at base).
+    val candidates =
+      (Iterator.iterate(statsDepth)(_ - 8).takeWhile(_ > baseDepth).toSeq :+ baseDepth).distinct
+    val probe = pts.select(candidates.map(d =>
+      approx_count_distinct(bucket_key(col("zkey"), d)).as(s"d$d")): _*).head()
+    val depth = candidates.zipWithIndex
+      .collectFirst { case (d, i) if probe.getLong(i) <= driverRowCap => d }
+      .getOrElse(baseDepth)
     val fine: Array[(Long, Long)] = pts
       .groupBy(bucket_key(col("zkey"), depth).as("k"))
       .agg(count(lit(1)).as("n"))

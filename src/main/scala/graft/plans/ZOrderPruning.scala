@@ -101,9 +101,14 @@ object ZOrderPruningRule extends Rule[LogicalPlan] {
         asInt(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); sawLo = true; sawHi = true }
       case _ =>
     }
-    // clamp to the store's valid coordinate domain
-    lo = math.max(lo, 0)
-    if (sawLo && sawHi && lo <= hi) Some(IntRange(lo, hi)) else None
+    // A negative lower bound means the query rectangle leaves the
+    // non-negative domain the z-order codec is defined on. Nothing stops
+    // a marked relation from holding negative coordinates (their zkeys
+    // interleave sign bits and fall outside any decomposition), so a
+    // clamped conjunct would silently drop rows the raw predicates keep.
+    // Pruning is optional — bail instead of clamping (SURVEY §7.3:
+    // correctness must never depend on this rule).
+    if (sawLo && sawHi && lo >= 0 && lo <= hi) Some(IntRange(lo, hi)) else None
   }
 }
 

@@ -48,6 +48,20 @@ class DedupSpec extends SparkSpec {
     assert(groups === Set((1L, 3L), (3L, 1L)))
   }
 
+  test("shingle df cap bounds join work under an adversarial hot shingle") {
+    import spark.implicits._
+    // 40 docs share ONE boilerplate shingle; everything else is unique.
+    // Uncapped, that stop-shingle alone manufactures all C(40,2) pairs —
+    // the O(m²) door the cap closes.
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"common boiler plate unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(docs, 1, 10, maxDf = 1000).count() === 40L * 39 / 2)
+    // capped below the hot shingle's df: it leaves the join, and with it
+    // every boilerplate-only pair (similarity is under-, never over-estimated)
+    assert(Dedup.jaccardPairs(docs, 1, 10, maxDf = 10).count() === 0)
+  }
+
   test("jaccard threshold arithmetic is exact at the boundary") {
     import spark.implicits._
     // docs with 4-shingle sets overlapping in exactly 2: j = 2/(4+4-2) = 1/3

@@ -66,6 +66,29 @@ class ZOrderPruningSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("negative coordinates: a rectangle spanning zero bails instead of pruning wrong") {
+    import spark.implicits._
+    // nothing stops a marked relation from holding negative coordinates —
+    // their zkeys interleave sign bits; a clamped conjunct would drop them
+    val df = PointStore.points(
+      Seq((1L, -10, 5), (2L, -1, 0), (3L, 3, 4), (4L, 7, 7), (5L, -10000, 3))
+        .toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    def query = df.filter(col("x") >= -10 && col("x") <= 5 && col("y").between(0, 5))
+    spark.experimental.extraOptimizations = Nil
+    val expect = query.select("id").collect().map(_.getLong(0)).toSet
+    spark.experimental.extraOptimizations = Seq(ZOrderPruningRule)
+    try {
+      val got = query.select("id").collect().map(_.getLong(0)).toSet
+      assert(got === expect)
+      assert(got === Set(1L, 2L, 3L))
+      // the rule must not inject any zkey conjunct (bail, not clamp) —
+      // applied directly to the analyzed plan it is a structural no-op
+      val analyzed = query.queryExecution.analyzed
+      assert(ZOrderPruningRule(analyzed) === analyzed)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("GraftExtensions wires the rule and SQL functions into a fresh session") {
     val base = spark
     SparkSession.clearActiveSession()
