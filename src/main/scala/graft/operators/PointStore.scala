@@ -159,17 +159,30 @@ object PointStore {
       .groupBy(bucket_key(col("zkey"), depth).as("k"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect()
-    val statsDepthEff = depth
-    // batch re-expression of the reference's recursive `maySplit`
+    rollupAdaptive(spark, fine.toSeq, threshold, depth, baseDepth)
+  }
+
+  /**
+   * The metadata-scale half of [[adaptiveStats]]: roll depth-`statsDepth`
+   * fine-bucket counts up into variable-depth buckets — the batch
+   * re-expression of the reference's recursive `maySplit`
+   * (`Index.java:183-230`). Shared with the streaming stats table
+   * ([[graft.streaming.StreamingIngest.adaptiveStatsView]]), whose fine
+   * counts come from incremental per-batch deltas instead of a store
+   * scan.
+   */
+  def rollupAdaptive(spark: SparkSession, fine: Seq[(Long, Long)], threshold: Long,
+                     statsDepth: Int, baseDepth: Int = 2): DataFrame = {
+    import spark.implicits._
     def splitLevel(entries: Seq[(Long, Long)], pl: Int): Seq[(Long, Int, Long)] = {
       val grouped = entries.groupBy { case (key, _) => key & ZOrder.makeMask(pl) }
       grouped.toSeq.flatMap { case (bk, kids) =>
         val total = kids.map(_._2).sum
-        if (total <= threshold || pl >= statsDepthEff) Seq((bk, pl, total))
+        if (total <= threshold || pl >= statsDepth) Seq((bk, pl, total))
         else splitLevel(kids, pl + 1)
       }
     }
-    splitLevel(fine.toSeq, baseDepth)
+    splitLevel(fine, baseDepth)
       .toDF("bucket_key", "prefix_len", "bucket_size")
       .withColumn("bucket_name", expr(
         "concat(substring(lpad(bin(bucket_key), 64, '0'), 1, prefix_len)," +

@@ -1,10 +1,16 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.functions.GraftFunctions.bucket_key
 import graft.operators.PointStore
 
 /**
@@ -14,19 +20,23 @@ import graft.operators.PointStore
  * `Index.java:175-230`; SURVEY §2.9):
  *
  *  - every micro-batch is z-keyed and appended z-clustered (the `put`);
- *  - the bucket-stats table is refreshed per batch (the counter
- *    `incrementColumnValue` analog, recomputed instead of mutated —
- *    idempotent under batch replay);
+ *  - the bucket-stats table is maintained INCREMENTALLY: each batch
+ *    publishes its own fine-bucket counts as a delta partition (the
+ *    `incrementColumnValue` analog, O(batch) per batch — NOT a store
+ *    rescan), folded periodically; readers aggregate deltas
+ *    ([[fineStats]]) or roll them up to the adaptive bucket view
+ *    ([[adaptiveStatsView]]);
  *  - oversized data files are split into threshold-sized z-ranged
- *    files (the `splitBucket` analog). Minor compaction is FILE-LOCAL:
- *    only rows of oversized files are rewritten, each into files that
- *    partition the parent's z-interval, so the rewrite cost tracks the
- *    hot buckets, not the store (the property that makes the
- *    reference's recursive split skew-proof). Like any LSM, different
- *    append GENERATIONS may overlap in z-range — pruning still works
- *    through per-file min/max stats, just less tightly — and
- *    [[recluster]] is the major compaction that restores globally
- *    disjoint z-ranges.
+ *    files (the `splitBucket` analog). The probe reads Parquet FOOTERS
+ *    only (row counts + zkey min/max from file metadata) — no data
+ *    scan — so per-batch maintenance cost tracks the batch and the hot
+ *    files, not the store. Minor compaction is FILE-LOCAL: only rows of
+ *    oversized files are rewritten, each into files that partition the
+ *    parent's z-interval (the property that makes the reference's
+ *    recursive split skew-proof). Like any LSM, different append
+ *    GENERATIONS may overlap in z-range — pruning still works through
+ *    per-file min/max stats, just less tightly — and [[recluster]] is
+ *    the major compaction that restores globally disjoint z-ranges.
  *
  * The transform is shared verbatim with the batch path ([[hourlyCounts]]
  * runs unchanged under `read` and `readStream` — watermarks are no-ops
@@ -49,6 +59,11 @@ object StreamingIngest {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_cents"))
 
+  /** Fine-bucket depth of the incremental stats table. */
+  val StatsDepth = 48
+  /** Fold the stats deltas once more than this many accumulate. */
+  private val StatsFoldLimit = 64
+
   /**
    * Start streaming ingest of an events stream into a z-clustered point
    * store at `storePath`, maintaining stats and compacting per batch.
@@ -57,14 +72,16 @@ object StreamingIngest {
    * at-least-once): each batch publishes its files two-phase under the
    * deterministic prefix `ingest-<batchId>` ([[graft.sources.TxDir]]) —
    * a replayed batch whose set is already complete is skipped, a
-   * half-published set is wiped and redone.
+   * half-published set is wiped and redone — and its stats delta under
+   * an overwritten `delta=<batchId>` partition.
    */
   def start(events: DataFrame, storePath: String, statsPath: String,
             checkpoint: String, splitThreshold: Long): StreamingQuery = {
-    // converge any recluster interrupted in a previous run BEFORE new
-    // batches land — otherwise a later recovery would swap a stale
+    // converge any recluster/fold interrupted in a previous run BEFORE
+    // new batches land — otherwise a later recovery would swap a stale
     // snapshot over them
     recoverRecluster(events.sparkSession, storePath)
+    recoverSwap(fsOf(events.sparkSession, statsPath), new Path(statsPath))
     // Compaction is DEFERRED one batch: batch N's files are split while
     // processing batch N+1, after N's checkpoint committed — splitting
     // them inside batch N would consume the very ingest-N marker files
@@ -79,25 +96,29 @@ object StreamingIngest {
         compactOversizedFiles(batch.sparkSession, storePath, splitThreshold,
           Some(pendingFiles))
         pendingFiles = published
-        refreshStats(batch.sparkSession, storePath, statsPath, splitThreshold)
+        mergeBatchStats(batch.sparkSession, pointsOf(batch), batchId, statsPath)
       }
       .start()
   }
+
+  /** The stream's point derivation (shared by ingest and stats). */
+  private def pointsOf(batch: DataFrame): DataFrame =
+    PointStore.points(batch,
+      col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
 
   /** One micro-batch of the put path — safe to call repeatedly with the
     * same (batch, batchId): replays converge instead of duplicating.
     * Returns the batch's published data file names. */
   def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Seq[String] = {
     val spark = batch.sparkSession
-    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, storePath)
     val dest = new Path(storePath)
     val prefix = s"ingest-$batchId"
     if (graft.sources.TxDir.isComplete(fs, dest, prefix)) {
       graft.sources.TxDir.publishedNames(fs, dest, prefix)
     } else {
       graft.sources.TxDir.cleanPartial(fs, dest, prefix)
-      val pts = PointStore.points(batch,
-        col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
+      val pts = pointsOf(batch)
       val scratch = new Path(storePath + s".batch-$batchId")
       fs.delete(scratch, true)
       PointStore.write(pts, scratch.toString)
@@ -105,71 +126,293 @@ object StreamingIngest {
     }
   }
 
-  /** Recompute the bucket-stats table (metadata-scale overwrite —
-    * idempotent, unlike the reference's non-transactional in-place
-    * counter updates, `Index.java:175-181`). */
-  def refreshStats(spark: SparkSession, storePath: String, statsPath: String,
-                   threshold: Long): Unit = {
-    PointStore.open(spark, storePath)
-      .adaptiveStats(threshold, statsDepth = 48)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(statsPath)
+  // ---------------------------------------------------------------------
+  // Incremental stats — the O(1)-per-put counter of the reference
+  // (`Index.java:175-181`) re-expressed as O(batch) delta publishing.
+  // ---------------------------------------------------------------------
+
+  /** Fine-bucket counts of one batch of points — O(batch). */
+  def batchStats(batchPts: DataFrame): DataFrame =
+    batchPts.groupBy(bucket_key(col("zkey"), StatsDepth).as("bucket_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+
+  /**
+   * Publish one batch's stats delta and fold when due. The delta lands
+   * under `delta=<batchId>` with mode=overwrite, so a replayed batch
+   * REPLACES its own delta instead of double-counting. Only deltas of
+   * COMMITTED batches (id < the current one) are ever folded — a
+   * replayable batch's delta always survives as its own partition.
+   * Per-batch cost: O(batch) + amortized O(stats)/`StatsFoldLimit`;
+   * the store itself is never read.
+   */
+  def mergeBatchStats(spark: SparkSession, batchPts: DataFrame, batchId: Long,
+                      statsPath: String): Unit = {
+    val fs = fsOf(spark, statsPath)
+    recoverSwap(fs, new Path(statsPath))
+    batchStats(batchPts).coalesce(1)
+      .write.mode("overwrite").parquet(s"$statsPath/delta=$batchId")
+    foldStats(spark, statsPath, keepId = batchId)
   }
+
+  /** Aggregated fine-bucket stats across all deltas (metadata-scale). */
+  def fineStats(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(statsPath)
+      .groupBy("bucket_key").agg(sum("bucket_size").as("bucket_size"))
+
+  /** The adaptive (variable-depth, maySplit-rolled) view of the
+    * incremental stats table — same shape as
+    * [[graft.operators.PointStore.adaptiveStats]] but derived from the
+    * deltas, not from a store scan. */
+  def adaptiveStatsView(spark: SparkSession, statsPath: String,
+                        threshold: Long, baseDepth: Int = 2): DataFrame = {
+    import spark.implicits._
+    val fine = fineStats(spark, statsPath).as[(Long, Long)].collect()
+    PointStore.rollupAdaptive(spark, fine.toSeq, threshold, StatsDepth, baseDepth)
+  }
+
+  /** Offline bootstrap/repair: full recompute of the fine stats table
+    * from the store — O(store), the one-time twin of the per-batch
+    * [[mergeBatchStats]] path. */
+  def rebuildStats(spark: SparkSession, storePath: String, statsPath: String): Unit = {
+    val fs = fsOf(spark, statsPath)
+    val target = new Path(statsPath)
+    recoverSwap(fs, target)
+    val scratch = new Path(statsPath + SwapSuffix)
+    fs.delete(scratch, true)
+    batchStats(spark.read.parquet(storePath)).coalesce(1)
+      .write.parquet(new Path(scratch, "delta=base").toString)
+    fs.create(new Path(scratch, ReadyMarker)).close()
+    completeSwap(fs, target, scratch)
+  }
+
+  /** Fold all committed deltas (id ≠ `keepId`) into one base partition
+    * once more than `StatsFoldLimit` accumulate, via a marker-guarded
+    * whole-dir swap (crash-convergent; single maintenance writer, same
+    * as every other layout mutation here). */
+  private def foldStats(spark: SparkSession, statsPath: String, keepId: Long): Unit = {
+    val fs = fsOf(spark, statsPath)
+    val root = new Path(statsPath)
+    if (!fs.exists(root)) return
+    val deltas = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("delta="))
+    if (deltas.length <= StatsFoldLimit) return
+    val keep = s"delta=$keepId"
+    val foldable = deltas.filterNot(_.getName == keep)
+    val scratch = new Path(statsPath + SwapSuffix)
+    fs.delete(scratch, true)
+    spark.read.parquet(foldable.map(_.toString).toIndexedSeq: _*)
+      .groupBy("bucket_key").agg(sum("bucket_size").as("bucket_size"))
+      .coalesce(1).write.parquet(new Path(scratch, "delta=base").toString)
+    // the current (still replayable) batch's delta rides along unchanged
+    deltas.find(_.getName == keep).foreach { d =>
+      spark.read.parquet(d.toString).coalesce(1)
+        .write.parquet(new Path(scratch, keep).toString)
+    }
+    fs.create(new Path(scratch, ReadyMarker)).close()
+    completeSwap(fs, root, scratch)
+  }
+
+  // ---------------------------------------------------------------------
+  // Marker-guarded directory swap (shared by stats fold/rebuild): the
+  // swap cannot be one atomic rename, so a `_READY` marker makes every
+  // crash state recoverable — scratch without marker = unfinished build
+  // (discard), scratch with marker = finished (complete the swap).
+  // ---------------------------------------------------------------------
+
+  private val ReadyMarker = "_GRAFT_SWAP_READY"
+  private val SwapSuffix = ".folding"
+
+  private def completeSwap(fs: FileSystem, target: Path, scratch: Path): Unit = {
+    fs.delete(target, true)
+    if (!fs.rename(scratch, target))
+      throw new java.io.IOException(s"swap rename $scratch -> $target failed")
+    fs.delete(new Path(target, ReadyMarker), false)
+    ()
+  }
+
+  private def recoverSwap(fs: FileSystem, target: Path): Unit = {
+    val scratch = new Path(target.toString + SwapSuffix)
+    if (fs.exists(scratch)) {
+      if (fs.exists(new Path(scratch, ReadyMarker))) completeSwap(fs, target, scratch)
+      else fs.delete(scratch, true)
+    }
+    if (fs.exists(new Path(target, ReadyMarker)))
+      fs.delete(new Path(target, ReadyMarker), false)
+    ()
+  }
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------------
+  // Major compaction (recluster)
+  // ---------------------------------------------------------------------
 
   /**
    * Major compaction: globally re-cluster the store by zkey (restores
    * pairwise-disjoint per-file z-ranges across all generations).
    *
-   * The dir swap cannot be one atomic rename, so a `_READY` marker
+   * Concurrency-tolerant by SNAPSHOT MANIFEST: the rebuild reads an
+   * explicit listing of the store's data files (only complete TxDir
+   * sets — a half-published concurrent batch is left alone) and records
+   * it in the scratch dir; the swap then PRESERVES any file published
+   * after the snapshot (moves it into the new store) instead of
+   * deleting the whole dir blind. A concurrent ingest batch therefore
+   * survives a recluster instead of being silently lost; its files are
+   * merely not yet re-clustered.
+   *
+   * The swap itself cannot be one atomic rename, so a `_READY` marker
    * makes every crash state recoverable: scratch without marker =
    * unfinished build (discard); scratch with marker = finished build
-   * (the swap can complete regardless of whether the old store was
-   * already deleted). [[recoverRecluster]] runs first and converges any
-   * interrupted prior attempt. Single-writer maintenance job.
+   * (the swap completes, including the preserve step, regardless of
+   * where the crash hit). [[recoverRecluster]] runs first and converges
+   * any interrupted prior attempt.
    */
   def recluster(spark: SparkSession, storePath: String, threshold: Long): Unit = {
     recoverRecluster(spark, storePath)
-    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, storePath)
     val store = new Path(storePath)
-    val scratch = new Path(storePath + ".compacting")
-    val df = spark.read.parquet(storePath)
+    val scratch = new Path(storePath + CompactSuffix)
+    val snapshot = snapshotNames(fs, store)
+    if (snapshot.isEmpty) return
+    val df = spark.read.parquet(snapshot.map(n => new Path(store, n).toString): _*)
     val parts = math.max(1, math.ceil(df.count().toDouble / threshold).toInt)
     fs.delete(scratch, true)
     PointStore.write(df, scratch.toString, parts)
-    fs.create(new Path(scratch, ReadyMarker)).close()
-    fs.delete(store, true)
-    fs.rename(scratch, store)
-    fs.delete(new Path(store, ReadyMarker), false)
-    ()
+    val out = fs.create(new Path(scratch, SnapshotManifest))
+    out.write(snapshot.mkString("\n").getBytes("UTF-8")); out.close()
+    fs.create(new Path(scratch, ReclusterReady)).close()
+    completeRecluster(fs, store, scratch)
   }
 
-  private val ReadyMarker = "_GRAFT_RECLUSTER_READY"
+  private val ReclusterReady = "_GRAFT_RECLUSTER_READY"
+  private val SnapshotManifest = "_GRAFT_RECLUSTER_SNAPSHOT"
+  private val CompactSuffix = ".compacting"
+
+  /** Data files eligible for a recluster snapshot: plain files plus
+    * COMPLETE TxDir sets; members of an incomplete (in-flight or
+    * crashed) publish are excluded — the concurrent writer or the next
+    * replay owns them. */
+  private def snapshotNames(fs: FileSystem, store: Path): Seq[String] = {
+    if (!fs.exists(store)) return Nil
+    val names = fs.listStatus(store).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+    val TxName = """(.+)-(\d+)-of-(\d+)\.parquet""".r
+    val byPrefix = names.groupBy {
+      case TxName(pfx, _, _) => Some(pfx)
+      case _ => None
+    }
+    byPrefix.toSeq.flatMap {
+      case (None, plain) => plain
+      case (Some(pfx), members) =>
+        if (graft.sources.TxDir.isComplete(fs, store, pfx)) members else Nil
+    }
+  }
+
+  /** Finish the swap: preserve post-snapshot files, then replace. A
+    * scratch without a manifest (pre-manifest layout) degrades to the
+    * plain swap — nothing to preserve was recorded. */
+  private def completeRecluster(fs: FileSystem, store: Path, scratch: Path): Unit = {
+    val manifestPath = new Path(scratch, SnapshotManifest)
+    val manifest: Set[String] =
+      if (!fs.exists(manifestPath)) {
+        // no record of the snapshot -> cannot distinguish absorbed from
+        // post-snapshot files; treat every store file as absorbed (the
+        // pre-manifest behavior, correct under single-writer)
+        if (fs.exists(store))
+          fs.listStatus(store).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSet
+        else Set.empty
+      } else {
+        val in = fs.open(manifestPath)
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, true)
+        new String(bytes.toByteArray, "UTF-8").split("\n").filter(_.nonEmpty).toSet
+      }
+    if (fs.exists(store)) {
+      fs.listStatus(store).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+            !manifest.contains(n)
+        }
+        .foreach { p =>
+          if (!fs.rename(p, new Path(scratch, p.getName)))
+            throw new java.io.IOException(s"recluster preserve $p failed")
+        }
+      fs.delete(store, true)
+    }
+    if (!fs.rename(scratch, store))
+      throw new java.io.IOException(s"recluster swap $scratch -> $store failed")
+    fs.delete(new Path(store, ReclusterReady), false)
+    fs.delete(new Path(store, SnapshotManifest), false)
+    ()
+  }
 
   /** Converge an interrupted [[recluster]] (call before reads/writes
     * when a crash may have occurred). */
   def recoverRecluster(spark: SparkSession, storePath: String): Unit = {
-    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, storePath)
     val store = new Path(storePath)
-    val scratch = new Path(storePath + ".compacting")
+    val scratch = new Path(storePath + CompactSuffix)
     if (fs.exists(scratch)) {
-      if (fs.exists(new Path(scratch, ReadyMarker))) {
-        // build finished: complete the swap
-        fs.delete(store, true)
-        fs.rename(scratch, store)
+      if (fs.exists(new Path(scratch, ReclusterReady))) {
+        // build finished: complete the swap (preserve step included)
+        completeRecluster(fs, store, scratch)
       } else {
         // build unfinished: old store is intact, discard the scratch
         fs.delete(scratch, true)
       }
     }
-    if (fs.exists(new Path(store, ReadyMarker)))
-      fs.delete(new Path(store, ReadyMarker), false)
+    if (fs.exists(new Path(store, ReclusterReady)))
+      fs.delete(new Path(store, ReclusterReady), false)
+    if (fs.exists(new Path(store, SnapshotManifest)))
+      fs.delete(new Path(store, SnapshotManifest), false)
     ()
+  }
+
+  // ---------------------------------------------------------------------
+  // Minor compaction (file-local split) — footer-metadata probe
+  // ---------------------------------------------------------------------
+
+  /** Per-file (rows, zkey min/max) from Parquet FOOTERS — no data scan.
+    * zkey bounds come from row-group column statistics; a file whose
+    * stats are absent reports None and is left alone (conservative). */
+  private def footerMeta(fs: FileSystem, conf: Configuration, dir: Path)
+      : Seq[(Path, Long, Option[(Long, Long)])] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val zranges = blocks.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "zkey").flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+            }
+          }
+          val zr = if (zranges.isEmpty || zranges.length != blocks.length) None
+            else Some((zranges.map(_._1).min, zranges.map(_._2).max))
+          (p, rows, zr)
+        } finally reader.close()
+      }.toSeq
   }
 
   /**
    * Split every data file holding more than `threshold` rows into
    * z-range-partitioned files of at most ~threshold rows (the
-   * `splitBucket` analog, `Index.java:193-230`). File-local, and
+   * `splitBucket` analog, `Index.java:193-230`). The PROBE is
+   * footer-metadata only (O(#files) driver-side reads, no data scan —
+   * maintenance cost is independent of store row count); only the
+   * oversized files themselves are read and rewritten. File-local, and
    * CRASH-CONVERGENT: outputs publish two-phase under a prefix derived
    * from the source file name, so a replay after a crash either skips
    * (complete set found → just drop the source), or wipes a partial set
@@ -182,33 +425,27 @@ object StreamingIngest {
                             threshold: Long,
                             onlyFiles: Option[Seq[String]] = None): Unit = {
     if (onlyFiles.exists(_.isEmpty)) return
-    val perFile = spark.read.parquet(storePath)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"), min("zkey").as("zlo"), max("zkey").as("zhi"))
-      .filter(col("n") > threshold)
-      // a file whose rows all share one zkey cannot be range-split —
-      // rewriting it would churn forever; it is one logical bucket
-      // (the reference's max-depth case, Index.java:200-203)
-      .filter(col("zlo") =!= col("zhi"))
-      .collect()
-      .filter(row => onlyFiles.forall(allow =>
-        allow.exists(name => row.getString(0).endsWith("/" + name))))
-    if (perFile.isEmpty) return
-    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, storePath)
     val dest = new Path(storePath)
-    perFile.foreach { row =>
-      val file = row.getString(0)
-      val srcPath = new Path(new java.net.URI(file))
+    val oversized = footerMeta(fs, spark.sparkContext.hadoopConfiguration, dest)
+      .filter { case (p, n, zr) =>
+        n > threshold &&
+          // a file whose rows all share one zkey cannot be range-split —
+          // rewriting it would churn forever; it is one logical bucket
+          // (the reference's max-depth case, Index.java:200-203)
+          zr.exists { case (lo, hi) => lo != hi } &&
+          onlyFiles.forall(_.contains(p.getName))
+      }
+    oversized.foreach { case (srcPath, n, _) =>
       val prefix = "split-" + java.security.MessageDigest.getInstance("MD5")
         .digest(srcPath.getName.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       if (!graft.sources.TxDir.isComplete(fs, dest, prefix)) {
         graft.sources.TxDir.cleanPartial(fs, dest, prefix)
-        val n = row.getLong(1)
         val parts = math.max(2, math.ceil(n.toDouble / threshold).toInt)
         val scratch = new Path(storePath + s".$prefix")
         fs.delete(scratch, true)
-        PointStore.write(spark.read.parquet(file), scratch.toString, parts)
+        PointStore.write(spark.read.parquet(srcPath.toString), scratch.toString, parts)
         graft.sources.TxDir.publish(fs, scratch, dest, prefix)
       }
       fs.delete(srcPath, false)

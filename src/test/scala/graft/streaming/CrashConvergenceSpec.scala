@@ -93,6 +93,30 @@ class CrashConvergenceSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === 1000L)
   }
 
+  test("recluster swap preserves files published after its snapshot") {
+    val store = Files.createTempDirectory("graft-concur").toString + "/store"
+    val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    StreamingIngest.ingestBatch(events.limit(800), 1L, store)
+    val fs = fsOf(store)
+    val snapshot = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    // build a finished-but-unswapped recluster scratch (crash just
+    // before the swap): rebuilt data + snapshot manifest + READY marker
+    val scratch = new Path(store + ".compacting")
+    graft.operators.PointStore.write(
+      spark.read.parquet(store), scratch.toString, 4)
+    val out = fs.create(new Path(scratch, "_GRAFT_RECLUSTER_SNAPSHOT"))
+    out.write(snapshot.mkString("\n").getBytes("UTF-8")); out.close()
+    // a concurrent batch publishes AFTER the snapshot, BEFORE the swap
+    StreamingIngest.ingestBatch(
+      events.filter(col("event_id") % 3 === 1).limit(600), 2L, store)
+    fs.create(new Path(scratch, "_GRAFT_RECLUSTER_READY")).close()
+    StreamingIngest.recoverRecluster(spark, store)
+    // nothing lost: reclustered batch 1 + preserved batch 2
+    assert(spark.read.parquet(store).count() === 1400L)
+    assert(TxDir.isComplete(fs, new Path(store), "ingest-2"))
+  }
+
   test("interrupted recluster converges from every crash state") {
     val store = Files.createTempDirectory("graft-recl").toString + "/store"
     val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(1000)

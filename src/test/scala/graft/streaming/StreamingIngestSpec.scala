@@ -47,9 +47,19 @@ class StreamingIngestSpec extends SparkSpec {
     val perFile = spark.read.parquet(store)
       .groupBy(input_file_name()).count().collect().map(_.getLong(1))
     assert(perFile.max <= 200L, s"oversized file: ${perFile.max}")
-    // stats table exists and sums to the store size
+    // incremental stats: the deltas sum to the store size, and the
+    // adaptive roll-up equals a FULL recompute from the store
     val st = spark.read.parquet(stats)
     assert(st.agg(sum("bucket_size")).head().getLong(0) === 3000L)
+    val view = StreamingIngest.adaptiveStatsView(spark, stats, threshold = 200L)
+      .select("bucket_key", "prefix_len", "bucket_size")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = PointStore.open(spark, store)
+      .adaptiveStats(threshold = 200L, statsDepth = StreamingIngest.StatsDepth)
+      .select("bucket_key", "prefix_len", "bucket_size")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(view === full)
+    assert(view.nonEmpty)
 
     // major compaction restores globally disjoint per-file z-ranges
     StreamingIngest.recluster(spark, store, 200L)
@@ -62,6 +72,30 @@ class StreamingIngestSpec extends SparkSpec {
       case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap $hi1 > $lo2")
       case _ =>
     }
+  }
+
+  test("stats deltas: replay idempotent, folds bounded, cost tracks the batch") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val stats = tmp("stats-fold") + "/stats"
+    def pts(id: Long) = PointStore.points(
+      Seq((id, (id % 100).toInt, (id % 50).toInt)).toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    // 70 one-row batches: maintenance only ever touches the batch and
+    // the metadata-scale stats dir — the store is never opened (there
+    // is none here, which is itself the proof)
+    (0L until 70L).foreach(i => StreamingIngest.mergeBatchStats(spark, pts(i), i, stats))
+    def total() = spark.read.parquet(stats).agg(sum("bucket_size")).head().getLong(0)
+    assert(total() === 70L)
+    // an at-least-once REPLAY of the newest batch overwrites its own
+    // delta instead of double-counting
+    StreamingIngest.mergeBatchStats(spark, pts(69L), 69L, stats)
+    assert(total() === 70L)
+    // folding keeps the partition count bounded
+    val fs = new Path(stats).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(new Path(stats)).map(_.getPath.getName)
+      .count(_.startsWith("delta="))
+    assert(deltas <= 66, s"unbounded deltas: $deltas")
   }
 
   test("watermark drops events later than the 1h threshold (append mode)") {
