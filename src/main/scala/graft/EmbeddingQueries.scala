@@ -26,6 +26,8 @@ object EmbeddingQueries {
   private val LshTables = 16
   private val LshBits = 6
   private val LshSeed = 42L
+  private val IvfCentroids = 16
+  private val IvfProbe = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact ANN baseline: top-k by integer inner product, per query
@@ -43,6 +45,14 @@ object EmbeddingQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < NQueries), Dim, K,
         LshTables, LshBits, LshSeed,
         queriesWithinEmb = Some(col("vec_id") < NQueries))
+    }),
+    // IVF approximate ANN: deterministic stride centroids + fused-argmax
+    // assignment + nProbe probing + exact re-rank — every step integer
+    // and order-pinned, so the full pipeline is oracle-gated
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
+        nCentroids = IvfCentroids, nProbe = IvfProbe)
     }),
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
@@ -118,6 +128,38 @@ SELECT id_a, id_b, dot FROM p WHERE dot >= $NearDupMinDot""",
       s"""WITH $intCte,
 $lshCte
 SELECT qid, nid, dot, rank FROM lshtop""",
+
+    // IVF oracle: stride centroids in vec_id order (cid by rank),
+    // assignment = argmax dot with ties to the LOWEST cid (DotArgmax's
+    // strict-greater rule), probes = top-nProbe centroids per query with
+    // ties to the HIGHEST cid (the engine's struct sort compares (d,
+    // cid) descending), then exact re-rank of probed-cell members.
+    "ann_ivf_topk" ->
+      s"""WITH $intCte,
+nn AS (SELECT count(*) AS n FROM ie),
+stride AS (SELECT CAST(greatest(1, n // $IvfCentroids) AS BIGINT) AS s FROM nn),
+cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM ie, stride WHERE vec_id % s = 0 ORDER BY vec_id LIMIT $IvfCentroids)),
+cex AS (SELECT c.cid, x.i, x.ev FROM cent c JOIN iex x ON x.vec_id = c.cvid),
+ad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
+  FROM iex x JOIN cex c ON c.i = x.i GROUP BY 1, 2),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+    FROM ad WHERE vec_id < $NQueries)
+  WHERE rn <= $IvfProbe),
+cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+sc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
+  FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
+  GROUP BY 1, 2)
+SELECT qid, nid, dot, rank FROM (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+  FROM sc)
+WHERE rank <= $K""",
 
     "ann_lsh_recall" ->
       s"""WITH $intCte,
