@@ -49,6 +49,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("dedup and ANN plans never degenerate to nested-loop or cartesian joins") {
+    // every similarity/dedup join must stay an equality join on its
+    // blocking key (shingle, band signature, LSH bucket, IVF cell) —
+    // a nested-loop fallback would be the all-pairs blowup at 100 TB
+    for (q <- Seq("dedup_near_pairs", "lsh_candidates", "simhash_near_pairs",
+                  "ann_lsh_topk", "ann_ivf_topk", "emb_near_pairs")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
