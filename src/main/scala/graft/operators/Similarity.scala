@@ -78,24 +78,25 @@ object Similarity {
   }
 
   /**
-   * Hyperplane matrix for [[lshBuckets]]: component (t, b, d) is an
-   * md5-derived integer in [-2^19, 2^19) — `md5("plane:<seed>:<t>:<b>:<d>")`,
-   * first 5 hex chars, minus 2^19. md5-derivation (rather than a JVM
-   * PRNG) makes the planes reproducible in ANY engine, so the whole LSH
-   * pipeline is oracle-checkable in SQL. Uniform-cube directions are a
-   * standard sign-projection variant (vs gaussian — spherically
-   * symmetric); the operating recall is what's measured, and it is
-   * pinned in `SimilaritySpec`. 20-bit coefficients keep the sign-test
-   * dot exact in 64-bit: |acc| ≤ dim · 2^19 · max|v| ≪ 2^63 for
-   * fixed-point inputs up to ~2^30.
+   * Hyperplane matrix for [[lshBuckets]]: component (t, b, d) is
+   * md5-derived — from `md5("plane:<seed>:<t>:<b>:<d>")` take four
+   * 5-hex-char chunks (four 20-bit uniforms) and sum them, centered at
+   * zero (Irwin–Hall n=4, a close gaussian approximation — a SINGLE
+   * uniform costs ~0.2 recall vs gaussian directions at the pinned
+   * operating point; the 4-sum recovers it). md5-derivation (rather
+   * than a JVM PRNG) makes the planes reproducible in ANY engine, so
+   * the whole LSH pipeline is oracle-checkable in SQL. |coef| ≤ 2^21
+   * keeps the sign-test dot exact in 64-bit: |acc| ≤ dim · 2^21 ·
+   * max|v| ≪ 2^63 for fixed-point inputs up to ~2^30.
    */
   def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(tables * bits * dim) { idx =>
       val t = idx / (bits * dim); val b = (idx / dim) % bits; val d = idx % dim
       val hex = md.digest(s"plane:$seed:$t:$b:$d".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(5)
-      java.lang.Long.parseLong(hex, 16) - 524288L
+        .map("%02x".format(_)).mkString
+      (0 until 4).map(j => java.lang.Long.parseLong(hex.substring(j * 5, j * 5 + 5), 16))
+        .sum - 2097152L
     }
   }
 
@@ -107,7 +108,7 @@ object Similarity {
    * is reproducible — bit-identical even cross-engine. Returns
    * `(vec_id, table_id, bucket)`.
    */
-  def lshBuckets(emb: DataFrame, dim: Int, tables: Int = 16, bits: Int = 6,
+  def lshBuckets(emb: DataFrame, dim: Int, tables: Int = 16, bits: Int = 5,
                  seed: Long = 42L): DataFrame = {
     // flattened into one matrix evaluated by a single fused expression —
     // tables*bits separate dot expressions ran ~40x slower (plan bloat)
@@ -189,7 +190,7 @@ object Similarity {
    * table no longer admits a full scan per query.
    */
   def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              tables: Int = 16, bits: Int = 6, seed: Long = 42L,
+              tables: Int = 16, bits: Int = 5, seed: Long = 42L,
               queriesWithinEmb: Option[Column] = None): DataFrame = {
     val buckets = lshBuckets(emb, dim, tables, bits, seed)
     // when the query set is a predicate over the indexed table itself,
