@@ -100,6 +100,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(expr("cast(round(value*100) as bigint)")).as("sum_cents"))),
 
+    // explicit skew-salted fact⋈dim join (ScaleLayout.saltedJoin) —
+    // the result is salt-independent by construction, so the oracle is
+    // the plain join: gates that salting changes the plan, not the answer
+    "salted_user_totals" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("cast(round(value*100) as bigint)").as("cents"))
+      val dim = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      graft.sources.ScaleLayout.saltedJoin(ev, dim, "user_id", saltFactor = 8)
+        .groupBy("user_id", "n_events").agg(sum("cents").as("sum_cents"))
+    }),
+
     // temporal as-of join: for each error event, the latest preceding
     // (or simultaneous) purchase of the same user
     "asof_match" -> ((s, dir) => {
@@ -183,6 +195,12 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
   count(*) AS cnt,
   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY hour_epoch, event_type""",
+
+    "salted_user_totals" ->
+      """SELECT user_id, n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents FROM events) e
+JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) d USING (user_id)
+GROUP BY user_id, n_events""",
 
     "asof_match" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
