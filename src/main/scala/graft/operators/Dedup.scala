@@ -168,9 +168,11 @@ object Dedup {
    * definition the DuckDB oracle spells out relationally.
    */
   def simhash(df: DataFrame, bits: Int = 60): DataFrame =
+    // per-row array_distinct == global distinct on (doc_id, w) because
+    // doc_id identifies the row — but costs no shuffle (see
+    // TextAnalysis.shingles for the same trade)
     df.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .distinct()
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
       .select(col("doc_id"), h60(col("w"), 0).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.GraftFunctions.simhash_agg(col("h"), bits).as("simhash"))

@@ -91,13 +91,19 @@ object TextAnalysis {
         size(col("ch.toks")).cast("long").as("n_tokens"))
 
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
-    * shorter than k tokens are dropped (no k-shingle exists). */
+    * shorter than k tokens are dropped (no k-shingle exists).
+    *
+    * Dedup happens per-row with `array_distinct` BEFORE the explode:
+    * since `doc_id` identifies the row, this is value-identical to a
+    * global `.distinct()` on `(doc_id, sh)` but shuffle-free — the
+    * corpus-wide exchange a post-explode distinct would cost feeds five
+    * downstream gated queries, so at 100 TB this is the difference
+    * between zero and one full-corpus shuffle. */
   def shingles(df: DataFrame, k: Int = 3): DataFrame = {
     val body = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     df.select(col("doc_id"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(ws)-$k), i -> $body)")).as("sh"))
-      .distinct()
+        explode(expr(s"array_distinct(transform(sequence(0, size(ws)-$k), i -> $body))")).as("sh"))
   }
 }

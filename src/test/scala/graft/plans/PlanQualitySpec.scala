@@ -62,6 +62,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("shingle/token pipelines are shuffle-free before the first groupBy/join") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // shingles: pure per-row explode of a deduped array — zero exchanges
+    val shPlan = graft.operators.TextAnalysis.shingles(docs)
+      .queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Exchange"), shPlan)
+    // simhash: the ONLY exchange is the final groupBy(doc_id) aggregate;
+    // the token dedup itself must not shuffle the corpus
+    val simPlan = graft.operators.Dedup.simhash(docs)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(simPlan).length
+    assert(nEx == 1, s"expected exactly 1 exchange (groupBy agg), got $nEx:\n$simPlan")
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
