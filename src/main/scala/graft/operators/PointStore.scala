@@ -143,23 +143,34 @@ object PointStore {
                     baseDepth: Int = 2, driverRowCap: Long = 2000000L): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
-    // The roll-up collects one row per OCCUPIED depth-`depth` bucket; on
-    // a huge store a deep statsDepth could approach one row per point.
-    // Probe every candidate depth with approx_count_distinct in ONE
-    // aggregation pass and pick the deepest that stays within the
-    // driver budget (coarsening by 8 bits per step, floored at base).
-    val candidates =
-      (Iterator.iterate(statsDepth)(_ - 8).takeWhile(_ > baseDepth).toSeq :+ baseDepth).distinct
-    val probe = pts.select(candidates.map(d =>
-      approx_count_distinct(bucket_key(col("zkey"), d)).as(s"d$d")): _*).head()
-    val depth = candidates.zipWithIndex
-      .collectFirst { case (d, i) if probe.getLong(i) <= driverRowCap => d }
-      .getOrElse(baseDepth)
+    val depth = probeDepth(pts, col("zkey"), statsDepth, baseDepth, driverRowCap)
     val fine: Array[(Long, Long)] = pts
       .groupBy(bucket_key(col("zkey"), depth).as("k"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect()
     rollupAdaptive(spark, fine.toSeq, threshold, depth, baseDepth)
+  }
+
+  /**
+   * Deepest stats depth whose occupied-bucket count fits the driver
+   * budget. The roll-up collects one row per OCCUPIED depth-`depth`
+   * bucket; on a huge store a deep statsDepth could approach one row per
+   * point. Probe every candidate depth with approx_count_distinct in ONE
+   * aggregation pass and pick the deepest that stays within the budget
+   * (coarsening by 8 bits per step, floored at base). `key` may be a raw
+   * zkey or an already-masked bucket key at ≥ statsDepth bits — masking
+   * is idempotent, so the probe is valid for both (shared with the
+   * streaming stats view).
+   */
+  def probeDepth(df: DataFrame, key: Column, statsDepth: Int,
+                 baseDepth: Int, driverRowCap: Long): Int = {
+    val candidates =
+      (Iterator.iterate(statsDepth)(_ - 8).takeWhile(_ > baseDepth).toSeq :+ baseDepth).distinct
+    val probe = df.select(candidates.map(d =>
+      approx_count_distinct(bucket_key(key, d)).as(s"d$d")): _*).head()
+    candidates.zipWithIndex
+      .collectFirst { case (d, i) if probe.getLong(i) <= driverRowCap => d }
+      .getOrElse(baseDepth)
   }
 
   /**

@@ -162,12 +162,24 @@ object StreamingIngest {
   /** The adaptive (variable-depth, maySplit-rolled) view of the
     * incremental stats table — same shape as
     * [[graft.operators.PointStore.adaptiveStats]] but derived from the
-    * deltas, not from a store scan. */
+    * deltas, not from a store scan. The driver collect is BOUNDED the
+    * same way as the batch path: a one-pass approx_count_distinct probe
+    * picks the deepest depth whose occupied-bucket count fits
+    * `driverRowCap`, and the deltas are aggregated to that depth
+    * distributively BEFORE the collect — on a store with billions of
+    * distinct points the view coarsens instead of OOMing the driver. */
   def adaptiveStatsView(spark: SparkSession, statsPath: String,
-                        threshold: Long, baseDepth: Int = 2): DataFrame = {
+                        threshold: Long, baseDepth: Int = 2,
+                        driverRowCap: Long = 2000000L): DataFrame = {
     import spark.implicits._
-    val fine = fineStats(spark, statsPath).as[(Long, Long)].collect()
-    PointStore.rollupAdaptive(spark, fine.toSeq, threshold, StatsDepth, baseDepth)
+    val fineDf = fineStats(spark, statsPath)
+    val depth = PointStore.probeDepth(
+      fineDf, col("bucket_key"), StatsDepth, baseDepth, driverRowCap)
+    val fine = fineDf
+      .groupBy(bucket_key(col("bucket_key"), depth).as("k"))
+      .agg(sum("bucket_size").as("n"))
+      .as[(Long, Long)].collect()
+    PointStore.rollupAdaptive(spark, fine.toSeq, threshold, depth, baseDepth)
   }
 
   /** Offline bootstrap/repair: full recompute of the fine stats table

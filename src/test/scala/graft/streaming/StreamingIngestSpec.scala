@@ -98,6 +98,37 @@ class StreamingIngestSpec extends SparkSpec {
     assert(deltas <= 66, s"unbounded deltas: $deltas")
   }
 
+  test("adaptiveStatsView bounds its driver collect: coarsens under the row cap") {
+    import spark.implicits._
+    val stats = tmp("stats-cap") + "/stats"
+    // points spread over the full coordinate domain so the depth-48 fine
+    // buckets are ~one per point — the shape that would OOM an uncapped
+    // driver collect on a real store
+    val df = (0L until 500L)
+      .map(i => (i, ((i * 2654435761L) % Int.MaxValue).toInt,
+                    ((i * 40503L * 65537L) % Int.MaxValue).toInt))
+      .toDF("pid", "px", "py")
+    val pts = PointStore.points(df, col("pid"), col("px"), col("py"))
+    StreamingIngest.mergeBatchStats(spark, pts, 0L, stats)
+    val cap = 64L
+    assert(StreamingIngest.fineStats(spark, stats).count() > cap,
+      "fixture must exceed the cap at fine depth")
+    val capped = StreamingIngest.adaptiveStatsView(
+        spark, stats, threshold = 50L, driverRowCap = cap)
+      .select("bucket_key", "prefix_len", "bucket_size").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // coarsened (nothing at fine depth), nothing lost
+    assert(capped.map(_._2).max < StreamingIngest.StatsDepth)
+    assert(capped.map(_._3).sum === 500L)
+    // and identical to the batch path under the same cap (shared
+    // probe + roll-up)
+    val full = PointStore.adaptiveStats(pts, threshold = 50L,
+        statsDepth = StreamingIngest.StatsDepth, driverRowCap = cap)
+      .select("bucket_key", "prefix_len", "bucket_size").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(capped.toSet === full.toSet)
+  }
+
   test("watermark drops events later than the 1h threshold (append mode)") {
     import spark.implicits._
     val src = tmp("late-src")
