@@ -54,13 +54,16 @@ object TextQueries {
     // fixed-window token chunking with overlap (window 50, stride 40)
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir), 50, 40)),
     // the composed training-data pipeline: quality gate, then drop the
-    // higher-id member of every near-dup pair (deterministic keeper rule)
+    // higher-id member of every near-dup pair (deterministic keeper
+    // rule). Near-dups come from the 100 TB-shape path: banded-LSH
+    // candidates + exact Jaccard re-verification of candidate pairs
+    // only — no join in the pipeline is keyed on a shingle.
     "pipeline_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
       val survivors = TextAnalysis.stats(d)
         .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
         .select("doc_id", "n_tokens")
-      val dupLosers = Dedup.jaccardPairs(d, 1, 2, maxDf = MaxShingleDf)
+      val dupLosers = Dedup.lshNearPairs(d, 1, 2, 3, NumHashes, Bands, RowsPerBand)
         .select(col("id_b").as("doc_id")).distinct()
       survivors.join(dupLosers, Seq("doc_id"), "left_anti")
     })
@@ -85,6 +88,13 @@ dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> 
   private val sigCte =
     s"""WITH $shingleCte,
 sigs AS (SELECT doc_id,\n$sigCols\nFROM dsh GROUP BY doc_id)"""
+
+  /** Oracle twin of the banded signature explode in Dedup.lshCandidates. */
+  private val bandSelects = (0 until Bands).map { b =>
+    val cols = (0 until RowsPerBand)
+      .map(r => s"CAST(m${"%02d".format(b * RowsPerBand + r)} AS VARCHAR)")
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', ${cols.mkString(", ")})) AS sig FROM sigs"
+  }.mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     "text_stats" ->
@@ -142,16 +152,17 @@ SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
 FROM c""",
 
     "pipeline_corpus" ->
-      s"""WITH $shingleCte,
-cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
-keep AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
-dshc AS (SELECT d.doc_id, d.sh FROM dsh d JOIN keep USING (sh)),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM dshc a JOIN dshc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-losers AS (SELECT DISTINCT id_b AS doc_id FROM inter
-  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-  WHERE 3 * inter >= 1 * (ca.n + cb.n)),
+      s"""$sigCte,
+bandsigs AS ($bandSelects),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsigs a JOIN bandsigs b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+  FROM dwords WHERE len(ws) >= 3),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM cands
+  JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+  WHERE 3 * len(list_intersect(sa.shs, sb.shs)) >= 1 * (len(sa.shs) + len(sb.shs))),
 q AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
     (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
       // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
@@ -162,18 +173,12 @@ WHERE n_tokens >= 30 AND quality_e3 >= 500
 
     "minhash_signatures" -> s"$sigCte SELECT * FROM sigs",
 
-    "lsh_candidates" -> {
-      val bandSelects = (0 until Bands).map { b =>
-        val cols = (0 until RowsPerBand)
-          .map(r => s"CAST(m${"%02d".format(b * RowsPerBand + r)} AS VARCHAR)")
-        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', ${cols.mkString(", ")})) AS sig FROM sigs"
-      }.mkString(" UNION ALL ")
+    "lsh_candidates" ->
       s"""$sigCte,
 bandsigs AS ($bandSelects)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bandsigs a JOIN bandsigs b
-  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id"""
-    },
+  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""",
 
     "word_freq" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)

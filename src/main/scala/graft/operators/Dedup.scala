@@ -135,6 +135,32 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate pairs in the full 100 TB shape: banded-LSH candidate
+   * generation ([[lshCandidates]]) followed by exact Jaccard
+   * re-verification of ONLY the candidate pairs — the composition the
+   * MinHash/LSH machinery exists for. The re-verify is two equality
+   * joins of the (small) candidate set against per-document shingle SETS
+   * plus a per-row `array_intersect`; no join is ever keyed on a
+   * shingle, so corpus-frequency skew cannot blow up the join (contrast
+   * [[jaccardPairs]], whose inverted-index join needs the `maxDf` cap).
+   * Recall is the banding curve's (pairs missing every band are missed);
+   * precision is exact (candidates failing true Jaccard are dropped).
+   */
+  def lshNearPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(df, numHashes, k), bands, rowsPerBand)
+    val sets = TextAnalysis.shingleSets(df, k)
+    cands
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+        size(col("shs_a")).cast("long").as("na"),
+        size(col("shs_b")).cast("long").as("nb"))
+      .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
+  }
+
+  /**
    * SimHash near-duplicate pairs: 60-bit fingerprints banded into four
    * 15-bit bands; candidate pairs share ≥ 1 intact band (pigeonhole:
    * any pair within Hamming distance 3 must — higher distances are

@@ -99,11 +99,18 @@ object TextAnalysis {
     * corpus-wide exchange a post-explode distinct would cost feeds five
     * downstream gated queries, so at 100 TB this is the difference
     * between zero and one full-corpus shuffle. */
-  def shingles(df: DataFrame, k: Int = 3): DataFrame = {
+  def shingles(df: DataFrame, k: Int = 3): DataFrame =
+    shingleSets(df, k).select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Per-document distinct k-shingle SET as one array row `(doc_id, shs)`
+    * — the un-exploded twin of [[shingles]], used when a consumer needs
+    * whole sets (e.g. exact Jaccard re-verification of LSH candidate
+    * pairs) rather than an inverted index. */
+  def shingleSets(df: DataFrame, k: Int = 3): DataFrame = {
     val body = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     df.select(col("doc_id"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
-        explode(expr(s"array_distinct(transform(sequence(0, size(ws)-$k), i -> $body))")).as("sh"))
+        expr(s"array_distinct(transform(sequence(0, size(ws)-$k), i -> $body))").as("shs"))
   }
 }

@@ -62,6 +62,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("pipeline_corpus re-verifies near-dups on candidate pairs, not shingles") {
+    // the composed pipeline must take the LSH shape: candidates from
+    // band-signature equality joins, exact Jaccard as array_intersect on
+    // the candidate pairs — no join anywhere keyed on a shingle column
+    val plan = graft.SparkEntry.queries("pipeline_corpus")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, plan)
+    assert(!joinLines.exists(_.matches(".*\\bsh#\\d+.*")),
+      "join keyed on a shingle:\n" + joinLines.mkString("\n"))
+  }
+
   test("shingle/token pipelines are shuffle-free before the first groupBy/join") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     // shingles: pure per-row explode of a deduped array — zero exchanges
