@@ -82,12 +82,17 @@ object StreamingIngest {
     // snapshot over them
     recoverRecluster(events.sparkSession, storePath)
     recoverSwap(fsOf(events.sparkSession, statsPath), new Path(statsPath))
+    // ... then converge minor compactions interrupted by a crash: a
+    // split that died between publishing its set and deleting its source
+    // would otherwise leave persistent DUPLICATE rows (nothing revisits
+    // it — pendingFiles resets to Nil below)
+    convergeSplits(events.sparkSession, storePath, splitThreshold)
     // Compaction is DEFERRED one batch: batch N's files are split while
     // processing batch N+1, after N's checkpoint committed — splitting
     // them inside batch N would consume the very ingest-N marker files
     // that make a replay of N idempotent. (After a restart the deferred
-    // list is empty; files missed that way stay merely coarse until the
-    // next recluster.)
+    // list is empty; files missed that way are swept by the
+    // convergeSplits above on the NEXT start, and by any recluster.)
     var pendingFiles: Seq[String] = Nil
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -282,6 +287,10 @@ object StreamingIngest {
    */
   def recluster(spark: SparkSession, storePath: String, threshold: Long): Unit = {
     recoverRecluster(spark, storePath)
+    // crashed-split debris first: a source file whose split set is
+    // complete is DUPLICATE data — snapshotting both would bake the
+    // duplicates into the rebuilt store
+    convergeSplitDebris(spark, storePath)
     val fs = fsOf(spark, storePath)
     val store = new Path(storePath)
     val scratch = new Path(storePath + CompactSuffix)
@@ -301,15 +310,35 @@ object StreamingIngest {
   private val SnapshotManifest = "_GRAFT_RECLUSTER_SNAPSHOT"
   private val CompactSuffix = ".compacting"
 
-  /** Data files eligible for a recluster snapshot: plain files plus
-    * COMPLETE TxDir sets; members of an incomplete (in-flight or
-    * crashed) publish are excluded — the concurrent writer or the next
-    * replay owns them. */
-  private def snapshotNames(fs: FileSystem, store: Path): Seq[String] = {
-    if (!fs.exists(store)) return Nil
-    val names = fs.listStatus(store).map(_.getPath.getName)
+  private val TxName = """(.+)-(\d+)-of-(\d+)\.parquet""".r
+  private val IngestPrefix = """ingest-(\d+)""".r
+
+  /** Data-file names of a store dir (excludes markers/hidden files). */
+  private def dataFileNames(fs: FileSystem, store: Path): Seq[String] =
+    if (!fs.exists(store)) Nil
+    else fs.listStatus(store).map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-    val TxName = """(.+)-(\d+)-of-(\d+)\.parquet""".r
+      .toIndexedSeq
+
+  /** The newest ingest generation id present, if any. Batches publish
+    * sequentially, so only this generation can be in-flight or pending
+    * an at-least-once replay — every older generation is committed. */
+  private def newestIngestId(names: Seq[String]): Option[Long] =
+    names.collect { case TxName(IngestPrefix(id), _, _) => id.toLong }
+      .maxOption
+
+  /** Data files eligible for a recluster snapshot: plain files, COMPLETE
+    * TxDir sets, and survivors of an incomplete ingest set OLDER than
+    * the newest generation — such a set cannot be in-flight (batches
+    * publish sequentially), it is a committed set whose other members a
+    * minor compaction split away; its survivors are ordinary data files
+    * and must keep being re-clustered, not preserved verbatim forever.
+    * Members of the newest (possibly in-flight/replayable) incomplete
+    * ingest set and of incomplete split sets are excluded — the
+    * concurrent writer or the next replay owns them. */
+  private def snapshotNames(fs: FileSystem, store: Path): Seq[String] = {
+    val names = dataFileNames(fs, store)
+    val newest = newestIngestId(names)
     val byPrefix = names.groupBy {
       case TxName(pfx, _, _) => Some(pfx)
       case _ => None
@@ -317,13 +346,28 @@ object StreamingIngest {
     byPrefix.toSeq.flatMap {
       case (None, plain) => plain
       case (Some(pfx), members) =>
-        if (graft.sources.TxDir.isComplete(fs, store, pfx)) members else Nil
+        if (graft.sources.TxDir.isComplete(fs, store, pfx)) members
+        else pfx match {
+          case IngestPrefix(id) if newest.exists(id.toLong < _) => members
+          case _ => Nil
+        }
     }
   }
 
   /** Finish the swap: preserve post-snapshot files, then replace. A
     * scratch without a manifest (pre-manifest layout) degrades to the
-    * plain swap — nothing to preserve was recorded. */
+    * plain swap — nothing to preserve was recorded.
+    *
+    * The swap never loses a concurrently published file: absorbed
+    * snapshot files are deleted BY NAME (never a blind recursive
+    * delete), everything else is drained into the scratch, and the
+    * emptied dir is removed with a NON-recursive delete — which fails,
+    * and retries the drain, if a new file raced in after the listing. A
+    * publish can also recreate the store dir (TxDir.publish mkdirs)
+    * between that delete and the final rename; the rename then fails and
+    * the drain loop runs again. Bounded retries: a store receiving
+    * publishes faster than it can be drained indefinitely means the
+    * caller broke the single-maintenance-writer contract. */
   private def completeRecluster(fs: FileSystem, store: Path, scratch: Path): Unit = {
     val manifestPath = new Path(scratch, SnapshotManifest)
     val manifest: Set[String] =
@@ -341,21 +385,30 @@ object StreamingIngest {
         org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, true)
         new String(bytes.toByteArray, "UTF-8").split("\n").filter(_.nonEmpty).toSet
       }
-    if (fs.exists(store)) {
-      fs.listStatus(store).map(_.getPath)
-        .filter { p =>
+    def drainStore(): Unit =
+      if (fs.exists(store)) {
+        fs.listStatus(store).map(_.getPath).foreach { p =>
           val n = p.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-            !manifest.contains(n)
-        }
-        .foreach { p =>
-          if (!fs.rename(p, new Path(scratch, p.getName)))
+          if (manifest.contains(n)) { fs.delete(p, false); () }
+          else if (n.startsWith("_") || n.startsWith(".")) { fs.delete(p, true); () }
+          else if (!fs.rename(p, new Path(scratch, n)))
             throw new java.io.IOException(s"recluster preserve $p failed")
         }
-      fs.delete(store, true)
+        // non-recursive on purpose: fails if a publish raced in after
+        // the listing above, and the next drain round picks it up
+        try { fs.delete(store, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    var attempts = 0
+    var renamed = false
+    while (!renamed) {
+      attempts += 1
+      if (attempts > 20)
+        throw new java.io.IOException(
+          s"recluster swap $scratch -> $store failed: dir keeps receiving files")
+      drainStore()
+      if (!fs.exists(store)) renamed = fs.rename(scratch, store)
     }
-    if (!fs.rename(scratch, store))
-      throw new java.io.IOException(s"recluster swap $scratch -> $store failed")
     fs.delete(new Path(store, ReclusterReady), false)
     fs.delete(new Path(store, SnapshotManifest), false)
     ()
@@ -387,35 +440,69 @@ object StreamingIngest {
   // Minor compaction (file-local split) — footer-metadata probe
   // ---------------------------------------------------------------------
 
-  /** Per-file (rows, zkey min/max) from Parquet FOOTERS — no data scan.
-    * zkey bounds come from row-group column statistics; a file whose
-    * stats are absent reports None and is left alone (conservative). */
-  private def footerMeta(fs: FileSystem, conf: Configuration, dir: Path)
-      : Seq[(Path, Long, Option[(Long, Long)])] = {
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+  /** Serializable carrier for the Hadoop configuration used by the
+    * distributed footer probe (Configuration itself is not
+    * java-serializable; this is the standard write()/readFields shim). */
+  private class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** (rows, zkey min/max) of ONE file's footer — no data scan. zkey
+    * bounds come from row-group column statistics; a file whose stats
+    * are absent reports None and is left alone (conservative). */
+  private def readFooter(file: String, conf: Configuration)
+      : (String, Long, Option[(Long, Long)]) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val zranges = blocks.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "zkey").flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+        }
       }
-      .map { p =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val rows = blocks.map(_.getRowCount).sum
-          val zranges = blocks.flatMap { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == "zkey").flatMap { c =>
-              val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) None
-              else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
-                st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
-            }
-          }
-          val zr = if (zranges.isEmpty || zranges.length != blocks.length) None
-            else Some((zranges.map(_._1).min, zranges.map(_._2).max))
-          (p, rows, zr)
-        } finally reader.close()
-      }.toSeq
+      val zr = if (zranges.isEmpty || zranges.length != blocks.length) None
+        else Some((zranges.map(_._1).min, zranges.map(_._2).max))
+      (file, rows, zr)
+    } finally reader.close()
+  }
+
+  /** Below this many files the probe stays a driver loop — a Spark job
+    * costs more than it saves. */
+  private val FooterProbeSerialMax = 16
+
+  /** Per-file (rows, zkey min/max) from Parquet FOOTERS. DISTRIBUTED
+    * past [[FooterProbeSerialMax]] files: at store scale (millions of
+    * files) a serial driver loop over footers would dominate batch
+    * maintenance time. */
+  private def footerMeta(spark: SparkSession, dir: Path)
+      : Seq[(Path, Long, Option[(Long, Long)])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val files = dataFileNames(fs, dir).map(n => new Path(dir, n).toString)
+    val metas =
+      if (files.length <= FooterProbeSerialMax) files.map(readFooter(_, conf))
+      else {
+        val ser = new SerializableHadoopConf(conf)
+        val parts = math.max(1,
+          math.min(files.length / 64 + 1, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(files, parts)
+          .map(f => readFooter(f, ser.value)).collect().toIndexedSeq
+      }
+    metas.map { case (f, rows, zr) => (new Path(f), rows, zr) }
   }
 
   /**
@@ -433,13 +520,20 @@ object StreamingIngest {
    * maintenance, same dirty-window as any file-layout compaction
    * without a commit log.
    */
+  /** The deterministic split prefix of a source file name (12 hex chars
+    * of its md5 — matches `substring(md5(name), 1, 12)` in SQL). */
+  private def splitPrefix(name: String): String =
+    "split-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
   def compactOversizedFiles(spark: SparkSession, storePath: String,
                             threshold: Long,
                             onlyFiles: Option[Seq[String]] = None): Unit = {
     if (onlyFiles.exists(_.isEmpty)) return
     val fs = fsOf(spark, storePath)
     val dest = new Path(storePath)
-    val oversized = footerMeta(fs, spark.sparkContext.hadoopConfiguration, dest)
+    val oversized = footerMeta(spark, dest)
       .filter { case (p, n, zr) =>
         n > threshold &&
           // a file whose rows all share one zkey cannot be range-split —
@@ -448,20 +542,85 @@ object StreamingIngest {
           zr.exists { case (lo, hi) => lo != hi } &&
           onlyFiles.forall(_.contains(p.getName))
       }
-    oversized.foreach { case (srcPath, n, _) =>
-      val prefix = "split-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(srcPath.getName.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      if (!graft.sources.TxDir.isComplete(fs, dest, prefix)) {
-        graft.sources.TxDir.cleanPartial(fs, dest, prefix)
-        val parts = math.max(2, math.ceil(n.toDouble / threshold).toInt)
-        val scratch = new Path(storePath + s".$prefix")
-        fs.delete(scratch, true)
-        PointStore.write(spark.read.parquet(srcPath.toString), scratch.toString, parts)
-        graft.sources.TxDir.publish(fs, scratch, dest, prefix)
+    // replay convergence per source: a complete split set means the
+    // rewrite already happened (just drop the source); a partial set is
+    // wiped and redone
+    val todo = oversized.filter { case (srcPath, _, _) =>
+      val prefix = splitPrefix(srcPath.getName)
+      if (graft.sources.TxDir.isComplete(fs, dest, prefix)) {
+        fs.delete(srcPath, false); false
+      } else {
+        graft.sources.TxDir.cleanPartial(fs, dest, prefix); true
       }
+    }
+    if (todo.isEmpty) return
+    // ONE job rewrites every oversized file: rows range-partition on
+    // (source-hash, zkey), so each source's outputs cover disjoint
+    // z-intervals — the property that keeps the recursive split
+    // skew-proof — and partitionBy lands them under per-source subdirs
+    // of a single scratch. At millions of files maintenance is one
+    // distributed pass, not one driver-orchestrated job per file.
+    val totalParts = todo.map { case (_, n, _) =>
+      math.max(2, math.ceil(n.toDouble / threshold).toInt) }.sum
+    val scratchAll = new Path(storePath + ".splitting")
+    fs.delete(scratchAll, true)
+    spark.read.parquet(todo.map(_._1.toString): _*)
+      .withColumn("__split",
+        expr("substring(md5(element_at(split(input_file_name(), '/'), -1)), 1, 12)"))
+      .repartitionByRange(totalParts, col("__split"), col("zkey"))
+      .sortWithinPartitions("__split", "zkey")
+      .write.partitionBy("__split").mode("overwrite").parquet(scratchAll.toString)
+    todo.foreach { case (srcPath, _, _) =>
+      val prefix = splitPrefix(srcPath.getName)
+      val sub = new Path(scratchAll, "__split=" + prefix.stripPrefix("split-"))
+      graft.sources.TxDir.publish(fs, sub, dest, prefix)
       fs.delete(srcPath, false)
       ()
     }
+    fs.delete(scratchAll, true)
+    ()
+  }
+
+  /** Drop crashed-split debris WITHOUT launching jobs: a source file
+    * whose split set is already COMPLETE is duplicate data (the split
+    * died between publish and source delete) — drop the source; a
+    * PARTIAL split set died mid-publish and its source is intact — wipe
+    * the partial members. The newest ingest generation is left alone
+    * (it may belong to an uncommitted batch whose replay owns it). */
+  def convergeSplitDebris(spark: SparkSession, storePath: String): Unit = {
+    val fs = fsOf(spark, storePath)
+    val store = new Path(storePath)
+    val names = dataFileNames(fs, store)
+    if (names.isEmpty) return
+    val newest = newestIngestId(names)
+    names
+      .filterNot(n => newest.exists(id => n.startsWith(s"ingest-$id-")))
+      .foreach { n =>
+        if (graft.sources.TxDir.isComplete(fs, store, splitPrefix(n))) {
+          fs.delete(new Path(store, n), false)
+          ()
+        }
+      }
+    names.collect { case TxName(pfx, _, _) => pfx }.distinct
+      .filter(_.startsWith("split-"))
+      .foreach(pfx => graft.sources.TxDir.cleanPartial(fs, store, pfx))
+  }
+
+  /** Converge minor compactions interrupted by a crash: clear split
+    * debris ([[convergeSplitDebris]]), then run a full oversized-file
+    * sweep over every committed generation — only the newest ingest
+    * generation (possibly an uncommitted batch owned by replay) is
+    * excluded. Called on stream [[start]]; makes the crash window
+    * between split-publish and source-delete self-healing instead of a
+    * permanent duplication. */
+  def convergeSplits(spark: SparkSession, storePath: String, threshold: Long): Unit = {
+    convergeSplitDebris(spark, storePath)
+    val fs = fsOf(spark, storePath)
+    val names = dataFileNames(fs, new Path(storePath))
+    if (names.isEmpty) return
+    val newest = newestIngestId(names)
+    val eligible = names
+      .filterNot(n => newest.exists(id => n.startsWith(s"ingest-$id-")))
+    compactOversizedFiles(spark, storePath, threshold, Some(eligible))
   }
 }

@@ -93,6 +93,94 @@ class CrashConvergenceSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === 1000L)
   }
 
+  test("crashed split (published set + surviving source) converges, not duplicates") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-dupsplit").toString + "/store"
+    val pts = graft.operators.PointStore.points(
+      (1 to 1000).map(i => (i.toLong, i * 37 % 5000, i * 91 % 5000)).toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    graft.operators.PointStore.write(pts, store, 1)
+    val fs = fsOf(store)
+    val src = fs.listStatus(new Path(store)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    // stash the source, split normally, then put the source back —
+    // exactly the state a crash between TxDir.publish and the source
+    // delete leaves behind
+    val stash = new Path(Files.createTempDirectory("graft-stash").toString, src.getName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, stash, false, spark.sparkContext.hadoopConfiguration)
+    StreamingIngest.compactOversizedFiles(spark, store, 200L)
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash, fs, src, false, spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(store).count() === 2000L, "precondition: duplicates visible")
+    // ... recluster must NOT bake the duplicates into the rebuild
+    StreamingIngest.recluster(spark, store, 10000L)
+    assert(spark.read.parquet(store).count() === 1000L)
+    // and the start-time sweep converges the same crash state too
+    // (fresh store: the reclustered one above has new file names)
+    val store2 = Files.createTempDirectory("graft-dupsplit2").toString + "/store"
+    graft.operators.PointStore.write(pts, store2, 1)
+    val src2 = fs.listStatus(new Path(store2)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val stash2 = new Path(stash.getParent, "stash2-" + src2.getName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src2, fs, stash2, false, spark.sparkContext.hadoopConfiguration)
+    StreamingIngest.compactOversizedFiles(spark, store2, 200L)
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash2, fs, src2, false, spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(store2).count() === 2000L, "precondition: duplicates visible")
+    StreamingIngest.convergeSplits(spark, store2, 200L)
+    assert(spark.read.parquet(store2).count() === 1000L)
+    assert(!fs.exists(src2), "duplicate source not dropped")
+  }
+
+  test("recluster re-clusters survivors of a split-broken committed ingest set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-broken").toString
+    val store = dir + "/store"
+    val fs = fsOf(store)
+    def mkPts(ids: Range) = graft.operators.PointStore.points(
+      ids.map(i => (i.toLong, i * 37 % 5000, i * 91 % 5000)).toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    // committed generation 1: a complete 3-file set
+    graft.operators.PointStore.write(mkPts(1 to 900), s"$dir/s1", 3)
+    TxDir.publish(fs, new Path(s"$dir/s1"), new Path(store), "ingest-1")
+    // newer generation 2 marks gen 1 as committed
+    graft.operators.PointStore.write(mkPts(1000 to 1099), s"$dir/s2", 1)
+    TxDir.publish(fs, new Path(s"$dir/s2"), new Path(store), "ingest-2")
+    // minor compaction consumed one member of gen 1: its rows republish
+    // under a complete split set, the member is deleted -> set broken
+    val member = new Path(new Path(store), "ingest-1-0-of-3.parquet")
+    graft.operators.PointStore.write(spark.read.parquet(member.toString), s"$dir/s3", 2)
+    TxDir.publish(fs, new Path(s"$dir/s3"), new Path(store), "split-aaaabbbbcccc")
+    fs.delete(member, false)
+    val total = spark.read.parquet(store).count()
+    StreamingIngest.recluster(spark, store, 10000L)
+    // nothing lost, and the broken set's survivors were ABSORBED into
+    // the rebuild (not preserved verbatim forever)
+    assert(spark.read.parquet(store).count() === total)
+    val left = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.startsWith("ingest-1-"))
+    assert(left.isEmpty, s"split-broken survivors preserved verbatim: ${left.mkString(",")}")
+  }
+
+  test("minor compaction rewrites all oversized files in one pass, not one job each") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-onejob").toString + "/store"
+    val pts = graft.operators.PointStore.points(
+      (1 to 6000).map(i => (i.toLong, i * 37 % 5000, i * 91 % 5000)).toDF("pid", "px", "py"),
+      col("pid"), col("px"), col("py"))
+    graft.operators.PointStore.write(pts, store, 6) // 6 files x ~1000 rows
+    val sc = spark.sparkContext
+    sc.setJobGroup("one-pass-compact", "compaction job count probe")
+    try StreamingIngest.compactOversizedFiles(spark, store, 300L)
+    finally sc.clearJobGroup()
+    Thread.sleep(1500) // status store updates asynchronously
+    val jobs = sc.statusTracker.getJobIdsForGroup("one-pass-compact").length
+    assert(jobs > 0 && jobs <= 4, s"expected a bounded job count, got $jobs")
+    // behavior unchanged: everything under threshold, nothing lost
+    assert(spark.read.parquet(store).count() === 6000L)
+    val sizes = spark.read.parquet(store).groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max <= 300L, s"oversized survivor: ${sizes.max}")
+  }
+
   test("recluster swap preserves files published after its snapshot") {
     val store = Files.createTempDirectory("graft-concur").toString + "/store"
     val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")
