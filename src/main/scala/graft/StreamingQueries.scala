@@ -29,20 +29,36 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_range" -> ((s, dir) => {
+      import org.apache.hadoop.fs.{FileUtil, Path}
       val tmp = Files.createTempDirectory("graft-stream-gate").toString
-      // the file stream source wants a DIRECTORY to watch
+      // the file stream source wants a DIRECTORY to watch; the source
+      // table may itself be a file OR a directory-shaped parquet
+      // dataset — FileUtil.copy handles both recursively (a bare
+      // Files.copy of a directory would copy an empty dir and the gate
+      // would silently compare an empty store)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/events.parquet")
+      val fs = src.getFileSystem(conf)
       Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-      Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+      FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
       val q = StreamingIngest.start(stream, s"$tmp/store", s"$tmp/stats",
         s"$tmp/ckpt", splitThreshold = 100000L)
       try q.processAllAvailable() finally q.stop()
-      PointStore.rangeQuery(s.read.parquet(s"$tmp/store"), RX, RY)
+      val agg = PointStore.rangeQuery(s.read.parquet(s"$tmp/store"), RX, RY)
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
           sum(col("x").cast("long")).as("x_sum"),
           sum(col("y").cast("long")).as("y_sum"))
+      // evaluate EAGERLY so the full temp tree (store copy, checkpoint)
+      // can be deleted before returning — otherwise every Verify/Bench
+      // run leaks a store-sized copy in /tmp
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      fs.delete(new Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     })
   )
 

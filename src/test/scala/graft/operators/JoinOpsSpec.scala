@@ -30,6 +30,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(got === 9L)
   }
 
+  test("asofLookup past the literal cap takes the chunked broadcast path, same results") {
+    import spark.implicits._
+    val stats = (0 until 100).map(i => i.toLong * 10).toDF("bucket_key")
+    val probes = (0 until 500).map(i => i.toLong * 2 - 5).toDF("zkey")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("zkey", "bucket_key").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val literal = graft.sources.StatsTable.asofLookup(
+      spark, probes, "zkey", stats, "bucket_key")
+    val chunked = graft.sources.StatsTable.asofLookup(
+      spark, probes, "zkey", stats, "bucket_key", maxLiteralKeys = 8)
+    assert(run(chunked) === run(literal))
+    // below-minimum probes are null on both paths
+    assert(run(chunked).head._2 === -1L)
+    // the fallback routes via a broadcast EQUALITY join — never a
+    // nested loop — and keeps the floor search in SortedFloor
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("sorted_floor"), plan)
+  }
+
   test("band join equals the naive quadratic definition on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
