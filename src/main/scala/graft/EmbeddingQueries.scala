@@ -57,6 +57,15 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
         nCentroids = IvfCentroids, nProbe = IvfProbe)
     }),
+    // IVF with one deterministic integer Lloyd iteration refining the
+    // stride seeds — the centroid update (truncating-division cell
+    // means) is exact integer arithmetic, so the refined pipeline stays
+    // fully oracle-gated
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
+        nCentroids = IvfCentroids, nProbe = IvfProbe, lloydIters = 1)
+    }),
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
     "ann_lsh_recall" -> ((s, dir) => {
@@ -108,6 +117,40 @@ lshtop AS (SELECT qid, nid, dot, rank FROM (
     FROM lsc)
   WHERE rank <= $K)"""
 
+  /** Shared IVF oracle CTEs: stride seeds, seed components (`cex`),
+    * per-vector centroid dots (`ad`), argmax assignment with ties to the
+    * LOWEST cid (`assign`) — the DotArgmax strict-greater rule. */
+  private val ivfSeedCte =
+    s"""nn AS (SELECT count(*) AS n FROM ie),
+stride AS (SELECT CAST(greatest(1, n // $IvfCentroids) AS BIGINT) AS s FROM nn),
+cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM ie, stride WHERE vec_id % s = 0 ORDER BY vec_id LIMIT $IvfCentroids)),
+cex AS (SELECT c.cid, x.i, x.ev FROM cent c JOIN iex x ON x.vec_id = c.cvid),
+ad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
+  FROM iex x JOIN cex c ON c.i = x.i GROUP BY 1, 2),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad)
+  WHERE rn = 1)"""
+
+  /** IVF probe/candidate/re-rank tail over a dot table and an
+    * assignment table (probe ties to the HIGHEST cid — the engine's
+    * struct-desc sort). */
+  private def ivfTopSql(adT: String, asgT: String): String =
+    s"""probes AS (SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+    FROM $adT WHERE vec_id < $NQueries)
+  WHERE rn <= $IvfProbe),
+cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN $asgT a ON a.cid = p.cid AND a.vec_id <> p.qid),
+sc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
+  FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
+  GROUP BY 1, 2)
+SELECT qid, nid, dot, rank FROM (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+  FROM sc)
+WHERE rank <= $K"""
+
   /** Exact top-k CTE (the `ann_topk_ip` pipeline as a named CTE). */
   private val exactTopCte =
     s"""p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
@@ -144,30 +187,26 @@ SELECT qid, nid, dot, rank FROM lshtop""",
     // cid) descending), then exact re-rank of probed-cell members.
     "ann_ivf_topk" ->
       s"""WITH $intCte,
-nn AS (SELECT count(*) AS n FROM ie),
-stride AS (SELECT CAST(greatest(1, n // $IvfCentroids) AS BIGINT) AS s FROM nn),
-cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM ie, stride WHERE vec_id % s = 0 ORDER BY vec_id LIMIT $IvfCentroids)),
-cex AS (SELECT c.cid, x.i, x.ev FROM cent c JOIN iex x ON x.vec_id = c.cvid),
-ad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
-  FROM iex x JOIN cex c ON c.i = x.i GROUP BY 1, 2),
-assign AS (SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad)
+$ivfSeedCte,
+${ivfTopSql("ad", "assign")}""",
+
+    // IVF + one Lloyd iteration: cell means by truncating integer
+    // division (HUGEINT sum // count, cast back), empty cells keep
+    // their seed, then the same assign/probe/re-rank over the refined
+    // centroid components.
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+cm AS (SELECT s.cid, x.i, CAST(sum(x.ev) // count(*) AS BIGINT) AS ev
+  FROM assign s JOIN iex x ON x.vec_id = s.vec_id GROUP BY 1, 2),
+cex2 AS (SELECT * FROM cm UNION ALL
+  SELECT c.cid, c.i, c.ev FROM cex c WHERE c.cid NOT IN (SELECT DISTINCT cid FROM cm)),
+ad2 AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
+  FROM iex x JOIN cex2 c ON c.i = x.i GROUP BY 1, 2),
+assign2 AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad2)
   WHERE rn = 1),
-probes AS (SELECT vec_id AS qid, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
-    FROM ad WHERE vec_id < $NQueries)
-  WHERE rn <= $IvfProbe),
-cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
-  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
-sc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
-  FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
-  GROUP BY 1, 2)
-SELECT qid, nid, dot, rank FROM (
-  SELECT qid, nid, dot,
-    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
-  FROM sc)
-WHERE rank <= $K""",
+${ivfTopSql("ad2", "assign2")}""",
 
     "ann_lsh_recall" ->
       s"""WITH $intCte,

@@ -21,6 +21,30 @@ class SimilaritySpec extends SparkSpec {
     for ((nid, d) <- got) assert(d === dot(vecs(0L), vecs(nid)))
   }
 
+  test("ivf lloyd refinement: recall not worse, cells better balanced, none lost") {
+    val k = 10
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.ipTopK(emb, q, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(exact).size
+    val strideHits = hits(Similarity.ivfTopK(emb, q, k, 16, 4, lloydIters = 0))
+    val refinedHits = hits(Similarity.ivfTopK(emb, q, k, 16, 4, lloydIters = 1))
+    assert(refinedHits >= strideHits,
+      s"refinement degraded recall: $refinedHits < $strideHits")
+    // cell balance: the refined quantizer's worst cell is no bigger (it
+    // bounds worst-case probe cost), and no cell collapses empty
+    val seeds = Similarity.ivfCentroids(emb, 16)
+    val refined = Similarity.ivfRefine(emb, seeds, 1)
+    def cellSizes(cs: Seq[(Int, Array[Long])]): Seq[Long] =
+      Similarity.ivfAssign(emb, cs).groupBy("centroid_id").count()
+        .collect().map(_.getLong(1)).toSeq
+    val s0 = cellSizes(seeds); val s1 = cellSizes(refined)
+    assert(s1.max <= s0.max, s"worst cell grew: ${s1.max} > ${s0.max}")
+    assert(s1.length === 16, s"cells lost: ${s1.length}")
+  }
+
   test("LSH top-k: deterministic recall vs exact baseline, bounded candidate work") {
     val k = 10
     val queries = emb.filter(col("vec_id") < 10)
