@@ -58,6 +58,52 @@ class SessionizeSpec extends SparkSpec {
     assert(sessions.toSeq === Seq((t0 / 1000000000L, 2L, 0L)), sessions.mkString(","))
   }
 
+  test("batch/stream sessions agree under in-contract intra-batch reordering") {
+    import spark.implicits._
+    // the ordering contract: ANY arrival order within a micro-batch
+    // (the state machine sorts per batch), per-user non-decreasing
+    // ACROSS batches. This fixture scrambles every batch adversarially
+    // and still demands exact batch parity.
+    val t0 = 1704067200000000000L
+    val evs = (for {
+      u <- 0L until 5L
+      s <- 0L until 4L   // 4 sessions per user, 2*Gap apart
+      e <- 0L until 6L   // 6 events per session, 1s apart
+    } yield Sessionize.Event(u, t0 + s * 2L * Gap + u * 1234567890L + e * 1000000000L)).toSeq
+    val df = evs.zipWithIndex
+      .map { case (ev, i) => (ev.user_id, ev.ts, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val batchSessions = Sessionize.batch(df, Gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val src = Files.createTempDirectory("graft-sess-scramble").toString
+    val rnd = new scala.util.Random(7)
+    def writeSlice(path: String, lo: Long, hi: Long): Unit =
+      rnd.shuffle(evs.filter(ev => ev.ts >= lo && ev.ts < hi))
+        .toDS().coalesce(1).write.parquet(path)
+    // sessions 0-1 | session 2 | session 3 — cross-batch order holds
+    writeSlice(s"$src/b0", Long.MinValue, t0 + 3L * Gap)
+    val sdf = spark.readStream.schema(evs.take(1).toDS().schema)
+      .parquet(s"$src/*").as[Sessionize.Event]
+    val q = Sessionize.streaming(sdf, Gap).writeStream
+      .format("memory").queryName("sess_scramble").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeSlice(s"$src/b1", t0 + 3L * Gap, t0 + 5L * Gap)
+      q.processAllAvailable()
+      writeSlice(s"$src/b2", t0 + 5L * Gap, Long.MaxValue)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_scramble").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // exact agreement: everything but each user's final open session
+    val lastPerUser = batchSessions.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    assert(streamed === batchSessions -- lastPerUser,
+      s"missing: ${(batchSessions -- lastPerUser) -- streamed}; extra: ${streamed -- (batchSessions -- lastPerUser)}")
+    assert(streamed.size === 15) // 5 users x 3 closed sessions
+  }
+
   test("streaming state machine emits exactly the non-final batch sessions") {
     import spark.implicits._
     val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")
