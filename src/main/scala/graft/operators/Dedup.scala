@@ -197,7 +197,7 @@ object Dedup {
     // per-row array_distinct == global distinct on (doc_id, w) because
     // doc_id identifies the row — but costs no shuffle (see
     // TextAnalysis.shingles for the same trade)
-    df.select(col("doc_id"),
+    TextAnalysis.spread(df).select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
       .select(col("doc_id"), h60(col("w"), 0).as("h"))
       .groupBy("doc_id")

@@ -20,6 +20,22 @@ object TextAnalysis {
   /** Canonical text form: lowercased, trimmed. */
   def normalized(text: Column): Column = lower(trim(text))
 
+  /**
+   * Ensure enough partitions for the heavy per-row expansion that
+   * follows (shingling, hashing). At scale the file scan's splits
+   * already provide parallelism and this is a NO-OP; a small or
+   * single-file input (one parquet row group cannot split) would
+   * otherwise serialize the whole corpus's expansion onto one core.
+   * When it fires it shuffles RAW doc rows — strictly cheaper than the
+   * corpus-wide exploded-shingle exchange this module deliberately
+   * avoids (every token/shingle is several times the source bytes).
+   */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalized(text), "\\s+")
 
@@ -99,8 +115,19 @@ object TextAnalysis {
     * corpus-wide exchange a post-explode distinct would cost feeds five
     * downstream gated queries, so at 100 TB this is the difference
     * between zero and one full-corpus shuffle. */
-  def shingles(df: DataFrame, k: Int = 3): DataFrame =
-    shingleSets(df, k).select(col("doc_id"), explode(col("shs")).as("sh"))
+  def shingles(df: DataFrame, k: Int = 3): DataFrame = {
+    val body = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    // the shingle expression is exploded DIRECTLY rather than routed
+    // through shingleSets' named array column: a named Generate input
+    // makes InferFiltersFromGenerate clone the whole expression into an
+    // inferred filter, where projection collapse inlines `ws` and the
+    // tokenizer re-runs per element access — an O(tokens²) plan. With
+    // the expression inline the rule (correctly) declines to infer.
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform(sequence(0, size(ws)-$k), i -> $body))")).as("sh"))
+  }
 
   /** Per-document distinct k-shingle SET as one array row `(doc_id, shs)`
     * — the un-exploded twin of [[shingles]], used when a consumer needs
@@ -108,7 +135,7 @@ object TextAnalysis {
     * pairs) rather than an inverted index. */
   def shingleSets(df: DataFrame, k: Int = 3): DataFrame = {
     val body = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    df.select(col("doc_id"), tokens(col("text")).as("ws"))
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         expr(s"array_distinct(transform(sequence(0, size(ws)-$k), i -> $body))").as("shs"))

@@ -74,18 +74,28 @@ class PlanQualitySpec extends SparkSpec {
       "join keyed on a shingle:\n" + joinLines.mkString("\n"))
   }
 
-  test("shingle/token pipelines are shuffle-free before the first groupBy/join") {
+  test("shingle/token pipelines never shuffle the EXPLODED corpus") {
+    // the expensive exchange is the one above the explode (every
+    // shingle/token is several times the source bytes); an exchange of
+    // raw doc rows BELOW the explode (the small-input spread) is fine.
+    // Plan strings print top-down, so "above the Generate line" =
+    // downstream of the explode.
+    def postExplodeExchanges(plan: String): Int = {
+      val lines = plan.linesIterator.toSeq
+      val gen = lines.lastIndexWhere(_.contains("Generate"))
+      assert(gen >= 0, plan)
+      lines.take(gen).count(_.contains("Exchange"))
+    }
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
-    // shingles: pure per-row explode of a deduped array — zero exchanges
+    // shingles: nothing downstream of the explode shuffles
     val shPlan = graft.operators.TextAnalysis.shingles(docs)
       .queryExecution.executedPlan.toString
-    assert(!shPlan.contains("Exchange"), shPlan)
-    // simhash: the ONLY exchange is the final groupBy(doc_id) aggregate;
-    // the token dedup itself must not shuffle the corpus
+    assert(postExplodeExchanges(shPlan) == 0, shPlan)
+    // simhash: the only post-explode exchange is the groupBy(doc_id)
+    // aggregate (carrying one 60-counter buffer per doc, not tokens)
     val simPlan = graft.operators.Dedup.simhash(docs)
       .queryExecution.executedPlan.toString
-    val nEx = "Exchange".r.findAllIn(simPlan).length
-    assert(nEx == 1, s"expected exactly 1 exchange (groupBy agg), got $nEx:\n$simPlan")
+    assert(postExplodeExchanges(simPlan) == 1, simPlan)
   }
 
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
