@@ -66,6 +66,28 @@ object TxDir {
       published(fs, dest, prefix).foreach { case (p, _, _) => fs.delete(p, false) }
     }
 
+  /** ONE-LISTING view of every published set in `dest`: prefix → member
+    * (name, i, n) triples. Maintenance sweeps that touch many prefixes
+    * must use this instead of per-prefix [[isComplete]]/[[cleanPartial]]
+    * — those re-list the directory per call, O(files²) at store scale. */
+  def allSets(fs: FileSystem, dest: Path): Map[String, Seq[(String, Int, Int)]] =
+    if (!fs.exists(dest)) Map.empty
+    else fs.listStatus(dest).map(_.getPath.getName).toSeq
+      .flatMap {
+        case n @ NamePattern(pfx, i, c) => Some((pfx, (n, i.toInt, c.toInt)))
+        case _ => None
+      }
+      .groupMap(_._1)(_._2)
+
+  /** The complete sets among [[allSets]] output (same rule as
+    * [[isComplete]]: all members agree on n, exactly 0..n-1 present). */
+  def completePrefixes(sets: Map[String, Seq[(String, Int, Int)]]): Set[String] =
+    sets.collect { case (pfx, members) if {
+      val n = members.head._3
+      members.forall(_._3 == n) && members.length == n &&
+        members.map(_._2).distinct.sorted == (0 until n).toList
+    } => pfx }.toSet
+
   private def published(fs: FileSystem, dest: Path, prefix: String): Array[(Path, Int, Int)] =
     if (!fs.exists(dest)) Array.empty
     else fs.listStatus(dest).map(_.getPath).flatMap { p =>

@@ -339,6 +339,8 @@ object StreamingIngest {
   private def snapshotNames(fs: FileSystem, store: Path): Seq[String] = {
     val names = dataFileNames(fs, store)
     val newest = newestIngestId(names)
+    val complete = graft.sources.TxDir.completePrefixes(
+      graft.sources.TxDir.allSets(fs, store))
     val byPrefix = names.groupBy {
       case TxName(pfx, _, _) => Some(pfx)
       case _ => None
@@ -346,7 +348,7 @@ object StreamingIngest {
     byPrefix.toSeq.flatMap {
       case (None, plain) => plain
       case (Some(pfx), members) =>
-        if (graft.sources.TxDir.isComplete(fs, store, pfx)) members
+        if (complete(pfx)) members
         else pfx match {
           case IngestPrefix(id) if newest.exists(id.toLong < _) => members
           case _ => Nil
@@ -544,13 +546,18 @@ object StreamingIngest {
       }
     // replay convergence per source: a complete split set means the
     // rewrite already happened (just drop the source); a partial set is
-    // wiped and redone
+    // wiped and redone. ONE directory listing serves every prefix check
+    // (per-prefix isComplete would re-list per file — O(files²)).
+    val sets = graft.sources.TxDir.allSets(fs, dest)
+    val complete = graft.sources.TxDir.completePrefixes(sets)
     val todo = oversized.filter { case (srcPath, _, _) =>
       val prefix = splitPrefix(srcPath.getName)
-      if (graft.sources.TxDir.isComplete(fs, dest, prefix)) {
+      if (complete(prefix)) {
         fs.delete(srcPath, false); false
       } else {
-        graft.sources.TxDir.cleanPartial(fs, dest, prefix); true
+        sets.getOrElse(prefix, Nil)
+          .foreach { case (n, _, _) => fs.delete(new Path(dest, n), false) }
+        true
       }
     }
     if (todo.isEmpty) return
@@ -593,17 +600,21 @@ object StreamingIngest {
     val names = dataFileNames(fs, store)
     if (names.isEmpty) return
     val newest = newestIngestId(names)
+    // one listing serves every prefix check (O(files), not O(files²))
+    val sets = graft.sources.TxDir.allSets(fs, store)
+    val complete = graft.sources.TxDir.completePrefixes(sets)
     names
       .filterNot(n => newest.exists(id => n.startsWith(s"ingest-$id-")))
       .foreach { n =>
-        if (graft.sources.TxDir.isComplete(fs, store, splitPrefix(n))) {
+        if (complete(splitPrefix(n))) {
           fs.delete(new Path(store, n), false)
           ()
         }
       }
-    names.collect { case TxName(pfx, _, _) => pfx }.distinct
-      .filter(_.startsWith("split-"))
-      .foreach(pfx => graft.sources.TxDir.cleanPartial(fs, store, pfx))
+    sets.foreach { case (pfx, members) =>
+      if (pfx.startsWith("split-") && !complete(pfx))
+        members.foreach { case (n, _, _) => fs.delete(new Path(store, n), false) }
+    }
   }
 
   /** Converge minor compactions interrupted by a crash: clear split
