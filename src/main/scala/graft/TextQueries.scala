@@ -66,7 +66,15 @@ object TextQueries {
       val dupLosers = Dedup.lshNearPairs(d, 1, 2, 3, NumHashes, Bands, RowsPerBand)
         .select(col("id_b").as("doc_id")).distinct()
       survivors.join(dupLosers, Seq("doc_id"), "left_anti")
-    })
+    }),
+    // transitive duplicate resolution: LSH-verified near-dup pairs →
+    // connected components → (doc_id, cluster_id = min reachable id)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(docs(s, dir), 1, 2, 3, NumHashes, Bands, RowsPerBand)),
+    // corpus survivors after cluster-canonical keeper selection: unlike
+    // pipeline_corpus's pairwise loser rule, a~b~c collapses to ONE doc
+    "dedup_keepers" -> ((s, dir) =>
+      Dedup.keepers(docs(s, dir), 1, 2, 3, NumHashes, Bands, RowsPerBand))
   )
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
@@ -96,7 +104,45 @@ sigs AS (SELECT doc_id,\n$sigCols\nFROM dsh GROUP BY doc_id)"""
     s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', ${cols.mkString(", ")})) AS sig FROM sigs"
   }.mkString(" UNION ALL ")
 
+  /** Oracle twin of the LSH-verified pair + connected-component chain:
+    * candidates → exact-Jaccard `pairs` → symmetric `cedges` → recursive
+    * min-id reachability (`reach`) → `clus(doc_id, cluster_id)`. The
+    * recursive CTE's UNION-distinct is DuckDB's fixpoint; min over all
+    * reachable seeds equals the component's minimum id — the same
+    * canonical label the Spark min-label propagation converges to. */
+  private val clusterCte =
+    s"""bandsigs AS ($bandSelects),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsigs a JOIN bandsigs b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+csets AS (SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+  FROM dwords WHERE len(ws) >= 3),
+pairs AS (SELECT id_a, id_b FROM cands
+  JOIN csets sa ON id_a = sa.doc_id JOIN csets sb ON id_b = sb.doc_id
+  WHERE 3 * len(list_intersect(sa.shs, sb.shs)) >= 1 * (len(sa.shs) + len(sb.shs))),
+cedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src AS id, src AS r FROM cedges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN cedges e ON e.src = r.id),
+clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
+  private val recursiveSigCte = sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val oracle: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""$recursiveSigCte,
+$clusterCte
+SELECT doc_id, cluster_id FROM clus""",
+
+    "dedup_keepers" ->
+      s"""$recursiveSigCte,
+$clusterCte
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM clus c
+  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)""",
+
     "text_stats" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators — the selection/cleaning steps of a
+ * training-data pipeline that sit between raw ingest and dedup:
+ * repetition scoring, PII redaction, deterministic stratified
+ * sampling, per-source caps, and corpus-level distribution stats.
+ *
+ * Everything here is either a per-row projection (redaction, scoring,
+ * sampling — embarrassingly parallel, zero shuffle) or a single
+ * aggregation/window (cap, histogram — one shuffle on the group key),
+ * so the operators scale linearly to 100 TB. All derived metrics are
+ * integers and all randomness is md5-derived, keeping the DuckDB
+ * oracle comparison bit-exact.
+ */
+object Curation {
+
+  /** Email-looking spans. RE2-compatible (no backrefs/lookarounds) so
+    * Spark (java.util.regex) and DuckDB (RE2) agree on every match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (phone/account/SSN-shaped). */
+  val DigitRunRe = "[0-9]{7,}"
+
+  /**
+   * PII redaction: replace email addresses and long digit runs with
+   * typed placeholder tokens, keeping match counts for audit. Pure
+   * per-row regexp work — codegen'd builtins, no UDF, no shuffle.
+   * Order matters and is fixed: emails first (an email may contain a
+   * digit run; after `<EMAIL>` substitution it cannot double-count).
+   */
+  def redactPii(df: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    df.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(DigitRunRe)).cast("long").as("n_digit_runs"),
+      regexp_replace(afterEmail, DigitRunRe, "<NUM>").as("redacted"))
+  }
+
+  /**
+   * Per-document repetition score — the boilerplate/degenerate-text
+   * quality signal (MassiveText-style): the fraction of word bigrams
+   * that are repeats of an earlier bigram in the same document, as an
+   * integer permille `rep_e3 = (n_bigrams - n_distinct) * 1000 /
+   * n_bigrams`. Documents with fewer than 2 tokens have no bigram and
+   * are dropped. Per-row array work only — no shuffle.
+   */
+  def repetitionStats(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))").as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"),
+        expr("""cast(div((size(bg) - size(array_distinct(bg))) * cast(1000 as bigint),
+                        size(bg)) as bigint)""").as("rep_e3"))
+
+  /**
+   * Deterministic stratified sampling: keep a document iff a
+   * 30-bit md5-derived hash of its id, mod 1000, falls under the
+   * stratum's permille rate. This is how training mixtures are
+   * rebalanced at corpus scale: no RNG state, no sort, no shuffle —
+   * the same row is kept on every run, on every cluster size, and the
+   * DuckDB oracle reproduces the exact sample. Strata absent from
+   * `ratesE3` fall back to `defaultE3`.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       ratesE3: Map[String, Int], defaultE3: Int): DataFrame = {
+    val rateMap = map(ratesE3.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(
+      expr("cast(conv(substr(md5(concat('smp:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000")
+        < coalesce(element_at(rateMap, col(stratumCol)), lit(defaultE3)))
+  }
+
+  /**
+   * Per-source document cap — the per-host/per-domain cap of web-corpus
+   * curation (no single source may dominate the training mixture).
+   * Keeps the `n` lowest doc_ids per source: one window over
+   * (source, doc_id), i.e. a single shuffle on source. Skew note: a
+   * mega-source makes its partition wide; at 100 TB cap first by a
+   * cheap `count per (source, salt)` pre-filter or use the fact that
+   * rank-by-monotonic-id only needs a per-source top-n
+   * (TakeOrdered-shaped), not a full sort of the source's rows.
+   */
+  def sourceCap(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), col("source"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .filter(col("rn") <= n)
+
+  /**
+   * Corpus token-length histogram: document counts and token mass per
+   * fixed-width token-count bucket — the shape check run before and
+   * after every curation step. One aggregation, map-side combinable,
+   * output is O(buckets).
+   */
+  def tokenHistogram(df: DataFrame, bucketWidth: Int = 25): DataFrame =
+    TextAnalysis.stats(df)
+      .select((expr(s"div(n_tokens, $bucketWidth)") * bucketWidth).as("bucket"),
+        col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
+}

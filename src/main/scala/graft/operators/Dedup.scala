@@ -185,6 +185,77 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected edge list `(id_a, id_b)` —
+   * the cluster-resolution step that turns near-duplicate PAIRS into
+   * duplicate GROUPS (pairs alone under-delete: a~b and b~c must all
+   * collapse to one survivor even when a~c shares no band). Returns
+   * `(doc_id, cluster_id)` for every vertex, `cluster_id` = minimum
+   * doc_id reachable in its component — a deterministic canonical
+   * label independent of partitioning and iteration order.
+   *
+   * Algorithm: synchronous min-label propagation. Each round every
+   * vertex takes the minimum of its own label and its neighbors';
+   * rounds needed = the largest component's diameter. Near-dup graphs
+   * are unions of small dense clusters (planted duplicate families),
+   * so this converges in a handful of rounds; for adversarial
+   * long-chain graphs the large-star/small-star variant (Kiveris et
+   * al., "Connected Components in MapReduce") drops rounds to
+   * O(log n) with the same per-round join shape — the loop below is
+   * deliberately the simple variant because the round count, not the
+   * per-round plan, is what would change.
+   *
+   * Scale shape: per round one equi-join labels⋈edges (shuffle on
+   * vertex id, both sides partitioned identically so AQE reuses the
+   * exchange) plus a min-aggregate; `localCheckpoint` truncates the
+   * lineage each round so round N's plan does not replay rounds
+   * 1..N-1 (the classic iterative-DataFrame blowup). The driver holds
+   * only the one-per-round convergence count, never vertex data.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val incoming = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(incoming, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (col("nbr") < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters in the full 100 TB shape: LSH candidates →
+    * exact Jaccard re-verify ([[lshNearPairs]]) → transitive closure
+    * ([[connectedComponents]]). One row per clustered document. */
+  def clusters(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
+               numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    connectedComponents(
+      lshNearPairs(df, num, den, k, numHashes, bands, rowsPerBand)
+        .select("id_a", "id_b"))
+
+  /** Corpus survivors after transitive near-dup resolution: every
+    * document except non-canonical cluster members (the cluster's
+    * minimum doc_id survives). The anti-join key set is cluster
+    * members only — candidate-scale, not corpus-scale. */
+  def keepers(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
+              numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val losers = clusters(df, num, den, k, numHashes, bands, rowsPerBand)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    df.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
+  /**
    * 60-bit SimHash over the distinct word set: per bit position, words
    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
    * positive vote. Near-dups differ in few bits (Hamming distance).
