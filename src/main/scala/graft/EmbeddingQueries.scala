@@ -31,6 +31,7 @@ object EmbeddingQueries {
   private val LshSeed = 42L
   private val IvfCentroids = 16
   private val IvfProbe = 4
+  private val KJoin = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact ANN baseline: top-k by integer inner product, per query
@@ -66,6 +67,11 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
         nCentroids = IvfCentroids, nProbe = IvfProbe, lloydIters = 1)
     }),
+    // IVF-blocked kNN JOIN: k nearest neighbors for EVERY vector — the
+    // whole-corpus semantic-dedup/clustering primitive; no broadcast,
+    // one equi-join on the cell id
+    "knn_join_emb" -> ((s, dir) =>
+      Similarity.knnJoin(emb(s, dir), KJoin, IvfCentroids, IvfProbe)),
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
     "ann_lsh_recall" -> ((s, dir) => {
@@ -134,11 +140,14 @@ assign AS (SELECT vec_id, cid FROM (
 
   /** IVF probe/candidate/re-rank tail over a dot table and an
     * assignment table (probe ties to the HIGHEST cid — the engine's
-    * struct-desc sort). */
-  private def ivfTopSql(adT: String, asgT: String): String =
+    * struct-desc sort). `qPred` restricts the query set; empty = every
+    * vector is a query (the kNN-join shape). */
+  private def ivfTopSql(adT: String, asgT: String,
+                        qPred: String = s"WHERE vec_id < $NQueries",
+                        k: Int = K): String =
     s"""probes AS (SELECT vec_id AS qid, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
-    FROM $adT WHERE vec_id < $NQueries)
+    FROM $adT $qPred)
   WHERE rn <= $IvfProbe),
 cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
   FROM probes p JOIN $asgT a ON a.cid = p.cid AND a.vec_id <> p.qid),
@@ -149,7 +158,7 @@ SELECT qid, nid, dot, rank FROM (
   SELECT qid, nid, dot,
     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
   FROM sc)
-WHERE rank <= $K"""
+WHERE rank <= $k"""
 
   /** Exact top-k CTE (the `ann_topk_ip` pipeline as a named CTE). */
   private val exactTopCte =
@@ -207,6 +216,13 @@ assign2 AS (SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad2)
   WHERE rn = 1),
 ${ivfTopSql("ad2", "assign2")}""",
+
+    // kNN join: the same IVF probe/candidate/re-rank tail with the
+    // query predicate removed — every vector is a query
+    "knn_join_emb" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", qPred = "", k = KJoin)}""",
 
     "ann_lsh_recall" ->
       s"""WITH $intCte,

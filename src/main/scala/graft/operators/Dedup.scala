@@ -180,8 +180,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // distinct is value-identical but keeps out-of-budget pairs (the
+      // bulk of band collisions on a self-similar corpus) out of the
+      // dedup exchange entirely
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /**

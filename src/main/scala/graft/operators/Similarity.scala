@@ -207,11 +207,54 @@ object Similarity {
         slice(sort_array(array(scored: _*), asc = false), 1, nProbe))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(expr("transform(probes, p -> p.cid)")).as("centroid_id"))
+    // (qid, nid) is unique by construction — every neighbor sits in
+    // exactly one cell and a query's probe list is distinct — so no
+    // dedup pass is needed between the join and the rank
     val scoredCand = assigned
       .join(broadcast(qProbes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), dotInt("qv", "v").as("dot"))
-      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    scoredCand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
+  /**
+   * IVF-blocked kNN JOIN: the k nearest neighbors (by exact integer
+   * inner product) for EVERY vector in the table — the primitive behind
+   * semantic dedup, diversity filtering, and embedding-space clustering
+   * of a whole corpus. Unlike [[ivfTopK]] the query side is the table
+   * itself, so nothing is broadcast: per-vector probe lists (top
+   * `nProbe` centroids, computed by the same plan-literal centroid
+   * dots) equi-join the cell assignment on `centroid_id`, candidates
+   * are re-ranked exactly, and a per-query window keeps k.
+   *
+   * Scale shape: ONE shuffle on `centroid_id` (candidate generation) +
+   * one on `qid` (rank). Candidate volume is `nProbe/nCentroids` of the
+   * all-pairs square — the IVF trade; at 100 TB raise `nCentroids` to
+   * ~sqrt(n) (cells stay balanced via [[ivfRefine]]) so per-cell
+   * work is bounded. Cell skew is the thing to watch: refined centroids
+   * bound it, and AQE's skew-join split handles residual hot cells.
+   */
+  def knnJoin(emb: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
+    val seeds = ivfCentroids(emb, nCentroids)
+    val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
+    val assigned = ivfAssign(emb, cents)
+    val scored = cents.map { case (cid, c) =>
+      struct(graft.functions.GraftFunctions.dot_long(col("v"), typedLit(c)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val qProbes = emb
+      .withColumn("probes",
+        slice(sort_array(array(scored: _*), asc = false), 1, nProbe))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(expr("transform(probes, p -> p.cid)")).as("centroid_id"))
+    val scoredCand = assigned
+      .join(qProbes, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), dotInt("qv", "v").as("dot"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     scoredCand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

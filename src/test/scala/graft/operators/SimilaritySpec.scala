@@ -106,6 +106,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes.length > 4, "degenerate quantizer: everything in few cells")
   }
 
+  test("kNN join covers every vector and agrees with ivfTopK on a shared query subset") {
+    val k = 5
+    val joined = Similarity.knnJoin(emb, k, nCentroids = 16, nProbe = 4)
+    // every vector is a query with exactly k ranked neighbors (cells are
+    // big enough at this SF that no probe list runs dry)
+    val perQuery = joined.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQuery.length.toLong == emb.count())
+    assert(perQuery.forall(_ == k))
+    // restricted to the ivfTopK query set, results are identical — the
+    // join is the same pipeline without the broadcast specialization
+    val sub = joined.filter(col("qid") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val single = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k,
+        nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(sub == single)
+  }
+
   test("GraftCatalog registers tables and functions for plain SQL") {
     graft.sources.GraftCatalog.registerAll(spark, sf("sf0.001"))
     assert(spark.sql("SELECT count(*) FROM part").head().getLong(0) === 200L)

@@ -54,7 +54,7 @@ class PlanQualitySpec extends SparkSpec {
     // blocking key (shingle, band signature, LSH bucket, IVF cell) —
     // a nested-loop fallback would be the all-pairs blowup at 100 TB
     for (q <- Seq("dedup_near_pairs", "lsh_candidates", "simhash_near_pairs",
-                  "ann_lsh_topk", "ann_ivf_topk", "emb_near_pairs")) {
+                  "ann_lsh_topk", "ann_ivf_topk", "emb_near_pairs", "knn_join_emb")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
@@ -96,6 +96,25 @@ class PlanQualitySpec extends SparkSpec {
     val simPlan = graft.operators.Dedup.simhash(docs)
       .queryExecution.executedPlan.toString
     assert(postExplodeExchanges(simPlan) == 1, simPlan)
+  }
+
+  test("per-row curation operators are exchange-free; cap/histogram shuffle exactly once") {
+    // redaction, repetition scoring and hash-sampling are pure per-row
+    // projections/filters — any Exchange would mean the operator stopped
+    // scaling linearly
+    for (q <- Seq("pii_redact", "repetition_stats", "sample_stratified")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+    // the per-source cap (one window) and the histogram (one aggregate)
+    // are entitled to exactly one shuffle on their group key
+    for (q <- Seq("source_cap", "token_histogram")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      val n = plan.linesIterator.count(_.contains("Exchange"))
+      assert(n == 1, s"$q has $n exchanges:\n$plan")
+    }
   }
 
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
