@@ -45,16 +45,18 @@ object Bench {
       if (b < 0) a else math.min(a, b)
     }
 
-    // stream_ingest_range is an end-to-end INGEST-loop gate (builds a
-    // whole store per run) — measured once below under its own key so
-    // the query inventory stays comparable across rounds
+    // the stream_* gates are end-to-end STREAMING-loop gates (each run
+    // builds a whole store / replays the state machine) — measured once
+    // below under their own keys so the query inventory stays
+    // comparable across rounds
+    val streamKeys = Seq("stream_ingest_range", "stream_dedup")
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1 == "stream_ingest_range")
+      .filterNot(kv => streamKeys.contains(kv._1))
       .map { case (name, fn) =>
         name -> time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       }
-    val streamBench = Seq("stream_ingest_range" -> timeOnce {
-      SparkEntry.queries("stream_ingest_range")(spark, sfDir)
+    val streamBench = streamKeys.map(k => k -> timeOnce {
+      SparkEntry.queries(k)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     })
 

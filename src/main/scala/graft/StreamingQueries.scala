@@ -59,6 +59,39 @@ object StreamingQueries {
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
+    // Stateful streaming dedup: dropDuplicates state must survive
+    // across microbatches — the source is rewritten as several files
+    // and streamed one file per trigger, so most (user_id, event_type)
+    // keys repeat in LATER batches than their first arrival. Lost or
+    // leaking state would double-emit keys and fail the oracle (a
+    // plain batch distinct over the source). Only key columns flow
+    // into the dedup, so the surviving-row arrival order — the one
+    // nondeterministic degree of freedom — cannot affect the result.
+    "stream_dedup" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-stream-dedup").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .select("user_id", "event_type")
+        .repartition(4).write.parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.dropDuplicates("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val agg = s.read.parquet(s"$tmp/out")
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     })
   )
 
@@ -70,6 +103,10 @@ object StreamingQueries {
   CAST(sum(user_id) AS BIGINT) AS y_sum
 FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
-  AND user_id BETWEEN ${RY.min} AND ${RY.max}"""
+  AND user_id BETWEEN ${RY.min} AND ${RY.max}""",
+
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""
   )
 }
