@@ -26,6 +26,17 @@ object PointQueries {
       col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"),
       extra.map(col))
 
+  // spatio-temporal points: (x, y) as eventsPoints plus t = the low 21
+  // bits of event_id — all three coordinates fit the 3-D codec's 21-bit
+  // domain
+  private def events3(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet").select(
+      col("event_id").as("id"),
+      expr("cast(floor(value*100) as int)").as("x"),
+      col("user_id").cast("int").as("y"),
+      expr("cast(event_id % 2097152 as int)").as("t"))
+      .withColumn("z3", zorder3(col("x"), col("y"), col("t")))
+
   // part points: x = p_size in [1, 50], y = floor(p_retailprice) in [900, 999]
   private def partPoints(s: SparkSession, dir: String): DataFrame =
     PointStore.points(
@@ -72,6 +83,19 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         graft.functions.GraftFunctions.zorder_x(col("zkey")).as("rx"),
         graft.functions.GraftFunctions.zorder_y(col("zkey")).as("ry"))
     }),
+
+    // E1 3-D extension — spatio-temporal Morton key over events
+    // (x = value-derived, y = user, t = 21-bit event id), gated against
+    // a per-bit summation oracle that shares NO constants with the
+    // Scala mask ladder
+    "zorder3_key" -> ((s, dir) =>
+      events3(s, dir).select(col("id"), col("z3"))),
+
+    "zorder3_roundtrip" -> ((s, dir) =>
+      events3(s, dir).select(col("id"), col("x"), col("y"), col("t"),
+        zorder3_x(col("z3")).as("rx"),
+        zorder3_y(col("z3")).as("ry"),
+        zorder3_t(col("z3")).as("rt"))),
 
     // O3 — rectangle query
     "range_query" -> ((s, dir) =>
@@ -136,6 +160,11 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
 
   private def maskLit(pl: Int): String = ZOrder.makeMask(pl).toString
 
+  /** Source CTE for the 3-D codec oracle — the SQL twin of [[events3]]. */
+  private val z3Src =
+    """WITH z3src AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+  CAST(user_id AS BIGINT) AS y, CAST(event_id % 2097152 AS BIGINT) AS t FROM events)"""
+
   val oracle: Map[String, String] = Map(
     "zorder_key" ->
       s"""$partLadder SELECT id, zkey FROM zpts""",
@@ -150,6 +179,32 @@ c3 AS (SELECT id, x, y, ((gx2 | (gx2>>4)) & 71777214294589695) AS gx3, ((gy2 | (
 c4 AS (SELECT id, x, y, ((gx3 | (gx3>>8)) & 281470681808895) AS gx4, ((gy3 | (gy3>>8)) & 281470681808895) AS gy4 FROM c3),
 c5 AS (SELECT id, x, y, ((gx4 | (gx4>>16)) & 4294967295) AS gx5, ((gy4 | (gy4>>16)) & 4294967295) AS gy5 FROM c4)
 SELECT id, x, y, CAST(gx5 AS INT) AS rx, CAST(gy5 AS INT) AS ry FROM c5""",
+
+    // 3-D codec oracle: per-bit summation (x bit → position 3i+2, y →
+    // 3i+1, t → 3i) — derives the key with no shared mask constants
+    "zorder3_key" ->
+      s"""$z3Src,
+z3bits AS (SELECT id, (((x >> b.range) & 1) << (3*b.range + 2))
+    + (((y >> b.range) & 1) << (3*b.range + 1))
+    + (((t >> b.range) & 1) << (3*b.range)) AS part
+  FROM z3src, range(0, 21) b)
+SELECT id, CAST(sum(part) AS BIGINT) AS z3 FROM z3bits GROUP BY id""",
+
+    "zorder3_roundtrip" ->
+      s"""$z3Src,
+z3bits AS (SELECT id, (((x >> b.range) & 1) << (3*b.range + 2))
+    + (((y >> b.range) & 1) << (3*b.range + 1))
+    + (((t >> b.range) & 1) << (3*b.range)) AS part
+  FROM z3src, range(0, 21) b),
+z3k AS (SELECT id, CAST(sum(part) AS BIGINT) AS z3 FROM z3bits GROUP BY id),
+z3r AS (SELECT z3k.id,
+    CAST(sum(((z3 >> (3*b.range + 2)) & 1) << b.range) AS INT) AS rx,
+    CAST(sum(((z3 >> (3*b.range + 1)) & 1) << b.range) AS INT) AS ry,
+    CAST(sum(((z3 >> (3*b.range)) & 1) << b.range) AS INT) AS rt
+  FROM z3k, range(0, 21) b GROUP BY z3k.id)
+SELECT s.id, CAST(s.x AS INT) AS x, CAST(s.y AS INT) AS y, CAST(s.t AS INT) AS t,
+  r.rx, r.ry, r.rt
+FROM z3src s JOIN z3r r ON s.id = r.id""",
 
     "range_query" ->
       s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, CAST(user_id AS INT) AS y

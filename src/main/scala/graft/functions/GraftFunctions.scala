@@ -25,6 +25,16 @@ object GraftFunctions {
   /** y coordinate of a Morton key. */
   def zorder_y(z: Column): Column = Bridge.column(ZOrderY(Bridge.expression(z)))
 
+  /** 3-D (spatio-temporal) Morton key of three 21-bit coordinates. */
+  def zorder3(x: Column, y: Column, t: Column): Column =
+    Bridge.column(ZOrder3Key(Bridge.expression(x), Bridge.expression(y),
+      Bridge.expression(t)))
+
+  /** x / y / t coordinate of a 3-D Morton key. */
+  def zorder3_x(z: Column): Column = Bridge.column(ZOrder3Dim(Bridge.expression(z), 2))
+  def zorder3_y(z: Column): Column = Bridge.column(ZOrder3Dim(Bridge.expression(z), 1))
+  def zorder3_t(z: Column): Column = Bridge.column(ZOrder3Dim(Bridge.expression(z), 0))
+
   /** The bucket key (prefix of length `pl`, suffix zeroed) that owns a
     * Morton key. Builtin bitwise AND — stays in codegen. */
   def bucket_key(z: Column, prefixLen: Int): Column =
@@ -64,6 +74,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("zorder", es => ZOrderKey(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder_x", es => ZOrderX(es.head), "built-in")
     reg.createOrReplaceTempFunction("zorder_y", es => ZOrderY(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zorder3",
+      es => ZOrder3Key(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("zorder3_x", es => ZOrder3Dim(es.head, 2), "built-in")
+    reg.createOrReplaceTempFunction("zorder3_y", es => ZOrder3Dim(es.head, 1), "built-in")
+    reg.createOrReplaceTempFunction("zorder3_t", es => ZOrder3Dim(es.head, 0), "built-in")
     reg.createOrReplaceTempFunction("dot_long", es => DotLong(es.head, es(1)), "built-in")
     // keep this surface identical to GraftExtensions — both registration
     // paths must expose the same SQL functions

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{DotLong, ZOrderKey, ZOrderX, ZOrderY}
+import graft.functions.{DotLong, ZOrder3Dim, ZOrder3Key, ZOrderKey, ZOrderX, ZOrderY}
 import graft.zorder.{IntRange, ZRanges}
 
 /**
@@ -132,6 +132,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("zorder_y"),
       new ExpressionInfo(classOf[ZOrderY].getName, "zorder_y"),
       (es: Seq[Expression]) => ZOrderY(es.head)))
+    e.injectFunction((FunctionIdentifier("zorder3"),
+      new ExpressionInfo(classOf[ZOrder3Key].getName, "zorder3"),
+      (es: Seq[Expression]) => ZOrder3Key(es.head, es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("zorder3_x"),
+      new ExpressionInfo(classOf[ZOrder3Dim].getName, "zorder3_x"),
+      (es: Seq[Expression]) => ZOrder3Dim(es.head, 2)))
+    e.injectFunction((FunctionIdentifier("zorder3_y"),
+      new ExpressionInfo(classOf[ZOrder3Dim].getName, "zorder3_y"),
+      (es: Seq[Expression]) => ZOrder3Dim(es.head, 1)))
+    e.injectFunction((FunctionIdentifier("zorder3_t"),
+      new ExpressionInfo(classOf[ZOrder3Dim].getName, "zorder3_t"),
+      (es: Seq[Expression]) => ZOrder3Dim(es.head, 0)))
     e.injectFunction((FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
       (es: Seq[Expression]) => DotLong(es.head, es(1))))

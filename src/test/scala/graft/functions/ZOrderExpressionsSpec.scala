@@ -41,6 +41,31 @@ class ZOrderExpressionsSpec extends SparkSpec {
     assert(df.agg(min(col("z"))).as[Long].head() >= 0L)
   }
 
+  test("zorder3 expressions invert in a plan, stay codegen'd, and reach SQL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val m = graft.zorder.ZOrder3.MaxCoord
+    val pts = Seq.fill(500)((rnd.nextInt(m + 1), rnd.nextInt(m + 1), rnd.nextInt(m + 1))) ++
+      Seq((0, 0, 0), (m, m, m), (1, 2, 3))
+    val df = pts.toDF("x", "y", "t")
+      .withColumn("z", zorder3(col("x"), col("y"), col("t")))
+      .withColumn("rx", zorder3_x(col("z")))
+      .withColumn("ry", zorder3_y(col("z")))
+      .withColumn("rt", zorder3_t(col("z")))
+    assert(df.filter(col("rx") =!= col("x") || col("ry") =!= col("y") ||
+      col("rt") =!= col("t")).count() === 0)
+    val planned = spark.read.parquet(sf() + "/part.parquet")
+      .select(zorder3(col("p_size"), floor(col("p_retailprice")).cast("int"),
+        col("p_partkey").cast("int")).as("z"))
+    assert(planned.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    // SQL-string path via the session registration
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT zorder3_x(zorder3(5, 9, 1000)) AS x, zorder3_y(zorder3(5, 9, 1000)) AS y, zorder3_t(zorder3(5, 9, 1000)) AS t")
+      .head
+    assert((viaSql.getInt(0), viaSql.getInt(1), viaSql.getInt(2)) == ((5, 9, 1000)))
+  }
+
   test("null propagation: null input gives null key") {
     val df = spark.sql("SELECT cast(null as int) as x, 3 as y")
       .select(zorder(col("x"), col("y")).as("z"))
