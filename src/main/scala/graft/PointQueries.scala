@@ -65,6 +65,8 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
   // query rectangle used by range_query / range_count
   private val RX = IntRange(10000, 30000)
   private val RY = IntRange(40, 110)
+  // time window for range_query_3d (non-empty at every SF)
+  private val RT3 = IntRange(500, 300000)
   // get / knn anchors (chosen so get returns multiple ids at sf0.01)
   private val GX = 48; private val GY = 945
   private val QX = 25; private val QY = 950; private val K = 10
@@ -96,6 +98,13 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         zorder3_x(col("z3")).as("rx"),
         zorder3_y(col("z3")).as("ry"),
         zorder3_t(col("z3")).as("rt"))),
+
+    // O3 3-D extension — spatio-temporal box query (raw predicates +
+    // budgeted octree z3-interval pruning)
+    "range_query_3d" -> ((s, dir) =>
+      graft.operators.SpatioTemporal.rangeQuery3(
+          events3(s, dir), RX, RY, RT3)
+        .select(col("id"), col("x"), col("y"), col("t"))),
 
     // O3 — rectangle query
     "range_query" -> ((s, dir) =>
@@ -205,6 +214,14 @@ z3r AS (SELECT z3k.id,
 SELECT s.id, CAST(s.x AS INT) AS x, CAST(s.y AS INT) AS y, CAST(s.t AS INT) AS t,
   r.rx, r.ry, r.rt
 FROM z3src s JOIN z3r r ON s.id = r.id""",
+
+    "range_query_3d" ->
+      s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, CAST(user_id AS INT) AS y,
+  CAST(event_id % 2097152 AS INT) AS t
+FROM events
+WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
+  AND user_id BETWEEN ${RY.min} AND ${RY.max}
+  AND (event_id % 2097152) BETWEEN ${RT3.min} AND ${RT3.max}""",
 
     "range_query" ->
       s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, CAST(user_id AS INT) AS y

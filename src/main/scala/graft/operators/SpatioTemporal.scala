@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.zorder.{IntRange, ZRanges3}
+
+/**
+ * Spatio-temporal point store: the 2-D point-store layout lifted to
+ * (x, y, t) with the 3-D Morton codec — time is a clustered, prunable
+ * dimension instead of a post-filter. A store z3-clustered with
+ * [[write]]'s layout answers "this region, this time window" by
+ * skipping row groups in all three dimensions at once; with the 2-D
+ * layout the same query scans every epoch of the matching region.
+ *
+ * Same architecture as [[PointStore]]: raw per-dimension predicates
+ * carry correctness; the budgeted octree interval union
+ * ([[graft.zorder.ZRanges3]]) is pruning-only and conservative.
+ */
+object SpatioTemporal {
+
+  /** Derive `(id, x, y, t, z3)` from arbitrary columns; coordinates
+    * must fit the codec's 21-bit domain. */
+  def points3(df: DataFrame, id: Column, x: Column, y: Column, t: Column): DataFrame =
+    df.select(id.cast("long").as("id"), x.cast("int").as("x"),
+      y.cast("int").as("y"), t.cast("int").as("t"))
+      .withColumn("z3", zorder3(col("x"), col("y"), col("t")))
+
+  /** z3-clustered parquet layout (range-partitioned + sorted within
+    * partitions), the octree analog of [[PointStore.write]]. */
+  def write(pts: DataFrame, path: String, numPartitions: Int): Unit =
+    pts.repartitionByRange(numPartitions, col("z3"))
+      .sortWithinPartitions("z3")
+      .write.mode("overwrite").parquet(path)
+
+  /** Inclusive 3-D box predicate: raw x/y/t bounds (correctness) AND
+    * the budgeted octree z3-interval union (pruning-only superset of
+    * the box's z3-image, pushed to Parquet for row-group skipping). */
+  def rangeFilter3(rx: IntRange, ry: IntRange, rt: IntRange): Column = {
+    val zpred = ZRanges3.decompose(rx, ry, rt, 16)
+      .map { case (lo, hi) => col("z3").between(lo, hi) }
+      .reduce(_ || _)
+    col("x").between(rx.min, rx.max) && col("y").between(ry.min, ry.max) &&
+      col("t").between(rt.min, rt.max) && zpred
+  }
+
+  /** 3-D box query, inclusive bounds on every dimension. */
+  def rangeQuery3(pts: DataFrame, rx: IntRange, ry: IntRange, rt: IntRange): DataFrame =
+    pts.filter(rangeFilter3(rx, ry, rt))
+}

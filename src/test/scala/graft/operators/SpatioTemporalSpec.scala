@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.zorder.IntRange
+
+class SpatioTemporalSpec extends SparkSpec {
+
+  private lazy val pts = SpatioTemporal.points3(
+    spark.read.parquet(sf("sf0.01") + "/events.parquet"),
+    col("event_id"), expr("cast(floor(value*100) as int)"),
+    col("user_id"), expr("cast(event_id % 2097152 as int)"))
+
+  private val RX = IntRange(10000, 30000)
+  private val RY = IntRange(40, 110)
+  private val RT = IntRange(500, 5000)
+
+  test("box query equals the raw predicate result (z3 intervals are pruning-only)") {
+    val viaStore = SpatioTemporal.rangeQuery3(pts, RX, RY, RT)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val raw = pts.filter(col("x").between(RX.min, RX.max) &&
+        col("y").between(RY.min, RY.max) && col("t").between(RT.min, RT.max))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaStore == raw && raw.nonEmpty)
+  }
+
+  test("z3 interval predicates reach the Parquet scan of a clustered store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st-store").toString
+    try {
+      SpatioTemporal.write(pts, s"$dir/store", 8)
+      val store = spark.read.parquet(s"$dir/store")
+      val q = SpatioTemporal.rangeQuery3(store, RX, RY, RT).select("id")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") && plan.contains("z3"), plan)
+      // and the store round-trips the same result
+      assert(q.collect().map(_.getLong(0)).toSet ==
+        SpatioTemporal.rangeQuery3(pts, RX, RY, RT)
+          .select("id").collect().map(_.getLong(0)).toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
