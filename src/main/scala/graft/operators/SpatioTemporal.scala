@@ -20,12 +20,19 @@ import graft.zorder.{IntRange, ZRanges3}
  */
 object SpatioTemporal {
 
+  /** Marks a column as a genuine `zorder3(x, y, t)` key — the soundness
+    * gate for [[graft.plans.ZOrderPruningRule]]'s octree arm (persisted
+    * through parquet in the footer schema). */
+  val Z3Metadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.zorder3", true).build()
+
   /** Derive `(id, x, y, t, z3)` from arbitrary columns; coordinates
     * must fit the codec's 21-bit domain. */
   def points3(df: DataFrame, id: Column, x: Column, y: Column, t: Column): DataFrame =
     df.select(id.cast("long").as("id"), x.cast("int").as("x"),
       y.cast("int").as("y"), t.cast("int").as("t"))
-      .withColumn("z3", zorder3(col("x"), col("y"), col("t")))
+      .withColumn("z3", zorder3(col("x"), col("y"), col("t")).as("z3", Z3Metadata))
 
   /** z3-clustered parquet layout (range-partitioned + sorted within
     * partitions), the octree analog of [[PointStore.write]]. */
@@ -36,13 +43,19 @@ object SpatioTemporal {
 
   /** Inclusive 3-D box predicate: raw x/y/t bounds (correctness) AND
     * the budgeted octree z3-interval union (pruning-only superset of
-    * the box's z3-image, pushed to Parquet for row-group skipping). */
+    * the box's z3-image, pushed to Parquet for row-group skipping).
+    * A box leaving the codec's 21-bit domain skips the interval
+    * conjunct: out-of-domain coordinates wrap in the codec, so only
+    * the raw predicates can be trusted there (same bail rule as the
+    * 2-D pruning rule's negative-domain case). */
   def rangeFilter3(rx: IntRange, ry: IntRange, rt: IntRange): Column = {
-    val zpred = ZRanges3.decompose(rx, ry, rt, 16)
+    val raw = col("x").between(rx.min, rx.max) && col("y").between(ry.min, ry.max) &&
+      col("t").between(rt.min, rt.max)
+    val inDomain = Seq(rx, ry, rt).forall(r => r.min >= 0 && r.max <= graft.zorder.ZOrder3.MaxCoord)
+    if (!inDomain) raw
+    else raw && ZRanges3.decompose(rx, ry, rt, 16)
       .map { case (lo, hi) => col("z3").between(lo, hi) }
       .reduce(_ || _)
-    col("x").between(rx.min, rx.max) && col("y").between(ry.min, ry.max) &&
-      col("t").between(rt.min, rt.max) && zpred
   }
 
   /** 3-D box query, inclusive bounds on every dimension. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{DotLong, ZOrder3Dim, ZOrder3Key, ZOrderKey, ZOrderX, ZOrderY}
-import graft.zorder.{IntRange, ZRanges}
+import graft.zorder.{IntRange, ZOrder3, ZRanges, ZRanges3}
 
 /**
  * Optimizer rule injecting z-key interval predicates into 2-D range
@@ -44,27 +44,52 @@ object ZOrderPruningRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val xA = child.output.find(a => a.name == "x" && a.dataType == IntegerType)
-      val yA = child.output.find(a => a.name == "y" && a.dataType == IntegerType)
-      val zA = child.output.find(a => a.name == "zkey" && a.dataType == LongType &&
-        a.metadata.contains("graft.zorder"))
-      (xA, yA, zA) match {
+      val conjuncts = splitConjunctivePredicates(cond)
+      def intAttr(name: String) =
+        child.output.find(a => a.name == name && a.dataType == IntegerType)
+      def keyAttr(name: String, marker: String) =
+        child.output.find(a => a.name == name && a.dataType == LongType &&
+          a.metadata.contains(marker))
+
+      // 2-D quad arm: (x, y) bounded, marked zkey present
+      val quad = (intAttr("x"), intAttr("y"), keyAttr("zkey", "graft.zorder")) match {
         case (Some(x), Some(y), Some(z)) if !cond.references.contains(z) =>
-          val conjuncts = splitConjunctivePredicates(cond)
           (boundsOf(conjuncts, x), boundsOf(conjuncts, y)) match {
             case (Some(rx), Some(ry)) =>
-              val zpred = ZRanges.decompose(rx, ry, MaxRanges)
-                .map { case (lo, hi) =>
-                  And(GreaterThanOrEqual(z, Literal(lo)), LessThanOrEqual(z, Literal(hi)))
-                }
-                .reduceOption[Expression](Or)
-                .getOrElse(Literal.FalseLiteral) // empty decomposition: empty rect
-              Filter(And(cond, zpred), child)
-            case _ => f
+              Some(intervalPred(z, ZRanges.decompose(rx, ry, MaxRanges)))
+            case _ => None
           }
-        case _ => f
+        case _ => None
+      }
+      // 3-D octree arm: (x, y, t) bounded within the 21-bit codec
+      // domain (out-of-domain coordinates wrap in the codec; rows the
+      // raw predicates keep are in-domain only when the BOX is, so the
+      // conjunct is sound exactly then — the 3-D analog of the
+      // negative-domain bail below), marked z3 present
+      val octree = (intAttr("x"), intAttr("y"), intAttr("t"),
+          keyAttr("z3", "graft.zorder3")) match {
+        case (Some(x), Some(y), Some(t), Some(z)) if !cond.references.contains(z) =>
+          (boundsOf(conjuncts, x), boundsOf(conjuncts, y), boundsOf(conjuncts, t)) match {
+            case (Some(rx), Some(ry), Some(rt))
+                if Seq(rx, ry, rt).forall(_.max <= ZOrder3.MaxCoord) =>
+              Some(intervalPred(z, ZRanges3.decompose(rx, ry, rt, MaxRanges)))
+            case _ => None
+          }
+        case _ => None
+      }
+      (quad.toSeq ++ octree.toSeq).foldLeft(cond)(And) match {
+        case same if same eq cond => f
+        case augmented => Filter(augmented, child)
       }
   }
+
+  private def intervalPred(z: Attribute, ranges: Seq[(Long, Long)]): Expression =
+    ranges
+      .map { case (lo, hi) =>
+        And(GreaterThanOrEqual(z, Literal(lo)), LessThanOrEqual(z, Literal(hi)))
+      }
+      .reduceOption[Expression](Or)
+      .getOrElse(Literal.FalseLiteral) // empty decomposition: empty box
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)

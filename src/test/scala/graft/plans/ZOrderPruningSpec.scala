@@ -118,6 +118,32 @@ class ZOrderPruningSpec extends SparkSpec {
     }
   }
 
+  test("octree arm: x/y/t filters over a marked z3 relation gain interval predicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(i =>
+      (i.toLong, rnd.nextInt(4096), rnd.nextInt(4096), rnd.nextInt(4096)))
+    val pts = graft.operators.SpatioTemporal.points3(
+      rows.toDF("pid", "px", "py", "pt"),
+      col("pid"), col("px"), col("py"), col("pt"))
+    def query = pts.filter(col("x").between(100, 300) &&
+      col("y").between(1000, 1200) && col("t").between(0, 500))
+    spark.experimental.extraOptimizations = Nil
+    val expect = query.select("id").collect().map(_.getLong(0)).toSet
+    spark.experimental.extraOptimizations = Seq(ZOrderPruningRule)
+    try {
+      assert(query.queryExecution.optimizedPlan.toString.contains("z3"), "no z3 conjunct")
+      val got = query.select("id").collect().map(_.getLong(0)).toSet
+      assert(got === expect)
+      // a box beyond the 21-bit codec domain bails (wrapping keys would
+      // make the conjunct unsound)
+      val wide = pts.filter(col("x").between(0, graft.zorder.ZOrder3.MaxCoord + 5) &&
+        col("y").between(0, 10) && col("t").between(0, 10))
+      val analyzed = wide.queryExecution.analyzed
+      assert(ZOrderPruningRule(analyzed) === analyzed)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("pruning skips row groups: pruned scan reads fewer rows than full scan") {
     // with the zkey predicate pushed to Parquet, the filtered scan's
     // output rows (post-pushdown) stay well under the table size
