@@ -67,6 +67,8 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
   private val RY = IntRange(40, 110)
   // time window for range_query_3d (non-empty at every SF)
   private val RT3 = IntRange(500, 300000)
+  // knn_3d anchor (inside the events coordinate cloud at every SF)
+  private val QX3 = 25000; private val QY3 = 75; private val QT3 = 800
   // get / knn anchors (chosen so get returns multiple ids at sf0.01)
   private val GX = 48; private val GY = 945
   private val QX = 25; private val QY = 950; private val K = 10
@@ -105,6 +107,11 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
       graft.operators.SpatioTemporal.rangeQuery3(
           events3(s, dir), RX, RY, RT3)
         .select(col("id"), col("x"), col("y"), col("t"))),
+
+    // O5 3-D extension — exact spatio-temporal kNN (expanding-cube
+    // probe + distributed top-k, deterministic (dist², id) ties)
+    "knn_3d" -> ((s, dir) =>
+      graft.operators.SpatioTemporal.knn3(events3(s, dir), QX3, QY3, QT3, K)),
 
     // O3 — rectangle query
     "range_query" -> ((s, dir) =>
@@ -222,6 +229,13 @@ FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
   AND user_id BETWEEN ${RY.min} AND ${RY.max}
   AND (event_id % 2097152) BETWEEN ${RT3.min} AND ${RT3.max}""",
+
+    "knn_3d" ->
+      s"""WITH p3 AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+  CAST(user_id AS BIGINT) AS y, CAST(event_id % 2097152 AS BIGINT) AS t FROM events)
+SELECT id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, CAST(t AS INT) AS t,
+  CAST((x - $QX3)*(x - $QX3) + (y - $QY3)*(y - $QY3) + (t - $QT3)*(t - $QT3) AS BIGINT) AS dist3
+FROM p3 ORDER BY dist3, id LIMIT $K""",
 
     "range_query" ->
       s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, CAST(user_id AS INT) AS y

@@ -25,6 +25,19 @@ class SpatioTemporalSpec extends SparkSpec {
     assert(viaStore == raw && raw.nonEmpty)
   }
 
+  test("knn3 equals brute force with (dist2, id) tie order; plans as distributed top-k") {
+    val k = 10
+    val q = SpatioTemporal.knn3(pts, 25000, 75, 800, k)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(4)))
+    val brute = pts.select(col("id"), SpatioTemporal.dist3(25000, 75, 800).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, d) => (d, id) }.take(k)
+    assert(got.toSeq == brute.toSeq)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortExec"), plan)
+  }
+
   test("z3 interval predicates reach the Parquet scan of a clustered store") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st-store").toString
     try {
