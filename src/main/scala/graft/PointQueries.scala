@@ -69,6 +69,11 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
   private val RT3 = IntRange(500, 300000)
   // knn_3d anchor (inside the events coordinate cloud at every SF)
   private val QX3 = 25000; private val QY3 = 75; private val QT3 = 800
+  // get_point_3d anchor — the (x, y, t) of event_id 800 at sf0.01
+  private val GX3 = 3783; private val GY3 = 104; private val GT3 = 800
+  // octree stats depth: 29 coordinate bits under the constant top bit
+  // (~10 refinement levels per dimension — resolves the events cloud)
+  private val STATS3_PL = 30
   // get / knn anchors (chosen so get returns multiple ids at sf0.01)
   private val GX = 48; private val GY = 945
   private val QX = 25; private val QY = 950; private val K = 10
@@ -112,6 +117,15 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
     // probe + distributed top-k, deterministic (dist², id) ties)
     "knn_3d" -> ((s, dir) =>
       graft.operators.SpatioTemporal.knn3(events3(s, dir), QX3, QY3, QT3, K)),
+
+    // O2 3-D extension — exact (x, y, t) lookup via z3 equality
+    "get_point_3d" -> ((s, dir) =>
+      graft.operators.SpatioTemporal.get3(events3(s, dir), GX3, GY3, GT3)
+        .select("id", "x", "y", "t")),
+
+    // O6 3-D extension — uniform-depth octree bucket stats
+    "index_stats_3d" -> ((s, dir) =>
+      graft.operators.SpatioTemporal.indexStats3(events3(s, dir), STATS3_PL)),
 
     // O3 — rectangle query
     "range_query" -> ((s, dir) =>
@@ -229,6 +243,27 @@ FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
   AND user_id BETWEEN ${RY.min} AND ${RY.max}
   AND (event_id % 2097152) BETWEEN ${RT3.min} AND ${RT3.max}""",
+
+    "get_point_3d" ->
+      s"""SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x,
+  CAST(user_id AS INT) AS y, CAST(event_id % 2097152 AS INT) AS t
+FROM events
+WHERE CAST(floor(value*100) AS INT) = $GX3 AND user_id = $GY3
+  AND (event_id % 2097152) = $GT3""",
+
+    "index_stats_3d" ->
+      s"""$z3Src,
+z3bits AS (SELECT id, (((x >> b.range) & 1) << (3*b.range + 2))
+    + (((y >> b.range) & 1) << (3*b.range + 1))
+    + (((t >> b.range) & 1) << (3*b.range)) AS part
+  FROM z3src, range(0, 21) b),
+z3k AS (SELECT id, CAST(sum(part) AS BIGINT) AS z3 FROM z3bits GROUP BY id),
+b3 AS (SELECT z3 & CAST(${maskLit(STATS3_PL)} AS BIGINT) AS bucket_key, count(*) AS bucket_size
+  FROM z3k GROUP BY 1)
+SELECT bucket_key,
+  concat(substring(lpad(bin(bucket_key), 64, '0'), 1, $STATS3_PL), repeat('*', ${64 - STATS3_PL})) AS bucket_name,
+  bucket_size
+FROM b3""",
 
     "knn_3d" ->
       s"""WITH p3 AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,

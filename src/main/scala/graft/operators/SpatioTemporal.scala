@@ -62,6 +62,24 @@ object SpatioTemporal {
   def rangeQuery3(pts: DataFrame, rx: IntRange, ry: IntRange, rt: IntRange): DataFrame =
     pts.filter(rangeFilter3(rx, ry, rt))
 
+  /** Exact 3-D point lookup — all ids at (x, y, t). The z3 equality
+    * prunes to the file/row-group whose stats cover the key; raw
+    * predicates carry correctness. */
+  def get3(pts: DataFrame, x: Int, y: Int, t: Int): DataFrame =
+    pts.filter(col("z3") === lit(graft.zorder.ZOrder3.zorder3(x, y, t)) &&
+      col("x") === x && col("y") === y && col("t") === t)
+
+  /** Uniform-depth octree bucket statistics — [[PointStore.indexStats]]
+    * on the 3-D key (prefix length 3k+1 = k refinement levels per
+    * dimension under the constant leading 0 bit). One shuffle with
+    * map-side partial counts. */
+  def indexStats3(pts: DataFrame, prefixLen: Int): DataFrame =
+    pts.groupBy(bucket_key(col("z3"), prefixLen).as("bucket_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .select(col("bucket_key"),
+        bucket_name(col("bucket_key"), prefixLen).as("bucket_name"),
+        col("bucket_size"))
+
   /** Squared Euclidean distance to a fixed 3-D query point, exact in
     * Long arithmetic (21-bit coordinates: d² ≤ 3·2⁴² ≪ 2⁶³). */
   def dist3(qx: Int, qy: Int, qt: Int): Column = {
