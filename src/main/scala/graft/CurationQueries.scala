@@ -24,6 +24,7 @@ object CurationQueries {
   private val SampleDefault = 400
   private val SourceCapN = 10
   private val HistBucket = 25
+  private val RepMaxE3 = 300
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
@@ -32,7 +33,33 @@ object CurationQueries {
       Curation.stratifiedSample(docs(s, dir), "lang", SampleRates, SampleDefault)
         .select("doc_id", "lang")),
     "source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), SourceCapN)),
-    "token_histogram" -> ((s, dir) => Curation.tokenHistogram(docs(s, dir), HistBucket))
+    "token_histogram" -> ((s, dir) => Curation.tokenHistogram(docs(s, dir), HistBucket)),
+
+    // the END-TO-END curation pipeline, composed in the order a real
+    // corpus build runs it: content gates (quality + repetition) →
+    // deterministic stratified sample → per-source cap (ranked over the
+    // post-filter survivors) → transitive dedup-loser removal. One
+    // gated query proving the stages compose without semantic drift.
+    "pipeline_curate" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val d = docs(s, dir)
+      val stats = TextAnalysis.stats(d).select("doc_id", "n_tokens", "quality_e3")
+      val rep = Curation.repetitionStats(d).select("doc_id", "rep_e3")
+      val content = stats.join(rep, "doc_id")
+        .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500 && col("rep_e3") <= RepMaxE3)
+        .select("doc_id", "n_tokens")
+      val sampled = content.join(
+        Curation.stratifiedSample(d, "lang", SampleRates, SampleDefault)
+          .select("doc_id", "lang", "source"), "doc_id")
+      val capped = sampled
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")))
+        .filter(col("rn") <= SourceCapN)
+      val losers = Dedup.clusters(d)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      capped.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens")
+    })
   )
 
   // regexes are RE2-compatible by construction (Curation scaladoc), so
@@ -73,6 +100,32 @@ WHERE rn <= 10""",
       """WITH s AS (SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents)
 SELECT CAST((n_tokens // 25) * 25 AS BIGINT) AS bucket,
   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
-FROM s GROUP BY 1"""
+FROM s GROUP BY 1""",
+
+    // stage order mirrors the engine exactly: content gates → sample →
+    // per-source rank over the post-filter survivors → cluster-loser
+    // anti-join (clusters from the shared recursive reachability CTEs)
+    "pipeline_curate" ->
+      s"""${TextQueries.recursiveSigCte},
+${TextQueries.clusterCte},
+cq AS (SELECT doc_id,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
+  FROM documents),
+crep AS (SELECT doc_id,
+    ((len(bg) - len(list_distinct(bg))) * 1000) // len(bg) AS rep_e3
+  FROM (SELECT doc_id, list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1]) AS bg
+        FROM dwords WHERE len(ws) >= 2)),
+csamp AS (SELECT doc_id, lang, source FROM documents
+  WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 <
+    CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 500 ELSE 400 END),
+cbase AS (SELECT cq.doc_id, cq.n_tokens, s.lang, s.source
+  FROM cq JOIN crep USING (doc_id) JOIN csamp s USING (doc_id)
+  WHERE cq.n_tokens >= 30 AND cq.quality_e3 >= 500 AND crep.rep_e3 <= $RepMaxE3),
+ccap AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM cbase)
+SELECT doc_id, lang, source, n_tokens FROM ccap c
+WHERE rn <= $SourceCapN
+  AND NOT EXISTS (SELECT 1 FROM clus WHERE clus.doc_id = c.doc_id AND clus.doc_id <> clus.cluster_id)"""
   )
 }

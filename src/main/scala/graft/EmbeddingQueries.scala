@@ -85,6 +85,18 @@ object EmbeddingQueries {
       q.select(col("vec_id").as("qid"))
         .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
         .groupBy("qid").agg(count(col("nid")).as("hits"))
+    }),
+    // same gated metric for the IVF path — the nProbe/nCentroids
+    // operating point's recall@k is an oracle-checked integer
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+      val exact = Similarity.ipTopK(e, q, K).select(col("qid"), col("nid"))
+      val approx = Similarity.ivfTopK(e, q, K, IvfCentroids, IvfProbe)
+        .select(col("qid"), col("nid"))
+      q.select(col("vec_id").as("qid"))
+        .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
+        .groupBy("qid").agg(count(col("nid")).as("hits"))
     })
   )
 
@@ -144,7 +156,7 @@ assign AS (SELECT vec_id, cid FROM (
     * vector is a query (the kNN-join shape). */
   private def ivfTopSql(adT: String, asgT: String,
                         qPred: String = s"WHERE vec_id < $NQueries",
-                        k: Int = K): String =
+                        k: Int = K, wrapAs: Option[String] = None): String =
     s"""probes AS (SELECT vec_id AS qid, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
     FROM $adT $qPred)
@@ -153,12 +165,22 @@ cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
   FROM probes p JOIN $asgT a ON a.cid = p.cid AND a.vec_id <> p.qid),
 sc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
   FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)""" + (wrapAs match {
+      case Some(name) =>
+        s""",
+$name AS (SELECT qid, nid, dot, rank FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+    FROM sc)
+  WHERE rank <= $k)"""
+      case None =>
+        s"""
 SELECT qid, nid, dot, rank FROM (
   SELECT qid, nid, dot,
     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
   FROM sc)
 WHERE rank <= $k"""
+    })
 
   /** Exact top-k CTE (the `ann_topk_ip` pipeline as a named CTE). */
   private val exactTopCte =
@@ -231,6 +253,18 @@ $lshCte
 SELECT q.vec_id AS qid, CAST(count(j.nid) AS BIGINT) AS hits
 FROM ie q LEFT JOIN (
   SELECT e.qid, e.nid FROM extop e JOIN lshtop l ON e.qid = l.qid AND e.nid = l.nid) j
+  ON j.qid = q.vec_id
+WHERE q.vec_id < $NQueries
+GROUP BY 1""",
+
+    "ann_ivf_recall" ->
+      s"""WITH $intCte,
+$exactTopCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", wrapAs = Some("ivftop"))}
+SELECT q.vec_id AS qid, CAST(count(j.nid) AS BIGINT) AS hits
+FROM ie q LEFT JOIN (
+  SELECT e.qid, e.nid FROM extop e JOIN ivftop l ON e.qid = l.qid AND e.nid = l.nid) j
   ON j.qid = q.vec_id
 WHERE q.vec_id < $NQueries
 GROUP BY 1"""

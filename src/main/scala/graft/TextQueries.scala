@@ -110,7 +110,7 @@ sigs AS (SELECT doc_id,\n$sigCols\nFROM dsh GROUP BY doc_id)"""
     * recursive CTE's UNION-distinct is DuckDB's fixpoint; min over all
     * reachable seeds equals the component's minimum id — the same
     * canonical label the Spark min-label propagation converges to. */
-  private val clusterCte =
+  private[graft] val clusterCte =
     s"""bandsigs AS ($bandSelects),
 cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandsigs a JOIN bandsigs b
@@ -128,7 +128,7 @@ reach AS (SELECT src AS id, src AS r FROM cedges
   SELECT e.dst, r.r FROM reach r JOIN cedges e ON e.src = r.id),
 clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
-  private val recursiveSigCte = sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+  private[graft] val recursiveSigCte = sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" ->
