@@ -35,6 +35,24 @@ WHERE x BETWEEN 10000 AND 30000 AND y BETWEEN 40 AND 110
   AND zorder_x(zkey) = x AND zorder_y(zkey) = y
 GROUP BY event_type""")),
 
+    // the 3-D codec through the SQL parser path: a box count whose
+    // predicates route through the registered zorder3* functions (the
+    // roundtrip identities gate the codec; the z3 BETWEEN gate mirrors
+    // rangeFilter3's loose interval — pruning-only over in-domain data)
+    "sql_box_count_3d" -> ((s, dir) => sql(s, dir,
+      """SELECT event_type, count(*) AS cnt
+FROM (SELECT event_type,
+             cast(floor(value*100) as int) AS x,
+             cast(user_id as int) AS y,
+             cast(event_id % 2097152 as int) AS t,
+             zorder3(cast(floor(value*100) as int), cast(user_id as int),
+                     cast(event_id % 2097152 as int)) AS z3
+      FROM events)
+WHERE x BETWEEN 10000 AND 30000 AND y BETWEEN 40 AND 110 AND t BETWEEN 500 AND 300000
+  AND zorder3_x(z3) = x AND zorder3_y(z3) = y AND zorder3_t(z3) = t
+  AND z3 BETWEEN zorder3(10000, 40, 500) AND zorder3(30000, 110, 300000)
+GROUP BY event_type""")),
+
     // the SimHash sketch through the SQL parser path: exercises the
     // registered simhash_agg aggregate — must hash-match the Column-API
     // twin (`simhash`) against the same relational oracle.
@@ -52,6 +70,13 @@ GROUP BY doc_id"""))
 FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN 10000 AND 30000
   AND user_id BETWEEN 40 AND 110
+GROUP BY event_type""",
+    "sql_box_count_3d" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE CAST(floor(value*100) AS INT) BETWEEN 10000 AND 30000
+  AND user_id BETWEEN 40 AND 110
+  AND (event_id % 2097152) BETWEEN 500 AND 300000
 GROUP BY event_type""",
     // identical pipeline to the Column-API `simhash` gate
     "sql_simhash" -> TextQueries.oracle("simhash")
