@@ -76,7 +76,25 @@ object Bench {
       Seq("store_build" -> tBuild, "store_range" -> tRange, "store_knn" -> tKnn)
     }
 
-    val results = inventory ++ storeBench ++ streamBench
+    // z3-clustered spatio-temporal store lifecycle on the same source
+    val store3Path = s"/tmp/graft_bench_store3_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val store3Bench = {
+      import graft.operators.SpatioTemporal
+      val pts = SpatioTemporal.points3(
+        spark.read.parquet(s"$sfDir/events.parquet"),
+        col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"),
+        expr("cast(event_id % 2097152 as int)"))
+      val tBuild = time { SpatioTemporal.write(pts, store3Path, 32) }
+      val store = SpatioTemporal.open(spark, store3Path)
+      val tRange = time {
+        store.rangeQuery(IntRange(10000, 30000), IntRange(40, 110), IntRange(500, 300000))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tKnn = time { store.knn(25000, 75, 800, 10).write.format("noop").mode("overwrite").save() }
+      Seq("store3_build" -> tBuild, "store3_range" -> tRange, "store3_knn" -> tKnn)
+    }
+
+    val results = inventory ++ storeBench ++ store3Bench ++ streamBench
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")

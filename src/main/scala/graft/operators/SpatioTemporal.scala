@@ -127,4 +127,32 @@ object SpatioTemporal {
       .limit(k)
       .select("id", "x", "y", "t", "dist3")
   }
+
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): SpatioTemporalStore =
+    new SpatioTemporalStore(spark, path)
+}
+
+/** A z3-clustered Parquet spatio-temporal store at a fixed path — the
+  * 3-D twin of [[PointStore]]'s store wrapper. */
+class SpatioTemporalStore(spark: org.apache.spark.sql.SparkSession, path: String) {
+
+  /** The full store as a DataFrame `(id, x, y, t, z3)`. */
+  def df: DataFrame = spark.read.parquet(path)
+
+  def get(x: Int, y: Int, t: Int): DataFrame = SpatioTemporal.get3(df, x, y, t)
+  def rangeQuery(rx: IntRange, ry: IntRange, rt: IntRange): DataFrame =
+    SpatioTemporal.rangeQuery3(df, rx, ry, rt)
+  def rangeCount(rx: IntRange, ry: IntRange, rt: IntRange): DataFrame =
+    rangeQuery(rx, ry, rt).agg(count(lit(1)).as("cnt"))
+  def knn(qx: Int, qy: Int, qt: Int, k: Int, initialRadius: Int = 64): DataFrame =
+    SpatioTemporal.knn3(df, qx, qy, qt, k, initialRadius)
+  def indexStats(prefixLen: Int): DataFrame = SpatioTemporal.indexStats3(df, prefixLen)
+
+  /** Drop the store. */
+  def drop(): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hadoopPath, true)
+    ()
+  }
 }

@@ -54,4 +54,29 @@ class SpatioTemporalSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("store wrapper: open/get/range/knn/indexStats/drop lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st-open").toString
+    try {
+      SpatioTemporal.write(pts, s"$dir/store", 4)
+      val store = SpatioTemporal.open(spark, s"$dir/store")
+      assert(store.rangeCount(RX, RY, RT).head.getLong(0) ==
+        SpatioTemporal.rangeQuery3(pts, RX, RY, RT).count())
+      assert(store.knn(25000, 75, 800, 5).count() == 5)
+      assert(store.indexStats(30).agg(org.apache.spark.sql.functions.sum("bucket_size"))
+        .head.getLong(0) == pts.count())
+      val anchor = pts.limit(1).collect()(0)
+      assert(store.get(anchor.getInt(1), anchor.getInt(2), anchor.getInt(3)).count() >= 1)
+      store.drop()
+      assert(!new java.io.File(s"$dir/store").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("connectedComponents of an empty edge set is empty (pipeline edge case)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }
