@@ -86,6 +86,19 @@ object EmbeddingQueries {
         .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
         .groupBy("qid").agg(count(col("nid")).as("hits"))
     }),
+    // cross-modal composition: retrieval restricted to QUALITY-GATED
+    // documents (doc_id aligns with vec_id in the fixtures) — the
+    // "search only the curated corpus" shape; neighbor side shrinks to
+    // the survivor set before any scoring work happens
+    "ann_quality_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val good = graft.operators.TextAnalysis.stats(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500)
+        .select(col("doc_id").as("vec_id"))
+      Similarity.ipTopK(e.join(good, "vec_id"),
+        e.filter(col("vec_id") < NQueries), K)
+    }),
     // same gated metric for the IVF path — the nProbe/nCentroids
     // operating point's recall@k is an oracle-checked integer
     "ann_ivf_recall" -> ((s, dir) => {
@@ -256,6 +269,25 @@ FROM ie q LEFT JOIN (
   ON j.qid = q.vec_id
 WHERE q.vec_id < $NQueries
 GROUP BY 1""",
+
+    "ann_quality_topk" ->
+      s"""WITH $intCte,
+goodq AS (SELECT doc_id FROM (
+    SELECT doc_id,
+      len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+      (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+        // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
+    FROM documents)
+  WHERE n_tokens >= 30 AND quality_e3 >= 500),
+p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
+  FROM iex a JOIN iex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $NQueries AND b.vec_id IN (SELECT doc_id FROM goodq)
+  GROUP BY 1, 2)
+SELECT qid, nid, dot, rank FROM (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+  FROM p)
+WHERE rank <= $K""",
 
     "ann_ivf_recall" ->
       s"""WITH $intCte,
