@@ -61,6 +61,53 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Watermarked windowed aggregation in APPEND mode — the canonical
+    // streaming-analytics shape, gated against the batch definition.
+    // Batch 1 ingests all real events (no intra-batch late-drop risk);
+    // then a single far-future sentinel row arrives as batch 2, pushing
+    // the watermark past every real window so append mode EMITS them
+    // all; the sentinel's own window never closes and stays out of the
+    // sink. The result is therefore exactly the batch hourly rollup —
+    // unless watermark bookkeeping, window assignment, or append-mode
+    // finalization is broken, which is the gate.
+    "stream_hourly" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-stream-hourly").toString
+      val src = s.read.parquet(s"$dir/events.parquet")
+        .select(expr("timestamp_micros(div(ts, 1000))").as("event_time"),
+          col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
+      src.write.parquet(s"$tmp/in")
+      val maxTs = src.agg(max(col("event_time"))).head.getTimestamp(0)
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+      val agg = stream
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .select(col("window.start").cast("long").as("hour_epoch"),
+          col("event_type"), col("cnt"), col("sum_cents"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: every real event, one batch
+        import s.implicits._
+        Seq((new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+            "__sentinel", 0L))
+          .toDF("event_time", "event_type", "cents")
+          .write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable() // batch 2: sentinel advances the watermark
+      } finally q.stop()
+      val res = s.read.parquet(s"$tmp/out")
+      val rows = res.collect().toSeq
+      val outSchema = res.schema
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Stateful streaming dedup: dropDuplicates state must survive
     // across microbatches — the source is rewritten as several files
     // and streamed one file per trigger, so most (user_id, event_type)
@@ -107,6 +154,9 @@ WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
 
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type"""
+FROM events GROUP BY event_type""",
+
+    // the batch hourly rollup — identical to events_hourly's oracle
+    "stream_hourly" -> RelationalQueries.oracle("events_hourly")
   )
 }
