@@ -215,7 +215,12 @@ object Dedup {
    * 1..N-1 (the classic iterative-DataFrame blowup). The driver holds
    * only the one-per-round convergence count, never vertex data.
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    // maxIter is loud-failure insurance, not a budget: the loop exits
+    // the round after labels stop changing, so a graph that converges
+    // in 5 rounds never pays for the ceiling — but a template-drift
+    // chain longer than the ceiling fails the job rather than silently
+    // returning split clusters
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
