@@ -55,7 +55,11 @@ object CurationQueries {
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")))
         .filter(col("rn") <= SourceCapN)
-      val losers = Dedup.clusters(d)
+      // cluster losers come from the materialized-per-process cluster
+      // table (same table dedup_clusters/dedup_keepers consume) — the
+      // expensive LSH→re-verify→CC chain runs once per corpus, not once
+      // per consumer
+      val losers = Dedup.sharedClusters(d, dir)
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       capped.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_tokens")

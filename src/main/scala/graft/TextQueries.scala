@@ -68,13 +68,17 @@ object TextQueries {
       survivors.join(dupLosers, Seq("doc_id"), "left_anti")
     }),
     // transitive duplicate resolution: LSH-verified near-dup pairs →
-    // connected components → (doc_id, cluster_id = min reachable id)
+    // connected components → (doc_id, cluster_id = min reachable id).
+    // All three cluster consumers (here, dedup_keepers, pipeline_curate)
+    // read the ONE materialized-per-process cluster table — the
+    // dedup-once-consume-many shape of a real corpus build
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(docs(s, dir), 1, 2, 3, NumHashes, Bands, RowsPerBand)),
+      Dedup.sharedClusters(docs(s, dir), dir, 1, 2, 3, NumHashes, Bands, RowsPerBand)),
     // corpus survivors after cluster-canonical keeper selection: unlike
     // pipeline_corpus's pairwise loser rule, a~b~c collapses to ONE doc
     "dedup_keepers" -> ((s, dir) =>
-      Dedup.keepers(docs(s, dir), 1, 2, 3, NumHashes, Bands, RowsPerBand))
+      Dedup.keepersFrom(docs(s, dir),
+        Dedup.sharedClusters(docs(s, dir), dir, 1, 2, 3, NumHashes, Bands, RowsPerBand)))
   )
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */

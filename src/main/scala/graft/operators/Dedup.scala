@@ -197,52 +197,106 @@ object Dedup {
    * doc_id reachable in its component — a deterministic canonical
    * label independent of partitioning and iteration order.
    *
-   * Algorithm: synchronous min-label propagation. Each round every
-   * vertex takes the minimum of its own label and its neighbors';
-   * rounds needed = the largest component's diameter. Near-dup graphs
-   * are unions of small dense clusters (planted duplicate families),
-   * so this converges in a handful of rounds; for adversarial
-   * long-chain graphs the large-star/small-star variant (Kiveris et
-   * al., "Connected Components in MapReduce") drops rounds to
-   * O(log n) with the same per-round join shape — the loop below is
-   * deliberately the simple variant because the round count, not the
-   * per-round plan, is what would change.
+   * Algorithm: min-label hooking + pointer jumping (the Shiloach–
+   * Vishkin shortcutting idea in DataFrame form; the same O(log n)
+   * round bound as the large-star/small-star alternation of Kiveris et
+   * al., "Connected Components in MapReduce", with a simpler exact
+   * convergence test). Each round:
    *
-   * Scale shape: per round one equi-join labels⋈edges (shuffle on
-   * vertex id, both sides partitioned identically so AQE reuses the
-   * exchange) plus a min-aggregate; `localCheckpoint` truncates the
-   * lineage each round so round N's plan does not replay rounds
-   * 1..N-1 (the classic iterative-DataFrame blowup). The driver holds
-   * only the one-per-round convergence count, never vertex data.
+   *   1. hooking — every vertex takes the minimum of its own label and
+   *      its neighbors' labels (one equi-join labels⋈edges + a
+   *      min-aggregate, shuffle on vertex id);
+   *   2. shortcutting — every vertex then follows its label pointer one
+   *      hop: `label(v) ← label(label(v))` (one equi-join of the hooked
+   *      labels against the label table, build side unique per key).
+   *
+   * Labels only ever decrease and always name a vertex of the same
+   * component, so at a fixpoint every edge has equal endpoints' labels
+   * and the component minimum (whose label is itself) has flooded the
+   * whole component — the "no label changed" test is exact. The
+   * shortcut composes two known label mappings per round, so the
+   * distance a minimum has traveled doubles each round (reach after
+   * round r is 2^r - 1 on a path): a diameter-d component converges in
+   * O(log d) rounds where pure propagation needs d.
+   *
+   * Scale shape: two equi-joins + one aggregate per round, all on
+   * vertex-id keys (the shortcut probe side is skewed toward component
+   * minima near convergence, but the build side is unique-keyed, so
+   * there is no row explosion and AQE's skew split covers the rest).
+   * An eager `localCheckpoint` truncates lineage each round — without
+   * it the self-join doubles the logical plan every round — and it is
+   * the round's ONLY action: the convergence signal rides along as a
+   * `LongAccumulator` tallied in a final typed map, not a second
+   * count job. (Task retries can only over-tally the accumulator,
+   * never turn a nonzero tally into zero, so the `changed == 0` exit
+   * test is exact.) The previous round's checkpoint blocks are
+   * unpersisted as soon as the new round is materialized, so executor
+   * storage holds ≤ 2 label tables however many rounds run. The
+   * driver holds only the one-per-round changed tally, never vertex
+   * data.
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    ccIterate(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took —
+    * package-private so specs can pin the O(log n) round bound. */
+  private[graft] def ccIterate(edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // maxIter is loud-failure insurance, not a budget: the loop exits
     // the round after labels stop changing, so a graph that converges
-    // in 5 rounds never pays for the ceiling — but a template-drift
-    // chain longer than the ceiling fails the job rather than silently
-    // returning split clusters
+    // in 5 rounds never pays for the ceiling — and with pointer
+    // jumping, 64 rounds covers any graph that fits in longs; anything
+    // still moving then fails the job rather than silently returning
+    // split clusters
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    val enc3 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaBoolean)
+    val enc2 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val incoming = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(incoming, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (col("nbr") < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select("id", "label")
+      // hooking: pull the minimum neighbor label along every edge
+      val nbr = sym.join(labels.withColumnRenamed("id", "src")
+            .withColumnRenamed("label", "l"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("l")).as("nbr"))
+      val hooked = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("l1"))
+      // shortcutting: l1 is always a vertex id (labels are ids and only
+      // ever replaced by other labels), so the inner join is total; and
+      // label(l1) <= l1 by monotonicity, so l2 IS the round's label
+      val acc = sym.sparkSession.sparkContext.longAccumulator("cc-changed")
+      val next = hooked
+        .join(labels.select(col("id").as("l1"), col("label").as("l2")), "l1")
+        .select(col("id"), col("l2").as("label"), (col("l2") < col("old")).as("chg"))
+        .as(enc3)
+        .map { t => if (t._3) acc.add(1L); (t._1, t._2) }(enc2)
+        .toDF("id", "label")
+        .localCheckpoint() // eager: the round's ONE action, tallying acc
+      changed = acc.value
+      unpersistCheckpointed(labels)
+      labels = next
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    unpersistCheckpointed(sym)
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), iter)
   }
+
+  /** Drop the storage of a `localCheckpoint`ed DataFrame once a later
+    * round has superseded it (blocking=false: eviction races nothing —
+    * the next round never reads it again). */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Near-duplicate clusters in the full 100 TB shape: LSH candidates →
     * exact Jaccard re-verify ([[lshNearPairs]]) → transitive closure
@@ -253,16 +307,69 @@ object Dedup {
       lshNearPairs(df, num, den, k, numHashes, bands, rowsPerBand)
         .select("id_a", "id_b"))
 
-  /** Corpus survivors after transitive near-dup resolution: every
-    * document except non-canonical cluster members (the cluster's
-    * minimum doc_id survives). The anti-join key set is cluster
-    * members only — candidate-scale, not corpus-scale. */
-  def keepers(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
-              numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val losers = clusters(df, num, den, k, numHashes, bands, rowsPerBand)
+  /**
+   * Materialize the cluster map to a parquet table and return a reader
+   * over it — the "dedup once, consume many times" shape of a real
+   * corpus build: the LSH → re-verify → connected-components pipeline
+   * is the expensive step, and every downstream consumer (keeper
+   * selection, curation anti-joins, mixture accounting) should read the
+   * written table instead of recomputing the chain. The table is tiny
+   * relative to the corpus (cluster members only, two BIGINTs per row).
+   */
+  def clustersTable(df: DataFrame, path: String, num: Int = 1, den: Int = 2,
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    rowsPerBand: Int = 4): DataFrame = {
+    clusters(df, num, den, k, numHashes, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  // per-JVM memo of materialized cluster tables, keyed by corpus id +
+  // parameters: lives under java.io.tmpdir, deleted on JVM exit. The
+  // cache is process-scoped ON PURPOSE — a fresh run always recomputes,
+  // so a changed corpus at the same path can never serve stale clusters
+  private[graft] val sharedTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /**
+   * [[clustersTable]] with per-process memoization: the first consumer
+   * for a given `(corpusKey, params)` pays the full pipeline and writes
+   * the table; later consumers in the same process read it back. This
+   * is how the query gates model the production dedup-once shape while
+   * each remains independently runnable.
+   */
+  def sharedClusters(df: DataFrame, corpusKey: String, num: Int = 1, den: Int = 2,
+                     k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                     rowsPerBand: Int = 4): DataFrame = {
+    val key = s"$corpusKey|$num/$den|k=$k|h=$numHashes|b=$bands|r=$rowsPerBand"
+    val path = sharedTables.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-clusters-")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      clustersTable(df, dir.toString, num, den, k, numHashes, bands, rowsPerBand)
+      dir.toString
+    })
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Corpus survivors given a precomputed cluster map ([[clusters]] /
+    * [[clustersTable]]): every document except non-canonical cluster
+    * members (the cluster's minimum doc_id survives). The anti-join key
+    * set is cluster members only — candidate-scale, not corpus-scale. */
+  def keepersFrom(df: DataFrame, clusterMap: DataFrame): DataFrame = {
+    val losers = clusterMap
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     df.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
   }
+
+  /** Corpus survivors after transitive near-dup resolution, computing
+    * the cluster map inline — see [[keepersFrom]] for the
+    * materialized-table shape a real pipeline uses. */
+  def keepers(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
+              numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    keepersFrom(df, clusters(df, num, den, k, numHashes, bands, rowsPerBand))
 
   /**
    * 60-bit SimHash over the distinct word set: per bit position, words

@@ -20,12 +20,41 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("connectedComponents handles a long chain within the iteration budget") {
-    // path 0-1-...-19: worst-case diameter for min propagation
-    val path = (0L until 19L).map(i => (i, i + 1))
-    val cc = Dedup.connectedComponents(edges(path: _*))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.size == 20 && cc.values.forall(_ == 0L))
+  test("connectedComponents converges on a 1000-vertex path in O(log n) rounds, one job per round") {
+    // path 0-1-...-999: worst case for pure min propagation (would need
+    // ~1000 rounds); pointer jumping must close it in ≈ log2(n) + 1
+    // rounds (reach after round r is 2^r - 1) plus the no-change round
+    val n = 1000L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    // count job-running ACTIONS = distinct SQL executions that submit at
+    // least one job. Raw job count won't do (AQE splits one action into
+    // a job per query stage) and raw execution count won't either (the
+    // lazy localCheckpoint call opens a zero-job execution).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0) // plain job tally, for the wait loop
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        Option(js.properties.getProperty("spark.sql.execution.id")).foreach(execIds.add)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (ccDf, rounds) =
+      try {
+        val r = Dedup.ccIterate(edges(path: _*), maxIter = 64)
+        // listener events post asynchronously; wait until the count is
+        // stable (a missed late event only makes the <= bound lenient)
+        var last = -1
+        while (jobs.get() != last) { last = jobs.get(); Thread.sleep(200) }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)), // 2·log2(n) = 20
+      s"took $rounds rounds for a ${n}-vertex path")
+    // two eager checkpoints (sym + initial labels) up front, then ONE
+    // fused materialize+convergence action per round
+    assert(execIds.size <= rounds + 2, s"${execIds.size} job-running actions for $rounds rounds")
+    val cc = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n && cc.values.forall(_ == 0L))
   }
 
   test("clusters merge transitively where pairwise loser-deletion would under-delete") {
@@ -43,6 +72,35 @@ class CurationSpec extends SparkSpec {
     assert(cl.values.toSet == Set(1L))
     val keep = Dedup.keepers(docs).collect().map(_.getLong(0)).toSet
     assert(keep == Set(1L, 9L))
+  }
+
+  test("clustersTable materializes the cluster map; sharedClusters computes once per key") {
+    val words = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, words), (2L, words + " extraone"), (3L, words + " extraone extratwo"),
+      (9L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val inline = Dedup.clusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("clusters-spec-").toString
+    val table = Dedup.clustersTable(docs, s"$dir/clusters")
+    assert(table.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet == inline)
+    // keepersFrom over the written table == inline keepers
+    assert(Dedup.keepersFrom(docs, table).collect().map(_.getLong(0)).toSet ==
+      Dedup.keepers(docs).collect().map(_.getLong(0)).toSet)
+
+    // sharedClusters memoizes per (key, params): the second call must
+    // reuse the first call's materialized path, not rebuild the pipeline
+    val key = s"spec-${System.nanoTime()}"
+    Dedup.sharedClusters(docs, key).collect()
+    val paths = Dedup.sharedTables.entrySet().stream()
+      .filter(e => e.getKey.startsWith(key + "|")).map(_.getValue).toArray
+    assert(paths.length == 1)
+    val again = Dedup.sharedClusters(docs, key)
+    assert(Dedup.sharedTables.entrySet().stream()
+      .filter(e => e.getKey.startsWith(key + "|")).count() == 1)
+    assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet == inline)
   }
 
   test("redactPii replaces emails and digit runs, counts without double-counting") {
