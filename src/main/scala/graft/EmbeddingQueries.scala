@@ -50,7 +50,7 @@ object EmbeddingQueries {
         LshTables, LshBits, LshSeed,
         queriesWithinEmb = Some(col("vec_id") < NQueries))
     }),
-    // IVF approximate ANN: deterministic stride centroids + fused-argmax
+    // IVF approximate ANN: deterministic hash-order centroids + fused-argmax
     // assignment + nProbe probing + exact re-rank — every step integer
     // and order-pinned, so the full pipeline is oracle-gated
     "ann_ivf_topk" -> ((s, dir) => {
@@ -59,7 +59,7 @@ object EmbeddingQueries {
         nCentroids = IvfCentroids, nProbe = IvfProbe)
     }),
     // IVF with one deterministic integer Lloyd iteration refining the
-    // stride seeds — the centroid update (truncating-division cell
+    // hash-order seeds — the centroid update (truncating-division cell
     // means) is exact integer arithmetic, so the refined pipeline stays
     // fully oracle-gated
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
@@ -148,14 +148,15 @@ lshtop AS (SELECT qid, nid, dot, rank FROM (
     FROM lsc)
   WHERE rank <= $K)"""
 
-  /** Shared IVF oracle CTEs: stride seeds, seed components (`cex`),
-    * per-vector centroid dots (`ad`), argmax assignment with ties to the
-    * LOWEST cid (`assign`) — the DotArgmax strict-greater rule. */
+  /** Shared IVF oracle CTEs: hash-order seeds (the `nCentroids`
+    * smallest `md5(vec_id)` — Similarity.ivfCentroids' id-distribution-
+    * free pick, cids numbered in vec_id order), seed components
+    * (`cex`), per-vector centroid dots (`ad`), argmax assignment with
+    * ties to the LOWEST cid (`assign`) — the DotArgmax
+    * strict-greater rule. */
   private val ivfSeedCte =
-    s"""nn AS (SELECT count(*) AS n FROM ie),
-stride AS (SELECT CAST(greatest(1, n // $IvfCentroids) AS BIGINT) AS s FROM nn),
-cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM ie, stride WHERE vec_id % s = 0 ORDER BY vec_id LIMIT $IvfCentroids)),
+    s"""cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM ie ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
 cex AS (SELECT c.cid, x.i, x.ev FROM cent c JOIN iex x ON x.vec_id = c.cvid),
 ad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
   FROM iex x JOIN cex c ON c.i = x.i GROUP BY 1, 2),
@@ -224,7 +225,7 @@ SELECT id_a, id_b, dot FROM p WHERE dot >= $NearDupMinDot""",
 $lshCte
 SELECT qid, nid, dot, rank FROM lshtop""",
 
-    // IVF oracle: stride centroids in vec_id order (cid by rank),
+    // IVF oracle: hash-order seed centroids (cid by vec_id rank),
     // assignment = argmax dot with ties to the LOWEST cid (DotArgmax's
     // strict-greater rule), probes = top-nProbe centroids per query with
     // ties to the HIGHEST cid (the engine's struct sort compares (d,

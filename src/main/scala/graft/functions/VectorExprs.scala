@@ -132,3 +132,150 @@ case class DotArgmax(child: Expression, matrix: Array[Long], k: Int, dim: Int)
   override protected def withNewChildInternal(c: Expression): DotArgmax =
     copy(child = c)
 }
+
+/**
+ * `dot_topk_grouped(v)`: the two-level (coarse→fine) IVF probe — scan
+ * the `nCoarse` coarse centroids for the top-`cProbe` groups by inner
+ * product, then scan ONLY those groups' fine centroids for the top-`k`
+ * cells. Returns the winning fine centroid ids ordered by
+ * (dot desc, cid asc).
+ *
+ * This is what replaces the flat O(nCentroids·dim) per-row
+ * argmax/sort when `nCentroids ≈ √n` at scale: per-row work drops to
+ * O((nCoarse + cProbe·maxGroup)·dim) ≈ O(√nCentroids·dim) with
+ * balanced groups, and the plan carries two bounded reference-object
+ * matrices instead of `nCentroids` separate dot expressions.
+ *
+ * Layout: `fine` is the fine-centroid matrix SORTED BY GROUP;
+ * `offsets[g]..offsets[g+1]` delimit group g's rows; `cids(pos)` maps a
+ * sorted position back to the original centroid id. With k=1 this is
+ * the two-level assignment (element 1 of the result); with k=nProbe it
+ * is the probe list.
+ */
+case class DotTopKGrouped(child: Expression, coarse: Array[Long], nCoarse: Int,
+                          fine: Array[Long], offsets: Array[Int], cids: Array[Int],
+                          cProbe: Int, k: Int, dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(coarse.length == nCoarse * dim && nCoarse >= 1)
+  require(offsets.length == nCoarse + 1 && offsets(0) == 0)
+  require(offsets(nCoarse) * dim == fine.length && cids.length == offsets(nCoarse))
+  require(cProbe >= 1 && k >= 1)
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_topk_grouped"
+
+  override protected def nullSafeEval(vAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val nP = math.min(cProbe, nCoarse)
+    // coarse pass: top-cProbe groups by (dot desc, gid asc), insertion
+    val gd = Array.fill(nP)(Long.MinValue)
+    val gi = Array.fill(nP)(-1)
+    var g = 0
+    while (g < nCoarse) {
+      var acc = 0L; var i = 0
+      while (i < n) { acc += v.getLong(i) * coarse(g * dim + i); i += 1 }
+      var p = nP - 1
+      if (acc > gd(p)) {
+        while (p > 0 && acc > gd(p - 1)) { gd(p) = gd(p - 1); gi(p) = gi(p - 1); p -= 1 }
+        gd(p) = acc; gi(p) = g
+      }
+      g += 1
+    }
+    // fine pass over the probed groups only: top-k by (dot desc, cid asc)
+    val bd = Array.fill(k)(Long.MinValue)
+    val bc = Array.fill(k)(Int.MaxValue)
+    var pIdx = 0
+    while (pIdx < nP) {
+      val grp = gi(pIdx)
+      if (grp >= 0) {
+        var r = offsets(grp)
+        while (r < offsets(grp + 1)) {
+          var acc = 0L; var i = 0
+          while (i < n) { acc += v.getLong(i) * fine(r * dim + i); i += 1 }
+          val cid = cids(r)
+          var p = k - 1
+          if (acc > bd(p) || (acc == bd(p) && cid < bc(p))) {
+            while (p > 0 && (acc > bd(p - 1) || (acc == bd(p - 1) && cid < bc(p - 1)))) {
+              bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+            }
+            bd(p) = acc; bc(p) = cid
+          }
+          r += 1
+        }
+      }
+      pIdx += 1
+    }
+    val nOut = bc.count(_ != Int.MaxValue)
+    new GenericArrayData(bc.take(nOut))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("coarse", coarse, "long[]")
+    val fineRef = ctx.addReferenceObj("fine", fine, "long[]")
+    val offRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    val cidRef = ctx.addReferenceObj("cids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val nP = ctx.freshName("nP")
+      val gd = ctx.freshName("gd"); val gi = ctx.freshName("gi")
+      val bd = ctx.freshName("bd"); val bc = ctx.freshName("bc")
+      val g = ctx.freshName("g"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val pi = ctx.freshName("pi"); val grp = ctx.freshName("grp")
+      val r = ctx.freshName("r"); val cid = ctx.freshName("cid")
+      val nOut = ctx.freshName("nOut"); val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int $nP = java.lang.Math.min($cProbe, $nCoarse);
+         |long[] $gd = new long[$nP]; int[] $gi = new int[$nP];
+         |java.util.Arrays.fill($gd, java.lang.Long.MIN_VALUE);
+         |java.util.Arrays.fill($gi, -1);
+         |for (int $g = 0; $g < $nCoarse; $g++) {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $v.getLong($i) * $coarseRef[$g * $dim + $i];
+         |  }
+         |  int $p = $nP - 1;
+         |  if ($acc > $gd[$p]) {
+         |    while ($p > 0 && $acc > $gd[$p - 1]) {
+         |      $gd[$p] = $gd[$p - 1]; $gi[$p] = $gi[$p - 1]; $p--;
+         |    }
+         |    $gd[$p] = $acc; $gi[$p] = $g;
+         |  }
+         |}
+         |long[] $bd = new long[$k]; int[] $bc = new int[$k];
+         |java.util.Arrays.fill($bd, java.lang.Long.MIN_VALUE);
+         |java.util.Arrays.fill($bc, java.lang.Integer.MAX_VALUE);
+         |for (int $pi = 0; $pi < $nP; $pi++) {
+         |  int $grp = $gi[$pi];
+         |  if ($grp >= 0) {
+         |    for (int $r = $offRef[$grp]; $r < $offRef[$grp + 1]; $r++) {
+         |      long $acc = 0L;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += $v.getLong($i) * $fineRef[$r * $dim + $i];
+         |      }
+         |      int $cid = $cidRef[$r];
+         |      int $p = $k - 1;
+         |      if ($acc > $bd[$p] || ($acc == $bd[$p] && $cid < $bc[$p])) {
+         |        while ($p > 0 && ($acc > $bd[$p - 1] || ($acc == $bd[$p - 1] && $cid < $bc[$p - 1]))) {
+         |          $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1]; $p--;
+         |        }
+         |        $bd[$p] = $acc; $bc[$p] = $cid;
+         |      }
+         |    }
+         |  }
+         |}
+         |int $nOut = 0;
+         |while ($nOut < $k && $bc[$nOut] != java.lang.Integer.MAX_VALUE) $nOut++;
+         |int[] $out = new int[$nOut];
+         |System.arraycopy($bc, 0, $out, 0, $nOut);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): DotTopKGrouped =
+    copy(child = c)
+}

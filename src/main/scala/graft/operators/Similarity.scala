@@ -121,38 +121,123 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
   }
 
+  /** Above this many centroids the flat plan-literal argmax / probe
+    * sort stops being the right per-row shape (`nCentroids ≈ √n` at
+    * scale) and the two-level coarse→fine path takes over. */
+  val FlatCentroidMax = 64
+
   /**
-   * IVF coarse quantizer: `nCentroids` centroids picked by a
-   * deterministic stride over vec_id order (a seeded k-means refinement
-   * would slot in here; stride suffices for a partitioning quantizer),
-   * every vector assigned to its max-inner-product centroid. The
-   * assignment is a plan-literal broadcast — one pass, no shuffle.
-   * Returns `(vec_id, centroid_id, v)`.
+   * IVF quantizer assignment: every vector assigned to its
+   * max-inner-product centroid, as a plan-literal projection — one
+   * pass, no shuffle. Returns `(vec_id, centroid_id, v)`.
+   *
+   * Up to [[FlatCentroidMax]] centroids this is one fused argmax loop
+   * over the whole centroid matrix ([[graft.functions.DotArgmax]] —
+   * ties to the lowest cid). Past it, assignment goes two-level
+   * ([[graft.functions.DotTopKGrouped]]): the centroids are themselves
+   * clustered into ~√nCentroids coarse groups on the driver
+   * ([[coarseGroups]]), each row scans the coarse matrix and then only
+   * the top-`assignProbe` groups' fine centroids —
+   * O((√nCentroids·(1+assignProbe))·dim) per row instead of
+   * O(nCentroids·dim), with two bounded reference-object matrices
+   * instead of an ever-growing plan literal. (Like any coarse-fine
+   * IVF, a vector whose true nearest cell hides in an unprobed coarse
+   * group lands in a neighbor cell — the standard trade. How often
+   * depends on how clustered the data is: spec-measured 81% exact
+   * agreement at assignProbe=4 on a worst-case NEAR-RANDOM 64-dim
+   * fixture, rising smoothly to 96% at 8; real embedding corpora have
+   * the cluster structure this index assumes.)
    */
-  def ivfAssign(emb: DataFrame, centroids: Seq[(Int, Array[Long])]): DataFrame = {
-    // one fused argmax loop over the centroid matrix (codegen reference
-    // object) — k separate dot-product expressions would bloat the plan
+  def ivfAssign(emb: DataFrame, centroids: Seq[(Int, Array[Long])],
+                assignProbe: Int = 4): DataFrame = {
     val dim = centroids.head._2.length
-    val matrix = centroids.sortBy(_._1).flatMap(_._2).toArray
-    val assignExpr = org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.functions.DotArgmax(
-        org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
-        matrix, centroids.length, dim))
+    val assignExpr =
+      if (centroids.length <= FlatCentroidMax) {
+        val matrix = centroids.sortBy(_._1).flatMap(_._2).toArray
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.DotArgmax(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+            matrix, centroids.length, dim))
+      } else {
+        val g = coarseGroups(centroids)
+        element_at(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.DotTopKGrouped(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+            g.coarse, g.nCoarse, g.fine, g.offsets, g.cids,
+            cProbe = assignProbe, k = 1, dim = dim)), 1)
+      }
     emb.withColumn("centroid_id", assignExpr)
       .select(col("vec_id"), col("centroid_id"), col("v"))
   }
 
-  /** Deterministic centroid choice: every (n/nCentroids)-th vector in
-    * vec_id order. Metadata-scale driver state (nCentroids vectors). */
-  def ivfCentroids(emb: DataFrame, nCentroids: Int): Seq[(Int, Array[Long])] = {
-    val n = emb.count()
-    val stride = math.max(1L, n / nCentroids)
-    emb.filter(col("vec_id") % stride === 0).orderBy("vec_id")
-      .limit(nCentroids).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Long](r.fieldIndex("v")).toArray) }
-      .toSeq
+  /** Driver-side two-level index over the (metadata-scale) centroid
+    * set: ~√n coarse groups from a few deterministic integer Lloyd
+    * iterations over the centroids themselves. Arrays are laid out for
+    * [[graft.functions.DotTopKGrouped]]: `fine` sorted by group,
+    * `offsets` delimiting groups, `cids` mapping positions back to
+    * centroid ids. */
+  private[graft] case class TwoLevel(coarse: Array[Long], nCoarse: Int,
+                                     fine: Array[Long], offsets: Array[Int],
+                                     cids: Array[Int])
+
+  private[graft] def coarseGroups(cents: Seq[(Int, Array[Long])]): TwoLevel = {
+    val dim = cents.head._2.length
+    val sorted = cents.sortBy(_._1)
+    val n = sorted.length
+    val nSeed = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    def argmaxDot(v: Array[Long], cs: IndexedSeq[Array[Long]]): Int = {
+      var best = 0; var bestDot = Long.MinValue
+      var j = 0
+      while (j < cs.length) {
+        var acc = 0L; var i = 0
+        while (i < dim) { acc += v(i) * cs(j)(i); i += 1 }
+        if (acc > bestDot) { bestDot = acc; best = j }
+        j += 1
+      }
+      best
+    }
+    // stride seeds over cid order, then 3 truncating-integer Lloyd
+    // iterations — all O(nCentroids·√nCentroids·dim) driver math
+    var coarse: IndexedSeq[Array[Long]] =
+      (0 until nSeed).map(j => sorted(j * n / nSeed)._2)
+    var asg: Array[Int] = null
+    for (_ <- 0 until 3) {
+      asg = sorted.map(c => argmaxDot(c._2, coarse)).toArray
+      coarse = coarse.indices.map { j =>
+        val members = asg.indices.filter(asg(_) == j)
+        if (members.isEmpty) coarse(j)
+        else Array.tabulate(dim)(i => members.map(m => sorted(m)._2(i)).sum / members.length)
+      }
+    }
+    val groups = asg.indices.groupBy(asg(_)).toSeq
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val keptCoarse = groups.map(g => coarse(g._1))
+    val order = groups.flatMap(_._2)
+    TwoLevel(
+      coarse = keptCoarse.flatten.toArray,
+      nCoarse = groups.length,
+      fine = order.flatMap(m => sorted(m)._2).toArray,
+      offsets = groups.map(_._2.length).scanLeft(0)(_ + _).toArray,
+      cids = order.map(m => sorted(m)._1).toArray)
   }
+
+  /**
+   * Deterministic, id-distribution-free centroid seeds: the
+   * `nCentroids` rows with the smallest `md5(vec_id)` — a uniform
+   * hash-order sample needing no assumption of dense or contiguous
+   * vec_ids (the old `vec_id % stride` pick under-sampled sparse or
+   * skewed id spaces). Plans as TakeOrderedAndProject — a distributed
+   * top-n, never a full sort — and collects only the winning
+   * `nCentroids` rows (metadata-scale). Centroid ids number the picks
+   * in vec_id order, mirrored verbatim by the DuckDB oracle.
+   */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int): Seq[(Int, Array[Long])] =
+    emb.select(col("vec_id"), col("v"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](r.fieldIndex("v")).toArray))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }.toSeq
 
   /**
    * Deterministic integer Lloyd refinement of IVF centroids: assign
@@ -162,7 +247,7 @@ object Similarity {
    * is bit-reproducible in the oracle); an empty cell keeps its old
    * centroid. One distributed pass per iteration: a single groupBy with
    * `dim` map-side-combinable sums — no explode, no extra shuffle
-   * shape. Improves cell balance over the raw stride quantizer, which
+   * shape. Improves cell balance over the raw hash-order seeds, which
    * is what bounds worst-case probe cost at scale.
    */
   def ivfRefine(emb: DataFrame, cents: Seq[(Int, Array[Long])],
@@ -185,12 +270,36 @@ object Similarity {
     cs
   }
 
+  /** Per-row probe list (array of the top-`nProbe` centroid ids by
+    * inner product against `v`). Flat up to [[FlatCentroidMax]]
+    * centroids: one fused struct sort, ties (dot desc, cid desc) —
+    * the shape the 16-centroid oracle gates pin. Past it: two-level
+    * [[graft.functions.DotTopKGrouped]] over the top-`nProbe` coarse
+    * groups, ties (dot desc, cid asc) — O(√nCentroids-ish) per row. */
+  private def probeList(cents: Seq[(Int, Array[Long])], nProbe: Int): Column =
+    if (cents.length <= FlatCentroidMax) {
+      val scored = cents.map { case (cid, c) =>
+        struct(graft.functions.GraftFunctions.dot_long(col("v"), typedLit(c)).as("d"),
+          lit(cid).as("cid"))
+      }
+      transform(slice(sort_array(array(scored: _*), asc = false), 1, nProbe),
+        p => p.getField("cid"))
+    } else {
+      val g = coarseGroups(cents)
+      val dim = cents.head._2.length
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.DotTopKGrouped(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+          g.coarse, g.nCoarse, g.fine, g.offsets, g.cids,
+          cProbe = math.max(2, nProbe), k = nProbe, dim = dim))
+    }
+
   /**
    * IVF approximate top-k: probe the `nProbe` nearest centroids per
    * query, rerank candidates exactly. Scan cost ≈ nProbe/nCentroids of
    * the table — the standard ANN trade (recall measured in
-   * `SimilaritySpec`). `lloydIters` > 0 refines the stride seeds with
-   * deterministic integer k-means ([[ivfRefine]]).
+   * `SimilaritySpec`). `lloydIters` > 0 refines the hash-order seeds
+   * with deterministic integer k-means ([[ivfRefine]]).
    */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
@@ -198,15 +307,14 @@ object Similarity {
     val seeds = ivfCentroids(emb, nCentroids)
     val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
     val assigned = ivfAssign(emb, cents)
-    val scored = cents.map { case (cid, c) =>
-      struct(graft.functions.GraftFunctions.dot_long(col("v"), typedLit(c)).as("d"),
-        lit(cid).as("cid"))
-    }
+    // probes materialized as a column BEFORE the explode:
+    // InferFiltersFromGenerate duplicates a generator-child expression
+    // into an inferred size()>0 filter, which would triple-evaluate the
+    // probe scan if exploded directly
     val qProbes = queries
-      .withColumn("probes",
-        slice(sort_array(array(scored: _*), asc = false), 1, nProbe))
+      .withColumn("probes", probeList(cents, nProbe))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(expr("transform(probes, p -> p.cid)")).as("centroid_id"))
+        explode(col("probes")).as("centroid_id"))
     // (qid, nid) is unique by construction — every neighbor sits in
     // exactly one cell and a query's probe list is distinct — so no
     // dedup pass is needed between the join and the rank
@@ -233,24 +341,22 @@ object Similarity {
    * Scale shape: ONE shuffle on `centroid_id` (candidate generation) +
    * one on `qid` (rank). Candidate volume is `nProbe/nCentroids` of the
    * all-pairs square — the IVF trade; at 100 TB raise `nCentroids` to
-   * ~sqrt(n) (cells stay balanced via [[ivfRefine]]) so per-cell
-   * work is bounded. Cell skew is the thing to watch: refined centroids
-   * bound it, and AQE's skew-join split handles residual hot cells.
+   * ~sqrt(n) (cells stay balanced via [[ivfRefine]]), at which point
+   * the per-row centroid scan switches itself to the two-level
+   * coarse→fine path (see [[ivfAssign]]/[[FlatCentroidMax]]) so
+   * per-row work stays ~O(√nCentroids·dim). Cell skew is the thing to
+   * watch: refined centroids bound it, and AQE's skew-join split
+   * handles residual hot cells.
    */
   def knnJoin(emb: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 0): DataFrame = {
     val seeds = ivfCentroids(emb, nCentroids)
     val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
     val assigned = ivfAssign(emb, cents)
-    val scored = cents.map { case (cid, c) =>
-      struct(graft.functions.GraftFunctions.dot_long(col("v"), typedLit(c)).as("d"),
-        lit(cid).as("cid"))
-    }
     val qProbes = emb
-      .withColumn("probes",
-        slice(sort_array(array(scored: _*), asc = false), 1, nProbe))
+      .withColumn("probes", probeList(cents, nProbe))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(expr("transform(probes, p -> p.cid)")).as("centroid_id"))
+        explode(col("probes")).as("centroid_id"))
     val scoredCand = assigned
       .join(qProbes, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("qid"))
