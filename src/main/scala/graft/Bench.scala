@@ -49,7 +49,8 @@ object Bench {
     // builds a whole store / replays the state machine) — measured once
     // below under their own keys so the query inventory stays
     // comparable across rounds
-    val streamKeys = Seq("stream_ingest_range", "stream_dedup", "stream_hourly")
+    val streamKeys =
+      Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup", "stream_hourly")
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => streamKeys.contains(kv._1))
       .map { case (name, fn) =>

@@ -26,6 +26,8 @@ object StreamingQueries {
   // same rectangle the batch range queries use (PointQueries)
   private val RX = IntRange(10000, 30000)
   private val RY = IntRange(40, 110)
+  // same time window as the batch range_query_3d gate
+  private val RT3 = IntRange(500, 300000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_range" -> ((s, dir) => {
@@ -53,6 +55,41 @@ object StreamingQueries {
       // evaluate EAGERLY so the full temp tree (store copy, checkpoint)
       // can be deleted before returning — otherwise every Verify/Bench
       // run leaks a store-sized copy in /tmp
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      fs.delete(new Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
+    // The same online ingest loop over the 3-D OCTREE layout
+    // (StreamingIngest.EventsLayout3D): foreachBatch two-phase publish,
+    // z3-keyed stats deltas and z3-footer compaction probes, then a
+    // spatio-temporal box aggregate over the resulting store vs plain
+    // SQL on the source — proves the whole put path is key-agnostic and
+    // the spatio-temporal store has the same online write surface as
+    // the 2-D store (the reference's put path, lifted).
+    "stream_ingest_box3" -> ((s, dir) => {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val tmp = Files.createTempDirectory("graft-stream-gate3").toString
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/events.parquet")
+      val fs = src.getFileSystem(conf)
+      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+      val q = StreamingIngest.start(stream, s"$tmp/store", s"$tmp/stats",
+        s"$tmp/ckpt", splitThreshold = 100000L,
+        layout = StreamingIngest.EventsLayout3D)
+      try q.processAllAvailable() finally q.stop()
+      val agg = graft.operators.SpatioTemporal
+        .rangeQuery3(s.read.parquet(s"$tmp/store"), RX, RY, RT3)
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
+          sum(col("x").cast("long")).as("x_sum"),
+          sum(col("y").cast("long")).as("y_sum"),
+          sum(col("t").cast("long")).as("t_sum"))
       val rows = agg.collect().toSeq
       val outSchema = agg.schema
       fs.delete(new Path(tmp), true)
@@ -151,6 +188,17 @@ object StreamingQueries {
 FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
   AND user_id BETWEEN ${RY.min} AND ${RY.max}""",
+
+    "stream_ingest_box3" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS x_sum,
+  CAST(sum(user_id) AS BIGINT) AS y_sum,
+  CAST(sum(event_id % 2097152) AS BIGINT) AS t_sum
+FROM events
+WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
+  AND user_id BETWEEN ${RY.min} AND ${RY.max}
+  AND (event_id % 2097152) BETWEEN ${RT3.min} AND ${RT3.max}""",
 
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users

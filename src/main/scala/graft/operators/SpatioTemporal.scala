@@ -35,11 +35,14 @@ object SpatioTemporal {
       .withColumn("z3", zorder3(col("x"), col("y"), col("t")).as("z3", Z3Metadata))
 
   /** z3-clustered parquet layout (range-partitioned + sorted within
-    * partitions), the octree analog of [[PointStore.write]]. */
-  def write(pts: DataFrame, path: String, numPartitions: Int): Unit =
-    pts.repartitionByRange(numPartitions, col("z3"))
-      .sortWithinPartitions("z3")
-      .write.mode("overwrite").parquet(path)
+    * partitions), the octree analog of [[PointStore.write]].
+    * `numPartitions = 0` keeps the incoming partitioning and only sorts
+    * within partitions (the small-append shape used by streaming
+    * ingest, mirroring [[PointStore.write]]'s default). */
+  def write(pts: DataFrame, path: String, numPartitions: Int): Unit = {
+    val p = if (numPartitions > 0) pts.repartitionByRange(numPartitions, col("z3")) else pts
+    p.sortWithinPartitions("z3").write.mode("overwrite").parquet(path)
+  }
 
   /** Inclusive 3-D box predicate: raw x/y/t bounds (correctness) AND
     * the budgeted octree z3-interval union (pruning-only superset of

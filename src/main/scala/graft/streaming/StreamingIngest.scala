@@ -45,6 +45,41 @@ import graft.operators.PointStore
  */
 object StreamingIngest {
 
+  /**
+   * The key contract the ingest/maintenance machinery is parameterized
+   * over — everything else (two-phase publish, stats deltas, footer
+   * probes, split/recluster convergence) is key-agnostic:
+   *
+   *  - `keyCol`: the clustered key column name (its min/max drive the
+   *    footer-metadata split probe and the stats bucketing);
+   *  - `derive`: batch rows → keyed point rows;
+   *  - `write`: the key-clustered layout writer (partitions = 0 keeps
+   *    the incoming partitioning, sort-only — the per-batch shape).
+   */
+  final case class IngestLayout(keyCol: String,
+                                derive: DataFrame => DataFrame,
+                                write: (DataFrame, String, Int) => Unit)
+
+  /** 2-D layout over the events schema: `(event_id, floor(value*100),
+    * user_id) → zkey` — the original online path. */
+  val EventsLayout2D: IngestLayout = IngestLayout(
+    keyCol = "zkey",
+    derive = batch => PointStore.points(batch,
+      col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id")),
+    write = (pts, path, parts) => PointStore.write(pts, path, parts))
+
+  /** 3-D octree layout over the events schema: the spatio-temporal
+    * derivation the batch gates use (`PointQueries.events3` — x =
+    * floor(value*100), y = user_id, t = low 21 bits of event_id) keyed
+    * by `z3` and written z3-clustered. Gives the spatio-temporal store
+    * the SAME online put path as the 2-D store. */
+  val EventsLayout3D: IngestLayout = IngestLayout(
+    keyCol = "z3",
+    derive = batch => graft.operators.SpatioTemporal.points3(batch,
+      col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"),
+      expr("cast(event_id % 2097152 as int)")),
+    write = (pts, path, parts) => graft.operators.SpatioTemporal.write(pts, path, parts))
+
   /** Event-time hourly rollup, identical for batch and streaming input
     * (the gated `events_hourly` query is its batch twin). `ts` is BIGINT
     * nanoseconds (driver tables) → event-time timestamp. */
@@ -76,7 +111,8 @@ object StreamingIngest {
    * an overwritten `delta=<batchId>` partition.
    */
   def start(events: DataFrame, storePath: String, statsPath: String,
-            checkpoint: String, splitThreshold: Long): StreamingQuery = {
+            checkpoint: String, splitThreshold: Long,
+            layout: IngestLayout = EventsLayout2D): StreamingQuery = {
     // converge any recluster/fold interrupted in a previous run BEFORE
     // new batches land — otherwise a later recovery would swap a stale
     // snapshot over them
@@ -86,7 +122,7 @@ object StreamingIngest {
     // split that died between publishing its set and deleting its source
     // would otherwise leave persistent DUPLICATE rows (nothing revisits
     // it — pendingFiles resets to Nil below)
-    convergeSplits(events.sparkSession, storePath, splitThreshold)
+    convergeSplits(events.sparkSession, storePath, splitThreshold, layout)
     // Compaction is DEFERRED one batch: batch N's files are split while
     // processing batch N+1, after N's checkpoint committed — splitting
     // them inside batch N would consume the very ingest-N marker files
@@ -97,24 +133,21 @@ object StreamingIngest {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val published = ingestBatch(batch, batchId, storePath)
+        val published = ingestBatch(batch, batchId, storePath, layout)
         compactOversizedFiles(batch.sparkSession, storePath, splitThreshold,
-          Some(pendingFiles))
+          Some(pendingFiles), layout)
         pendingFiles = published
-        mergeBatchStats(batch.sparkSession, pointsOf(batch), batchId, statsPath)
+        mergeBatchStats(batch.sparkSession, layout.derive(batch), batchId,
+          statsPath, layout.keyCol)
       }
       .start()
   }
 
-  /** The stream's point derivation (shared by ingest and stats). */
-  private def pointsOf(batch: DataFrame): DataFrame =
-    PointStore.points(batch,
-      col("event_id"), expr("cast(floor(value*100) as int)"), col("user_id"))
-
   /** One micro-batch of the put path — safe to call repeatedly with the
     * same (batch, batchId): replays converge instead of duplicating.
     * Returns the batch's published data file names. */
-  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Seq[String] = {
+  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String,
+                  layout: IngestLayout = EventsLayout2D): Seq[String] = {
     val spark = batch.sparkSession
     val fs = fsOf(spark, storePath)
     val dest = new Path(storePath)
@@ -123,10 +156,10 @@ object StreamingIngest {
       graft.sources.TxDir.publishedNames(fs, dest, prefix)
     } else {
       graft.sources.TxDir.cleanPartial(fs, dest, prefix)
-      val pts = pointsOf(batch)
+      val pts = layout.derive(batch)
       val scratch = new Path(storePath + s".batch-$batchId")
       fs.delete(scratch, true)
-      PointStore.write(pts, scratch.toString)
+      layout.write(pts, scratch.toString, 0)
       graft.sources.TxDir.publish(fs, scratch, dest, prefix)
     }
   }
@@ -137,8 +170,8 @@ object StreamingIngest {
   // ---------------------------------------------------------------------
 
   /** Fine-bucket counts of one batch of points — O(batch). */
-  def batchStats(batchPts: DataFrame): DataFrame =
-    batchPts.groupBy(bucket_key(col("zkey"), StatsDepth).as("bucket_key"))
+  def batchStats(batchPts: DataFrame, keyCol: String = "zkey"): DataFrame =
+    batchPts.groupBy(bucket_key(col(keyCol), StatsDepth).as("bucket_key"))
       .agg(count(lit(1)).as("bucket_size"))
 
   /**
@@ -151,10 +184,10 @@ object StreamingIngest {
    * the store itself is never read.
    */
   def mergeBatchStats(spark: SparkSession, batchPts: DataFrame, batchId: Long,
-                      statsPath: String): Unit = {
+                      statsPath: String, keyCol: String = "zkey"): Unit = {
     val fs = fsOf(spark, statsPath)
     recoverSwap(fs, new Path(statsPath))
-    batchStats(batchPts).coalesce(1)
+    batchStats(batchPts, keyCol).coalesce(1)
       .write.mode("overwrite").parquet(s"$statsPath/delta=$batchId")
     foldStats(spark, statsPath, keepId = batchId)
   }
@@ -190,13 +223,14 @@ object StreamingIngest {
   /** Offline bootstrap/repair: full recompute of the fine stats table
     * from the store — O(store), the one-time twin of the per-batch
     * [[mergeBatchStats]] path. */
-  def rebuildStats(spark: SparkSession, storePath: String, statsPath: String): Unit = {
+  def rebuildStats(spark: SparkSession, storePath: String, statsPath: String,
+                   keyCol: String = "zkey"): Unit = {
     val fs = fsOf(spark, statsPath)
     val target = new Path(statsPath)
     recoverSwap(fs, target)
     val scratch = new Path(statsPath + SwapSuffix)
     fs.delete(scratch, true)
-    batchStats(spark.read.parquet(storePath)).coalesce(1)
+    batchStats(spark.read.parquet(storePath), keyCol).coalesce(1)
       .write.parquet(new Path(scratch, "delta=base").toString)
     fs.create(new Path(scratch, ReadyMarker)).close()
     completeSwap(fs, target, scratch)
@@ -285,7 +319,8 @@ object StreamingIngest {
    * where the crash hit). [[recoverRecluster]] runs first and converges
    * any interrupted prior attempt.
    */
-  def recluster(spark: SparkSession, storePath: String, threshold: Long): Unit = {
+  def recluster(spark: SparkSession, storePath: String, threshold: Long,
+                layout: IngestLayout = EventsLayout2D): Unit = {
     recoverRecluster(spark, storePath)
     // crashed-split debris first: a source file whose split set is
     // complete is DUPLICATE data — snapshotting both would bake the
@@ -299,7 +334,7 @@ object StreamingIngest {
     val df = spark.read.parquet(snapshot.map(n => new Path(store, n).toString): _*)
     val parts = math.max(1, math.ceil(df.count().toDouble / threshold).toInt)
     fs.delete(scratch, true)
-    PointStore.write(df, scratch.toString, parts)
+    layout.write(df, scratch.toString, parts)
     val out = fs.create(new Path(scratch, SnapshotManifest))
     out.write(snapshot.mkString("\n").getBytes("UTF-8")); out.close()
     fs.create(new Path(scratch, ReclusterReady)).close()
@@ -458,10 +493,10 @@ object StreamingIngest {
     }
   }
 
-  /** (rows, zkey min/max) of ONE file's footer — no data scan. zkey
+  /** (rows, key min/max) of ONE file's footer — no data scan. Key
     * bounds come from row-group column statistics; a file whose stats
     * are absent reports None and is left alone (conservative). */
-  private def readFooter(file: String, conf: Configuration)
+  private def readFooter(file: String, conf: Configuration, keyCol: String)
       : (String, Long, Option[(Long, Long)]) = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
@@ -469,7 +504,7 @@ object StreamingIngest {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val zranges = blocks.flatMap { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == "zkey").flatMap { c =>
+        b.getColumns.asScala.find(_.getPath.toDotString == keyCol).flatMap { c =>
           val st = c.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
@@ -490,19 +525,19 @@ object StreamingIngest {
     * past [[FooterProbeSerialMax]] files: at store scale (millions of
     * files) a serial driver loop over footers would dominate batch
     * maintenance time. */
-  private def footerMeta(spark: SparkSession, dir: Path)
+  private def footerMeta(spark: SparkSession, dir: Path, keyCol: String)
       : Seq[(Path, Long, Option[(Long, Long)])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     val files = dataFileNames(fs, dir).map(n => new Path(dir, n).toString)
     val metas =
-      if (files.length <= FooterProbeSerialMax) files.map(readFooter(_, conf))
+      if (files.length <= FooterProbeSerialMax) files.map(readFooter(_, conf, keyCol))
       else {
         val ser = new SerializableHadoopConf(conf)
         val parts = math.max(1,
           math.min(files.length / 64 + 1, spark.sparkContext.defaultParallelism))
         spark.sparkContext.parallelize(files, parts)
-          .map(f => readFooter(f, ser.value)).collect().toIndexedSeq
+          .map(f => readFooter(f, ser.value, keyCol)).collect().toIndexedSeq
       }
     metas.map { case (f, rows, zr) => (new Path(f), rows, zr) }
   }
@@ -531,11 +566,12 @@ object StreamingIngest {
 
   def compactOversizedFiles(spark: SparkSession, storePath: String,
                             threshold: Long,
-                            onlyFiles: Option[Seq[String]] = None): Unit = {
+                            onlyFiles: Option[Seq[String]] = None,
+                            layout: IngestLayout = EventsLayout2D): Unit = {
     if (onlyFiles.exists(_.isEmpty)) return
     val fs = fsOf(spark, storePath)
     val dest = new Path(storePath)
-    val oversized = footerMeta(spark, dest)
+    val oversized = footerMeta(spark, dest, layout.keyCol)
       .filter { case (p, n, zr) =>
         n > threshold &&
           // a file whose rows all share one zkey cannot be range-split —
@@ -574,8 +610,8 @@ object StreamingIngest {
     spark.read.parquet(todo.map(_._1.toString): _*)
       .withColumn("__split",
         expr("substring(md5(element_at(split(input_file_name(), '/'), -1)), 1, 12)"))
-      .repartitionByRange(totalParts, col("__split"), col("zkey"))
-      .sortWithinPartitions("__split", "zkey")
+      .repartitionByRange(totalParts, col("__split"), col(layout.keyCol))
+      .sortWithinPartitions("__split", layout.keyCol)
       .write.partitionBy("__split").mode("overwrite").parquet(scratchAll.toString)
     todo.foreach { case (srcPath, _, _) =>
       val prefix = splitPrefix(srcPath.getName)
@@ -624,7 +660,8 @@ object StreamingIngest {
     * excluded. Called on stream [[start]]; makes the crash window
     * between split-publish and source-delete self-healing instead of a
     * permanent duplication. */
-  def convergeSplits(spark: SparkSession, storePath: String, threshold: Long): Unit = {
+  def convergeSplits(spark: SparkSession, storePath: String, threshold: Long,
+                     layout: IngestLayout = EventsLayout2D): Unit = {
     convergeSplitDebris(spark, storePath)
     val fs = fsOf(spark, storePath)
     val names = dataFileNames(fs, new Path(storePath))
@@ -632,6 +669,6 @@ object StreamingIngest {
     val newest = newestIngestId(names)
     val eligible = names
       .filterNot(n => newest.exists(id => n.startsWith(s"ingest-$id-")))
-    compactOversizedFiles(spark, storePath, threshold, Some(eligible))
+    compactOversizedFiles(spark, storePath, threshold, Some(eligible), layout)
   }
 }

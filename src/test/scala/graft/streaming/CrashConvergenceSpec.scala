@@ -63,6 +63,31 @@ class CrashConvergenceSpec extends SparkSpec {
     assert(sizes.max <= 300L)
   }
 
+  test("the 3-D octree layout runs the same put/split/recluster machinery") {
+    val store = Files.createTempDirectory("graft-z3").toString + "/store"
+    val batch = spark.read.parquet(sf("sf0.01") + "/events.parquet").limit(2000)
+    val L3 = StreamingIngest.EventsLayout3D
+    StreamingIngest.ingestBatch(batch, 1L, store, L3)
+    val n1 = spark.read.parquet(store).count()
+    StreamingIngest.ingestBatch(batch, 1L, store, L3) // at-least-once replay
+    assert(spark.read.parquet(store).count() === n1)
+    assert(spark.read.parquet(store).columns.toSet === Set("id", "x", "y", "t", "z3"))
+    // major compaction into one oversized file, then a minor compaction
+    // that must probe z3 footer stats (not zkey) to range-split it
+    StreamingIngest.recluster(spark, store, threshold = 5000L, L3)
+    StreamingIngest.compactOversizedFiles(spark, store, 300L, layout = L3)
+    val sizes = spark.read.parquet(store).groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.max <= 300L, "z3 footer probe failed to split the oversized file")
+    // full multiset parity with the batch derivation: nothing lost or
+    // duplicated across ingest + recluster + split
+    val want = L3.derive(batch).select("id", "z3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val got = spark.read.parquet(store).select("id", "z3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("isComplete rejects a mixed-generation set (stale file + partial redo)") {
     val dir = Files.createTempDirectory("graft-mixed").toString
     val fs = fsOf(dir)
