@@ -51,10 +51,11 @@ object CurationQueries {
       val sampled = content.join(
         Curation.stratifiedSample(d, "lang", SampleRates, SampleDefault)
           .select("doc_id", "lang", "source"), "doc_id")
-      val capped = sampled
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")))
-        .filter(col("rn") <= SourceCapN)
+      // per-source cap via the bounded top-n aggregate (no per-source
+      // full sort — see Curation.sourceCap), joined back on the unique id
+      val capped = sampled.join(
+        Curation.sourceCap(sampled.select("doc_id", "source"), SourceCapN)
+          .select("doc_id"), Seq("doc_id"))
       // cluster losers come from the materialized-per-process cluster
       // table (same table dedup_clusters/dedup_keepers consume) — the
       // expensive LSH→re-verify→CC chain runs once per corpus, not once

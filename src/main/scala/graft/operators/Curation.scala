@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -80,18 +79,28 @@ object Curation {
   /**
    * Per-source document cap — the per-host/per-domain cap of web-corpus
    * curation (no single source may dominate the training mixture).
-   * Keeps the `n` lowest doc_ids per source: one window over
-   * (source, doc_id), i.e. a single shuffle on source. Skew note: a
-   * mega-source makes its partition wide; at 100 TB cap first by a
-   * cheap `count per (source, salt)` pre-filter or use the fact that
-   * rank-by-monotonic-id only needs a per-source top-n
-   * (TakeOrdered-shaped), not a full sort of the source's rows.
+   * Keeps the `n` lowest doc_ids per source with their rank.
+   *
+   * TakeOrdered-shaped, NOT a window: a bounded top-n aggregate
+   * (Catalyst's `CollectTopK` — a size-n priority queue per group,
+   * map-side combinable), so each partition reduces a source to ≤ n ids
+   * BEFORE the shuffle and no executor ever sorts a whole source. The
+   * windowed `row_number` spelling this replaces put a mega-source's
+   * every row into one sorted partition — the classic curation skew
+   * trap (one giant crawl domain stalls the stage). Ranks match the
+   * window exactly: doc_ids are ranked ascending, and for duplicate
+   * ids either spelling numbers equal values arbitrarily-but-equally.
    */
-  def sourceCap(df: DataFrame, n: Int): DataFrame =
+  def sourceCap(df: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val topN = Bridge.collectTopK(Bridge.expression(col("doc_id")), n, reverse = true)
     df.select(col("doc_id"), col("source"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("source").orderBy("doc_id")).cast("long"))
-      .filter(col("rn") <= n)
+      .groupBy("source")
+      .agg(sort_array(topN).as("ids"))
+      .select(col("source"), posexplode(col("ids")))
+      .select(col("col").as("doc_id"), col("source"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
 
   /**
    * Corpus token-length histogram: document counts and token mass per

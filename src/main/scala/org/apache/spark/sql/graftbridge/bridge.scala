@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst's `private[sql]` bounded top-k aggregate (a size-`num`
+    * priority queue per group, map-side combinable — the TakeOrdered
+    * shape as an aggregate function). `reverse = true` keeps the
+    * SMALLEST `num` values. Returned array is unsorted. */
+  def collectTopK(e: Expression, num: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .GraftCollect.topK(e, num, reverse))
 }

@@ -151,6 +151,11 @@ class CurationSpec extends SparkSpec {
 
   test("sourceCap keeps exactly the n lowest doc_ids per source") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    // TakeOrdered shape: a bounded top-n aggregate, never a windowed
+    // per-source sort (the mega-source skew trap)
+    val plan = Curation.sourceCap(docs, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
     val out = Curation.sourceCap(docs, 3).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
     val bySource = out.groupBy(_._1)
