@@ -177,6 +177,13 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
       PointStore.adaptiveStats(eventsPoints(s, dir),
         threshold = 500L, statsDepth = 48, baseDepth = 2)),
 
+    // O6/P7 3-D extension — the same recursive split over the octree
+    // key (one z3 prefix bit at a time; three bits = one refinement
+    // level per dimension), vs the same recursive-CTE oracle shape
+    "index_adaptive_3d" -> ((s, dir) =>
+      graft.operators.SpatioTemporal.adaptiveStats3(events3(s, dir),
+        threshold = 500L, statsDepth = 48, baseDepth = 2)),
+
     // S2 — as-of (getRowOrBefore) routing against a bucket-stats table
     "stats_asof" -> ((s, dir) => {
       val pts = eventsPoints(s, dir)
@@ -342,6 +349,33 @@ FROM split
 WHERE bucket_size > 0 AND (bucket_size <= 500 OR prefix_len = 48)"""
       recur
     },
+
+    // the same maySplit recursion over the 3-D octree key: the per-bit
+    // summation CTE derives z3, then any bucket over the threshold
+    // splits one prefix bit at a time down to depth 48
+    "index_adaptive_3d" ->
+      s"""WITH RECURSIVE ${z3Src.stripPrefix("WITH ")},
+z3bits AS (SELECT id, (((x >> b.range) & 1) << (3*b.range + 2))
+    + (((y >> b.range) & 1) << (3*b.range + 1))
+    + (((t >> b.range) & 1) << (3*b.range)) AS part
+  FROM z3src, range(0, 21) b),
+z3k AS (SELECT id, CAST(sum(part) AS BIGINT) AS z3 FROM z3bits GROUP BY id),
+split(bucket_key, prefix_len, bucket_size) AS (
+  SELECT z3 & (-(CAST(1 AS BIGINT) << 62)), 2, count(*) FROM z3k GROUP BY 1
+  UNION ALL
+  SELECT child.k, s.prefix_len + 1, (
+      SELECT count(*) FROM z3k
+      WHERE (z3 & (-(CAST(1 AS BIGINT) << (64 - (s.prefix_len + 1))))) = child.k)
+  FROM split s,
+    LATERAL (SELECT s.bucket_key | (CAST(c.c AS BIGINT) << (63 - s.prefix_len)) AS k
+             FROM (VALUES (0), (1)) c(c)) child
+  WHERE s.bucket_size > 500 AND s.prefix_len < 48
+)
+SELECT bucket_key, prefix_len,
+  concat(substring(lpad(bin(bucket_key), 64, '0'), 1, prefix_len), repeat('*', 64 - prefix_len)) AS bucket_name,
+  bucket_size
+FROM split
+WHERE bucket_size > 0 AND (bucket_size <= 500 OR prefix_len = 48)""",
 
     "stats_asof" ->
       s"""$eventsLadder,

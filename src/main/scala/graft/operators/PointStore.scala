@@ -140,12 +140,13 @@ object PointStore {
    * (driver state bounded by occupied fine buckets ≤ 2^statsDepth).
    */
   def adaptiveStats(pts: DataFrame, threshold: Long, statsDepth: Int = 24,
-                    baseDepth: Int = 2, driverRowCap: Long = 2000000L): DataFrame = {
+                    baseDepth: Int = 2, driverRowCap: Long = 2000000L,
+                    keyCol: String = "zkey"): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
-    val depth = probeDepth(pts, col("zkey"), statsDepth, baseDepth, driverRowCap)
+    val depth = probeDepth(pts, col(keyCol), statsDepth, baseDepth, driverRowCap)
     val fine: Array[(Long, Long)] = pts
-      .groupBy(bucket_key(col("zkey"), depth).as("k"))
+      .groupBy(bucket_key(col(keyCol), depth).as("k"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect()
     rollupAdaptive(spark, fine.toSeq, threshold, depth, baseDepth)

@@ -83,6 +83,16 @@ object SpatioTemporal {
         bucket_name(col("bucket_key"), prefixLen).as("bucket_name"),
         col("bucket_size"))
 
+  /** Variable-depth (maySplit-analog) octree bucket stats — the 3-D
+    * twin of [[PointStore.adaptiveStats]]: recursively split any bucket
+    * over `threshold` one z3 prefix bit at a time (three bits = one
+    * full octree refinement level). Same shape: ONE data-scale
+    * aggregation at a probed depth + a metadata-scale driver roll-up. */
+  def adaptiveStats3(pts: DataFrame, threshold: Long, statsDepth: Int = 48,
+                     baseDepth: Int = 2, driverRowCap: Long = 2000000L): DataFrame =
+    PointStore.adaptiveStats(pts, threshold, statsDepth, baseDepth,
+      driverRowCap, keyCol = "z3")
+
   /** Squared Euclidean distance to a fixed 3-D query point, exact in
     * Long arithmetic (21-bit coordinates: d² ≤ 3·2⁴² ≪ 2⁶³). */
   def dist3(qx: Int, qy: Int, qt: Int): Column = {
@@ -150,6 +160,7 @@ class SpatioTemporalStore(spark: org.apache.spark.sql.SparkSession, path: String
   def knn(qx: Int, qy: Int, qt: Int, k: Int, initialRadius: Int = 64): DataFrame =
     SpatioTemporal.knn3(df, qx, qy, qt, k, initialRadius)
   def indexStats(prefixLen: Int): DataFrame = SpatioTemporal.indexStats3(df, prefixLen)
+  def adaptiveStats(threshold: Long): DataFrame = SpatioTemporal.adaptiveStats3(df, threshold)
 
   /** Drop the store. */
   def drop(): Unit = {

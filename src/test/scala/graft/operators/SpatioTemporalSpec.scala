@@ -74,6 +74,23 @@ class SpatioTemporalSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveStats3 partitions the store: sizes sum to total, splits respect the threshold") {
+    val threshold = 500L
+    val stats = SpatioTemporal.adaptiveStats3(pts, threshold).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(stats.map(_._3).sum === pts.count())
+    // every bucket is within the threshold unless split out at max depth
+    assert(stats.forall { case (_, pl, n) => n <= threshold || pl == 48 })
+    // buckets are prefix-disjoint: no bucket's key range nests another's
+    val sorted = stats.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((k1, pl1, _), (k2, _, _)) =>
+        val hi1 = k1 + (1L << (64 - pl1)) - 1 // end of bucket 1's z3 range
+        assert(k2 > hi1, s"overlapping buckets: ($k1,$pl1) and $k2")
+      case _ => ()
+    }
+  }
+
   test("connectedComponents of an empty edge set is empty (pipeline edge case)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
