@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
  * compute-heavy steps (decode, feature-extract, resize, frame-sample)
  * run as partition-local typed transformations.
  *
- * The container has no media codecs, so the DECODE KERNELS BELOW ARE
- * DETERMINISTIC STAND-INS (clearly marked): they parse the byte stream
- * with a fake but stable algorithm. Swapping in a real codec changes
- * only the kernel body — the Spark-side contract (schema, typed
- * Dataset encoders, per-partition batching, shuffle-free execution) is
- * the real, tested design:
+ * The compute kernels live behind the [[MediaCodec]] seam: the
+ * operators are written against the interface, so a REAL decoder
+ * (libjpeg/ffmpeg/a model forward pass) drops in without touching the
+ * Spark-side plumbing. The container has no media libraries, so the
+ * default [[StandInCodec]] is a DETERMINISTIC STAND-IN (clearly
+ * marked): it parses the byte stream with a fake but stable
+ * algorithm. The Spark-side contract (schema, typed Dataset encoders,
+ * per-partition batching, shuffle-free execution) is the real, tested
+ * design:
  *
  *  - payloads never pass through the driver;
  *  - kernels run via `mapPartitions` (the Scala analog of
- *    `mapInPandas`: one iterator per partition => per-batch codec
- *    state amortization, e.g. a decoder handle reused per partition);
+ *    `mapInPandas`): the codec's `open()` is called ONCE PER PARTITION
+ *    so decoder state (native handles, model weights) is amortized
+ *    across the partition's rows;
  *  - derived columns (metadata, features) are small; the binary column
  *    is pruned away the moment it is no longer needed, which keeps
  *    scan width minimal at 100 TB.
@@ -37,6 +41,59 @@ object Multimodal {
   final case class MediaFeature(doc_id: Long, feature: Array[Float])
 
   val FrameBytes = 256 // fake fixed-size frame for the video stand-in
+
+  /**
+   * The codec seam. A factory ships to executors (must serialize);
+   * [[MediaCodec.open]] runs once per partition and returns the
+   * per-partition decoder whose methods run once per row. Implement
+   * these three methods over a real media stack and every operator
+   * below works unchanged.
+   */
+  trait MediaCodec extends Serializable {
+    def open(): MediaDecoder
+  }
+
+  /** Per-partition decoder handle (NOT required to be serializable —
+    * it never leaves the executor that opened it). */
+  trait MediaDecoder {
+    def decode(r: MediaRecord): MediaInfo
+    def resize(r: MediaRecord, w: Int, h: Int): MediaRecord
+    def features(r: MediaRecord): MediaFeature
+  }
+
+  /**
+   * STAND-IN CODEC — the deterministic fake used where a real media
+   * library would sit (none exists in this environment): "dimensions"
+   * from payload length, brightness proxy from the byte mean, resize
+   * as truncate/cycle, features as a 16-bin L1-normalized byte
+   * histogram.
+   */
+  object StandInCodec extends MediaCodec {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRecord): MediaInfo = {
+        val len = r.content.length
+        val w = math.max(1, math.sqrt(len.toDouble).toInt)
+        val h = math.max(1, len / w)
+        val frames = if (r.media_type == "video") (len + FrameBytes - 1) / FrameBytes else 1
+        val mean = if (len == 0) 0.0
+          else r.content.map(b => (b & 0xFF).toLong).sum.toDouble / len
+        MediaInfo(r.doc_id, r.media_type, w, h, frames, mean)
+      }
+      def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+        val target = w * h
+        val out =
+          if (r.content.isEmpty) new Array[Byte](target) // blank canvas
+          else Array.tabulate(target)(i => r.content(i % r.content.length))
+        MediaRecord(r.doc_id, r.media_type, out)
+      }
+      def features(r: MediaRecord): MediaFeature = {
+        val hist = new Array[Float](16)
+        r.content.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+        val n = math.max(1, r.content.length).toFloat
+        MediaFeature(r.doc_id, hist.map(_ / n))
+      }
+    }
+  }
 
   /**
    * Derive a deterministic media table from the `documents` fixture:
@@ -61,40 +118,27 @@ object Multimodal {
         .as("n_frames"))
 
   /**
-   * STAND-IN DECODER: a real implementation would hand the bytes to an
-   * image/audio codec here. The fake derives stable "dimensions" from
-   * the payload length and a brightness proxy from the byte mean. Runs
-   * partition-local with one "decoder" per partition.
+   * Decode payloads to metadata. Partition-local: one decoder handle
+   * per partition ([[MediaCodec.open]]), rows stream through it.
    */
-  def decode(media: Dataset[MediaRecord]): Dataset[MediaInfo] = {
+  def decode(media: Dataset[MediaRecord],
+             codec: MediaCodec = StandInCodec): Dataset[MediaInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder handle (amortized setup — the real-codec pattern)
-      it.map { r =>
-        val len = r.content.length
-        val w = math.max(1, math.sqrt(len.toDouble).toInt)
-        val h = math.max(1, len / w)
-        val frames = if (r.media_type == "video") (len + FrameBytes - 1) / FrameBytes else 1
-        val mean = if (len == 0) 0.0
-          else r.content.map(b => (b & 0xFF).toLong).sum.toDouble / len
-        MediaInfo(r.doc_id, r.media_type, w, h, frames, mean)
-      }
+      val dec = codec.open() // per-partition handle (amortized setup)
+      it.map(dec.decode)
     }
   }
 
-  /**
-   * STAND-IN RESIZE: truncate/cycle the payload to the target "pixel"
-   * count. Keeps the binary column partition-local end to end.
-   */
-  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  /** Resize payloads to a (w, h) target. Keeps the binary column
+    * partition-local end to end. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int,
+             codec: MediaCodec = StandInCodec): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    val target = w * h
-    media.mapPartitions(_.map { r =>
-      val out =
-        if (r.content.isEmpty) new Array[Byte](target) // blank canvas
-        else Array.tabulate(target)(i => r.content(i % r.content.length))
-      MediaRecord(r.doc_id, r.media_type, out)
-    })
+    media.mapPartitions { it =>
+      val dec = codec.open()
+      it.map(dec.resize(_, w, h))
+    }
   }
 
   /** Frame sampling for "video" payloads: every `everyN`-th fixed-size
@@ -112,19 +156,15 @@ object Multimodal {
              s -> s.idx % $everyN = 0)""")))
       .select(col("doc_id"), col("col.idx").as("frame_idx"), col("col.frame").as("frame"))
 
-  /**
-   * STAND-IN FEATURE EXTRACTOR: 16-bin byte histogram, L1-normalized —
-   * where a real vision/audio model forward pass would run (batched per
-   * partition, exactly this shape).
-   */
-  def features(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
+  /** Extract feature vectors — where a real vision/audio model forward
+    * pass runs (per-partition handle, exactly this shape). */
+  def features(media: Dataset[MediaRecord],
+               codec: MediaCodec = StandInCodec): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { r =>
-      val hist = new Array[Float](16)
-      r.content.foreach(b => hist((b & 0xFF) >> 4) += 1f)
-      val n = math.max(1, r.content.length).toFloat
-      MediaFeature(r.doc_id, hist.map(_ / n))
-    })
+    media.mapPartitions { it =>
+      val dec = codec.open()
+      it.map(dec.features)
+    }
   }
 
   def asRecords(spark: SparkSession, media: DataFrame): Dataset[MediaRecord] = {

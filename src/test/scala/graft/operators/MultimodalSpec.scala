@@ -31,6 +31,34 @@ class MultimodalSpec extends SparkSpec {
     assert(infos.map(_.mean_byte).sorted.toSeq === again.map(_.mean_byte).sorted.toSeq)
   }
 
+  test("codec seam: a replacement codec drops in without touching the operators") {
+    import Multimodal.{MediaCodec, MediaDecoder, MediaRecord, MediaInfo, MediaFeature}
+    // a fake "real" codec with recognizably different kernels — constant
+    // 2x3 dimensions, negated brightness, constant features
+    object FixedCodec extends MediaCodec {
+      def open(): MediaDecoder = new MediaDecoder {
+        def decode(r: MediaRecord): MediaInfo =
+          MediaInfo(r.doc_id, r.media_type, 2, 3, 7, -1.0)
+        def resize(r: MediaRecord, w: Int, h: Int): MediaRecord =
+          MediaRecord(r.doc_id, r.media_type, new Array[Byte](w * h))
+        def features(r: MediaRecord): MediaFeature =
+          MediaFeature(r.doc_id, Array(42f))
+      }
+    }
+    val recs = Multimodal.asRecords(spark, media.limit(30))
+    val swapped = Multimodal.decode(recs, FixedCodec).collect()
+    assert(swapped.forall(i => i.width == 2 && i.height == 3 && i.mean_byte == -1.0))
+    assert(Multimodal.features(recs, FixedCodec).collect()
+      .forall(_.feature.toSeq == Seq(42f)))
+    assert(Multimodal.resize(recs, 4, 4, FixedCodec).collect()
+      .forall(_.content.length == 16))
+    // ... and the default stand-in still answers as before (doc_id sets
+    // identical, kernels differ)
+    val std = Multimodal.decode(recs).collect()
+    assert(std.map(_.doc_id).toSet == swapped.map(_.doc_id).toSet)
+    assert(std.exists(i => i.width != 2 || i.mean_byte != -1.0))
+  }
+
   test("resize stub: payload becomes exactly w*h bytes") {
     val out = Multimodal.resize(Multimodal.asRecords(spark, media.limit(20)), 8, 8)
       .collect()
