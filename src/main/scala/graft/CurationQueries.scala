@@ -41,11 +41,11 @@ object CurationQueries {
     // post-filter survivors) → transitive dedup-loser removal. One
     // gated query proving the stages compose without semantic drift.
     "pipeline_curate" -> ((s, dir) => {
-      import graft.operators.{Dedup, TextAnalysis}
+      import graft.operators.Dedup
       val d = docs(s, dir)
-      val stats = TextAnalysis.stats(d).select("doc_id", "n_tokens", "quality_e3")
-      val rep = Curation.repetitionStats(d).select("doc_id", "rep_e3")
-      val content = stats.join(rep, "doc_id")
+      // fused single-pass content gates (one tokenization, no
+      // stats ⋈ repetition glue join — see Curation.contentSignals)
+      val content = Curation.contentSignals(d)
         .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500 && col("rep_e3") <= RepMaxE3)
         .select("doc_id", "n_tokens")
       val sampled = content.join(

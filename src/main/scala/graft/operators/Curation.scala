@@ -60,6 +60,30 @@ object Curation {
                         size(bg)) as bigint)""").as("rep_e3"))
 
   /**
+   * Fused per-document content-gate signals: token count, lexical
+   * diversity (`quality_e3`) and bigram repetition (`rep_e3`) from ONE
+   * tokenization pass. The unfused spelling —
+   * `TextAnalysis.stats(df) ⋈ repetitionStats(df)` — parses every
+   * document's full text twice and pays a corpus-wide shuffle join on
+   * doc_id just to glue the two projections back together; at 100 TB
+   * the join alone is a full-corpus exchange. Values are identical
+   * (documents with < 2 tokens drop, matching the inner join against
+   * repetitionStats' bigram filter).
+   */
+  def contentSignals(df: DataFrame): DataFrame =
+    TextAnalysis.spread(df)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("bg",
+        expr("transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)")
+          .as("quality_e3"),
+        expr("""cast(div((size(bg) - size(array_distinct(bg))) * cast(1000 as bigint),
+                        size(bg)) as bigint)""").as("rep_e3"))
+
+  /**
    * Deterministic stratified sampling: keep a document iff a
    * 30-bit md5-derived hash of its id, mod 1000, falls under the
    * stratum's permille rate. This is how training mixtures are

@@ -149,6 +149,17 @@ class CurationSpec extends SparkSpec {
       s"zh kept $zhKept of $zh")
   }
 
+  test("contentSignals equals the unfused stats-join-repetition spelling") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val fused = Curation.contentSignals(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val unfused = TextAnalysis.stats(docs).select("doc_id", "n_tokens", "quality_e3")
+      .join(Curation.repetitionStats(docs).select("doc_id", "rep_e3"), "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fused == unfused && fused.nonEmpty)
+  }
+
   test("sourceCap keeps exactly the n lowest doc_ids per source") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     // TakeOrdered shape: a bounded top-n aggregate, never a windowed
