@@ -72,6 +72,15 @@ object EmbeddingQueries {
     // one equi-join on the cell id
     "knn_join_emb" -> ((s, dir) =>
       Similarity.knnJoin(emb(s, dir), KJoin, IvfCentroids, IvfProbe)),
+    // semantic dedup: kNN-join edges above the near-dup dot threshold →
+    // connected components → (vec_id, cluster_id = min reachable id).
+    // The embedding-space twin of dedup_clusters: paraphrase-level
+    // duplicates that share no n-grams collapse here. Oracle = the
+    // kNN-join CTE + the same recursive min-reachability shape.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticClusters(emb(s, dir), KJoin, IvfCentroids, IvfProbe,
+        NearDupMinDot)),
+
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
     "ann_lsh_recall" -> ((s, dir) => {
@@ -259,6 +268,19 @@ ${ivfTopSql("ad2", "assign2")}""",
       s"""WITH $intCte,
 $ivfSeedCte,
 ${ivfTopSql("ad", "assign", qPred = "", k = KJoin)}""",
+
+    // the kNN-join tail (qPred empty = every vector queries) feeds the
+    // same recursive min-id reachability the text cluster oracle uses
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE $intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", qPred = "", k = KJoin, wrapAs = Some("kj"))},
+sp AS (SELECT qid, nid FROM kj WHERE dot >= $NearDupMinDot AND qid < nid),
+sedges AS (SELECT qid AS src, nid AS dst FROM sp UNION ALL SELECT nid, qid FROM sp),
+sreach AS (SELECT src AS id, src AS r FROM sedges
+  UNION
+  SELECT e.dst, r.r FROM sreach r JOIN sedges e ON e.src = r.id)
+SELECT id AS vec_id, min(r) AS cluster_id FROM sreach GROUP BY id""",
 
     "ann_lsh_recall" ->
       s"""WITH $intCte,

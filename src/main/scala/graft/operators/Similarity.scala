@@ -368,6 +368,29 @@ object Similarity {
   }
 
   /**
+   * Semantic (embedding-space) deduplication: cluster vectors whose
+   * inner product exceeds `minDot` along kNN-join edges — the
+   * embedding-side twin of the text pipeline's LSH→CC resolution, and
+   * the standard way a training corpus drops paraphrase-level
+   * near-duplicates that share no n-grams. Composition:
+   * [[knnJoin]] (IVF-blocked, no broadcast) → threshold filter →
+   * [[Dedup.connectedComponents]] (O(log n) rounds). Returns
+   * `(vec_id, cluster_id)` for every clustered vector, cluster_id =
+   * the component's minimum vec_id. Recall is the IVF probe curve's
+   * (a pair split across unprobed cells is missed — raise nProbe /
+   * nCentroids to trade); precision is exact (dots are exact
+   * integers).
+   */
+  def semanticClusters(emb: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+                       minDot: Long): DataFrame = {
+    val pairs = knnJoin(emb, k, nCentroids, nProbe)
+      .filter(col("dot") >= minDot && col("qid") < col("nid"))
+      .select(col("qid").as("id_a"), col("nid").as("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
+  /**
    * Approximate top-k: LSH candidate generation (same bucket in ≥1
    * table) + exact integer-dot re-rank. The scale path for ANN when the
    * table no longer admits a full scan per query.

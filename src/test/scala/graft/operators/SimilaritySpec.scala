@@ -222,6 +222,31 @@ class SimilaritySpec extends SparkSpec {
     assert(interpreted == expect)
   }
 
+  test("semanticClusters merges transitively and labels with the minimum vec_id") {
+    import spark.implicits._
+    // unit circle at 0°, 60°, 120°, 270° with threshold 0.35: a~b and
+    // b~c (cos 60° = 0.5) but NOT a~c (cos 120° = -0.5) — the cluster
+    // {a,b,c} exists only through transitive resolution; d has no edge
+    val e = Similarity.intEmbeddings(Seq(
+      (1L, "q", Array(1.0f, 0.0f)),
+      (2L, "q", Array(0.5f, 0.8660254f)),
+      (3L, "q", Array(-0.5f, 0.8660254f)),
+      (9L, "q", Array(0.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding"))
+    val minDot = 350000000000L // 0.35 at unit norms, 1e6 fixed-point
+    val clus = Similarity.semanticClusters(e, k = 3, nCentroids = 2, nProbe = 2,
+        minDot = minDot).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clus == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // fixture-scale: every cluster is labeled by its minimum member
+    val fix = Similarity.semanticClusters(emb, 5, 16, 4, minDot).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fix.nonEmpty)
+    fix.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.length >= 2 && members.map(_._1).min == cid)
+    }
+  }
+
   test("GraftCatalog registers tables and functions for plain SQL") {
     graft.sources.GraftCatalog.registerAll(spark, sf("sf0.001"))
     assert(spark.sql("SELECT count(*) FROM part").head().getLong(0) === 200L)
