@@ -25,6 +25,7 @@ object CurationQueries {
   private val SourceCapN = 10
   private val HistBucket = 25
   private val RepMaxE3 = 300
+  private val NShards = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
@@ -34,6 +35,11 @@ object CurationQueries {
         .select("doc_id", "lang")),
     "source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), SourceCapN)),
     "token_histogram" -> ((s, dir) => Curation.tokenHistogram(docs(s, dir), HistBucket)),
+    // deterministic training-shard assignment (reproducible global
+    // shuffle: hash shard + in-shard rank)
+    "shard_assign" -> ((s, dir) => Curation.shardAssign(docs(s, dir), NShards)),
+    // per-language mixture accounting with integer permille token share
+    "mixture_report" -> ((s, dir) => Curation.mixtureReport(docs(s, dir))),
 
     // the END-TO-END curation pipeline, composed in the order a real
     // corpus build runs it: content gates (quality + repetition) →
@@ -100,6 +106,24 @@ WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIG
     CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
   FROM documents)
 WHERE rn <= 10""",
+
+    "shard_assign" ->
+      s"""WITH sh AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM sh""",
+
+    "mixture_report" ->
+      """WITH s AS (SELECT lang AS stratum,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+m AS (SELECT stratum, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM s GROUP BY 1)
+SELECT stratum, n_docs, n_tokens,
+  CAST((n_tokens * 1000) // (sum(n_tokens) OVER ()) AS BIGINT) AS tokens_e3
+FROM m""",
 
     "token_histogram" ->
       """WITH s AS (SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -125,6 +126,46 @@ object Curation {
       .select(col("col").as("doc_id"), col("source"),
         (col("pos") + 1).cast("long").as("rn"))
   }
+
+  /**
+   * Deterministic corpus sharding for training-data export:
+   * `(doc_id, shard, pos)` with `shard = md5-hash(doc_id) % nShards`
+   * and `pos` = the document's rank within its shard (hash order,
+   * doc_id ties) — a reproducible global shuffle, the step that turns
+   * a curated corpus into N equally-mixed training files in a fixed
+   * order on every run and every cluster size.
+   *
+   * The per-shard rank is a window, but partitioned by SHARD: the sort
+   * is corpus/nShards rows per partition, and nShards is chosen by the
+   * writer (thousands at 100 TB), so no partition is corpus-sized —
+   * and a sorted order per shard is the point of the operator (shards
+   * are written sequentially), so the sort is irreducible work, not
+   * overhead.
+   */
+  def shardAssign(df: DataFrame, nShards: Int): DataFrame =
+    df.select(col("doc_id"),
+        expr("cast(conv(substr(md5(concat('shard:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos")
+
+  /**
+   * Corpus mixture report: per-stratum document and token mass with an
+   * integer permille share — the accounting run before and after every
+   * curation step to keep the training mixture on target. One
+   * map-side-combinable aggregation over the corpus; the share window
+   * runs over the per-stratum AGGREGATE (strata-count rows, metadata
+   * scale), never the corpus.
+   */
+  def mixtureReport(df: DataFrame, stratumCol: String = "lang"): DataFrame =
+    df.select(col(stratumCol).as("stratum"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("tokens_e3",
+        expr("cast(div(n_tokens * cast(1000 as bigint), sum(n_tokens) over ()) as bigint)"))
 
   /**
    * Corpus token-length histogram: document counts and token mass per

@@ -179,6 +179,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shardAssign: dense in-shard ranks, stable across runs, covers every doc once") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val a = Curation.shardAssign(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.length == 500 && a.map(_._1).distinct.length == 500)
+    // ranks are dense 1..size within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // reproducible global shuffle: identical on a re-run
+    val b = Curation.shardAssign(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
+
+  test("mixtureReport permille shares are consistent and near-total") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val m = Curation.mixtureReport(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.map(_._2).sum == 500)
+    val total = m.map(_._3).sum
+    m.foreach { case (_, _, tok, e3) => assert(e3 == tok * 1000 / total) }
+    // truncating division: shares sum to 1000 minus at most (#strata - 1)
+    assert(m.map(_._4).sum <= 1000 && m.map(_._4).sum >= 1000 - (m.length - 1))
+  }
+
   test("tokenHistogram buckets cover the corpus exactly once") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val hist = Curation.tokenHistogram(docs, 25).collect()
