@@ -107,14 +107,21 @@ class PlanQualitySpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$q:\n$plan")
     }
-    // the per-source cap (one window) and the histogram (one aggregate)
+    // the per-source cap (one bounded top-n aggregate), the histogram
+    // (one aggregate) and the shard assignment (one per-shard window)
     // are entitled to exactly one shuffle on their group key
-    for (q <- Seq("source_cap", "token_histogram")) {
+    for (q <- Seq("source_cap", "token_histogram", "shard_assign")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       val n = plan.linesIterator.count(_.contains("Exchange"))
       assert(n == 1, s"$q has $n exchanges:\n$plan")
     }
+    // the mixture report: one corpus aggregate + the share window over
+    // the strata-count AGGREGATE (a metadata-scale single partition)
+    val mix = graft.SparkEntry.queries("mixture_report")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val nMix = mix.linesIterator.count(_.contains("Exchange"))
+    assert(nMix <= 2, s"mixture_report has $nMix exchanges:\n$mix")
   }
 
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
