@@ -26,6 +26,15 @@ object CurationQueries {
   private val HistBucket = 25
   private val RepMaxE3 = 300
   private val NShards = 8
+  private val PackSeqLen = 256
+  private val DecontamK = 5
+  // eval-set selection for the decontamination gate: ~2% of the corpus
+  // plays the held-out benchmark role, picked by md5 permille so both
+  // engines (and every run) agree on the split
+  private val EvalPermille = 20
+  private val evalPred =
+    expr("cast(conv(substr(md5(concat('eval:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000")
+      .<(EvalPermille)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
@@ -40,6 +49,16 @@ object CurationQueries {
     "shard_assign" -> ((s, dir) => Curation.shardAssign(docs(s, dir), NShards)),
     // per-language mixture accounting with integer permille token share
     "mixture_report" -> ((s, dir) => Curation.mixtureReport(docs(s, dir))),
+    // benchmark decontamination: 5-gram overlap of every corpus doc
+    // against the (broadcast) eval-set shingle table
+    "decontam_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminate(d.filter(!evalPred), d.filter(evalPred), DecontamK)
+    }),
+    // token-stream packing: per-shard concatenation offsets + training-
+    // sequence index (the final layout step before shard export)
+    "pack_offsets" -> ((s, dir) =>
+      Curation.packOffsets(docs(s, dir), NShards, PackSeqLen)),
 
     // the END-TO-END curation pipeline, composed in the order a real
     // corpus build runs it: content gates (quality + repetition) →
@@ -114,6 +133,36 @@ WHERE rn <= 10""",
 SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
   CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM sh""",
+
+    "decontam_overlap" ->
+      s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-3),
+    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS sh
+  FROM dwords WHERE len(ws) >= $DecontamK),
+ev AS (SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < $EvalPermille),
+evsh AS (SELECT DISTINCT sh, 1 AS hit FROM dsh JOIN ev USING (doc_id)),
+corp AS (SELECT d.doc_id, d.sh FROM dsh d
+  WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = d.doc_id))
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+  CAST(sum(coalesce(e.hit, 0)) AS BIGINT) AS n_overlap,
+  CASE WHEN sum(coalesce(e.hit, 0)) >= 1 THEN 1 ELSE 0 END AS contaminated
+FROM corp c LEFT JOIN evsh e ON c.sh = e.sh
+GROUP BY c.doc_id""",
+
+    "pack_offsets" ->
+      s"""WITH sh AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+w AS (SELECT doc_id, CAST(h % $NShards AS INT) AS shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY h % $NShards ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM sh)
+SELECT doc_id, shard, n_tokens,
+  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+  CAST((end_off - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx
+FROM w""",
 
     "mixture_report" ->
       """WITH s AS (SELECT lang AS stratum,

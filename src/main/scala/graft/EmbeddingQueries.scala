@@ -80,6 +80,9 @@ object EmbeddingQueries {
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticClusters(emb(s, dir), KJoin, IvfCentroids, IvfProbe,
         NearDupMinDot)),
+    // symmetric int8 quantization audit (amax scale + quantized-vector
+    // fingerprint + L1 reconstruction error), exact integer arithmetic
+    "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
 
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
@@ -221,6 +224,24 @@ extop AS (SELECT qid, nid, dot, rank FROM (
       s"""WITH $intCte,
 $exactTopCte
 SELECT qid, nid, dot, rank FROM extop""",
+
+    // int8 quantization audit: per-vector max-abs scale, md5 fingerprint
+    // of the quantized vector (pins every element), and exact-integer L1
+    // reconstruction error — `//` and Spark's `div` both truncate toward
+    // zero, so the arithmetic is engine-identical including negatives
+    "emb_quantize" ->
+      s"""WITH $intCte,
+qa AS (SELECT vec_id, v,
+    greatest(list_max(list_transform(v, x -> abs(x))), 1) AS amax
+  FROM ie),
+qq AS (SELECT vec_id, amax, v,
+    list_transform(v, x -> (x * 127) // amax) AS q
+  FROM qa)
+SELECT vec_id, CAST(amax AS BIGINT) AS amax,
+  md5(array_to_string(list_transform(q, y -> CAST(y AS VARCHAR)), ',')) AS q_fp,
+  CAST(list_sum(list_transform(range(1, len(v)+1),
+    i -> abs(v[i] - (q[i] * amax) // 127))) AS BIGINT) AS err_l1
+FROM qq""",
 
     "emb_near_pairs" ->
       s"""WITH $intCte,

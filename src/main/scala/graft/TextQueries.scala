@@ -78,7 +78,17 @@ object TextQueries {
     // pipeline_corpus's pairwise loser rule, a~b~c collapses to ONE doc
     "dedup_keepers" -> ((s, dir) =>
       Dedup.keepersFrom(docs(s, dir),
-        Dedup.sharedClusters(docs(s, dir), dir, 1, 2, 3, NumHashes, Bands, RowsPerBand)))
+        Dedup.sharedClusters(docs(s, dir), dir, 1, 2, 3, NumHashes, Bands, RowsPerBand))),
+    // incremental (cross-run) dedup: a fourth of the corpus plays the
+    // incoming batch, deduped against the other three quarters playing
+    // yesterday's shipped corpus — exact-hash anti-join + LSH-verified
+    // cross near-dup anti-join, never prior×prior
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalKeepers(
+        d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
+        1, 2, 3, NumHashes, Bands, RowsPerBand)
+    })
   )
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
@@ -222,6 +232,24 @@ WHERE n_tokens >= 30 AND quality_e3 >= 500
   AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = q.doc_id)""",
 
     "minhash_signatures" -> s"$sigCte SELECT * FROM sigs",
+
+    "dedup_incremental" ->
+      s"""$sigCte,
+bandsigs AS ($bandSelects),
+xcands AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_prior
+  FROM bandsigs a JOIN bandsigs b ON a.band_id = b.band_id AND a.sig = b.sig
+  WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 < 3),
+xsets AS (SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+  FROM dwords WHERE len(ws) >= 3),
+xlosers AS (SELECT DISTINCT id_new AS doc_id FROM xcands
+  JOIN xsets sa ON id_new = sa.doc_id JOIN xsets sb ON id_prior = sb.doc_id
+  WHERE 3 * len(list_intersect(sa.shs, sb.shs)) >= 1 * (len(sa.shs) + len(sb.shs))),
+ph AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 4 < 3)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 4 = 3
+  AND NOT EXISTS (SELECT 1 FROM ph WHERE ph.th = md5(d.text))
+  AND NOT EXISTS (SELECT 1 FROM xlosers l WHERE l.doc_id = d.doc_id)""",
 
     "lsh_candidates" ->
       s"""$sigCte,

@@ -152,6 +152,62 @@ object Curation {
       .select("doc_id", "shard", "pos")
 
   /**
+   * Benchmark decontamination: per-document overlap between the corpus
+   * and an evaluation set, measured in distinct word-k-shingles (k = 5
+   * by default — the n-gram-overlap rule every serious pretraining
+   * pipeline applies so benchmark answers don't leak into training
+   * data). Returns `(doc_id, n_sh, n_overlap, contaminated)` for every
+   * corpus document with at least one k-shingle; `contaminated = 1` iff
+   * any shingle also appears in any eval document (the standard
+   * any-hit rule — a single leaked benchmark n-gram disqualifies).
+   *
+   * Scale shape: the eval side is benchmark suites — megabytes against
+   * a 100 TB corpus — so its distinct shingle set is BROADCAST and the
+   * only shuffle is the per-document aggregate. The corpus side is
+   * never joined on a shingle key against itself, so shingle skew
+   * cannot blow up the join (the broadcast hash lookup is per-row).
+   */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
+    val evalSh = TextAnalysis.shingles(evalSet, k).select("sh").distinct()
+    TextAnalysis.shingles(corpus, k)
+      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+        when(col("n_overlap") >= 1, 1).otherwise(0).as("contaminated"))
+  }
+
+  /**
+   * Token-stream packing offsets — the final layout step of a
+   * pretraining-data build: documents are concatenated (in the
+   * reproducible hash order of [[shardAssign]], per shard) into one
+   * token stream per shard, and the stream is cut into fixed-length
+   * training sequences. For each document this returns its shard, its
+   * start offset in the shard's token stream, and the index of the
+   * training sequence containing its first token:
+   * `(doc_id, shard, n_tokens, start_off, seq_idx)`.
+   *
+   * The running-offset window partitions by SHARD (corpus/nShards rows
+   * per partition, nShards writer-chosen — thousands at 100 TB), and a
+   * per-shard sorted order is the operator's OUTPUT contract, so the
+   * sort is irreducible work, not overhead — same argument as
+   * [[shardAssign]].
+   */
+  def packOffsets(df: DataFrame, nShards: Int, seqLen: Int): DataFrame =
+    df.select(col("doc_id"),
+        expr("cast(conv(substr(md5(concat('shard:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("end_off",
+        sum(col("n_tokens")).over(Window.partitionBy("shard").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        expr(s"cast(div(end_off - n_tokens, $seqLen) as bigint)").as("seq_idx"))
+
+  /**
    * Corpus mixture report: per-stratum document and token mass with an
    * integer permille share — the accounting run before and after every
    * curation step to keep the training mixture on target. One

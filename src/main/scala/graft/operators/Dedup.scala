@@ -118,20 +118,78 @@ object Dedup {
    * 100 TB (no all-pairs comparison anywhere).
    */
   def lshCandidates(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand)
-        .map(r => s"cast(m${"%02d".format(b * rowsPerBand + r)} as string)")
-      s"md5(concat_ws(',', ${cols.mkString(", ")}))"
-    }
-    val stacked = sigs.select(col("doc_id"),
-      expr(s"explode(array(${bandCols.zipWithIndex
-        .map { case (c, i) => s"struct($i as band_id, $c as sig)" }.mkString(", ")}))").as("b"))
-      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.sig").as("sig"))
+    val stacked = bandSignatures(sigs, bands, rowsPerBand)
     stacked.as("a").join(stacked.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** Banded MinHash signatures, stacked: `(doc_id, band_id, sig)` with
+    * one row per band — the join key both the self-join candidate
+    * generation ([[lshCandidates]]) and the cross-corpus incremental
+    * path ([[incrementalKeepers]]) shuffle on. */
+  def bandSignatures(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"cast(m${"%02d".format(b * rowsPerBand + r)} as string)")
+      s"md5(concat_ws(',', ${cols.mkString(", ")}))"
+    }
+    sigs.select(col("doc_id"),
+      expr(s"explode(array(${bandCols.zipWithIndex
+        .map { case (c, i) => s"struct($i as band_id, $c as sig)" }.mkString(", ")}))").as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.sig").as("sig"))
+  }
+
+  /**
+   * Incremental (cross-run) dedup — the shape a production corpus build
+   * actually runs: yesterday's corpus is already deduplicated and
+   * shipped; today's batch must be deduplicated AGAINST it without
+   * re-processing it. A new document survives iff
+   *
+   *   1. its exact content hash does not appear in the prior corpus
+   *      (anti-join on `md5(text)`), and
+   *   2. it has no LSH-verified near-duplicate in the prior corpus:
+   *      band signatures of the new batch equality-join band signatures
+   *      of the prior corpus (new×prior only — never prior×prior, so
+   *      the already-clean bulk is scanned once and only for its
+   *      signatures), candidates re-verified against exact shingle-set
+   *      Jaccard ≥ num/den.
+   *
+   * Duplicates WITHIN the new batch are left alone — that's the
+   * intra-batch [[keepers]] pass; composing both is the full nightly
+   * pipeline. Returns the surviving new doc_ids.
+   *
+   * Scale shape: in steady state |new| ≪ |prior|; every join here is an
+   * equality join keyed on content hash or band signature (both
+   * near-unique), the candidate set is near-dup-sized, and the shingle
+   * re-verify touches candidate pairs only. At 100 TB the prior side's
+   * signatures/hashes would be a materialized table maintained across
+   * runs — this operator takes the prior DataFrame so the caller
+   * chooses (recompute here, read a signature table in production).
+   */
+  def incrementalKeepers(newDf: DataFrame, priorDf: DataFrame,
+                         num: Int = 1, den: Int = 2, k: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val priorHashes = priorDf.select(md5(col("text")).as("th")).distinct()
+    val exactSurvivors = newDf.withColumn("th", md5(col("text")))
+      .join(priorHashes, Seq("th"), "left_anti")
+    val cands = bandSignatures(minhashSignatures(newDf, numHashes, k), bands, rowsPerBand).as("a")
+      .join(bandSignatures(minhashSignatures(priorDf, numHashes, k), bands, rowsPerBand).as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_prior"))
+      .distinct()
+    val setsNew = TextAnalysis.shingleSets(newDf, k)
+      .withColumnRenamed("doc_id", "id_new").withColumnRenamed("shs", "shs_n")
+    val setsPrior = TextAnalysis.shingleSets(priorDf, k)
+      .withColumnRenamed("doc_id", "id_prior").withColumnRenamed("shs", "shs_p")
+    val nearLosers = cands.join(setsNew, "id_new").join(setsPrior, "id_prior")
+      .filter(lit(den + num) * size(array_intersect(col("shs_n"), col("shs_p"))) >=
+        lit(num) * (size(col("shs_n")) + size(col("shs_p"))))
+      .select(col("id_new").as("doc_id")).distinct()
+    exactSurvivors.join(nearLosers, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
   /**

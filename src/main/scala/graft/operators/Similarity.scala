@@ -51,6 +51,30 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization of the integer embedding column `v` —
+   * the storage/serving compression step of an embedding pipeline (8×
+   * smaller vectors; at 100 TB the difference between embeddings that
+   * fit executor memory and ones that don't). Per vector:
+   * `scale = max(|v_i|)` and `q_i = trunc(v_i * 127 / scale)` (exact
+   * 64-bit integer arithmetic — no float rounding, so every engine
+   * agrees bit-for-bit). Returns per-vector audit rows rather than the
+   * arrays themselves: `(vec_id, amax, q_fp, err_l1)` where `q_fp` is
+   * the md5 fingerprint of the quantized vector (pinning every element
+   * exactly) and `err_l1` the L1 reconstruction error against
+   * `q_i * scale / 127` — the metric a pipeline monitors to decide
+   * whether int8 is safe for its corpus. Pure per-row projection,
+   * shuffle-free.
+   */
+  def quantizeInt8(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("v"),
+        expr("greatest(array_max(transform(v, x -> abs(x))), cast(1 as bigint))").as("amax"))
+      .withColumn("q", expr("transform(v, x -> div(x * 127, amax))"))
+      .select(col("vec_id"), col("amax"),
+        expr("md5(concat_ws(',', transform(q, y -> cast(y as string))))").as("q_fp"),
+        expr("""aggregate(zip_with(v, q, (x, y) -> abs(x - div(y * amax, 127))),
+                          cast(0 as bigint), (acc, e) -> acc + e)""").as("err_l1"))
+
+  /**
    * Exact top-k neighbors by integer inner product for each query
    * vector: broadcast the query side, rank with a per-query window.
    * Ties break on neighbor id — fully deterministic.

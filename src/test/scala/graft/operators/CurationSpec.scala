@@ -205,6 +205,36 @@ class CurationSpec extends SparkSpec {
     assert(m.map(_._4).sum <= 1000 && m.map(_._4).sum >= 1000 - (m.length - 1))
   }
 
+  test("decontaminate counts eval-set 5-gram overlap and flags any-hit docs") {
+    import spark.implicits._
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c d e"),     // shares shingle "a b c d e" with eval
+      (2L, "p q r s t u"),     // clean
+      (3L, "p q")              // too short for any 5-shingle: dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out == Map(1L -> ((2L, 1L, 1)), 2L -> ((2L, 0L, 0))))
+  }
+
+  test("packOffsets: per-shard offsets are contiguous from zero, seq_idx = start/seqLen") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val p = Curation.packOffsets(docs, 4, 256).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p.length == 500 && p.map(_._1).distinct.length == 500)
+    p.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // the shard's token stream is gapless: doc k starts where k-1 ended
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3)
+        case _           =>
+      }
+    }
+    p.foreach { case (_, _, _, start, seq) => assert(seq == start / 256) }
+  }
+
   test("tokenHistogram buckets cover the corpus exactly once") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val hist = Curation.tokenHistogram(docs, 25).collect()

@@ -98,4 +98,23 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("incrementalKeepers drops exact and near-dups of the prior corpus, keeps intra-batch dups") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val prior = Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, base),                  // exact copy of prior 1 → dropped
+      (11L, base + " uniform"),     // near-dup of prior 1 (J = 18/19) → dropped
+      (12L, "completely different words about weather patterns today"),
+      (13L, "completely different words about weather patterns today") // intra-batch dup: kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalKeepers(newBatch, prior)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L))
+  }
 }

@@ -247,6 +247,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: exact truncating arithmetic, zero-vector guard, element fingerprint") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1000000L, -500000L, 3L)),
+      (2L, Seq(0L, 0L, 0L)) // zero vector: amax guard kicks in
+    ).toDF("vec_id", "v")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // q = [127, trunc(-63.5) = -63, 0]; recon errors 0 + 3938 + 3
+    assert(out(1L) == ((1000000L, md5hex("127,-63,0"), 3941L)))
+    assert(out(2L) == ((1L, md5hex("0,0,0"), 0L)))
+  }
+
   test("GraftCatalog registers tables and functions for plain SQL") {
     graft.sources.GraftCatalog.registerAll(spark, sf("sf0.001"))
     assert(spark.sql("SELECT count(*) FROM part").head().getLong(0) === 200L)
