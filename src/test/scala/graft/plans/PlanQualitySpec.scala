@@ -124,6 +124,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(nMix <= 2, s"mixture_report has $nMix exchanges:\n$mix")
   }
 
+  test("decontamination broadcasts the eval side and never sort-merges on a shingle") {
+    // the corpus side must meet the (tiny) eval shingle set via a
+    // broadcast hash lookup — a SortMergeJoin would shuffle the whole
+    // exploded corpus on the shingle key, the exact exchange the module
+    // is designed to avoid
+    val plan = graft.SparkEntry.queries("decontam_overlap")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("packOffsets shuffles once on shard; quantizeInt8 is exchange-free") {
+    val pack = graft.SparkEntry.queries("pack_offsets")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val nPack = pack.linesIterator.count(_.contains("Exchange"))
+    assert(nPack == 1, s"pack_offsets has $nPack exchanges:\n$pack")
+    val q = graft.SparkEntry.queries("emb_quantize")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!q.contains("Exchange"), q)
+  }
+
+  test("incremental dedup keeps the LSH join shape against the prior corpus") {
+    // candidates must come from band-signature equality joins and the
+    // re-verify from array_intersect over candidate pairs — no
+    // cartesian/nested-loop fallback, no join keyed on a shingle
+    val plan = graft.SparkEntry.queries("dedup_incremental")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(!joinLines.exists(_.matches(".*\\bsh#\\d+.*")),
+      "join keyed on a shingle:\n" + joinLines.mkString("\n"))
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
