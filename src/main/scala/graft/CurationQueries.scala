@@ -28,6 +28,9 @@ object CurationQueries {
   private val NShards = 8
   private val PackSeqLen = 256
   private val DecontamK = 5
+  // mid-corpus token budget: lands the cutoff INSIDE a quality stratum
+  // at sf0.01 (so the boundary-bucket window path is exercised)
+  private val BudgetTokens = 20000L
   // eval-set selection for the decontamination gate: ~2% of the corpus
   // plays the held-out benchmark role, picked by md5 permille so both
   // engines (and every run) agree on the split
@@ -59,6 +62,10 @@ object CurationQueries {
     // sequence index (the final layout step before shard export)
     "pack_offsets" -> ((s, dir) =>
       Curation.packOffsets(docs(s, dir), NShards, PackSeqLen)),
+    // token-budget selection: the best-quality ordered prefix within a
+    // fixed training-token budget, via histogram cutoff — no global sort
+    "budget_select" -> ((s, dir) =>
+      Curation.budgetSelect(docs(s, dir), BudgetTokens)),
 
     // the END-TO-END curation pipeline, composed in the order a real
     // corpus build runs it: content gates (quality + repetition) →
@@ -163,6 +170,20 @@ SELECT doc_id, shard, n_tokens,
   CAST(end_off - n_tokens AS BIGINT) AS start_off,
   CAST((end_off - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx
 FROM w""",
+
+    // oracle spells the SEMANTICS (one global ordered-prefix window);
+    // the engine computes the same rows via the histogram cutoff
+    "budget_select" ->
+      s"""WITH q AS (SELECT doc_id,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
+  FROM documents),
+w AS (SELECT doc_id, n_tokens, quality_e3,
+    sum(n_tokens) OVER (ORDER BY quality_e3 DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q)
+SELECT doc_id, n_tokens, quality_e3 FROM w WHERE cum <= $BudgetTokens""",
 
     "mixture_report" ->
       """WITH s AS (SELECT lang AS stratum,

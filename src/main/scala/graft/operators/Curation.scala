@@ -208,6 +208,50 @@ object Curation {
         expr(s"cast(div(end_off - n_tokens, $seqLen) as bigint)").as("seq_idx"))
 
   /**
+   * Token-budget selection — "take the highest-quality documents until
+   * the training budget is spent": documents ordered by
+   * (`quality_e3` desc, `doc_id`), selected while the running token sum
+   * stays within `budgetTokens`. The semantics are a global ordered
+   * prefix, but the implementation never globally sorts the corpus:
+   *
+   *   1. one map-side-combinable aggregate builds the per-quality-bucket
+   *      token mass — `quality_e3` is a permille, so this is ≤ 1001 rows
+   *      and collecting it to the driver is metadata-scale at any corpus
+   *      size;
+   *   2. the driver walks the histogram to find the boundary bucket q*:
+   *      every document with quality > q* fits in the budget outright
+   *      (a pure filter, no sort, no shuffle);
+   *   3. only the boundary BUCKET pays a ranking window — one quality
+   *      stratum, not the corpus. (If a single stratum were still too
+   *      large, the same histogram trick recurses on doc_id ranges —
+   *      the driver never holds more than a bounded histogram.)
+   *
+   * Returns `(doc_id, n_tokens, quality_e3)` of the selected documents —
+   * value-identical to the one-big-window spelling the DuckDB oracle
+   * uses, for any budget.
+   */
+  def budgetSelect(df: DataFrame, budgetTokens: Long): DataFrame = {
+    val s = TextAnalysis.stats(df).select("doc_id", "n_tokens", "quality_e3")
+    val hist = s.groupBy("quality_e3").agg(sum("n_tokens").as("mass"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var above = 0L
+    var cutoff = Long.MinValue
+    for ((q, m) <- hist if cutoff == Long.MinValue)
+      if (above + m <= budgetTokens) above += m else cutoff = q
+    if (cutoff == Long.MinValue) s // the whole corpus fits the budget
+    else {
+      val remaining = budgetTokens - above
+      val boundary = s.filter(col("quality_e3") === cutoff)
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= remaining)
+        .select("doc_id", "n_tokens", "quality_e3")
+      s.filter(col("quality_e3") > cutoff).union(boundary)
+    }
+  }
+
+  /**
    * Corpus mixture report: per-stratum document and token mass with an
    * integer permille share — the accounting run before and after every
    * curation step to keep the training mixture on target. One

@@ -235,6 +235,24 @@ class CurationSpec extends SparkSpec {
     p.foreach { case (_, _, _, start, seq) => assert(seq == start / 256) }
   }
 
+  test("budgetSelect equals the global ordered-prefix at any budget, boundary cases included") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val ordered = TextAnalysis.stats(docs).select("doc_id", "n_tokens", "quality_e3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._3, t._1))
+    def prefix(budget: Long): Set[Long] = {
+      var cum = 0L
+      ordered.takeWhile { t => cum += t._2; cum <= budget }.map(_._1).toSet
+    }
+    // zero budget, mid-stratum cutoff, exact-stratum-edge neighborhood,
+    // and a budget beyond the whole corpus (the no-cutoff path)
+    val edge = ordered.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    for (budget <- Seq(0L, 500L, 20000L, edge(49), edge(49) + 1, 100000000L)) {
+      val got = Curation.budgetSelect(docs, budget).collect().map(_.getLong(0)).toSet
+      assert(got == prefix(budget), s"budget=$budget")
+    }
+  }
+
   test("tokenHistogram buckets cover the corpus exactly once") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val hist = Curation.tokenHistogram(docs, 25).collect()
