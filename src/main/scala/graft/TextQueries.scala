@@ -40,6 +40,8 @@ object TextQueries {
         Bands, RowsPerBand)),
     "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "simhash_near_pairs" -> ((s, dir) => Dedup.simhashNearPairs(docs(s, dir), 8)),
+    // per-document top-5 distinctive terms (integer tf-idf surrogate)
+    "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir), 5)),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -257,6 +259,17 @@ bandsigs AS ($bandSelects)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bandsigs a JOIN bandsigs b
   ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+
+    "tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+p0 AS (SELECT doc_id, unnest(list_distinct(ws)) AS term, ws FROM w),
+p AS (SELECT doc_id, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+sc AS (SELECT p.doc_id, p.term, p.tf, d.df,
+    CAST((p.tf * 1000000) // d.df AS BIGINT) AS score_e6
+  FROM p JOIN dfreq d USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn FROM sc)
+SELECT doc_id, term, tf, df, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5""",
 
     "word_freq" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)

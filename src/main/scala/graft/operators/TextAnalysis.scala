@@ -106,6 +106,56 @@ object TextAnalysis {
         array_join(col("ch.toks"), " ").as("chunk_text"),
         size(col("ch.toks")).cast("long").as("n_tokens"))
 
+  /**
+   * Per-document top-k distinctive terms by an integer TF-IDF surrogate:
+   * `score_e6 = tf * 10^6 / df` (truncating integer division — monotone
+   * in the tf/df ratio, exact in every engine; no float log in the gate
+   * path). Returns `(doc_id, term, tf, df, score_e6, rank)`, rank 1..k
+   * by (score desc, term asc) — the keyword-extraction step of corpus
+   * indexing/labeling pipelines.
+   *
+   * Scale shape, in order of appearance:
+   *  - term frequencies are computed PER ROW (`list_filter` count over
+   *    the distinct terms — O(distinct×tokens) CPU per document), so the
+   *    corpus-wide (doc, term) exchange a groupBy would need never
+   *    happens; documents are bounded in practice (chunk outliers
+   *    first);
+   *  - document frequency is one map-side-combinable aggregate — the
+   *    exchange carries each partition's distinct terms, vocabulary
+   *    scale, not corpus scale;
+   *  - the df table joins back by BROADCAST (a word vocabulary is
+   *    millions of rows — megabytes — even at corpus sizes where
+   *    documents are petabytes; if a tokenizer ever produced a
+   *    non-broadcastable vocabulary, drop the hint and let AQE pick a
+   *    skew-aware shuffle join);
+   *  - per-document top-k is the bounded [[graft.operators.Curation
+   *    .sourceCap]]-style `CollectTopK` aggregate — each partition
+   *    reduces a document to ≤ k candidate structs BEFORE the one
+   *    shuffle on doc_id; no per-document sort, no window. The struct
+   *    sorts by (-score, term), so "largest score first, term
+   *    tie-break" is the plain ascending struct order.
+   */
+  def tfidfTopK(df: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val pairs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(array_distinct(ws), t -> struct(t as term, cast(size(filter(ws, x -> x = t)) as bigint) as tf))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = pairs.join(broadcast(dfreq), "term")
+      .withColumn("score_e6", expr("div(tf * cast(1000000 as bigint), df)"))
+    val topN = Bridge.collectTopK(
+      Bridge.expression(struct((-col("score_e6")).as("ns"), col("term").as("term"),
+        col("tf").as("tf"), col("df").as("df"))), k, reverse = true)
+    scored.groupBy("doc_id").agg(sort_array(topN).as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), (-col("col.ns")).as("score_e6"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

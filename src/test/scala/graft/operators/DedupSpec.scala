@@ -99,6 +99,23 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("tfidfTopK ranks rare-and-frequent terms first with exact integer scores") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopK(df, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: apple tf=2 df=1 → 2e6; banana tf=1 df=2 → 5e5
+    assert(rows((1L, 1L)) == (("apple", 2L, 1L, 2000000L)))
+    assert(rows((1L, 2L)) == (("banana", 1L, 2L, 500000L)))
+    // doc 3: cherry tf=3 df=2 → 1.5e6 beats durian tf=1 df=1 → 1e6
+    assert(rows((3L, 1L)) == (("cherry", 3L, 2L, 1500000L)))
+    assert(rows((3L, 2L)) == (("durian", 1L, 1L, 1000000L)))
+  }
+
   test("incrementalKeepers drops exact and near-dups of the prior corpus, keeps intra-batch dups") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
