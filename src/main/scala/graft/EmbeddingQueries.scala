@@ -69,16 +69,19 @@ object EmbeddingQueries {
     }),
     // IVF-blocked kNN JOIN: k nearest neighbors for EVERY vector — the
     // whole-corpus semantic-dedup/clustering primitive; no broadcast,
-    // one equi-join on the cell id
+    // one equi-join on the cell id. Both consumers (here and
+    // semantic_dedup) read the ONE materialized-per-process edge table —
+    // the ANN-join-once shape of a real pipeline
     "knn_join_emb" -> ((s, dir) =>
-      Similarity.knnJoin(emb(s, dir), KJoin, IvfCentroids, IvfProbe)),
+      Similarity.sharedKnnJoin(emb(s, dir), dir, KJoin, IvfCentroids, IvfProbe)),
     // semantic dedup: kNN-join edges above the near-dup dot threshold →
     // connected components → (vec_id, cluster_id = min reachable id).
     // The embedding-space twin of dedup_clusters: paraphrase-level
     // duplicates that share no n-grams collapse here. Oracle = the
     // kNN-join CTE + the same recursive min-reachability shape.
     "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticClusters(emb(s, dir), KJoin, IvfCentroids, IvfProbe,
+      Similarity.semanticClustersFrom(
+        Similarity.sharedKnnJoin(emb(s, dir), dir, KJoin, IvfCentroids, IvfProbe),
         NearDupMinDot)),
     // symmetric int8 quantization audit (amax scale + quantized-vector
     // fingerprint + L1 reconstruction error), exact integer arithmetic

@@ -391,6 +391,44 @@ object Similarity {
       .select("qid", "nid", "dot", "rank")
   }
 
+  // per-JVM memo of materialized kNN-join edge tables, keyed by corpus
+  // id + parameters — same contract as Dedup.sharedTables: tmpdir-backed,
+  // deleted on JVM exit, process-scoped so a changed corpus at the same
+  // path can never serve stale edges
+  private[graft] val sharedJoins = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /**
+   * [[knnJoin]] with per-process memoization to a parquet table — the
+   * "ANN-join once, consume many times" shape of a real pipeline: the
+   * IVF-blocked join is the expensive step, and each downstream
+   * consumer (semantic dedup, clustering, recommendation exports)
+   * should read the materialized edge table (corpus×k rows, four
+   * columns) instead of recomputing the join.
+   */
+  def sharedKnnJoin(emb: DataFrame, corpusKey: String, k: Int,
+                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val key = s"$corpusKey|k=$k|c=$nCentroids|p=$nProbe"
+    val path = sharedJoins.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-knn-")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      knnJoin(emb, k, nCentroids, nProbe).write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    emb.sparkSession.read.parquet(path)
+  }
+
+  /** [[semanticClusters]] over a precomputed kNN-join edge table (see
+    * [[sharedKnnJoin]]) — threshold filter + connected components only. */
+  def semanticClustersFrom(edges: DataFrame, minDot: Long): DataFrame =
+    Dedup.connectedComponents(
+      edges.filter(col("dot") >= minDot && col("qid") < col("nid"))
+        .select(col("qid").as("id_a"), col("nid").as("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /**
    * Semantic (embedding-space) deduplication: cluster vectors whose
    * inner product exceeds `minDot` along kNN-join edges — the
@@ -406,13 +444,8 @@ object Similarity {
    * integers).
    */
   def semanticClusters(emb: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
-                       minDot: Long): DataFrame = {
-    val pairs = knnJoin(emb, k, nCentroids, nProbe)
-      .filter(col("dot") >= minDot && col("qid") < col("nid"))
-      .select(col("qid").as("id_a"), col("nid").as("id_b"))
-    Dedup.connectedComponents(pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-  }
+                       minDot: Long): DataFrame =
+    semanticClustersFrom(knnJoin(emb, k, nCentroids, nProbe), minDot)
 
   /**
    * Approximate top-k: LSH candidate generation (same bucket in ≥1

@@ -247,6 +247,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sharedKnnJoin materializes the edge table once per key, edges identical to knnJoin") {
+    val small = emb.filter(col("vec_id") < 200)
+    val key = "spec-knn-" + System.nanoTime
+    val direct = Similarity.knnJoin(small, 3, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    val a = Similarity.sharedKnnJoin(small, key, 3, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    assert(a == direct)
+    val path = Similarity.sharedJoins.get(s"$key|k=3|c=8|p=2")
+    assert(path != null)
+    // second consumer reads the SAME materialized table (no recompute)
+    Similarity.sharedKnnJoin(small, key, 3, 8, 2).collect()
+    assert(Similarity.sharedJoins.get(s"$key|k=3|c=8|p=2") == path)
+    // distinct parameters are a distinct table
+    Similarity.sharedKnnJoin(small, key, 2, 8, 2).collect()
+    assert(Similarity.sharedJoins.get(s"$key|k=2|c=8|p=2") != path)
+  }
+
   test("quantizeInt8: exact truncating arithmetic, zero-vector guard, element fingerprint") {
     import spark.implicits._
     val df = Seq(
