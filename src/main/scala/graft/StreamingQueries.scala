@@ -176,6 +176,47 @@ object StreamingQueries {
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
+    // Streaming corpus curation: the documents table arrives as four
+    // microbatches; each batch passes the per-row quality gate (pure
+    // projection — stateless, same predicate as quality_filter) and the
+    // whitespace-insensitive content fingerprint feeds a cross-batch
+    // dropDuplicates — the online dedup shape of a continuously-
+    // ingesting corpus build. Exact duplicates of a document that
+    // arrived in an EARLIER batch must be suppressed by state, not by
+    // intra-batch distinct — lost state double-emits and fails the
+    // oracle (batch DISTINCT over the source). Only the fp column flows
+    // into the dedup, so arrival order cannot affect the result. (A
+    // production stream would add a watermark to bound the state store;
+    // the gate's corpus is finite.)
+    "stream_curate" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-stream-curate").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(4).write.parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val curated = stream
+        .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+        .filter(size(col("ws")) >= 30 &&
+          expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)") >= 500)
+        .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .dropDuplicates("fp")
+      val q = curated.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(s"$tmp/out").select("fp")
+      val rows = res.collect().toSeq
+      val outSchema = res.schema
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     })
   )
 
@@ -203,6 +244,15 @@ WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
+
+    // the batch spelling of the streamed gate: distinct whitespace-
+    // collapsed fingerprints of the quality-passing documents
+    "stream_curate" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
+  AND (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 500""",
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly")
