@@ -90,6 +90,20 @@ object TextQueries {
       Dedup.incrementalKeepers(
         d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
         1, 2, 3, NumHashes, Bands, RowsPerBand)
+    }),
+    // the full nightly-batch composition: the incoming quarter is
+    // deduplicated WITHIN itself (cluster-canonical keepers — a~b~c
+    // collapses to the minimum member) AND against the shipped prior
+    // corpus (exact + LSH-verified cross anti-joins); a document ships
+    // only if it survives both. One gate proving the two dedup modes
+    // compose without semantic drift.
+    "pipeline_nightly" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newBatch = d.filter(col("doc_id") % 4 === 3)
+      val prior = d.filter(col("doc_id") % 4 < 3)
+      Dedup.keepers(newBatch, 1, 2, 3, NumHashes, Bands, RowsPerBand)
+        .join(Dedup.incrementalKeepers(newBatch, prior,
+          1, 2, 3, NumHashes, Bands, RowsPerBand), Seq("doc_id"))
     })
   )
 
@@ -250,6 +264,42 @@ xlosers AS (SELECT DISTINCT id_new AS doc_id FROM xcands
 ph AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 4 < 3)
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id % 4 = 3
+  AND NOT EXISTS (SELECT 1 FROM ph WHERE ph.th = md5(d.text))
+  AND NOT EXISTS (SELECT 1 FROM xlosers l WHERE l.doc_id = d.doc_id)""",
+
+    // nightly composition oracle: the intra-batch recursive cluster
+    // chain restricted to the new quarter, plus the cross-corpus
+    // exact/near losers of dedup_incremental — survivors pass both
+    "pipeline_nightly" ->
+      s"""$recursiveSigCte,
+bandsigs AS ($bandSelects),
+csets AS (SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+  FROM dwords WHERE len(ws) >= 3),
+ncands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsigs a JOIN bandsigs b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 = 3),
+npairs AS (SELECT id_a, id_b FROM ncands
+  JOIN csets sa ON id_a = sa.doc_id JOIN csets sb ON id_b = sb.doc_id
+  WHERE 3 * len(list_intersect(sa.shs, sb.shs)) >= 1 * (len(sa.shs) + len(sb.shs))),
+ncedges AS (SELECT id_a AS src, id_b AS dst FROM npairs
+  UNION ALL SELECT id_b, id_a FROM npairs),
+nreach AS (SELECT src AS id, src AS r FROM ncedges
+  UNION
+  SELECT e.dst, r.r FROM nreach r JOIN ncedges e ON e.src = r.id),
+nclus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM nreach GROUP BY id),
+xcands AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_prior
+  FROM bandsigs a JOIN bandsigs b ON a.band_id = b.band_id AND a.sig = b.sig
+  WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 < 3),
+xlosers AS (SELECT DISTINCT id_new AS doc_id FROM xcands
+  JOIN csets sa ON id_new = sa.doc_id JOIN csets sb ON id_prior = sb.doc_id
+  WHERE 3 * len(list_intersect(sa.shs, sb.shs)) >= 1 * (len(sa.shs) + len(sb.shs))),
+ph AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 4 < 3)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 4 = 3
+  AND NOT EXISTS (SELECT 1 FROM nclus c
+    WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
   AND NOT EXISTS (SELECT 1 FROM ph WHERE ph.th = md5(d.text))
   AND NOT EXISTS (SELECT 1 FROM xlosers l WHERE l.doc_id = d.doc_id)""",
 
