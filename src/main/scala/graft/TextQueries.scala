@@ -42,6 +42,10 @@ object TextQueries {
     "simhash_near_pairs" -> ((s, dir) => Dedup.simhashNearPairs(docs(s, dir), 8)),
     // per-document top-5 distinctive terms (integer tf-idf surrogate)
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir), 5)),
+    // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
+    "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
+    // winnowing (rolling-hash) local fingerprints, k=5 w=4
+    "winnow_fp" -> ((s, dir) => TextAnalysis.winnowFingerprints(docs(s, dir), 5, 4)),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -320,6 +324,25 @@ sc AS (SELECT p.doc_id, p.term, p.tf, d.df,
   FROM p JOIN dfreq d USING (term)),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn FROM sc)
 SELECT doc_id, term, tf, df, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5""",
+
+    "token_pieces" ->
+      """SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_pieces,
+  CAST(len(list_distinct(regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))) AS BIGINT) AS n_distinct_pieces
+FROM documents""",
+
+    // k=5 word grams, windows of 4 gram hashes, min per window,
+    // distinct — DuckDB's 1-based inclusive list slice gs[j:j+3] is the
+    // 4-wide window; hash = the shared 60-bit md5 derivation, 'wn:' salt
+    "winnow_fp" ->
+      """WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id, ws FROM dwords WHERE len(ws) >= 8),
+gh AS (SELECT doc_id, list_transform(range(1, len(ws)-3), i ->
+    CAST(('0x' || substr(md5('wn:' || ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 15)) AS BIGINT)) AS gs
+  FROM g)
+SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(gs)-2),
+  j -> list_min(gs[j:j+3])))) AS fp
+FROM gh""",
 
     "word_freq" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)

@@ -82,11 +82,60 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_pred"))
   }
 
-  /** Whitespace-insensitive content fingerprint (rolling-hash analog):
-    * md5 of the whitespace-collapsed normalized text. */
+  /** Whitespace-insensitive content fingerprint (whole-document):
+    * md5 of the whitespace-collapsed normalized text. For the
+    * partial-overlap-robust local fingerprints, see
+    * [[winnowFingerprints]]. */
   def fingerprint(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       md5(regexp_replace(normalized(col("text")), "\\s+", " ")).as("fp"))
+
+  /** Subword-piece pre-tokenization count — the BPE-flavored token
+    * estimate real pipelines budget with (a whitespace token like
+    * "state-of-the-art" is several model tokens). Pieces follow the
+    * GPT-2-style pre-tokenizer classes on normalized text: an optional
+    * leading space then a letter run, a digit run, or a punctuation
+    * run. The alternation's branches are disjoint on their first
+    * non-space character, so leftmost-first (java.util.regex) and
+    * RE2 (DuckDB) agree on every match — the count is engine-exact,
+    * unlike a float chars/4 heuristic. Pure per-row regexp, no shuffle.
+    * Returns `(doc_id, n_pieces, n_distinct_pieces)`. */
+  def tokenPieces(df: DataFrame): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    val pieces = regexp_extract_all(normalized(col("text")), lit(pat), lit(0))
+    df.select(col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"))
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme —
+   * the rolling-hash local fingerprint): hash every word-k-gram, slide
+   * a window of `w` consecutive gram hashes, keep each window's
+   * MINIMUM, emit the distinct survivors as `(doc_id, fp)` rows. Two
+   * documents sharing any sufficiently long passage are guaranteed to
+   * share fingerprints (any k+w-1-token overlap contains a full
+   * window), while only ~1/w of grams survive — the index that powers
+   * partial-overlap detection (quotation mining, license/boilerplate
+   * spotting) at a fraction of the full shingle index's size.
+   *
+   * All hashes are md5-derived 60-bit integers, so the DuckDB oracle
+   * reproduces the selection bit-for-bit. Per-row array work + one
+   * explode, shuffle-free — same scale shape as [[shingles]], with the
+   * same distinct-before-explode trade.
+   */
+  def winnowFingerprints(df: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    val gramHash =
+      s"cast(conv(substr(md5(concat('wn:', $gram)), 1, 15), 16, 10) as bigint)"
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, size(ws)-$k), i -> $gramHash)").as("gs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(gs)-${w - 1}), j -> array_min(slice(gs, j, $w))))"))
+        .as("fp"))
+  }
 
   /**
    * Fixed-size token-window chunking with overlap — the standard

@@ -99,6 +99,44 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("tokenPieces counts GPT-2-style pre-tokenizer pieces exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab 12, cd!"), (2L, "xx xx xx")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenPieces(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: "ab", " ab", " 12", ",", " cd", "!" — all distinct
+    assert(got(1L) == ((6L, 6L)))
+    // doc 2: "xx", " xx", " xx" — the space-prefixed repeat collapses
+    assert(got(2L) == ((3L, 2L)))
+  }
+
+  test("winnowFingerprints: exact window minima; shared passages guarantee shared fingerprints") {
+    import spark.implicits._
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wn:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    // 9 tokens → 5 grams (k=5) → 2 windows (w=4): fps = the two minima
+    val toks = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
+    val grams = toks.sliding(5).map(_.mkString(" ")).toSeq
+    val hs = grams.map(h60)
+    val expected = Set(hs.slice(0, 4).min, hs.slice(1, 5).min)
+    val got = TextAnalysis.winnowFingerprints(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), 5, 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == expected)
+    // overlap guarantee: any >= k+w-1-token shared passage shares a window
+    val passage = "the quick brown fox jumps over seven lazy sleeping dogs"
+    val two = Seq(
+      (10L, "unrelated prefix words here " + passage),
+      (20L, passage + " and a completely different ending")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(two, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = fps.filter(_._1 == 10L).map(_._2).toSet
+    val b = fps.filter(_._1 == 20L).map(_._2).toSet
+    assert(a.intersect(b).nonEmpty)
+  }
+
   test("tfidfTopK ranks rare-and-frequent terms first with exact integer scores") {
     import spark.implicits._
     val df = Seq(
