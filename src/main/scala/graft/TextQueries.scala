@@ -46,6 +46,9 @@ object TextQueries {
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
     // winnowing (rolling-hash) local fingerprints, k=5 w=4
     "winnow_fp" -> ((s, dir) => TextAnalysis.winnowFingerprints(docs(s, dir), 5, 4)),
+    // passage-overlap mining over the winnow index (>= 3 shared fps)
+    "winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(docs(s, dir), 5, 4, 3, MaxShingleDf)),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -343,6 +346,21 @@ gh AS (SELECT doc_id, list_transform(range(1, len(ws)-3), i ->
 SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(gs)-2),
   j -> list_min(gs[j:j+3])))) AS fp
 FROM gh""",
+
+    "winnow_pairs" ->
+      s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+g AS (SELECT doc_id, ws FROM dwords WHERE len(ws) >= 8),
+gh AS (SELECT doc_id, list_transform(range(1, len(ws)-3), i ->
+    CAST(('0x' || substr(md5('wn:' || ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 15)) AS BIGINT)) AS gs
+  FROM g),
+f AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(gs)-2),
+    j -> list_min(gs[j:j+3])))) AS fp
+  FROM gh),
+keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     "word_freq" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)

@@ -205,6 +205,31 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /**
+   * Passage-overlap pairs over the winnowing index: documents sharing
+   * at least `minShared` winnow fingerprints ([[winnowFingerprints]]) —
+   * quotation/boilerplate mining, the partial-overlap relation n-gram
+   * Jaccard misses when the shared passage is a small fraction of
+   * either document. Inverted-index equality join on the fingerprint
+   * with the same `maxDf` skew cap as [[Dedup.jaccardPairs]]:
+   * boilerplate fingerprints shared by more than `maxDf` documents are
+   * excluded from the join (they would contribute O(df²) rows), so join
+   * work is bounded by maxDf² per capped fingerprint — and the index
+   * itself is ~1/w the size of a full shingle index.
+   */
+  def winnowPairs(df: DataFrame, k: Int = 5, w: Int = 4,
+                  minShared: Int = 3, maxDf: Int = 100): DataFrame = {
+    val fps = winnowFingerprints(df, k, w)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("fp")
+    val shared = fps.join(keep, "fp")
+    shared.as("a").join(shared.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

@@ -137,6 +137,25 @@ class DedupSpec extends SparkSpec {
     assert(a.intersect(b).nonEmpty)
   }
 
+  test("winnowPairs finds partial-overlap pairs that whole-doc Jaccard misses") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over seven lazy sleeping dogs " +
+      "while autumn rain keeps falling on the quiet empty station platform"
+    val fillerA = Seq.tabulate(80)(i => s"alpha$i").mkString(" ")
+    val fillerB = Seq.tabulate(80)(i => s"beta$i").mkString(" ")
+    val df = Seq(
+      (1L, fillerA + " " + passage),   // long doc quoting the passage
+      (2L, passage + " " + fillerB),   // different long doc, same quote
+      (3L, Seq.tabulate(90)(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(df, 5, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // the same pair is INVISIBLE to whole-document Jaccard at 1/2: the
+    // shared passage is ~20% of either doc — winnowing's use case
+    assert(Dedup.jaccardPairs(df, 1, 2).count() == 0)
+  }
+
   test("tfidfTopK ranks rare-and-frequent terms first with exact integer scores") {
     import spark.implicits._
     val df = Seq(
