@@ -31,6 +31,10 @@ object CurationQueries {
   // mid-corpus token budget: lands the cutoff INSIDE a quality stratum
   // at sf0.01 (so the boundary-bucket window path is exercised)
   private val BudgetTokens = 20000L
+  // release budget: well under the curated set's token mass at sf0.01,
+  // so the release pipeline's budget stage actually cuts (the curated
+  // set is ~39 docs / ~2.6k tokens; 1200 ships roughly half)
+  private val ReleaseBudget = 1200L
   // eval-set selection for the decontamination gate: ~2% of the corpus
   // plays the held-out benchmark role, picked by md5 permille so both
   // engines (and every run) agree on the split
@@ -72,32 +76,53 @@ object CurationQueries {
     // deterministic stratified sample → per-source cap (ranked over the
     // post-filter survivors) → transitive dedup-loser removal. One
     // gated query proving the stages compose without semantic drift.
-    "pipeline_curate" -> ((s, dir) => {
-      import graft.operators.Dedup
+    "pipeline_curate" -> (curated _),
+
+    // the full RELEASE build on top of the curated set: drop the eval
+    // documents themselves and every document contaminated by eval
+    // 5-grams, spend the training-token budget on the best-quality
+    // survivors (histogram cutoff — no global sort), then assign the
+    // shipped set its reproducible shard/position layout. The capstone
+    // composition: a user runs the complete corpus release as ONE query.
+    "pipeline_release" -> ((s, dir) => {
       val d = docs(s, dir)
-      // fused single-pass content gates (one tokenization, no
-      // stats ⋈ repetition glue join — see Curation.contentSignals)
-      val content = Curation.contentSignals(d)
-        .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500 && col("rep_e3") <= RepMaxE3)
-        .select("doc_id", "n_tokens")
-      val sampled = content.join(
-        Curation.stratifiedSample(d, "lang", SampleRates, SampleDefault)
-          .select("doc_id", "lang", "source"), "doc_id")
-      // per-source cap via the bounded top-n aggregate (no per-source
-      // full sort — see Curation.sourceCap), joined back on the unique id
-      val capped = sampled.join(
-        Curation.sourceCap(sampled.select("doc_id", "source"), SourceCapN)
-          .select("doc_id"), Seq("doc_id"))
-      // cluster losers come from the materialized-per-process cluster
-      // table (same table dedup_clusters/dedup_keepers consume) — the
-      // expensive LSH→re-verify→CC chain runs once per corpus, not once
-      // per consumer
-      val losers = Dedup.sharedClusters(d, dir)
-        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      capped.join(losers, Seq("doc_id"), "left_anti")
-        .select("doc_id", "lang", "source", "n_tokens")
+      val cur = curated(s, dir).select("doc_id")
+      val contam = Curation.decontaminate(d.filter(!evalPred), d.filter(evalPred), DecontamK)
+        .filter(col("contaminated") === 1).select("doc_id")
+      val clean = cur.filter(!evalPred).join(contam, Seq("doc_id"), "left_anti")
+      val budgeted = Curation.budgetSelect(d.join(clean, "doc_id"), ReleaseBudget)
+        .select("doc_id")
+      Curation.shardAssign(d.join(budgeted, "doc_id"), NShards)
     })
   )
+
+  /** The shared curate composition (gate `pipeline_curate`, reused as
+    * the base of `pipeline_release`). */
+  private def curated(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = docs(s, dir)
+    // fused single-pass content gates (one tokenization, no
+    // stats ⋈ repetition glue join — see Curation.contentSignals)
+    val content = Curation.contentSignals(d)
+      .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500 && col("rep_e3") <= RepMaxE3)
+      .select("doc_id", "n_tokens")
+    val sampled = content.join(
+      Curation.stratifiedSample(d, "lang", SampleRates, SampleDefault)
+        .select("doc_id", "lang", "source"), "doc_id")
+    // per-source cap via the bounded top-n aggregate (no per-source
+    // full sort — see Curation.sourceCap), joined back on the unique id
+    val capped = sampled.join(
+      Curation.sourceCap(sampled.select("doc_id", "source"), SourceCapN)
+        .select("doc_id"), Seq("doc_id"))
+    // cluster losers come from the materialized-per-process cluster
+    // table (same table dedup_clusters/dedup_keepers consume) — the
+    // expensive LSH→re-verify→CC chain runs once per corpus, not once
+    // per consumer
+    val losers = Dedup.sharedClusters(d, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    capped.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_tokens")
+  }
 
   // regexes are RE2-compatible by construction (Curation scaladoc), so
   // the same pattern string drops into both engines verbatim
@@ -207,7 +232,49 @@ FROM s GROUP BY 1""",
     "pipeline_curate" ->
       s"""${TextQueries.recursiveSigCte},
 ${TextQueries.clusterCte},
-cq AS (SELECT doc_id,
+$curateCtes
+SELECT doc_id, lang, source, n_tokens FROM ccap c
+WHERE rn <= $SourceCapN
+  AND NOT EXISTS (SELECT 1 FROM clus WHERE clus.doc_id = c.doc_id AND clus.doc_id <> clus.cluster_id)""",
+
+    // the release capstone: curate (shared CTEs) → drop eval +
+    // contaminated docs → quality-ordered token budget → shard layout
+    "pipeline_release" ->
+      s"""${TextQueries.recursiveSigCte},
+${TextQueries.clusterCte},
+$curateCtes,
+rcur AS (SELECT doc_id FROM ccap c
+  WHERE rn <= $SourceCapN
+    AND NOT EXISTS (SELECT 1 FROM clus WHERE clus.doc_id = c.doc_id AND clus.doc_id <> clus.cluster_id)),
+rdsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-3),
+    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS sh
+  FROM dwords WHERE len(ws) >= $DecontamK),
+rev AS (SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < $EvalPermille),
+revsh AS (SELECT DISTINCT sh FROM rdsh JOIN rev USING (doc_id)),
+rcon AS (SELECT DISTINCT d.doc_id FROM rdsh d JOIN revsh USING (sh)
+  WHERE NOT EXISTS (SELECT 1 FROM rev WHERE rev.doc_id = d.doc_id)),
+rclean AS (SELECT doc_id FROM rcur
+  WHERE NOT EXISTS (SELECT 1 FROM rev WHERE rev.doc_id = rcur.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM rcon WHERE rcon.doc_id = rcur.doc_id)),
+rw AS (SELECT q.doc_id,
+    sum(q.n_tokens) OVER (ORDER BY q.quality_e3 DESC, q.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cq q JOIN rclean USING (doc_id)),
+rsel AS (SELECT doc_id FROM rw WHERE cum <= $ReleaseBudget),
+rh AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM rsel)
+SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM rh"""
+  )
+
+  /** The curate stage's oracle CTEs, shared by `pipeline_curate` and
+    * `pipeline_release` (assumes `dwords` from the signature CTEs).
+    * Lazy: referenced from `oracle`, which initializes first. */
+  private lazy val curateCtes =
+    s"""cq AS (SELECT doc_id,
     CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
     (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
       // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
@@ -222,9 +289,5 @@ csamp AS (SELECT doc_id, lang, source FROM documents
 cbase AS (SELECT cq.doc_id, cq.n_tokens, s.lang, s.source
   FROM cq JOIN crep USING (doc_id) JOIN csamp s USING (doc_id)
   WHERE cq.n_tokens >= 30 AND cq.quality_e3 >= 500 AND crep.rep_e3 <= $RepMaxE3),
-ccap AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM cbase)
-SELECT doc_id, lang, source, n_tokens FROM ccap c
-WHERE rn <= $SourceCapN
-  AND NOT EXISTS (SELECT 1 FROM clus WHERE clus.doc_id = c.doc_id AND clus.doc_id <> clus.cluster_id)"""
-  )
+ccap AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM cbase)"""
 }
