@@ -89,9 +89,15 @@ object CurationQueries {
       val cur = curated(s, dir).select("doc_id")
       val contam = Curation.decontaminate(d.filter(!evalPred), d.filter(evalPred), DecontamK)
         .filter(col("contaminated") === 1).select("doc_id")
+      // checkpoint the candidate ID set (survivor-scale, two columns):
+      // the curate+decontam DAG would otherwise re-execute once for the
+      // budget histogram action and again at final evaluation — the
+      // same materialize-between-stages shape as the shared cluster
+      // table, at ID-list cost
       val clean = cur.filter(!evalPred).join(contam, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val budgeted = Curation.budgetSelect(d.join(clean, "doc_id"), ReleaseBudget)
-        .select("doc_id")
+        .select("doc_id").localCheckpoint()
       Curation.shardAssign(d.join(budgeted, "doc_id"), NShards)
     })
   )
