@@ -158,6 +158,33 @@ class PlanQualitySpec extends SparkSpec {
       "join keyed on a shingle:\n" + joinLines.mkString("\n"))
   }
 
+  test("tfidf broadcasts the vocabulary; winnow explode never feeds a raw-fingerprint shuffle") {
+    // the df table joins back by broadcast — a SortMergeJoin on term
+    // would shuffle every (doc, term) pair on a stopword-skewed key
+    val tf = graft.SparkEntry.queries("tfidf_topk")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(tf.contains("BroadcastHashJoin"), tf)
+    // winnow fingerprints: per-row arrays, one explode, zero exchanges
+    // above it (the only allowed exchange is the small-input spread
+    // BELOW the explode)
+    val wf = graft.operators.TextAnalysis.winnowFingerprints(
+        spark.read.parquet(sf("sf0.001") + "/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    val lines = wf.linesIterator.toSeq
+    val gen = lines.lastIndexWhere(_.contains("Generate"))
+    assert(gen >= 0, wf)
+    assert(lines.take(gen).count(_.contains("Exchange")) == 0, wf)
+  }
+
+  test("composed dedup/release pipelines never fall back to nested-loop or cartesian joins") {
+    for (q <- Seq("pipeline_nightly", "pipeline_release", "winnow_pairs")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
