@@ -22,4 +22,7 @@ time("budgetSelect 1M docs (10M-token budget)") { println(graft.operators.Curati
 val newBatch = big.filter(col("doc_id") % 100 === 37)
 val prior = big.filter(col("doc_id") % 100 =!= 37)
 time("incrementalKeepers 10k new vs 990k prior") { println(graft.operators.Dedup.incrementalKeepers(newBatch, prior).count()) }
+time("winnowFingerprints 1M docs (k=5, w=4)") { println(graft.operators.TextAnalysis.winnowFingerprints(big).count()) }
+time("tfidfTopK 1M docs (top 5)") { println(graft.operators.TextAnalysis.tfidfTopK(big, 5).count()) }
+time("tokenPieces 1M docs") { println(graft.operators.TextAnalysis.tokenPieces(big).agg(sum("n_pieces")).head.getLong(0)) }
 System.exit(0)
