@@ -88,6 +88,16 @@ object TextQueries {
     "dedup_keepers" -> ((s, dir) =>
       Dedup.keepersFrom(docs(s, dir),
         Dedup.sharedClusters(docs(s, dir), dir, 1, 2, 3, NumHashes, Bands, RowsPerBand))),
+    // quality-aware keeper selection: every cluster ships its BEST
+    // member (lexical-diversity score, ties to lowest id) instead of
+    // the minimum id — the keeper rule a production dedup wants
+    "dedup_keepers_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scores = TextAnalysis.stats(d)
+        .select(col("doc_id"), col("quality_e3").as("score"))
+      Dedup.keepersByScore(d,
+        Dedup.sharedClusters(d, dir, 1, 2, 3, NumHashes, Bands, RowsPerBand), scores)
+    }),
     // incremental (cross-run) dedup: a fourth of the corpus plays the
     // incoming batch, deduped against the other three quarters playing
     // yesterday's shipped corpus — exact-hash anti-join + LSH-verified
@@ -255,6 +265,21 @@ WHERE n_tokens >= 30 AND quality_e3 >= 500
   AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = q.doc_id)""",
 
     "minhash_signatures" -> s"$sigCte SELECT * FROM sigs",
+
+    "dedup_keepers_best" ->
+      s"""$recursiveSigCte,
+$clusterCte,
+qsc AS (SELECT doc_id,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS score
+  FROM documents),
+win AS (SELECT doc_id FROM (
+    SELECT c.doc_id,
+      row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.score DESC, c.doc_id) AS rn
+    FROM clus c JOIN qsc q USING (doc_id)) WHERE rn = 1)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM clus WHERE clus.doc_id = d.doc_id)
+   OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = d.doc_id)""",
 
     "dedup_incremental" ->
       s"""$sigCte,

@@ -422,6 +422,32 @@ object Dedup {
     df.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /**
+   * Cluster-canonical survivors keeping the BEST member of every
+   * cluster by a caller-supplied score (ties → lowest doc_id) — the
+   * keeper rule production dedup actually wants: when a document
+   * cluster mixes a clean original with mangled near-copies, ship the
+   * highest-quality member, not the numerically smallest id.
+   * `scores` is `(doc_id, score)`; documents outside any cluster
+   * survive unconditionally.
+   *
+   * Scale shape: the ranking window partitions by cluster over CLUSTER
+   * MEMBERS ONLY (candidate scale — near-dup families, not the
+   * corpus), and the final anti-join's key set is the cluster-member
+   * loser list. The corpus is touched exactly once, by the anti-join.
+   */
+  def keepersByScore(df: DataFrame, clusterMap: DataFrame,
+                     scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+    val winners = clusterMap.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id")
+    val losers = clusterMap.select("doc_id")
+      .join(winners, Seq("doc_id"), "left_anti")
+    df.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   /** Corpus survivors after transitive near-dup resolution, computing
     * the cluster map inline — see [[keepersFrom]] for the
     * materialized-table shape a real pipeline uses. */

@@ -173,6 +173,20 @@ class DedupSpec extends SparkSpec {
     assert(rows((3L, 2L)) == (("durian", 1L, 1L, 1000000L)))
   }
 
+  test("keepersByScore ships the best-scoring cluster member, not the minimum id") {
+    import spark.implicits._
+    val clusterMap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 100L), (2L, 900L), (3L, 500L), (7L, 10L), (8L, 10L), (9L, 1L))
+      .toDF("doc_id", "score")
+    val corpus = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val kept = Dedup.keepersByScore(corpus, clusterMap, scores)
+      .collect().map(_.getLong(0)).toSet
+    // cluster 1: doc 2 wins on score (NOT min id 1); cluster 7: score
+    // tie breaks to the lowest id; doc 9 is unclustered and survives
+    assert(kept == Set(2L, 7L, 9L))
+  }
+
   test("incrementalKeepers drops exact and near-dups of the prior corpus, keeps intra-batch dups") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
