@@ -50,7 +50,8 @@ object Bench {
     // below under their own keys so the query inventory stays
     // comparable across rounds
     val streamKeys =
-      Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup", "stream_hourly")
+      Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup", "stream_hourly",
+        "stream_curate")
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => streamKeys.contains(kv._1))
       .map { case (name, fn) =>
