@@ -23,6 +23,10 @@ val newBatch = big.filter(col("doc_id") % 100 === 37)
 val prior = big.filter(col("doc_id") % 100 =!= 37)
 time("incrementalKeepers 10k new vs 990k prior") { println(graft.operators.Dedup.incrementalKeepers(newBatch, prior).count()) }
 time("winnowFingerprints 1M docs (k=5, w=4)") { println(graft.operators.TextAnalysis.winnowFingerprints(big).count()) }
+// the 200x-replicated corpus is the boilerplate worst case: every
+// fingerprint's df is ~200 > maxDf, so the cap must keep the pair
+// join bounded (and near-empty) instead of exploding quadratically
+time("winnowPairs 1M docs (df-capped worst case)") { println(graft.operators.TextAnalysis.winnowPairs(big, 5, 4, 3, 100).count()) }
 time("tfidfTopK 1M docs (top 5)") { println(graft.operators.TextAnalysis.tfidfTopK(big, 5).count()) }
 time("tokenPieces 1M docs") { println(graft.operators.TextAnalysis.tokenPieces(big).agg(sum("n_pieces")).head.getLong(0)) }
 System.exit(0)
