@@ -59,6 +59,7 @@ object Curation {
         size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"),
         expr("""cast(div((size(bg) - size(array_distinct(bg))) * cast(1000 as bigint),
                         size(bg)) as bigint)""").as("rep_e3"))
+      .observe("repetition_stats", count(lit(1)).as("n_docs"))
 
   /**
    * Fused per-document content-gate signals: token count, lexical
@@ -70,6 +71,18 @@ object Curation {
    * the join alone is a full-corpus exchange. Values are identical
    * (documents with < 2 tokens drop, matching the inner join against
    * repetitionStats' bigram filter).
+   *
+   * The trailing `observe` node is a PREDICATE-PUSHDOWN BARRIER (and a
+   * free metrics point: every action reports the pre-gate document
+   * count). Without it, a consumer's threshold filter is pushed through
+   * the projections, inlining the tokenizer into the bigram lambda's
+   * per-element accesses — `split(text)[i]` re-tokenizes the document
+   * for EVERY bigram, turning a linear per-row operator into O(tokens²)
+   * (measured 7.1 s vs 0.3 s on the sf0.1 gate filter; at corpus scale
+   * the difference is fatal). Catalyst does not reorder filters across
+   * `CollectMetrics`, so the gates evaluate on the materialized signal
+   * columns — same rows, one tokenization. [[repetitionStats]] carries
+   * the same barrier for the same reason.
    */
   def contentSignals(df: DataFrame): DataFrame =
     TextAnalysis.spread(df)
@@ -83,6 +96,7 @@ object Curation {
           .as("quality_e3"),
         expr("""cast(div((size(bg) - size(array_distinct(bg))) * cast(1000 as bigint),
                         size(bg)) as bigint)""").as("rep_e3"))
+      .observe("content_signals", count(lit(1)).as("n_docs"))
 
   /**
    * Deterministic stratified sampling: keep a document iff a

@@ -185,6 +185,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("content-gate filters evaluate on materialized signals, never re-inlining the tokenizer") {
+    // without the observe barrier, pushdown inlines split() into the
+    // bigram lambda's element accesses — O(tokens²) re-tokenization per
+    // row (measured 20× on the sf0.1 gate). The filter must sit above
+    // CollectMetrics and reference only the materialized signal columns.
+    val gated = graft.operators.Curation.contentSignals(
+        spark.read.parquet(sf("sf0.001") + "/documents.parquet"))
+      .filter(col("n_tokens") >= 30 && col("quality_e3") >= 500 && col("rep_e3") <= 300)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), plan)
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+    val gateLine = filterLines.find(_.contains("n_tokens"))
+    assert(gateLine.isDefined, plan)
+    assert(!gateLine.get.contains("split("), s"tokenizer inlined into the gate filter:\n$plan")
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
