@@ -112,15 +112,12 @@ object TextQueries {
     // deduplicated WITHIN itself (cluster-canonical keepers — a~b~c
     // collapses to the minimum member) AND against the shipped prior
     // corpus (exact + LSH-verified cross anti-joins); a document ships
-    // only if it survives both. One gate proving the two dedup modes
-    // compose without semantic drift.
+    // only if it survives both. The fused operator signs and
+    // shingle-sets the batch ONCE for both stages (Dedup.nightly).
     "pipeline_nightly" -> ((s, dir) => {
       val d = docs(s, dir)
-      val newBatch = d.filter(col("doc_id") % 4 === 3)
-      val prior = d.filter(col("doc_id") % 4 < 3)
-      Dedup.keepers(newBatch, 1, 2, 3, NumHashes, Bands, RowsPerBand)
-        .join(Dedup.incrementalKeepers(newBatch, prior,
-          1, 2, 3, NumHashes, Bands, RowsPerBand), Seq("doc_id"))
+      Dedup.nightly(d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
+        1, 2, 3, NumHashes, Bands, RowsPerBand)
     })
   )
 

@@ -193,6 +193,56 @@ object Dedup {
   }
 
   /**
+   * The fused nightly-batch dedup: intra-batch cluster-canonical keeper
+   * selection AND cross-run dedup against the prior corpus in one
+   * operator — value-identical to `keepers(newDf) ∩
+   * incrementalKeepers(newDf, priorDf)`, but the incoming batch is
+   * MinHash-signed, banded, and shingle-set-built ONCE (the separate
+   * spelling signs it twice and sets it twice). The batch-scale
+   * artifacts (band signatures, shingle sets) are localCheckpoint'ed —
+   * exactly the signature tables a production nightly job persists —
+   * so the self-join, the cross-join, and both re-verifies read them
+   * without re-deriving; the prior corpus is still scanned once for
+   * its signatures and once for its content hashes.
+   */
+  def nightly(newDf: DataFrame, priorDf: DataFrame,
+              num: Int = 1, den: Int = 2, k: Int = 3, numHashes: Int = 16,
+              bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandNew = bandSignatures(minhashSignatures(newDf, numHashes, k),
+      bands, rowsPerBand).localCheckpoint()
+    val setsNew = TextAnalysis.shingleSets(newDf, k).localCheckpoint()
+    def verified(cands: DataFrame, setsB: DataFrame): DataFrame = cands
+      .join(setsNew.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
+      .join(setsB, "id_b")
+      .filter(lit(den + num) * size(array_intersect(col("shs_a"), col("shs_b"))) >=
+        lit(num) * (size(col("shs_a")) + size(col("shs_b"))))
+      .select("id_a", "id_b")
+    // intra-batch: self-join candidates → exact re-verify → CC → losers
+    val candsIntra = bandNew.as("a").join(bandNew.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val intraLosers = connectedComponents(verified(candsIntra,
+        setsNew.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shs", "shs_b")))
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    // cross-run: new×prior candidates → re-verify; plus exact hashes
+    val bandPrior = bandSignatures(minhashSignatures(priorDf, numHashes, k), bands, rowsPerBand)
+    val candsCross = bandNew.as("a").join(bandPrior.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val crossLosers = verified(candsCross,
+        TextAnalysis.shingleSets(priorDf, k)
+          .withColumnRenamed("doc_id", "id_b").withColumnRenamed("shs", "shs_b"))
+      .select(col("id_a").as("doc_id")).distinct()
+    val priorHashes = priorDf.select(md5(col("text")).as("th")).distinct()
+    newDf.withColumn("th", md5(col("text")))
+      .join(priorHashes, Seq("th"), "left_anti")
+      .join(intraLosers, Seq("doc_id"), "left_anti")
+      .join(crossLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  /**
    * Near-duplicate pairs in the full 100 TB shape: banded-LSH candidate
    * generation ([[lshCandidates]]) followed by exact Jaccard
    * re-verification of ONLY the candidate pairs — the composition the

@@ -156,6 +156,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, 1, 2).count() == 0)
   }
 
+  test("nightly equals keepers-intersect-incremental on a mixed fixture") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val prior = Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val ending = " with completely fresh trailing content words"
+    val newBatch = Seq(
+      (10L, base),                         // exact copy of prior → dropped
+      (11L, base + " uniform"),            // near-dup of prior → dropped
+      (12L, "brand new document about mountains rivers" + ending),
+      (13L, "brand new document about mountains rivers" + ending + " x"), // intra near-dup of 12 → cluster loser
+      (14L, "entirely separate subject matter goes right here today")
+    ).toDF("doc_id", "text")
+    val fused = Dedup.nightly(newBatch, prior).collect().map(_.getLong(0)).toSet
+    val composed = Dedup.keepers(newBatch)
+      .join(Dedup.incrementalKeepers(newBatch, prior), Seq("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fused == composed)
+    assert(fused == Set(12L, 14L))
+  }
+
   test("tfidfTopK ranks rare-and-frequent terms first with exact integer scores") {
     import spark.implicits._
     val df = Seq(
