@@ -83,6 +83,18 @@ object EmbeddingQueries {
       Similarity.semanticClustersFrom(
         Similarity.sharedKnnJoin(emb(s, dir), dir, KJoin, IvfCentroids, IvfProbe),
         NearDupMinDot)),
+    // embedding-corpus survivors after semantic cluster resolution —
+    // Dedup.keepersFrom works on any (doc_id, cluster_id) map, so the
+    // embedding-space keeper is the same anti-join shape as the text one
+    "semantic_keepers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Dedup.keepersFrom(
+        e.withColumnRenamed("vec_id", "doc_id"),
+        Similarity.semanticClustersFrom(
+          Similarity.sharedKnnJoin(e, dir, KJoin, IvfCentroids, IvfProbe),
+          NearDupMinDot).withColumnRenamed("vec_id", "doc_id"))
+        .withColumnRenamed("doc_id", "vec_id")
+    }),
     // symmetric int8 quantization audit (amax scale + quantized-vector
     // fingerprint + L1 reconstruction error), exact integer arithmetic
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
@@ -305,6 +317,19 @@ sreach AS (SELECT src AS id, src AS r FROM sedges
   UNION
   SELECT e.dst, r.r FROM sreach r JOIN sedges e ON e.src = r.id)
 SELECT id AS vec_id, min(r) AS cluster_id FROM sreach GROUP BY id""",
+
+    "semantic_keepers" ->
+      s"""WITH RECURSIVE $intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", qPred = "", k = KJoin, wrapAs = Some("kj"))},
+sp AS (SELECT qid, nid FROM kj WHERE dot >= $NearDupMinDot AND qid < nid),
+sedges AS (SELECT qid AS src, nid AS dst FROM sp UNION ALL SELECT nid, qid FROM sp),
+sreach AS (SELECT src AS id, src AS r FROM sedges
+  UNION
+  SELECT e.dst, r.r FROM sreach r JOIN sedges e ON e.src = r.id),
+sclus AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id)
+SELECT e.vec_id FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM sclus c WHERE c.id = e.vec_id AND c.id <> c.cluster_id)""",
 
     "ann_lsh_recall" ->
       s"""WITH $intCte,
