@@ -98,7 +98,14 @@ object CurationQueries {
         .localCheckpoint()
       val budgeted = Curation.budgetSelect(d.join(clean, "doc_id"), ReleaseBudget)
         .select("doc_id").localCheckpoint()
-      Curation.shardAssign(d.join(budgeted, "doc_id"), NShards)
+      // materialize the (shipped-set-scale) result, then free the two
+      // stage-boundary ID checkpoints — repeated release builds in one
+      // session must not accumulate executor-storage blocks
+      val out = Curation.shardAssign(d.join(budgeted, "doc_id"), NShards)
+        .localCheckpoint()
+      graft.operators.Dedup.unpersistCheckpointed(clean)
+      graft.operators.Dedup.unpersistCheckpointed(budgeted)
+      out
     })
   )
 

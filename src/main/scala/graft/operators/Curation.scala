@@ -236,15 +236,22 @@ object Curation {
    *      every document with quality > q* fits in the budget outright
    *      (a pure filter, no sort, no shuffle);
    *   3. only the boundary BUCKET pays a ranking window — one quality
-   *      stratum, not the corpus. (If a single stratum were still too
-   *      large, the same histogram trick recurses on doc_id ranges —
-   *      the driver never holds more than a bounded histogram.)
+   *      stratum, not the corpus; and if that single stratum is itself
+   *      too large to sort in one partition (> `windowRows` rows —
+   *      degenerate corpora where most documents share one quality
+   *      value), [[orderedDocIdPrefix]] recurses the SAME histogram
+   *      trick on doc_id ranges until the surviving slice fits the
+   *      window. The driver never holds more than a bounded histogram
+   *      per level, and levels are logarithmic in the id range.
    *
-   * Returns `(doc_id, n_tokens, quality_e3)` of the selected documents —
+   * Requires `doc_id` unique (the corpus primary key — same
+   * precondition as the oracle's window spelling). Returns
+   * `(doc_id, n_tokens, quality_e3)` of the selected documents —
    * value-identical to the one-big-window spelling the DuckDB oracle
    * uses, for any budget.
    */
-  def budgetSelect(df: DataFrame, budgetTokens: Long): DataFrame = {
+  def budgetSelect(df: DataFrame, budgetTokens: Long,
+                   windowRows: Long = 1L << 22): DataFrame = {
     val s = TextAnalysis.stats(df).select("doc_id", "n_tokens", "quality_e3")
     val hist = s.groupBy("quality_e3").agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
@@ -255,13 +262,63 @@ object Curation {
     if (cutoff == Long.MinValue) s // the whole corpus fits the budget
     else {
       val remaining = budgetTokens - above
-      val boundary = s.filter(col("quality_e3") === cutoff)
-        .withColumn("cum", sum(col("n_tokens")).over(
+      val boundary = orderedDocIdPrefix(
+        s.filter(col("quality_e3") === cutoff), remaining, windowRows)
+      s.filter(col("quality_e3") > cutoff).union(boundary)
+    }
+  }
+
+  /**
+   * The doc_id-ordered token-budget prefix of `s` (`(doc_id, n_tokens,
+   * …)`, doc_id unique): the rows whose running `n_tokens` sum in
+   * doc_id order stays ≤ `remaining` — WITHOUT ever globally sorting
+   * more than `windowRows` rows. While the slice is larger, one
+   * map-side-combinable aggregate buckets the doc_id VALUE RANGE into
+   * ≤ `buckets` ranges, the driver walks the (bounded) histogram to
+   * find the boundary range — every earlier range is included outright
+   * by a pure filter — and the recursion descends into the boundary
+   * range alone with the leftover budget. Each level divides the id
+   * range by `buckets`, so depth ≤ log_buckets(idRange) ≈ 7 for the
+   * full 63-bit id space at the default 1024; only the terminal slice
+   * (≤ windowRows rows, or a single doc_id value) pays the
+   * single-partition ranking window.
+   */
+  private[graft] def orderedDocIdPrefix(s: DataFrame, remaining: Long,
+                                        windowRows: Long,
+                                        buckets: Int = 1024): DataFrame = {
+    val cols = s.columns.toSeq.map(col)
+    val Array(head) = s.agg(count(lit(1)).as("n"),
+      coalesce(min("doc_id"), lit(0L)).as("lo"),
+      coalesce(max("doc_id"), lit(0L)).as("hi"),
+      coalesce(sum("n_tokens"), lit(0L)).as("total")).collect()
+    val (n, lo, hi, total) =
+      (head.getLong(0), head.getLong(1), head.getLong(2), head.getLong(3))
+    if (total <= remaining) s // the whole slice fits
+    else if (n <= windowRows || lo == hi) {
+      // terminal: small enough to sort in one partition (or a single
+      // doc_id value, where no range can shrink further)
+      s.withColumn("cum", sum(col("n_tokens")).over(
           Window.orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("cum") <= remaining)
-        .select("doc_id", "n_tokens", "quality_e3")
-      s.filter(col("quality_e3") > cutoff).union(boundary)
+        .select(cols: _*)
+    } else {
+      // math.ceil without overflow: hi - lo < 2^63 is guaranteed, and
+      // width >= 2 because lo < hi here, so the range strictly shrinks
+      val width = (hi - lo) / buckets + 1
+      // integer div, not `/` (Divide is floating-point on longs and a
+      // double's 53-bit mantissa mis-buckets large ids)
+      val bucketOf = expr(s"div(doc_id - ${lo}L, ${width}L)")
+      val bhist = s.groupBy(bucketOf.as("b")).agg(sum("n_tokens").as("mass"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var above = 0L
+      var boundary = -1L
+      for ((b, m) <- bhist if boundary < 0)
+        if (above + m <= remaining) above += m else boundary = b
+      // boundary >= 0 always: total > remaining, so some bucket breaks
+      val included = s.filter(bucketOf < boundary)
+      included.union(orderedDocIdPrefix(
+        s.filter(bucketOf === boundary), remaining - above, windowRows, buckets))
     }
   }
 

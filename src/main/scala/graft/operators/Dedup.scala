@@ -204,6 +204,12 @@ object Dedup {
    * so the self-join, the cross-join, and both re-verifies read them
    * without re-deriving; the prior corpus is still scanned once for
    * its signatures and once for its content hashes.
+   *
+   * The survivor set (doc_ids only — batch-scale, one column) is
+   * itself checkpointed eagerly and the batch-scale intermediates are
+   * unpersisted before returning, so repeated nightly runs in one
+   * long-lived session hold exactly one ID list per invocation in
+   * executor storage, not an accumulating pile of signature tables.
    */
   def nightly(newDf: DataFrame, priorDf: DataFrame,
               num: Int = 1, den: Int = 2, k: Int = 3, numHashes: Int = 16,
@@ -235,11 +241,15 @@ object Dedup {
           .withColumnRenamed("doc_id", "id_b").withColumnRenamed("shs", "shs_b"))
       .select(col("id_a").as("doc_id")).distinct()
     val priorHashes = priorDf.select(md5(col("text")).as("th")).distinct()
-    newDf.withColumn("th", md5(col("text")))
+    val survivors = newDf.withColumn("th", md5(col("text")))
       .join(priorHashes, Seq("th"), "left_anti")
       .join(intraLosers, Seq("doc_id"), "left_anti")
       .join(crossLosers, Seq("doc_id"), "left_anti")
       .select("doc_id")
+      .localCheckpoint() // eager: last read of the signature tables
+    unpersistCheckpointed(bandNew)
+    unpersistCheckpointed(setsNew)
+    survivors
   }
 
   /**
@@ -401,7 +411,7 @@ object Dedup {
   /** Drop the storage of a `localCheckpoint`ed DataFrame once a later
     * round has superseded it (blocking=false: eviction races nothing —
     * the next round never reads it again). */
-  private def unpersistCheckpointed(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -432,33 +442,26 @@ object Dedup {
     df.sparkSession.read.parquet(path)
   }
 
-  // per-JVM memo of materialized cluster tables, keyed by corpus id +
-  // parameters: lives under java.io.tmpdir, deleted on JVM exit. The
-  // cache is process-scoped ON PURPOSE — a fresh run always recomputes,
-  // so a changed corpus at the same path can never serve stale clusters
-  private[graft] val sharedTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // per-JVM memo of materialized cluster tables, keyed by corpus key +
+  // parameters — see the TableMemo scaladoc for the staleness contract
+  // (corpusKey must change when the corpus does) and the locking shape
+  private[graft] val sharedTables = new TableMemo("graft-clusters-")
 
   /**
    * [[clustersTable]] with per-process memoization: the first consumer
    * for a given `(corpusKey, params)` pays the full pipeline and writes
    * the table; later consumers in the same process read it back. This
    * is how the query gates model the production dedup-once shape while
-   * each remains independently runnable.
+   * each remains independently runnable. See [[TableMemo]] for the
+   * staleness contract — `corpusKey` must change when the corpus does.
    */
   def sharedClusters(df: DataFrame, corpusKey: String, num: Int = 1, den: Int = 2,
                      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                      rowsPerBand: Int = 4): DataFrame = {
     val key = s"$corpusKey|$num/$den|k=$k|h=$numHashes|b=$bands|r=$rowsPerBand"
-    val path = sharedTables.computeIfAbsent(key, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-clusters-")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      clustersTable(df, dir.toString, num, den, k, numHashes, bands, rowsPerBand)
-      dir.toString
-    })
+    val path = sharedTables.getOrCreate(key) { dir =>
+      clustersTable(df, dir, num, den, k, numHashes, bands, rowsPerBand)
+    }
     df.sparkSession.read.parquet(path)
   }
 
@@ -479,7 +482,14 @@ object Dedup {
    * cluster mixes a clean original with mangled near-copies, ship the
    * highest-quality member, not the numerically smallest id.
    * `scores` is `(doc_id, score)`; documents outside any cluster
-   * survive unconditionally.
+   * survive unconditionally. Cluster members MISSING from `scores`
+   * rank as if scored `Long.MinValue` (a left join, not an inner
+   * join): they can only win a cluster whose every member is
+   * unscored — in which case the lowest doc_id still survives,
+   * matching [[keepersFrom]] — and a partially-scored cluster keeps
+   * its best scored member. An inner join here would silently drop
+   * ALL members of an all-unscored cluster (no winner selected, every
+   * member anti-joined away) — data loss, not keeper selection.
    *
    * Scale shape: the ranking window partitions by cluster over CLUSTER
    * MEMBERS ONLY (candidate scale — near-dup families, not the
@@ -490,7 +500,9 @@ object Dedup {
                      scores: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
-    val winners = clusterMap.join(scores, "doc_id")
+    val winners = clusterMap
+      .join(scores, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(Long.MinValue)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select("doc_id")
     val losers = clusterMap.select("doc_id")

@@ -54,11 +54,42 @@ object Multimodal {
   }
 
   /** Per-partition decoder handle (NOT required to be serializable —
-    * it never leaves the executor that opened it). */
+    * it never leaves the executor that opened it). [[close]] releases
+    * whatever [[MediaCodec.open]] acquired (native handles, model
+    * weights, scratch buffers); the operators guarantee it runs
+    * exactly once per opened handle, at partition end — on normal
+    * exhaustion AND on task failure/cancellation (via the task
+    * completion listener). The default is a no-op so pure-JVM codecs
+    * need not care. */
   trait MediaDecoder {
     def decode(r: MediaRecord): MediaInfo
     def resize(r: MediaRecord, w: Int, h: Int): MediaRecord
     def features(r: MediaRecord): MediaFeature
+    def close(): Unit = ()
+  }
+
+  /** Open a decoder for this partition and map the rows through it,
+    * closing the handle exactly once when the partition ends. Two
+    * triggers cover every exit path: the task completion listener fires
+    * on success, failure, and cancellation (a real libjpeg/ffmpeg
+    * handle must not leak on a thrown row); the exhaustion hook closes
+    * eagerly as soon as the iterator drains, without waiting for task
+    * teardown (driver-local iteration has no TaskContext). */
+  private def mapWithDecoder[B](codec: MediaCodec, it: Iterator[MediaRecord])
+                               (f: (MediaDecoder, MediaRecord) => B): Iterator[B] = {
+    val dec = codec.open()
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; dec.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    new Iterator[B] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      def next(): B = f(dec, it.next())
+    }
   }
 
   /**
@@ -125,8 +156,8 @@ object Multimodal {
              codec: MediaCodec = StandInCodec): Dataset[MediaInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val dec = codec.open() // per-partition handle (amortized setup)
-      it.map(dec.decode)
+      // per-partition handle (amortized setup), closed at partition end
+      mapWithDecoder(codec, it)((dec, r) => dec.decode(r))
     }
   }
 
@@ -136,8 +167,7 @@ object Multimodal {
              codec: MediaCodec = StandInCodec): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val dec = codec.open()
-      it.map(dec.resize(_, w, h))
+      mapWithDecoder(codec, it)((dec, r) => dec.resize(r, w, h))
     }
   }
 
@@ -162,8 +192,7 @@ object Multimodal {
                codec: MediaCodec = StandInCodec): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val dec = codec.open()
-      it.map(dec.features)
+      mapWithDecoder(codec, it)((dec, r) => dec.features(r))
     }
   }
 

@@ -392,10 +392,9 @@ object Similarity {
   }
 
   // per-JVM memo of materialized kNN-join edge tables, keyed by corpus
-  // id + parameters — same contract as Dedup.sharedTables: tmpdir-backed,
-  // deleted on JVM exit, process-scoped so a changed corpus at the same
-  // path can never serve stale edges
-  private[graft] val sharedJoins = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // key + parameters — see the TableMemo scaladoc for the staleness
+  // contract (corpusKey must change when the corpus does)
+  private[graft] val sharedJoins = new TableMemo("graft-knn-")
 
   /**
    * [[knnJoin]] with per-process memoization to a parquet table — the
@@ -403,21 +402,15 @@ object Similarity {
    * IVF-blocked join is the expensive step, and each downstream
    * consumer (semantic dedup, clustering, recommendation exports)
    * should read the materialized edge table (corpus×k rows, four
-   * columns) instead of recomputing the join.
+   * columns) instead of recomputing the join. See [[TableMemo]] for
+   * the staleness contract.
    */
   def sharedKnnJoin(emb: DataFrame, corpusKey: String, k: Int,
                     nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val key = s"$corpusKey|k=$k|c=$nCentroids|p=$nProbe"
-    val path = sharedJoins.computeIfAbsent(key, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-knn-")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      knnJoin(emb, k, nCentroids, nProbe).write.mode("overwrite").parquet(dir.toString)
-      dir.toString
-    })
+    val path = sharedJoins.getOrCreate(key) { dir =>
+      knnJoin(emb, k, nCentroids, nProbe).write.mode("overwrite").parquet(dir)
+    }
     emb.sparkSession.read.parquet(path)
   }
 

@@ -94,12 +94,9 @@ class CurationSpec extends SparkSpec {
     // reuse the first call's materialized path, not rebuild the pipeline
     val key = s"spec-${System.nanoTime()}"
     Dedup.sharedClusters(docs, key).collect()
-    val paths = Dedup.sharedTables.entrySet().stream()
-      .filter(e => e.getKey.startsWith(key + "|")).map(_.getValue).toArray
-    assert(paths.length == 1)
+    assert(Dedup.sharedTables.countKeys(key + "|") == 1)
     val again = Dedup.sharedClusters(docs, key)
-    assert(Dedup.sharedTables.entrySet().stream()
-      .filter(e => e.getKey.startsWith(key + "|")).count() == 1)
+    assert(Dedup.sharedTables.countKeys(key + "|") == 1)
     assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet == inline)
   }
 
@@ -251,6 +248,37 @@ class CurationSpec extends SparkSpec {
       val got = Curation.budgetSelect(docs, budget).collect().map(_.getLong(0)).toSet
       assert(got == prefix(budget), s"budget=$budget")
     }
+  }
+
+  test("orderedDocIdPrefix recursion matches the window at every budget, no oversized sort") {
+    import spark.implicits._
+    // one degenerate stratum: 300 docs, every quality_e3 identical, and
+    // sparse/irregular ids (the shape that defeats dense-id assumptions)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i =>
+      (i.toLong * 1000003L + rnd.nextInt(999), (rnd.nextInt(40) + 1).toLong, 700L))
+    val s = rows.toDF("doc_id", "n_tokens", "quality_e3")
+    val ordered = rows.sortBy(_._1)
+    def oracle(budget: Long): Set[Long] = {
+      var cum = 0L
+      ordered.takeWhile { t => cum += t._2; cum <= budget }.map(_._1).toSet
+    }
+    val totalMass = rows.map(_._2).sum
+    // windowRows=16 over 300 rows forces multi-level recursion (8-way
+    // buckets narrow 300 ids by ~8x per level: at least two levels
+    // before any slice fits the window)
+    for (budget <- Seq(0L, 1L, totalMass / 7, totalMass / 2, totalMass - 1, totalMass, totalMass + 10)) {
+      val got = Curation.orderedDocIdPrefix(s, budget, windowRows = 16, buckets = 8)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == oracle(budget), s"budget=$budget")
+    }
+    // the terminal window really is bounded: a recursion step never
+    // hands more than windowRows rows (or one id value) to the window —
+    // pin by running with windowRows = 1 (every level must recurse to
+    // single-id leaves and still agree)
+    val tight = Curation.orderedDocIdPrefix(s, totalMass / 3, windowRows = 1, buckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == oracle(totalMass / 3))
   }
 
   test("tokenHistogram buckets cover the corpus exactly once") {

@@ -211,6 +211,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 7L, 9L))
   }
 
+  test("keepersByScore: clusters with missing or absent scores still ship a survivor") {
+    import spark.implicits._
+    // cluster 1 fully unscored; cluster 7 partially scored (only 8);
+    // cluster 20 scored normally
+    val clusterMap = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((8L, 5L), (20L, 1L), (21L, 9L)).toDF("doc_id", "score")
+    val corpus = Seq(1L, 2L, 7L, 8L, 20L, 21L, 30L).toDF("doc_id")
+    val kept = Dedup.keepersByScore(corpus, clusterMap, scores)
+      .collect().map(_.getLong(0)).toSet
+    // all-unscored cluster falls back to lowest id (1); a scored member
+    // beats an unscored one (8 over 7); normal best-score (21); an
+    // inner join here would have dropped BOTH 1 and 2 silently
+    assert(kept == Set(1L, 8L, 21L, 30L))
+  }
+
   test("incrementalKeepers drops exact and near-dups of the prior corpus, keeps intra-batch dups") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +

@@ -83,9 +83,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decoder lifecycle: close() runs exactly once per opened handle, even on failure") {
+    import MultimodalSpec.{opens, closes, CountingCodec}
+    val recs = Multimodal.asRecords(spark, media.limit(40)).repartition(4)
+
+    opens.set(0); closes.set(0)
+    Multimodal.decode(recs, new CountingCodec(failOn = -1L)).collect()
+    assert(opens.get() > 0)
+    assert(closes.get() === opens.get())
+
+    // a row that throws mid-partition must still release the handle
+    // (task completion listener) — and never double-close
+    opens.set(0); closes.set(0)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(recs, new CountingCodec(failOn =
+        recs.head().doc_id)).collect()
+    }
+    assert(opens.get() > 0)
+    assert(closes.get() === opens.get())
+  }
+
   test("binary column prunes away: meta projection does not retain content") {
     val m = Multimodal.meta(media)
     assert(!m.columns.contains("content"))
     assert(m.count() === 500)
+  }
+}
+
+object MultimodalSpec {
+  import Multimodal.{MediaCodec, MediaDecoder, MediaRecord, MediaInfo, MediaFeature}
+
+  // counters are JVM-static (local[*] executors share the JVM), so the
+  // per-partition open/close pairing is observable from the driver
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // top-level class: no $outer capture, serializes cleanly to tasks
+  class CountingCodec(failOn: Long) extends MediaCodec {
+    def open(): MediaDecoder = { opens.incrementAndGet(); new MediaDecoder {
+      def decode(r: MediaRecord): MediaInfo = {
+        if (r.doc_id == failOn) throw new RuntimeException("decode blew up")
+        MediaInfo(r.doc_id, r.media_type, 1, 1, 1, 0.0)
+      }
+      def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = r
+      def features(r: MediaRecord): MediaFeature = MediaFeature(r.doc_id, Array(0f))
+      override def close(): Unit = closes.incrementAndGet()
+    } }
   }
 }

@@ -255,14 +255,14 @@ class SimilaritySpec extends SparkSpec {
     val a = Similarity.sharedKnnJoin(small, key, 3, 8, 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
     assert(a == direct)
-    val path = Similarity.sharedJoins.get(s"$key|k=3|c=8|p=2")
-    assert(path != null)
+    val path = Similarity.sharedJoins.pathOf(s"$key|k=3|c=8|p=2")
+    assert(path.isDefined)
     // second consumer reads the SAME materialized table (no recompute)
     Similarity.sharedKnnJoin(small, key, 3, 8, 2).collect()
-    assert(Similarity.sharedJoins.get(s"$key|k=3|c=8|p=2") == path)
+    assert(Similarity.sharedJoins.pathOf(s"$key|k=3|c=8|p=2") == path)
     // distinct parameters are a distinct table
     Similarity.sharedKnnJoin(small, key, 2, 8, 2).collect()
-    assert(Similarity.sharedJoins.get(s"$key|k=2|c=8|p=2") != path)
+    assert(Similarity.sharedJoins.pathOf(s"$key|k=2|c=8|p=2") != path)
   }
 
   test("quantizeInt8: exact truncating arithmetic, zero-vector guard, element fingerprint") {
