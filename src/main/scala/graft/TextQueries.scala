@@ -24,6 +24,9 @@ object TextQueries {
   // Dedup.jaccardPairs): shingles in more than this many documents are
   // stop-shingles and excluded from the join (mirrored in the oracle)
   private val MaxShingleDf = 100
+  // segment (pseudo-line) length for the line-level dedup gates: short
+  // enough that the sf fixtures actually contain cross-document repeats
+  private val SegLen = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
@@ -108,6 +111,12 @@ object TextQueries {
         d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
         1, 2, 3, NumHashes, Bands, RowsPerBand)
     }),
+    // line-level dedup (C4/CCNet-style): segments duplicated across
+    // documents are removed everywhere but their first occurrence and
+    // the cleaned text is reassembled — catches shared boilerplate that
+    // document-level near-dup detection can't
+    "segment_shared" -> ((s, dir) => Dedup.segmentShared(docs(s, dir), SegLen, 2)),
+    "segment_dedup" -> ((s, dir) => Dedup.segmentDedup(docs(s, dir), SegLen, 2)),
     // the full nightly-batch composition: the incoming quarter is
     // deduplicated WITHIN itself (cluster-canonical keepers — a~b~c
     // collapses to the minimum member) AND against the shipped prior
@@ -384,6 +393,23 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
 FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3""",
 
+    "segment_shared" ->
+      s"""$segmentCte
+SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, min(doc_id) AS keeper_doc
+FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2""",
+
+    "segment_dedup" ->
+      s"""$segmentCte,
+st AS (SELECT seg, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper_doc
+  FROM segs GROUP BY seg),
+j AS (SELECT s.doc_id, s.seg_idx, s.seg,
+    (st.df < 2 OR s.doc_id = st.keeper_doc) AS survive
+  FROM segs s JOIN st USING (seg))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+  CAST(sum(CASE WHEN survive THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE survive), '') AS cleaned
+FROM j GROUP BY doc_id""",
+
     "word_freq" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
 SELECT word, count(*) AS cnt FROM w GROUP BY word
@@ -411,6 +437,18 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
   )
+
+  /** Shared oracle CTE: fixed-length token segments (`segs`), the
+    * oracle twin of Dedup.segments at SegLen. DuckDB's unnest-in-SELECT
+    * repeats sibling columns per element; list slices are 1-based
+    * inclusive, clipped at the end like Spark's slice. */
+  private lazy val segmentCte =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+s0 AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + ${SegLen - 1}) // $SegLen)) AS i
+  FROM w WHERE len(ws) >= 1),
+segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+    array_to_string(ws[i*$SegLen+1 : i*$SegLen+$SegLen], ' ') AS seg
+  FROM s0)"""
 
   /** Shared oracle CTE computing per-doc SimHash (`shash`). */
   private lazy val simhashCte: String =

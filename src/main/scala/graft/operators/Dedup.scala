@@ -518,6 +518,74 @@ object Dedup {
     keepersFrom(df, clusters(df, num, den, k, numHashes, bands, rowsPerBand))
 
   /**
+   * Segment the normalized token stream into fixed-length pieces of
+   * `segLen` tokens: `(doc_id, seg_idx, seg)`, one row per segment,
+   * the last segment possibly short. The sub-document unit of
+   * [[segmentShared]]/[[segmentDedup]] — the stand-in for newline
+   * splitting on a corpus whose fixture text has no line structure (a
+   * real corpus swaps the segmenter for `split(text, '\n')` and the
+   * dedup below is unchanged). Per-row array work + one explode, no
+   * shuffle.
+   */
+  def segments(df: DataFrame, segLen: Int = 10): DataFrame =
+    TextAnalysis.spread(df)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(div(size(ws) + ${segLen - 1}, $segLen) as int) - 1),
+            i -> struct(cast(i as bigint) as seg_idx,
+                        concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)) as seg))"""))
+        .as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+
+  /** Segments duplicated across ≥ `minDf` distinct documents, with
+    * their document frequency and the surviving (minimum) doc_id:
+    * `(seg, df, keeper_doc)` — the boilerplate inventory of a corpus
+    * (navigation chrome, license blocks, cookie banners). One
+    * map-side-combinable aggregate keyed on the segment. */
+  def segmentShared(df: DataFrame, segLen: Int = 10, minDf: Int = 2): DataFrame =
+    segments(df, segLen)
+      .groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("df") >= minDf)
+
+  /**
+   * Cross-document duplicated-segment removal — the line-level dedup
+   * of C4/CCNet/RefinedWeb ("remove every line that also appears
+   * elsewhere in the corpus"), which catches the boilerplate that
+   * document-level near-dup detection can't (two distinct articles
+   * sharing a site's navigation chrome are NOT near-dups, but the
+   * chrome must still go). A segment occurrence survives iff its
+   * segment appears in fewer than `minDf` distinct documents OR this
+   * document is the minimum doc_id containing it (the first
+   * occurrence keeps the text readable; every other document loses
+   * it). Returns one row per input document:
+   * `(doc_id, n_segs, n_kept, cleaned)` with `cleaned` = surviving
+   * segments rejoined in order.
+   *
+   * Scale shape: the segment-frequency table is one map-side-
+   * combinable aggregate (distinct-segment scale, like a vocabulary);
+   * occurrences join it by md5 key — build side unique per key, so
+   * corpus-frequency skew cannot explode the join (the hottest
+   * boilerplate segment still contributes one build row); reassembly
+   * is a per-document aggregate (rows bounded by doc length /
+   * segLen). Three bounded shuffles, nothing driver-side.
+   */
+  def segmentDedup(df: DataFrame, segLen: Int = 10, minDf: Int = 2): DataFrame = {
+    val segs = segments(df, segLen).withColumn("h", md5(col("seg")))
+    val stats = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper_doc"))
+    segs.join(stats, "h")
+      .withColumn("survive", col("df") < minDf || col("doc_id") === col("keeper_doc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("survive"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(if(survive, struct(seg_idx, seg), null))), x -> x.seg)"),
+          " ").as("cleaned"))
+  }
+
+  /**
    * 60-bit SimHash over the distinct word set: per bit position, words
    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
    * positive vote. Near-dups differ in few bits (Hamming distance).

@@ -227,6 +227,38 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 8L, 21L, 30L))
   }
 
+  test("segmentDedup removes cross-doc duplicated segments everywhere but the first document") {
+    import spark.implicits._
+    // docs 1 and 5 share the boilerplate segment "nav home about contact"
+    // (4 tokens = one SegLen-4 segment); each also has unique content
+    val docs = Seq(
+      (1L, "nav home about contact real content of doc one"),
+      (5L, "nav home about contact totally different body text"),
+      (9L, "standalone document with no shared boilerplate at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, segLen = 4, minDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the minimum holder: keeps everything (9 tokens = 3 segments)
+    assert(out(1L) == ((3L, 3L, "nav home about contact real content of doc one")))
+    // doc 5 loses the boilerplate segment, keeps its own content in order
+    assert(out(5L) == ((2L, 1L, "totally different body text")))
+    // doc 9 untouched
+    assert(out(9L) == ((2L, 2L, "standalone document with no shared boilerplate at all")))
+
+    // the shared-segment inventory names the boilerplate and its keeper
+    val shared = Dedup.segmentShared(docs, segLen = 4, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(shared.toSeq == Seq(("nav home about contact", 2L, 1L)))
+
+    // a doc whose EVERY segment is boilerplate reassembles to empty, not null
+    val allBoiler = Seq(
+      (1L, "nav home about contact"), (2L, "nav home about contact")
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.segmentDedup(allBoiler, segLen = 4, minDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cleaned(1L) == "nav home about contact" && cleaned(2L) == "")
+  }
+
   test("incrementalKeepers drops exact and near-dups of the prior corpus, keeps intra-batch dups") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
