@@ -62,6 +62,14 @@ object CurationQueries {
       val d = docs(s, dir)
       Curation.decontaminate(d.filter(!evalPred), d.filter(evalPred), DecontamK)
     }),
+    // same decontamination semantics in the eval-side-too-big-to-
+    // broadcast shape: a Catalyst bloom filter over the eval shingle
+    // hashes prefilters the corpus side before the exchange, the join
+    // re-verifies exactly — result bit-identical to decontam_overlap
+    "decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminateAtScale(d.filter(!evalPred), d.filter(evalPred), DecontamK)
+    }),
     // token-stream packing: per-shard concatenation offsets + training-
     // sequence index (the final layout step before shard export)
     "pack_offsets" -> ((s, dir) =>
@@ -179,21 +187,12 @@ SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
   CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM sh""",
 
-    "decontam_overlap" ->
-      s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
-dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-3),
-    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS sh
-  FROM dwords WHERE len(ws) >= $DecontamK),
-ev AS (SELECT doc_id FROM documents
-  WHERE CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < $EvalPermille),
-evsh AS (SELECT DISTINCT sh, 1 AS hit FROM dsh JOIN ev USING (doc_id)),
-corp AS (SELECT d.doc_id, d.sh FROM dsh d
-  WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = d.doc_id))
-SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
-  CAST(sum(coalesce(e.hit, 0)) AS BIGINT) AS n_overlap,
-  CASE WHEN sum(coalesce(e.hit, 0)) >= 1 THEN 1 ELSE 0 END AS contaminated
-FROM corp c LEFT JOIN evsh e ON c.sh = e.sh
-GROUP BY c.doc_id""",
+    "decontam_overlap" -> decontamSql,
+
+    // the bloom-prefiltered path is value-identical by construction
+    // (bloom has no false negatives; positives are exactly re-verified),
+    // so it is gated against the SAME oracle
+    "decontam_bloom" -> decontamSql,
 
     "pack_offsets" ->
       s"""WITH sh AS (SELECT doc_id,
@@ -282,6 +281,24 @@ SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
   CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM rh"""
   )
+
+  /** Decontamination oracle, shared by `decontam_overlap` and its
+    * bloom-prefiltered twin `decontam_bloom` (value-identical paths). */
+  private lazy val decontamSql =
+    s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-3),
+    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS sh
+  FROM dwords WHERE len(ws) >= $DecontamK),
+ev AS (SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < $EvalPermille),
+evsh AS (SELECT DISTINCT sh, 1 AS hit FROM dsh JOIN ev USING (doc_id)),
+corp AS (SELECT d.doc_id, d.sh FROM dsh d
+  WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = d.doc_id))
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+  CAST(sum(coalesce(e.hit, 0)) AS BIGINT) AS n_overlap,
+  CASE WHEN sum(coalesce(e.hit, 0)) >= 1 THEN 1 ELSE 0 END AS contaminated
+FROM corp c LEFT JOIN evsh e ON c.sh = e.sh
+GROUP BY c.doc_id"""
 
   /** The curate stage's oracle CTEs, shared by `pipeline_curate` and
     * `pipeline_release` (assumes `dwords` from the signature CTEs).

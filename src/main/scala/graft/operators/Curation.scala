@@ -193,6 +193,60 @@ object Curation {
   }
 
   /**
+   * [[decontaminate]] for the regime where the eval/blocklist side is
+   * too large to broadcast (a merged mega-benchmark suite, a
+   * competitor-corpus blocklist — tens of GB of shingles against a
+   * 100 TB corpus): value-identical output, different join physics.
+   *
+   * A BLOOM FILTER over the eval shingle hashes (built in one
+   * map-side-combinable aggregate pass — Catalyst's own
+   * `BloomFilterAggregate`, ~`bitsPerItem`/8 bytes per shingle, 40×
+   * smaller than a broadcast hash table of the strings) prefilters the
+   * corpus side BEFORE the exchange: a bloom miss is DEFINITIVE
+   * absence (no false negatives), so only bloom-positive shingles —
+   * true overlaps plus the fpp·n false positives — enter the
+   * shuffle join, and the join re-verifies them exactly, keeping the
+   * result bit-identical to [[decontaminate]]. Per-document totals
+   * come from a separate narrow pre-aggregate (count per doc_id,
+   * map-side combined), so the full corpus shingle stream is never
+   * exchanged at all: the only corpus-scale shuffle carries
+   * ~(true overlap + fpp·corpus) rows.
+   */
+  def decontaminateAtScale(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
+                           bitsPerItem: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val evalSh = TextAnalysis.shingles(evalSet, k).select("sh").distinct()
+    // one aggregate pass builds the filter; the driver holds only the
+    // serialized bitset (metadata-scale), shipped to executors as a
+    // plan literal — the same transport Spark's runtime filters use
+    val bloomRow = evalSh
+      .agg(Bridge.bloomAgg(Bridge.expression(xxhash64(col("sh"))),
+        math.max(1L, evalSh.count()), math.max(64L, evalSh.count() * bitsPerItem)).as("bf"))
+      .head()
+    val bloomBytes: Array[Byte] =
+      if (bloomRow.isNullAt(0)) Array.emptyByteArray else bloomRow.getAs[Array[Byte]](0)
+    val sh = TextAnalysis.shingles(corpus, k)
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits =
+      if (bloomBytes.isEmpty) { // empty eval side: nothing can overlap
+        totals.select(col("doc_id"), lit(0L).as("n_overlap")).limit(0)
+      } else {
+        sh.filter(Bridge.bloomMightContain(lit(bloomBytes), xxhash64(col("sh"))))
+          // exact re-verify of the bloom survivors — deliberately NOT
+          // broadcast-hinted: this operator exists for the
+          // eval-side-too-big-to-broadcast regime (AQE may still pick a
+          // broadcast when the fixture side is tiny; the semantics and
+          // the prefilter are unchanged either way)
+          .join(evalSh.withColumn("hit", lit(1L)), Seq("sh"), "left")
+          .groupBy("doc_id").agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      }
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) >= 1, 1).otherwise(0).as("contaminated"))
+  }
+
+  /**
    * Token-stream packing offsets — the final layout step of a
    * pretraining-data build: documents are concatenated (in the
    * reproducible hash order of [[shardAssign]], per shard) into one

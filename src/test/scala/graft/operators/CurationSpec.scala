@@ -281,6 +281,22 @@ class CurationSpec extends SparkSpec {
     assert(tight == oracle(totalMass / 3))
   }
 
+  test("decontaminateAtScale equals decontaminate exactly, including the empty-eval edge") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val evalSet = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(Curation.decontaminateAtScale(corpus, evalSet)) ==
+      rows(Curation.decontaminate(corpus, evalSet)))
+    // empty eval side: every document reports zero overlap
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.decontaminateAtScale(corpus.limit(50), none).collect()
+    assert(out.length == 50)
+    assert(out.forall(r => r.getLong(2) == 0L && r.getInt(3) == 0))
+  }
+
   test("tokenHistogram buckets cover the corpus exactly once") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val hist = Curation.tokenHistogram(docs, 25).collect()

@@ -135,6 +135,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bloom decontamination probes the filter before the exchange") {
+    // the at-scale path must carry the bloom probe (might_contain) as a
+    // plain filter on the corpus side so only bloom-positive shingles
+    // enter the re-verify join's exchange
+    val plan = graft.SparkEntry.queries("decontam_bloom")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // and it never degenerates to a nested-loop/cartesian shape
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("packOffsets shuffles once on shard; quantizeInt8 is exchange-free") {
     val pack = graft.SparkEntry.queries("pack_offsets")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
