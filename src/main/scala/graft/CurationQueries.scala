@@ -74,6 +74,10 @@ object CurationQueries {
     // sequence index (the final layout step before shard export)
     "pack_offsets" -> ((s, dir) =>
       Curation.packOffsets(docs(s, dir), NShards, PackSeqLen)),
+    // provenance inverse of pack_offsets: training sequence -> the
+    // documents feeding it, with exact per-sequence token contributions
+    "seq_provenance" -> ((s, dir) =>
+      Curation.seqProvenance(docs(s, dir), NShards, PackSeqLen)),
     // token-budget selection: the best-quality ordered prefix within a
     // fixed training-token budget, via histogram cutoff — no global sort
     "budget_select" -> ((s, dir) =>
@@ -207,6 +211,26 @@ SELECT doc_id, shard, n_tokens,
   CAST(end_off - n_tokens AS BIGINT) AS start_off,
   CAST((end_off - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx
 FROM w""",
+
+    "seq_provenance" ->
+      s"""WITH sh AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+w AS (SELECT doc_id, CAST(h % $NShards AS INT) AS shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY h % $NShards ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+  FROM sh),
+pv AS (SELECT doc_id, shard, n_tokens,
+    end_off - n_tokens AS start_off, end_off
+  FROM w WHERE n_tokens > 0),
+e AS (SELECT doc_id, shard, start_off, end_off,
+    unnest(range(start_off // $PackSeqLen, (end_off - 1) // $PackSeqLen + 1)) AS seq_idx
+  FROM pv)
+SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
+  CAST(least(end_off, (seq_idx + 1) * $PackSeqLen) -
+       greatest(start_off, seq_idx * $PackSeqLen) AS BIGINT) AS n_tokens_in_seq
+FROM e""",
 
     // oracle spells the SEMANTICS (one global ordered-prefix window);
     // the engine computes the same rows via the histogram cutoff

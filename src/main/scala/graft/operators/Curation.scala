@@ -276,6 +276,35 @@ object Curation {
         expr(s"cast(div(end_off - n_tokens, $seqLen) as bigint)").as("seq_idx"))
 
   /**
+   * Training-sequence provenance — the inverse lookup of
+   * [[packOffsets]]: for every fixed-length training sequence, which
+   * documents contribute tokens to it and how many. This is the
+   * data-lineage table every serious pretraining pipeline keeps (legal
+   * takedown of a document → which shipped sequences are affected;
+   * a loss-spike at sequence (s, i) → which documents fed it).
+   * Returns `(shard, seq_idx, doc_id, n_tokens_in_seq)`; summing
+   * `n_tokens_in_seq` per (shard, seq_idx) gives exactly `seqLen`
+   * for every interior sequence.
+   *
+   * Scale shape: the offsets come from [[packOffsets]] (per-shard
+   * window, irreducible); the explode fans each document out to the
+   * ceil(n_tokens/seqLen)+1 sequences it touches — output-proportional
+   * work, no extra shuffle. Token-in-sequence counts are exact integer
+   * interval intersections.
+   */
+  def seqProvenance(df: DataFrame, nShards: Int, seqLen: Int): DataFrame =
+    packOffsets(df, nShards, seqLen)
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("shard"), col("start_off"), col("end_off"),
+        explode(expr(
+          s"sequence(cast(div(start_off, $seqLen) as bigint), cast(div(end_off - 1, $seqLen) as bigint))"))
+          .as("seq_idx"))
+      .select(col("shard"), col("seq_idx"), col("doc_id"),
+        (least(col("end_off"), (col("seq_idx") + 1) * seqLen) -
+          greatest(col("start_off"), col("seq_idx") * seqLen)).as("n_tokens_in_seq"))
+
+  /**
    * Token-budget selection — "take the highest-quality documents until
    * the training budget is spent": documents ordered by
    * (`quality_e3` desc, `doc_id`), selected while the running token sum

@@ -232,6 +232,27 @@ class CurationSpec extends SparkSpec {
     p.foreach { case (_, _, _, start, seq) => assert(seq == start / 256) }
   }
 
+  test("seqProvenance: contributions tile the token stream exactly") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val pv = Curation.seqProvenance(docs, 8, 256).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every document's per-sequence contributions sum to its token count
+    val byDoc = pv.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    val expected = Curation.packOffsets(docs, 8, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc == expected)
+    // every interior sequence receives exactly seqLen tokens (only each
+    // shard's LAST sequence may be short)
+    val bySeq = pv.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    bySeq.foreach { case ((shard, seq), tok) =>
+      if (seq < lastSeq(shard)) assert(tok == 256L, s"shard=$shard seq=$seq")
+      else assert(tok >= 1L && tok <= 256L)
+    }
+    // contributions are positive (no empty phantom rows)
+    assert(pv.forall(_._4 >= 1L))
+  }
+
   test("budgetSelect equals the global ordered-prefix at any budget, boundary cases included") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val ordered = TextAnalysis.stats(docs).select("doc_id", "n_tokens", "quality_e3")
