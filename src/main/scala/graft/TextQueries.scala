@@ -58,6 +58,9 @@ object TextQueries {
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(20)),
+    // the Gopher rule battery: word count, mean word length, alphabetic
+    // fraction, symbol ratio, stopword count + composite pass flag
+    "gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     // quality-gated survivor set — the filtering step of a data pipeline
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.stats(docs(s, dir))
@@ -108,6 +111,15 @@ object TextQueries {
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.incrementalKeepers(
+        d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
+        1, 2, 3, NumHashes, Bands, RowsPerBand)
+    }),
+    // the same incremental dedup with batch-side bloom filters reducing
+    // the prior corpus at its scan (value-identical by construction —
+    // bloom misses cannot match, positives are exactly re-verified)
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalKeepersAtScale(
         d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
         1, 2, 3, NumHashes, Bands, RowsPerBand)
     }),
@@ -183,7 +195,13 @@ clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   private[graft] val recursiveSigCte = sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    // the bloom-prefiltered incremental path is value-identical by
+    // construction (a bloom miss cannot match; positives are exactly
+    // re-verified), so it shares dedup_incremental's oracle
+    ("dedup_incremental_bloom" -> oracleBase("dedup_incremental"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "dedup_clusters" ->
       s"""$recursiveSigCte,
 $clusterCte
@@ -414,6 +432,23 @@ FROM j GROUP BY doc_id""",
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
 SELECT word, count(*) AS cnt FROM w GROUP BY word
 ORDER BY cnt DESC, word LIMIT 20""",
+
+    "gopher_quality" -> {
+      val stopList = TextAnalysis.GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+g AS (SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST((CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) * 1000) // len(ws) AS BIGINT) AS mean_wordlen_e3,
+    CAST((CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 1000) // len(ws) AS BIGINT) AS alpha_e3,
+    CAST((CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) * 1000) // len(ws) AS BIGINT) AS symbol_e3,
+    CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS BIGINT) AS n_stopwords
+  FROM w WHERE len(ws) >= 1)
+SELECT doc_id, n_words, mean_wordlen_e3, alpha_e3, symbol_e3, n_stopwords,
+  CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_wordlen_e3 BETWEEN 3000 AND 10000
+        AND alpha_e3 >= 800 AND symbol_e3 <= 100 AND n_stopwords >= 2
+       THEN 1 ELSE 0 END AS pass
+FROM g"""
+    },
 
     "quality_filter" ->
       """SELECT doc_id FROM (

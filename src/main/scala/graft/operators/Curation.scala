@@ -219,12 +219,7 @@ object Curation {
     // one aggregate pass builds the filter; the driver holds only the
     // serialized bitset (metadata-scale), shipped to executors as a
     // plan literal — the same transport Spark's runtime filters use
-    val bloomRow = evalSh
-      .agg(Bridge.bloomAgg(Bridge.expression(xxhash64(col("sh"))),
-        math.max(1L, evalSh.count()), math.max(64L, evalSh.count() * bitsPerItem)).as("bf"))
-      .head()
-    val bloomBytes: Array[Byte] =
-      if (bloomRow.isNullAt(0)) Array.emptyByteArray else bloomRow.getAs[Array[Byte]](0)
+    val bloomBytes = Dedup.bloomBytes(evalSh, xxhash64(col("sh")), bitsPerItem)
     val sh = TextAnalysis.shingles(corpus, k)
     val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val hits =

@@ -192,6 +192,83 @@ object Dedup {
     exactSurvivors.join(nearLosers, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /** Serialized bloom filter over `hashCol` (a LongType hash, e.g.
+    * `xxhash64`) of `keys` — empty array when `keys` is empty. Built in
+    * one map-side-combinable aggregate pass; the driver holds only the
+    * bitset. */
+  private[operators] def bloomBytes(keys: DataFrame, hashCol: Column,
+                                    bitsPerItem: Long = 20L): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val n = keys.count()
+    if (n == 0) Array.emptyByteArray
+    else {
+      val row = keys.agg(Bridge.bloomAgg(Bridge.expression(hashCol),
+        n, math.max(64L, n * bitsPerItem)).as("bf")).head()
+      if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
+    }
+  }
+
+  /**
+   * [[incrementalKeepers]] in the shape a 100 TB steady state needs:
+   * value-identical output, but the PRIOR side — the huge one — is
+   * reduced at its scan by bloom filters built over the SMALL incoming
+   * batch, before any exchange:
+   *
+   *   - a bloom over the batch's content hashes prefilters the prior
+   *     hash projection: a prior hash failing the bloom cannot equal
+   *     any new hash, so dropping it cannot change the anti-join;
+   *   - a bloom over the batch's band signatures prefilters the prior
+   *     band-signature table the same way: a non-colliding prior band
+   *     row can produce no candidate.
+   *
+   * Both filters are plan literals (batch-sized blooms — megabytes),
+   * the same transport Spark's own runtime filters use; false
+   * positives only let a few extra prior rows into the exact joins,
+   * never change results. At steady state (|new| ≪ |prior|) the joins'
+   * prior-side exchanges shrink from corpus scale to
+   * ~(true matches + fpp·prior) rows.
+   */
+  def incrementalKeepersAtScale(newDf: DataFrame, priorDf: DataFrame,
+                                num: Int = 1, den: Int = 2, k: Int = 3,
+                                numHashes: Int = 16, bands: Int = 4,
+                                rowsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val newHashed = newDf.withColumn("th", md5(col("text")))
+    val bandNew = bandSignatures(minhashSignatures(newDf, numHashes, k),
+      bands, rowsPerBand).localCheckpoint()
+    val thBloom = bloomBytes(newHashed.select("th").distinct(), xxhash64(col("th")))
+    val sigBloom = bloomBytes(
+      bandNew.select(concat_ws(":", col("band_id"), col("sig")).as("bs")).distinct(),
+      xxhash64(col("bs")))
+    def pre(df: DataFrame, bloom: Array[Byte], h: Column): DataFrame =
+      if (bloom.isEmpty) df.limit(0)
+      else df.filter(Bridge.bloomMightContain(lit(bloom), h))
+    // prior hashes: bloom at the scan, BEFORE the distinct's exchange
+    val priorHashes = pre(priorDf.select(md5(col("text")).as("th")),
+      thBloom, xxhash64(col("th"))).distinct()
+    val exactSurvivors = newHashed.join(priorHashes, Seq("th"), "left_anti")
+    val bandPrior = pre(
+      bandSignatures(minhashSignatures(priorDf, numHashes, k), bands, rowsPerBand),
+      sigBloom, xxhash64(concat_ws(":", col("band_id"), col("sig"))))
+    val cands = bandNew.as("a").join(bandPrior.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_prior"))
+      .distinct()
+    val setsNew = TextAnalysis.shingleSets(newDf, k)
+      .withColumnRenamed("doc_id", "id_new").withColumnRenamed("shs", "shs_n")
+    val setsPrior = TextAnalysis.shingleSets(priorDf, k)
+      .withColumnRenamed("doc_id", "id_prior").withColumnRenamed("shs", "shs_p")
+    val nearLosers = cands.join(setsNew, "id_new").join(setsPrior, "id_prior")
+      .filter(lit(den + num) * size(array_intersect(col("shs_n"), col("shs_p"))) >=
+        lit(num) * (size(col("shs_n")) + size(col("shs_p"))))
+      .select(col("id_new").as("doc_id")).distinct()
+    val survivors = exactSurvivors
+      .join(nearLosers, Seq("doc_id"), "left_anti").select("doc_id")
+      .localCheckpoint() // eager: last read of the batch signatures
+    unpersistCheckpointed(bandNew)
+    survivors
+  }
+
   /**
    * The fused nightly-batch dedup: intra-batch cluster-canonical keeper
    * selection AND cross-run dedup against the prior corpus in one

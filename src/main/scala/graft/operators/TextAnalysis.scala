@@ -230,6 +230,56 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The stopword markers of the Gopher rules ("must contain ≥ 2 of
+    * ..."), shared verbatim with the DuckDB oracle. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style document-quality rule battery (Rae et al. 2021's
+   * repetition-free content filters, the de-facto standard pretraining
+   * gate set), computed in ONE tokenization pass as exact integers:
+   *
+   *  - `n_words` — word count (rule: 50 ≤ n ≤ 100 000);
+   *  - `mean_wordlen_e3` — mean word length ×1000 (rule: 3–10 chars);
+   *  - `alpha_e3` — fraction of words containing an alphabetic
+   *    character ×1000 (rule: ≥ 800);
+   *  - `symbol_e3` — hash/ellipsis symbol-to-word ratio ×1000
+   *    (rule: ≤ 100);
+   *  - `n_stopwords` — occurrences of the [[GopherStopWords]] markers
+   *    (rule: ≥ 2);
+   *  - `pass` — 1 iff every rule holds.
+   *
+   * Pure per-row array arithmetic, no shuffle, trailing `observe`
+   * barrier so a consumer's `pass = 1` filter evaluates on the
+   * materialized signals instead of re-inlining the tokenizer per
+   * lambda element access (see [[graft.operators.Curation
+   * .contentSignals]] for the O(tokens²) trap this prevents).
+   */
+  def gopherQuality(df: DataFrame,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stopArr = GopherStopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    spread(df)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("""cast(div(aggregate(ws, cast(0 as bigint), (acc, x) -> acc + length(x)) * 1000,
+                        size(ws)) as bigint)""").as("mean_wordlen_e3"),
+        expr("""cast(div(cast(size(filter(ws, x -> x rlike '[a-z]')) as bigint) * 1000,
+                        size(ws)) as bigint)""").as("alpha_e3"),
+        expr("""cast(div(cast(size(filter(ws, x -> contains(x, '#') or contains(x, '...'))) as bigint) * 1000,
+                        size(ws)) as bigint)""").as("symbol_e3"),
+        expr(s"cast(size(filter(ws, x -> array_contains($stopArr, x))) as bigint)")
+          .as("n_stopwords"))
+      .withColumn("pass",
+        when(col("n_words").between(minWords, maxWords) &&
+          col("mean_wordlen_e3").between(3000, 10000) &&
+          col("alpha_e3") >= 800 && col("symbol_e3") <= 100 &&
+          col("n_stopwords") >= 2, 1).otherwise(0))
+      .observe("gopher_quality", count(lit(1)).as("n_docs"))
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

@@ -227,6 +227,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 8L, 21L, 30L))
   }
 
+  test("gopherQuality: each rule fails on its engineered violator, clean docs pass") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the code and that logic have run with care $fifty"),    // clean: passes
+      (2L, "the and of that short"),                                  // too few words
+      (3L, s"the of ${(1 to 60).map(_ => "a b").mkString(" ")}"),     // mean word length < 3
+      (4L, s"the of ${(1 to 60).map(i => "### ...").mkString(" ")}"), // symbols + no alpha
+      (5L, s"$fifty extra tokens only")                               // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+    // signals themselves are exact on a known doc
+    val r1 = TextAnalysis.gopherQuality(docs).filter(col("doc_id") === 1).head()
+    assert(r1.getLong(1) == 59L)       // n_words
+    assert(r1.getLong(5) == 5L)        // the, and, that, have, with
+  }
+
   test("segmentDedup removes cross-doc duplicated segments everywhere but the first document") {
     import spark.implicits._
     // docs 1 and 5 share the boilerplate segment "nav home about contact"
@@ -276,5 +295,11 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.incrementalKeepers(newBatch, prior)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(12L, 13L))
+    // the bloom-prefiltered at-scale path is value-identical
+    assert(Dedup.incrementalKeepersAtScale(newBatch, prior)
+      .collect().map(_.getLong(0)).toSet == kept)
+    // ... including when the incoming batch is empty (empty blooms)
+    assert(Dedup.incrementalKeepersAtScale(
+      newBatch.limit(0), prior).collect().isEmpty)
   }
 }

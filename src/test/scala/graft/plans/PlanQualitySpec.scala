@@ -144,6 +144,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
     // and it never degenerates to a nested-loop/cartesian shape
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // (dedup_incremental_bloom checkpoints its final ID list, so its
+    // returned plan is a materialized scan — its bloom probes are pinned
+    // value-side in DedupSpec instead)
   }
 
   test("packOffsets shuffles once on shard; quantizeInt8 is exchange-free") {
