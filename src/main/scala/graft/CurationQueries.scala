@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 
 /**
  * Corpus-curation query inventory over `documents`: repetition scoring,
@@ -42,6 +42,16 @@ object CurationQueries {
   private val evalPred =
     expr("cast(conv(substr(md5(concat('eval:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000")
       .<(EvalPermille)
+  // DSIR operating point: 1024 hashed-token feature buckets; the target
+  // domain is the corpus's own quality-gate survivors (the predicate is
+  // applied to the TOKEN ARRAY so the tokenizer runs once per document);
+  // `div(a*1000, n) >= 500` is written multiplication-side to stay in
+  // integer land: floor(x/n) >= 500  <=>  x >= 500*n for positive ints
+  private val IwBuckets = 1024
+  private val IwSampleN = 100
+  private def qualityTargetPred(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(ws) >= 30 &&
+      size(array_distinct(ws)).cast("long") * 1000 >= size(ws).cast("long") * 500
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
@@ -82,6 +92,15 @@ object CurationQueries {
     // fixed training-token budget, via histogram cutoff — no global sort
     "budget_select" -> ((s, dir) =>
       Curation.budgetSelect(docs(s, dir), BudgetTokens)),
+    // DSIR-style importance weights: hashed-token-bucket target/raw
+    // ratio, target = the standard quality gate over the token array
+    "importance_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(docs(s, dir), qualityTargetPred, IwBuckets)),
+    // the resampling consumer: top-100 raw documents by importance
+    // weight (ties to lowest doc_id) — the selected training subset
+    "importance_sample" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(docs(s, dir), qualityTargetPred, IwBuckets)
+        .orderBy(col("weight_e6").desc, col("doc_id")).limit(IwSampleN)),
 
     // the END-TO-END curation pipeline, composed in the order a real
     // corpus build runs it: content gates (quality + repetition) →
@@ -190,6 +209,12 @@ WHERE rn <= 10""",
 SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
   CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM sh""",
+
+    "importance_weights" -> importanceSql,
+
+    "importance_sample" ->
+      s"""WITH iw AS ($importanceSql)
+SELECT * FROM iw ORDER BY weight_e6 DESC, doc_id LIMIT $IwSampleN""",
 
     "decontam_overlap" -> decontamSql,
 
@@ -308,6 +333,26 @@ FROM rh"""
 
   /** Decontamination oracle, shared by `decontam_overlap` and its
     * bloom-prefiltered twin `decontam_bloom` (value-identical paths). */
+  /** DSIR importance-weight oracle: hashed-token-bucket counts over the
+    * raw corpus and the quality-gated target subset, add-one-smoothed
+    * integer ratio per bucket, tf-weighted per-document mean. Shares
+    * only md5 with the Spark path. */
+  private lazy val importanceSql =
+    s"""WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+tgt_docs AS (SELECT doc_id FROM dw WHERE len(ws) >= 30
+  AND CAST(len(list_distinct(ws)) AS BIGINT) * 1000 >= CAST(len(ws) AS BIGINT) * 500),
+occ AS (SELECT doc_id, CAST(('0x' || substr(md5('iw:' || t), 1, 15)) AS BIGINT) % $IwBuckets AS f
+  FROM (SELECT doc_id, unnest(ws) AS t FROM dw WHERE len(ws) >= 1)),
+raw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw_cnt FROM occ GROUP BY f),
+tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt_cnt
+  FROM occ JOIN tgt_docs USING (doc_id) GROUP BY f),
+r AS (SELECT raw.f, ((coalesce(tgt_cnt, 0) + 1) * 1000000) // (raw_cnt + 1) AS ratio_e6
+  FROM raw LEFT JOIN tgt ON raw.f = tgt.f)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(ratio_e6) // count(*) AS BIGINT) AS weight_e6
+FROM occ JOIN r USING (f)
+GROUP BY doc_id"""
+
   private lazy val decontamSql =
     s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
 dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-3),

@@ -52,6 +52,8 @@ object TextQueries {
     // passage-overlap mining over the winnow index (>= 3 shared fps)
     "winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(docs(s, dir), 5, 4, 3, MaxShingleDf)),
+    // bigram-LM predictability score (integer CCNet-perplexity stand-in)
+    "lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -239,6 +241,19 @@ FROM documents""",
     "fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents""",
+
+    "lm_score" ->
+      """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS b
+  FROM dw WHERE len(ws) >= 2),
+c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY b),
+c1 AS (SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+p AS (SELECT b, (c2 * 1000000) // c1 AS prob_e6
+  FROM c2 JOIN c1 ON split_part(b, ' ', 1) = w1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(prob_e6) // count(*) AS BIGINT) AS lm_score_e6
+FROM bg JOIN p USING (b)
+GROUP BY doc_id""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -280,6 +280,108 @@ object TextAnalysis {
       .observe("gopher_quality", count(lit(1)).as("n_docs"))
   }
 
+  /**
+   * Bigram-language-model document score — the integer-exact stand-in
+   * for CCNet-style perplexity filtering (Wenzek et al. 2020): score a
+   * document by how predictable its bigrams are under the corpus's own
+   * bigram LM. For each bigram `w1 w2`,
+   * `prob_e6 = 10^6 * count(w1 w2) / count(w1 ·)` (truncating integer
+   * division — monotone in the conditional probability, exact in every
+   * engine); a document's `lm_score_e6` is the tf-weighted mean of its
+   * bigrams' `prob_e6` (again truncating). High = boilerplate-predictable,
+   * low = unusual/noisy — the two tails a perplexity gate cuts.
+   *
+   * Scale shape (mirrors [[tfidfTopK]]):
+   *  - per-document bigram term frequencies are computed PER ROW, so
+   *    the corpus-scale (doc, bigram) occurrence exchange never happens;
+   *  - the bigram count table is one map-side-combinable aggregate
+   *    (bigram-vocabulary scale), and the prefix-count table folds over
+   *    it (unigram scale, broadcast);
+   *  - the probability table joins back by BROADCAST (vocabulary scale,
+   *    megabytes at corpus sizes where documents are petabytes);
+   *  - the final per-document mean is a map-side-combinable aggregate
+   *    whose exchange carries one row per document.
+   * Overflow headroom: `c2 * 10^6` stays under 2^63 until a single
+   * bigram occurs ~9·10^12 times — beyond a 100 TB corpus's hottest
+   * bigram ("of the" in ~10^13 English tokens is the order where a
+   * `1e3` scale or a 128-bit decimal takes over; documented, not hit).
+   *
+   * Returns `(doc_id, n_bigrams, lm_score_e6)`; documents with fewer
+   * than two tokens have no bigram and are excluded.
+   */
+  def lmScore(df: DataFrame): DataFrame = {
+    val pairs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))").as("bs"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(array_distinct(bs), b -> struct(b as b, cast(size(filter(bs, x -> x = b)) as bigint) as tf))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.b").as("b"), col("p.tf").as("tf"))
+    val c2 = pairs.groupBy("b").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy(expr("split(b, ' ')[0]").as("w1")).agg(sum("c2").as("c1"))
+    val probs = c2.join(broadcast(c1), expr("split(b, ' ')[0]") === col("w1"))
+      .select(col("b"), expr("div(c2 * cast(1000000 as bigint), c1)").as("prob_e6"))
+    pairs.join(broadcast(probs), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        expr("cast(div(sum(tf * prob_e6), sum(tf)) as bigint)").as("lm_score_e6"))
+  }
+
+  /**
+   * DSIR-flavored importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every raw
+   * document by how much its hashed-n-gram feature distribution looks
+   * like a TARGET domain relative to the RAW corpus. Features are
+   * hashed token buckets (`buckets` of them, md5-derived so the oracle
+   * reproduces the assignment bit-for-bit); the per-bucket importance
+   * ratio is `ratio_e6 = 10^6 * (target_count + 1) / (raw_count + 1)`
+   * (add-one smoothing keeps target-absent buckets finite and integer
+   * division keeps it engine-exact — a monotone surrogate for the
+   * log-ratio DSIR sums, summed instead of log-summed); a document's
+   * `weight_e6` is the tf-weighted mean ratio over its tokens. The
+   * target membership predicate is the caller's (`targetPred`, applied
+   * to the document's token ARRAY so the tokenizer runs once, e.g. a
+   * quality gate) — resampling then takes the top weights
+   * ([[graft.operators.Curation]] has the budget/sample machinery).
+   *
+   * Scale shape: per-document bucket term frequencies are computed PER
+   * ROW (no corpus-scale occurrence exchange); the raw and target
+   * bucket tables are ONE map-side-combinable aggregate each over at
+   * most `buckets` rows — broadcast scale by construction, unlike a
+   * word vocabulary — joined back by broadcast; the per-document mean's
+   * exchange carries one row per document.
+   *
+   * Returns `(doc_id, n_tokens, weight_e6)` for every document with at
+   * least one token.
+   */
+  def importanceWeights(df: DataFrame, targetPred: Column => Column,
+                        buckets: Int = 1024): DataFrame = {
+    val bucket =
+      s"pmod(cast(conv(substr(md5(concat('iw:', t)), 1, 15), 16, 10) as bigint), $buckets)"
+    val pairs = spread(df)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), targetPred(col("ws")).as("is_target"),
+        expr(s"transform(ws, t -> $bucket)").as("fs"))
+      .select(col("doc_id"), col("is_target"),
+        explode(expr(
+          "transform(array_distinct(fs), f -> struct(f as f, cast(size(filter(fs, x -> x = f)) as bigint) as tf))"))
+          .as("p"))
+      .select(col("doc_id"), col("is_target"), col("p.f").as("f"), col("p.tf").as("tf"))
+    val raw = pairs.groupBy("f").agg(sum("tf").as("raw_cnt"))
+    val tgt = pairs.filter(col("is_target")).groupBy("f").agg(sum("tf").as("tgt_cnt"))
+    val ratios = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"),
+        expr("div((coalesce(tgt_cnt, cast(0 as bigint)) + 1) * cast(1000000 as bigint), raw_cnt + 1)")
+          .as("ratio_e6"))
+    pairs.join(broadcast(ratios), "f")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("cast(div(sum(tf * ratio_e6), sum(tf)) as bigint)").as("weight_e6"))
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

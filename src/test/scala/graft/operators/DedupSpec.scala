@@ -197,6 +197,34 @@ class DedupSpec extends SparkSpec {
     assert(rows((3L, 2L)) == (("durian", 1L, 1L, 1000000L)))
   }
 
+  test("lmScore: integer bigram-LM conditional probabilities, tf-weighted mean") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus: c("a b")=2, c("b a")=1, c("a c")=1; prefixes: c(a·)=3, c(b·)=1
+    // prob_e6: a b → 2e6//3 = 666666; b a → 1e6; a c → 1e6//3 = 333333
+    // doc 1: (2·666666 + 1·1000000) // 3 = 777777 over 3 bigrams
+    assert(rows(1L) == ((3L, 777777L)))
+    assert(rows(2L) == ((1L, 333333L)))
+  }
+
+  test("importanceWeights: target-distribution tokens weigh more; smoothing is exact") {
+    import spark.implicits._
+    val df = Seq((1L, "x x x x"), (2L, "y y")).toDF("doc_id", "text")
+    val tgt = (ws: org.apache.spark.sql.Column) => size(ws) >= 4 // doc 1 is the target domain
+    val w = TextAnalysis.importanceWeights(df, tgt, 1024).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w(1L)._1 == 4L && w(2L)._1 == 2L)
+    // x dominates the target distribution, y is absent from it
+    assert(w(1L)._2 > w(2L)._2)
+    // one-bucket degenerate case: every token shares the smoothed ratio
+    // (tgt+1)·1e6 // (raw+1) = (4+1)·1e6 // (6+1) = 714285 exactly
+    val u = TextAnalysis.importanceWeights(df, tgt, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(u == Map(1L -> 714285L, 2L -> 714285L))
+  }
+
   test("keepersByScore ships the best-scoring cluster member, not the minimum id") {
     import spark.implicits._
     val clusterMap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
