@@ -27,6 +27,9 @@ object TextQueries {
   // segment (pseudo-line) length for the line-level dedup gates: short
   // enough that the sf fixtures actually contain cross-document repeats
   private val SegLen = 5
+  // minimum duplicated-span length (in tokens) for the exact-substring
+  // span dedup — same fixture consideration as SegLen
+  private val SpanK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
@@ -54,6 +57,10 @@ object TextQueries {
       TextAnalysis.winnowPairs(docs(s, dir), 5, 4, 3, MaxShingleDf)),
     // bigram-LM predictability score (integer CCNet-perplexity stand-in)
     "lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
+    // exact-substring span removal (Lee et al. 2022 ExactSubstr at
+    // k-gram granularity): duplicated >= SpanK-token passages vanish
+    // from every document but their first (keeper) document
+    "span_dedup" -> ((s, dir) => Dedup.spanDedup(docs(s, dir), SpanK, 2)),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -241,6 +248,33 @@ FROM documents""",
     "fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents""",
+
+    "span_dedup" ->
+      s"""WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1),
+g AS (SELECT doc_id, ws,
+    CASE WHEN len(ws) >= $SpanK THEN list_transform(range(1, len(ws)-${SpanK - 2}),
+      i -> CAST(('0x' || substr(md5('sp:' || ${(0 until SpanK).map(j => s"ws[i+$j]").mkString("||' '||")}), 1, 15)) AS BIGINT))
+    ELSE CAST([] AS BIGINT[]) END AS ghs
+  FROM dw),
+occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM g),
+dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
+pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(ghs)+1),
+    i -> {'i': i, 'gh': ghs[i]})) AS pg FROM g)),
+ds AS (SELECT p.doc_id, list_sort(list(p.i)) AS ss
+  FROM pos p JOIN dup d ON p.gh = d.gh AND p.doc_id <> d.keeper
+  GROUP BY p.doc_id),
+j AS (SELECT g.doc_id, g.ws, coalesce(ds.ss, CAST([] AS BIGINT[])) AS ss
+  FROM g LEFT JOIN ds USING (doc_id)),
+kept AS (SELECT doc_id, ws,
+    list_transform(list_filter(range(1, len(ws)+1),
+      p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanK - 1})) = 0), p -> ws[p]) AS kt
+  FROM j)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+  CAST(len(kt) AS BIGINT) AS n_kept,
+  coalesce(array_to_string(kt, ' '), '') AS cleaned
+FROM kept""",
 
     "lm_score" ->
       """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

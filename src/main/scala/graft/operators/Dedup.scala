@@ -663,6 +663,74 @@ object Dedup {
   }
 
   /**
+   * Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — the ExactSubstr
+   * dedup, at word-k-gram granularity): remove every MAXIMAL duplicated
+   * token span from every document except the first (minimum-doc_id)
+   * document containing it. Where [[segmentDedup]] needs duplicated
+   * text to align on segment boundaries, this catches a copied passage
+   * at ANY offset: a position is covered iff any k-gram starting within
+   * the previous k positions is duplicated across ≥ `minDf` documents,
+   * so overlapping duplicated grams merge into maximal spans for free.
+   * Returns one row per document:
+   * `(doc_id, n_tokens, n_kept, cleaned)` — `cleaned` is the surviving
+   * tokens rejoined in order (the keeper document keeps its text; pure
+   * intra-document repetition is [[graft.operators.Curation
+   * .repetitionStats]]'s job and is deliberately not removed here).
+   *
+   * Scale shape — the relational analog of the paper's suffix-array
+   * pass, two corpus-linear exchanges and zero quadratic joins:
+   *  - the gram-frequency table aggregates per-document DISTINCT grams
+   *    (`array_distinct` before the explode, so intra-doc repeats never
+   *    inflate the exchange) — gram-vocabulary scale, map-side
+   *    combinable;
+   *  - duplicated-gram START POSITIONS come from ONE equality join of
+   *    the positioned gram stream against the dup inventory, whose
+   *    build side is UNIQUE per gram (the hottest boilerplate gram
+   *    contributes one build row — corpus skew cannot explode the
+   *    join); AQE broadcasts the inventory when it fits;
+   *  - coverage is decided per row: each position binary-searches the
+   *    document's sorted dup-start array via the codegen'd
+   *    [[graft.functions.SortedFloor]] (`floor(ss, p) >= p-k+1`), so a
+   *    d-dup-start, n-token document costs O(n log d) — no O(n·d)
+   *    membership scan, no token-level corpus explode.
+   */
+  def spanDedup(df: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+    // sorted_floor must resolve inside the lambda below (expr-string
+    // scope); registration is idempotent and session-local
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    val gh = s"cast(conv(substr(md5(concat('sp:', $gram)), 1, 15), 16, 10) as bigint)"
+    val dw = TextAnalysis.spread(df)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("ghs", expr(
+        s"""if(size(ws) >= $k, transform(sequence(0, size(ws)-$k), i -> $gh),
+               cast(array() as array<bigint>))"""))
+    val dup = dw.select(col("doc_id"), explode(expr("array_distinct(ghs)")).as("gh"))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("df") >= minDf)
+    val dupStarts = dw.select(col("doc_id"), posexplode(col("ghs")))
+      .toDF("doc_id", "i", "gh")
+      .join(dup, "gh")
+      .filter(col("doc_id") =!= col("keeper_doc"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("ss"))
+    dw.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("ss"), expr("cast(array() as array<bigint>)")))
+      .withColumn("kept", expr(
+        s"""transform(filter(sequence(0, size(ws)-1),
+              p -> coalesce(sorted_floor(ss, cast(p as bigint)), cast(${-k} as bigint))
+                     < cast(p - ${k - 1} as bigint)),
+            p -> ws[p])"""))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned"))
+  }
+
+  /**
    * 60-bit SimHash over the distinct word set: per bit position, words
    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
    * positive vote. Near-dups differ in few bits (Hamming distance).

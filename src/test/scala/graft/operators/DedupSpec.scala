@@ -197,6 +197,25 @@ class DedupSpec extends SparkSpec {
     assert(rows((3L, 2L)) == (("durian", 1L, 1L, 1000000L)))
   }
 
+  test("spanDedup removes an offset-shifted shared passage (what segment alignment misses)") {
+    import spark.implicits._
+    // docs 1 and 5 share a 6-token passage at DIFFERENT offsets (0 vs 1)
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+      (5L, "head5 alpha beta gamma delta epsilon zeta unique5"),
+      (3L, "completely different words here now ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, 5, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the keeper (min id): untouched
+    assert(out(1L) == ((8L, 8L, "alpha beta gamma delta epsilon zeta unique1 tail1")))
+    // doc 5: dup 5-grams start at 1 and 2 → positions 1..6 covered; the
+    // two maximal-span survivors are the head and tail tokens
+    assert(out(5L) == ((8L, 2L, "head5 unique5")))
+    // doc 3 shares nothing and is untouched
+    assert(out(3L) == ((6L, 6L, "completely different words here now ok")))
+  }
+
   test("lmScore: integer bigram-LM conditional probabilities, tf-weighted mean") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")

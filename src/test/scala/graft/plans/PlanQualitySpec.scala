@@ -62,6 +62,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("scoring/span operators: equality joins only, broadcast vocabulary, top-k sample") {
+    // span dedup, LM scoring and importance weighting all join a
+    // corpus-scale stream against a vocabulary/inventory-scale table —
+    // never all-pairs, and the vocabulary side broadcasts
+    for (q <- Seq("span_dedup", "lm_score", "importance_weights", "importance_sample")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+    val lm = graft.SparkEntry.queries("lm_score")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(lm.contains("BroadcastHashJoin"), lm)
+    val iw = graft.SparkEntry.queries("importance_weights")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(iw.contains("BroadcastHashJoin"), iw)
+    // the resampling consumer is a bounded top-k, not a global sort
+    val samp = graft.SparkEntry.queries("importance_sample")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(samp.contains("TakeOrderedAndProject"), samp)
+  }
+
   test("pipeline_corpus re-verifies near-dups on candidate pairs, not shingles") {
     // the composed pipeline must take the LSH shape: candidates from
     // band-signature equality joins, exact Jaccard as array_intersect on
