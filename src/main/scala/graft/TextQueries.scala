@@ -249,14 +249,21 @@ FROM documents""",
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents""",
 
+    // gram hash mirrors Dedup.spanDedup exactly: one md5 per TOKEN, then
+    // Dedup.spanGramHash's polynomial per position (same expression
+    // string — both dialects agree on % * + and bracket indexing; only
+    // the range base differs, 1-based here vs 0-based in Spark)
     "span_dedup" ->
       s"""WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
   WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1),
+th AS (SELECT doc_id, ws,
+    list_transform(ws, t -> CAST(('0x' || substr(md5('sp:' || t), 1, 15)) AS BIGINT)) AS hs
+  FROM dw),
 g AS (SELECT doc_id, ws,
     CASE WHEN len(ws) >= $SpanK THEN list_transform(range(1, len(ws)-${SpanK - 2}),
-      i -> CAST(('0x' || substr(md5('sp:' || ${(0 until SpanK).map(j => s"ws[i+$j]").mkString("||' '||")}), 1, 15)) AS BIGINT))
+      i -> ${Dedup.spanGramHash(SpanK)})
     ELSE CAST([] AS BIGINT[]) END AS ghs
-  FROM dw),
+  FROM th),
 occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM g),
 dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
 pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (

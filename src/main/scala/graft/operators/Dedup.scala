@@ -31,6 +31,39 @@ object Dedup {
   private def h60(c: Column, seed: Int): Column =
     expr(s"cast(conv(substr(md5(concat('$seed:', ${c.toString})), 1, 15), 16, 10) as bigint)")
 
+  // Double 31-bit polynomial gram-hash constants, shared with the
+  // spanDedup DuckDB oracle (single source of truth): two prime moduli
+  // and two bases. Packing the two residues into one BIGINT gives a
+  // ~62-bit gram key — the same collision class as the 60-bit md5 keys
+  // used elsewhere.
+  private[graft] val SpanM1 = 2147483647L // 2^31 - 1, prime
+  private[graft] val SpanM2 = 2147483629L // prime
+  private[graft] val SpanB1 = 1000003L
+  private[graft] val SpanB2 = 1000033L
+
+  /**
+   * k-gram hash over a per-position integer hash array `hs`, emitted as
+   * ONE expression string valid in BOTH engines' SQL dialects (`%`, `*`,
+   * `+` and `hs[i+j]` indexing agree between Spark and DuckDB for the
+   * non-negative operands used here; only the base of `i` differs and is
+   * the caller's concern): two independent 31-bit polynomial hashes,
+   * packed as `g1 * 2^31 + g2`. Cost is O(k) integer multiply-adds per
+   * position — with k a small constant this is effectively linear in
+   * document length, vs. building and md5-digesting a k-token string at
+   * every position. (A true O(n) rolling recurrence is not expressible
+   * as a per-element SQL lambda — there is no array scan primitive —
+   * but the digest work, not the arithmetic, was the dominant cost.)
+   * All intermediates stay under 2^52 (residue < 2^31, base < 2^20), so
+   * 64-bit arithmetic is exact in both engines and ANSI-safe.
+   */
+  private[graft] def spanGramHash(k: Int): String = {
+    def poly(m: Long, b: Long): String =
+      (1 until k).foldLeft(s"(hs[i] % $m)") { (acc, j) =>
+        s"(($acc * $b + (hs[i+$j] % $m)) % $m)"
+      }
+    s"(${poly(SpanM1, SpanB1)}) * 2147483648 + (${poly(SpanM2, SpanB2)})"
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text,
     * with the surviving (minimum) doc_id and the group size. */
   def exact(df: DataFrame): DataFrame =
@@ -680,6 +713,15 @@ object Dedup {
    *
    * Scale shape — the relational analog of the paper's suffix-array
    * pass, two corpus-linear exchanges and zero quadratic joins:
+   *  - gram hashing is ONE md5 digest per TOKEN plus [[spanGramHash]]'s
+   *    polynomial combination per position — O(k) integer multiply-adds
+   *    with k a small constant, instead of building and digesting a
+   *    k-token string at every position (the digest work used to
+   *    dominate the whole operator);
+   *  - the hashed projection is localCheckpointed ONCE and shared by
+   *    its three consumers (dup inventory, dup starts, final join) —
+   *    the [[nightly]] pattern; without it each consumer re-tokenizes
+   *    and re-hashes the corpus;
    *  - the gram-frequency table aggregates per-document DISTINCT grams
    *    (`array_distinct` before the explode, so intra-doc repeats never
    *    inflate the exchange) — gram-vocabulary scale, map-side
@@ -699,14 +741,21 @@ object Dedup {
     // sorted_floor must resolve inside the lambda below (expr-string
     // scope); registration is idempotent and session-local
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val gram = (0 until k).map(j => s"ws[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    val gh = s"cast(conv(substr(md5(concat('sp:', $gram)), 1, 15), 16, 10) as bigint)"
+    val th = "cast(conv(substr(md5(concat('sp:', t)), 1, 15), 16, 10) as bigint)"
+    val gh = spanGramHash(k)
     val dw = TextAnalysis.spread(df)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
+      // hs is referenced k times by ghs, so CollapseProject keeps the
+      // two projections separate (one md5 per token, evaluated once)
+      .withColumn("hs", expr(s"transform(ws, t -> $th)"))
       .withColumn("ghs", expr(
         s"""if(size(ws) >= $k, transform(sequence(0, size(ws)-$k), i -> $gh),
                cast(array() as array<bigint>))"""))
+      .drop("hs")
+      // three consumers below (dup inventory, dup starts, final join):
+      // materialize the tokenize+hash work exactly once
+      .localCheckpoint()
     val dup = dw.select(col("doc_id"), explode(expr("array_distinct(ghs)")).as("gh"))
       .groupBy("gh")
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper_doc"))
