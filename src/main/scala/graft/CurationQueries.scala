@@ -331,8 +331,6 @@ SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
 FROM rh"""
   )
 
-  /** Decontamination oracle, shared by `decontam_overlap` and its
-    * bloom-prefiltered twin `decontam_bloom` (value-identical paths). */
   /** DSIR importance-weight oracle: hashed-token-bucket counts over the
     * raw corpus and the quality-gated target subset, add-one-smoothed
     * integer ratio per bucket, tf-weighted per-document mean. Shares
@@ -353,6 +351,8 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM occ JOIN r USING (f)
 GROUP BY doc_id"""
 
+  /** Decontamination oracle, shared by `decontam_overlap` and its
+    * bloom-prefiltered twin `decontam_bloom` (value-identical paths). */
   private lazy val decontamSql =
     s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
 dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-3),

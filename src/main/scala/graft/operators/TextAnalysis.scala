@@ -40,6 +40,37 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(normalized(text), "\\s+")
 
   /**
+   * Explode array column `arr` into one row per DISTINCT element with
+   * its within-array occurrence count: `(carry…, valueName, tf)`. Cost
+   * is O(n log n) per row — sort a copy, find run starts, emit one
+   * struct per run — replacing the O(distinct·n) idiom
+   * `transform(array_distinct(a), v -> size(filter(a, x -> x = v)))`,
+   * whose worst case (distinct ≈ n, true for bigrams over normal text)
+   * is quadratic in document length.
+   *
+   * Layout notes: the sorted copy and the run-start index array are
+   * separate multiply-referenced aliases, so CollapseProject keeps each
+   * evaluated once per row; the run-start predicate uses
+   * `greatest(i-1, 0)` and the run-length `if` guards the `st[j+1]`
+   * access, so no index expression can fall outside the array under
+   * ANSI evaluation. PRECONDITION: `arr` is non-empty on every row
+   * (`sequence(0, -1)` counts downward) — every caller's tokenizer
+   * guarantees ≥ 1 element (`split` never returns an empty array).
+   */
+  private[operators] def tfExplode(df: DataFrame, arr: String,
+                                   carry: Seq[String], valueName: String): DataFrame = {
+    val c = carry.map(col)
+    df.withColumn("__ss", expr(s"array_sort($arr)"))
+      .withColumn("__st", expr(
+        "filter(sequence(0, size(__ss)-1), i -> i = 0 or __ss[i] != __ss[greatest(i-1, 0)])"))
+      .select(c :+ explode(expr(
+        s"""transform(sequence(0, size(__st)-1),
+            j -> struct(__ss[__st[j]] as $valueName,
+                        cast(if(j = size(__st)-1, size(__ss), __st[j+1]) - __st[j] as bigint) as tf))""")).as("__p"): _*)
+      .select(c :+ col(s"__p.$valueName").as(valueName) :+ col("__p.tf").as("tf"): _*)
+  }
+
+  /**
    * Per-document statistics + quality score:
    * token count, distinct-token count, normalized char length,
    * punctuation count, a BPE-flavored subword estimate (`ceil(chars/4)` —
@@ -164,11 +195,10 @@ object TextAnalysis {
    * indexing/labeling pipelines.
    *
    * Scale shape, in order of appearance:
-   *  - term frequencies are computed PER ROW (`list_filter` count over
-   *    the distinct terms — O(distinct×tokens) CPU per document), so the
+   *  - term frequencies are computed PER ROW ([[tfExplode]] —
+   *    O(n log n) sort + run-length scan per document), so the
    *    corpus-wide (doc, term) exchange a groupBy would need never
-   *    happens; documents are bounded in practice (chunk outliers
-   *    first);
+   *    happens;
    *  - document frequency is one map-side-combinable aggregate — the
    *    exchange carries each partition's distinct terms, vocabulary
    *    scale, not corpus scale;
@@ -186,12 +216,9 @@ object TextAnalysis {
    */
   def tfidfTopK(df: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val pairs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(array_distinct(ws), t -> struct(t as term, cast(size(filter(ws, x -> x = t)) as bigint) as tf))"))
-          .as("p"))
-      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val pairs = tfExplode(
+      spread(df).select(col("doc_id"), tokens(col("text")).as("ws")),
+      "ws", Seq("doc_id"), "term")
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = pairs.join(broadcast(dfreq), "term")
       .withColumn("score_e6", expr("div(tf * cast(1000000 as bigint), df)"))
@@ -292,13 +319,19 @@ object TextAnalysis {
    * low = unusual/noisy — the two tails a perplexity gate cuts.
    *
    * Scale shape (mirrors [[tfidfTopK]]):
-   *  - per-document bigram term frequencies are computed PER ROW, so
-   *    the corpus-scale (doc, bigram) occurrence exchange never happens;
+   *  - per-document bigram term frequencies are computed PER ROW
+   *    ([[tfExplode]] — O(n log n), which matters here: distinct
+   *    bigrams ≈ n for normal text, so the filter-count idiom would be
+   *    quadratic per document), and the corpus-scale (doc, bigram)
+   *    occurrence exchange never happens;
    *  - the bigram count table is one map-side-combinable aggregate
    *    (bigram-vocabulary scale), and the prefix-count table folds over
-   *    it (unigram scale, broadcast);
-   *  - the probability table joins back by BROADCAST (vocabulary scale,
-   *    megabytes at corpus sizes where documents are petabytes);
+   *    it (unigram scale — genuinely broadcastable, hinted);
+   *  - the bigram probability table is NOT broadcast-hinted: distinct
+   *    bigram TYPES grow near-linearly with corpus size (10⁹–10¹⁰ rows,
+   *    tens of GB, at the 100 TB design point), so the join back on `b`
+   *    is a plain shuffle equality join — AQE still broadcasts it when
+   *    it actually fits;
    *  - the final per-document mean is a map-side-combinable aggregate
    *    whose exchange carries one row per document.
    * Overflow headroom: `c2 * 10^6` stays under 2^63 until a single
@@ -310,20 +343,19 @@ object TextAnalysis {
    * than two tokens have no bigram and are excluded.
    */
   def lmScore(df: DataFrame): DataFrame = {
-    val pairs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))").as("bs"))
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(array_distinct(bs), b -> struct(b as b, cast(size(filter(bs, x -> x = b)) as bigint) as tf))"))
-          .as("p"))
-      .select(col("doc_id"), col("p.b").as("b"), col("p.tf").as("tf"))
+    val pairs = tfExplode(
+      spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))").as("bs")),
+      "bs", Seq("doc_id"), "b")
     val c2 = pairs.groupBy("b").agg(sum("tf").as("c2"))
     val c1 = c2.groupBy(expr("split(b, ' ')[0]").as("w1")).agg(sum("c2").as("c1"))
     val probs = c2.join(broadcast(c1), expr("split(b, ' ')[0]") === col("w1"))
       .select(col("b"), expr("div(c2 * cast(1000000 as bigint), c1)").as("prob_e6"))
-    pairs.join(broadcast(probs), "b")
+    // no broadcast hint: the bigram table is corpus-vocabulary scale
+    // (see scale-shape note above); AQE picks broadcast when it fits
+    pairs.join(probs, "b")
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_bigrams"),
         expr("cast(div(sum(tf * prob_e6), sum(tf)) as bigint)").as("lm_score_e6"))
@@ -338,9 +370,13 @@ object TextAnalysis {
    * reproduces the assignment bit-for-bit); the per-bucket importance
    * ratio is `ratio_e6 = 10^6 * (target_count + 1) / (raw_count + 1)`
    * (add-one smoothing keeps target-absent buckets finite and integer
-   * division keeps it engine-exact — a monotone surrogate for the
-   * log-ratio DSIR sums, summed instead of log-summed); a document's
-   * `weight_e6` is the tf-weighted mean ratio over its tokens. The
+   * division keeps it engine-exact); a document's `weight_e6` is the
+   * tf-weighted ARITHMETIC mean ratio over its tokens — an
+   * integer-exact stand-in for DSIR's sum of log-ratios (a geometric
+   * mean), each per-bucket ratio monotone in its own log-ratio, but the
+   * document-level aggregate need NOT preserve DSIR's document
+   * ordering; aggregate a fixed-point log approximation instead if rank
+   * fidelity to the paper matters. The
    * target membership predicate is the caller's (`targetPred`, applied
    * to the document's token ARRAY so the tokenizer runs once, e.g. a
    * quality gate) — resampling then takes the top weights
@@ -360,16 +396,13 @@ object TextAnalysis {
                         buckets: Int = 1024): DataFrame = {
     val bucket =
       s"pmod(cast(conv(substr(md5(concat('iw:', t)), 1, 15), 16, 10) as bigint), $buckets)"
-    val pairs = spread(df)
-      .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .select(col("doc_id"), targetPred(col("ws")).as("is_target"),
-        expr(s"transform(ws, t -> $bucket)").as("fs"))
-      .select(col("doc_id"), col("is_target"),
-        explode(expr(
-          "transform(array_distinct(fs), f -> struct(f as f, cast(size(filter(fs, x -> x = f)) as bigint) as tf))"))
-          .as("p"))
-      .select(col("doc_id"), col("is_target"), col("p.f").as("f"), col("p.tf").as("tf"))
+    val pairs = tfExplode(
+      spread(df)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), targetPred(col("ws")).as("is_target"),
+          expr(s"transform(ws, t -> $bucket)").as("fs")),
+      "fs", Seq("doc_id", "is_target"), "f")
     val raw = pairs.groupBy("f").agg(sum("tf").as("raw_cnt"))
     val tgt = pairs.filter(col("is_target")).groupBy("f").agg(sum("tf").as("tgt_cnt"))
     val ratios = raw.join(tgt, Seq("f"), "left")

@@ -72,9 +72,17 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
     }
-    val lm = graft.SparkEntry.queries("lm_score")(spark, sf("sf0.001"))
-      .queryExecution.executedPlan.toString
+    val lmQ = graft.SparkEntry.queries("lm_score")(spark, sf("sf0.001"))
+    val lm = lmQ.queryExecution.executedPlan.toString
     assert(lm.contains("BroadcastHashJoin"), lm)
+    // the bigram probability table is corpus-vocabulary scale: exactly
+    // ONE mandatory broadcast hint in the plan (the unigram prefix
+    // table) — the bigram join must be left to AQE's size check, which
+    // may or may not broadcast it (a forced hint OOMs at 100 TB)
+    val lmHints = lmQ.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(lmHints.size == 1, s"expected only the unigram hint:\n$lmHints")
     val iw = graft.SparkEntry.queries("importance_weights")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(iw.contains("BroadcastHashJoin"), iw)
