@@ -68,8 +68,10 @@ object TextQueries {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(20)),
     // the Gopher rule battery: word count, mean word length, alphabetic
-    // fraction, symbol ratio, stopword count + composite pass flag
-    "gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
+    // fraction, symbol ratio, stopword count, duplicate-line fraction,
+    // bullet/ellipsis line ratios + composite pass flag
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir), segLen = SegLen)),
     // quality-gated survivor set — the filtering step of a data pipeline
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.stats(docs(s, dir))
@@ -492,16 +494,25 @@ ORDER BY cnt DESC, word LIMIT 20""",
     "gopher_quality" -> {
       val stopList = TextAnalysis.GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+sg AS (SELECT doc_id, ws,
+    list_transform(range(0, (len(ws) + ${SegLen - 1}) // $SegLen),
+      i -> array_to_string(ws[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')) AS segs
+  FROM w WHERE len(ws) >= 1),
 g AS (SELECT doc_id,
     CAST(len(ws) AS BIGINT) AS n_words,
     CAST((CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) * 1000) // len(ws) AS BIGINT) AS mean_wordlen_e3,
     CAST((CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 1000) // len(ws) AS BIGINT) AS alpha_e3,
     CAST((CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) * 1000) // len(ws) AS BIGINT) AS symbol_e3,
-    CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS BIGINT) AS n_stopwords
-  FROM w WHERE len(ws) >= 1)
+    CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS BIGINT) AS n_stopwords,
+    CAST((CAST(len(segs) - len(list_distinct(segs)) AS BIGINT) * 1000) // len(segs) AS BIGINT) AS dupline_e3,
+    CAST((CAST(len(list_filter(segs, s -> starts_with(s, '-') OR starts_with(s, '*') OR starts_with(s, '•'))) AS BIGINT) * 1000) // len(segs) AS BIGINT) AS bullet_e3,
+    CAST((CAST(len(list_filter(segs, s -> ends_with(s, '...'))) AS BIGINT) * 1000) // len(segs) AS BIGINT) AS ellipsis_e3
+  FROM sg)
 SELECT doc_id, n_words, mean_wordlen_e3, alpha_e3, symbol_e3, n_stopwords,
+  dupline_e3, bullet_e3, ellipsis_e3,
   CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_wordlen_e3 BETWEEN 3000 AND 10000
         AND alpha_e3 >= 800 AND symbol_e3 <= 100 AND n_stopwords >= 2
+        AND dupline_e3 <= 300 AND bullet_e3 <= 900 AND ellipsis_e3 <= 300
        THEN 1 ELSE 0 END AS pass
 FROM g"""
     },

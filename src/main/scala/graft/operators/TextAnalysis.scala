@@ -275,20 +275,37 @@ object TextAnalysis {
    *    (rule: ≤ 100);
    *  - `n_stopwords` — occurrences of the [[GopherStopWords]] markers
    *    (rule: ≥ 2);
+   *  - `dupline_e3` — duplicate-line fraction ×1000 (rule: ≤ 300),
+   *    lines = `segLen`-token segments (the [[graft.operators.Dedup
+   *    .segments]] stand-in for newline splitting on fixtures without
+   *    line structure — a real corpus swaps in `split(text, '\n')` and
+   *    the rule is unchanged); a "duplicate" occurrence is any beyond a
+   *    segment's first, i.e. `(n_segs - n_distinct_segs) / n_segs`;
+   *  - `bullet_e3` — fraction of lines starting with a bullet marker
+   *    (`-`, `*`, `•`) ×1000 (rule: ≤ 900);
+   *  - `ellipsis_e3` — fraction of lines ending with `...` ×1000
+   *    (rule: ≤ 300);
    *  - `pass` — 1 iff every rule holds.
    *
-   * Pure per-row array arithmetic, no shuffle, trailing `observe`
-   * barrier so a consumer's `pass = 1` filter evaluates on the
-   * materialized signals instead of re-inlining the tokenizer per
-   * lambda element access (see [[graft.operators.Curation
+   * Pure per-row array arithmetic (the segment view is derived from the
+   * SAME tokens array — still one tokenization pass), no shuffle,
+   * trailing `observe` barrier so a consumer's `pass = 1` filter
+   * evaluates on the materialized signals instead of re-inlining the
+   * tokenizer per lambda element access (see [[graft.operators.Curation
    * .contentSignals]] for the O(tokens²) trap this prevents).
    */
   def gopherQuality(df: DataFrame,
-                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    segLen: Int = 5): DataFrame = {
     val stopArr = GopherStopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
     spread(df)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
+      // segs is referenced by three rule expressions below, so
+      // CollapseProject keeps it a separate projection (computed once)
+      .withColumn("segs", expr(
+        s"""transform(sequence(0, cast(div(size(ws) + ${segLen - 1}, $segLen) as int) - 1),
+            i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         expr("""cast(div(aggregate(ws, cast(0 as bigint), (acc, x) -> acc + length(x)) * 1000,
@@ -298,12 +315,20 @@ object TextAnalysis {
         expr("""cast(div(cast(size(filter(ws, x -> contains(x, '#') or contains(x, '...'))) as bigint) * 1000,
                         size(ws)) as bigint)""").as("symbol_e3"),
         expr(s"cast(size(filter(ws, x -> array_contains($stopArr, x))) as bigint)")
-          .as("n_stopwords"))
+          .as("n_stopwords"),
+        expr("""cast(div(cast(size(segs) - size(array_distinct(segs)) as bigint) * 1000,
+                        size(segs)) as bigint)""").as("dupline_e3"),
+        expr("""cast(div(cast(size(filter(segs, s -> startswith(s, '-') or startswith(s, '*')
+                          or startswith(s, '•'))) as bigint) * 1000,
+                        size(segs)) as bigint)""").as("bullet_e3"),
+        expr("""cast(div(cast(size(filter(segs, s -> endswith(s, '...'))) as bigint) * 1000,
+                        size(segs)) as bigint)""").as("ellipsis_e3"))
       .withColumn("pass",
         when(col("n_words").between(minWords, maxWords) &&
           col("mean_wordlen_e3").between(3000, 10000) &&
           col("alpha_e3") >= 800 && col("symbol_e3") <= 100 &&
-          col("n_stopwords") >= 2, 1).otherwise(0))
+          col("n_stopwords") >= 2 && col("dupline_e3") <= 300 &&
+          col("bullet_e3") <= 900 && col("ellipsis_e3") <= 300, 1).otherwise(0))
       .observe("gopher_quality", count(lit(1)).as("n_docs"))
   }
 

@@ -282,15 +282,33 @@ class DedupSpec extends SparkSpec {
       (2L, "the and of that short"),                                  // too few words
       (3L, s"the of ${(1 to 60).map(_ => "a b").mkString(" ")}"),     // mean word length < 3
       (4L, s"the of ${(1 to 60).map(i => "### ...").mkString(" ")}"), // symbols + no alpha
-      (5L, s"$fifty extra tokens only")                               // no stopwords
+      (5L, s"$fifty extra tokens only"),                              // no stopwords
+      // duplicate-line violator: one 5-token segment repeated 12x —
+      // every other rule clean (stopwords up front, mean wordlen ~5)
+      (6L, "the and " + (1 to 12).map(_ => "alpha beta gamma delta epsilon").mkString(" ")),
+      // bullet violator: every pseudo-line starts with a '-' token;
+      // all segments distinct, alpha exactly 48/60 = 800 (still passes)
+      (7L, (1 to 12).map(i => s"- the brown$i fox$i jump$i").mkString(" ")),
+      // ellipsis violator: 5 of 12 segments end with '...' (42% > 30%)
+      // but only 5 of 60 words carry it (symbol_e3 83 <= 100)
+      (8L, (1 to 12).map(i =>
+        s"the alpha$i beta$i gamma$i omega$i" + (if (i <= 5) "..." else "")).mkString(" "))
     ).toDF("doc_id", "text")
     val out = TextAnalysis.gopherQuality(docs).collect()
-      .map(r => r.getLong(0) -> r.getInt(6)).toMap
-    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
-    // signals themselves are exact on a known doc
+      .map(r => r.getLong(0) -> r.getInt(9)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0,
+      6L -> 0, 7L -> 0, 8L -> 0))
+    // signals themselves are exact on known docs
     val r1 = TextAnalysis.gopherQuality(docs).filter(col("doc_id") === 1).head()
     assert(r1.getLong(1) == 59L)       // n_words
     assert(r1.getLong(5) == 5L)        // the, and, that, have, with
+    assert(r1.getLong(6) == 0L && r1.getLong(7) == 0L && r1.getLong(8) == 0L)
+    // the engineered violators fail exactly their target line rule
+    val sig = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(sig(6L)._1 > 300 && sig(6L)._2 <= 900 && sig(6L)._3 <= 300, sig(6L).toString)
+    assert(sig(7L)._1 <= 300 && sig(7L)._2 > 900 && sig(7L)._3 <= 300, sig(7L).toString)
+    assert(sig(8L)._1 <= 300 && sig(8L)._2 <= 900 && sig(8L)._3 > 300, sig(8L).toString)
   }
 
   test("segmentDedup removes cross-doc duplicated segments everywhere but the first document") {
