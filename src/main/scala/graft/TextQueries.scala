@@ -30,6 +30,9 @@ object TextQueries {
   // minimum duplicated-span length (in tokens) for the exact-substring
   // span dedup — same fixture consideration as SegLen
   private val SpanK = 5
+  // minimum duplicated-span length (in CLEANED CHARACTERS) for the
+  // character-level variant — ~4 words' worth of [a-z0-9] content
+  private val SpanCharsK = 20
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
@@ -61,6 +64,9 @@ object TextQueries {
     // k-gram granularity): duplicated >= SpanK-token passages vanish
     // from every document but their first (keeper) document
     "span_dedup" -> ((s, dir) => Dedup.spanDedup(docs(s, dir), SpanK, 2)),
+    // character-level duplicate coverage over the punctuation-stripped
+    // stream — catches separator-variant copies word grams miss
+    "span_dedup_chars" -> ((s, dir) => Dedup.spanDedupChars(docs(s, dir), SpanCharsK, 2)),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -284,6 +290,36 @@ SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
   CAST(len(kt) AS BIGINT) AS n_kept,
   coalesce(array_to_string(kt, ' '), '') AS cleaned
 FROM kept""",
+
+    // char-gram twin: same dup/keeper/coverage chain as span_dedup, over
+    // ascii codes of the [a-z0-9]-only stream (no digest — the
+    // polynomial runs on the codes; substr is per-position here, fine
+    // at oracle scale)
+    "span_dedup_chars" ->
+      s"""WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g') AS clean
+  FROM documents),
+h AS (SELECT doc_id, length(clean) AS n,
+    list_transform(range(1, length(clean)+1), i -> CAST(ascii(substr(clean, CAST(i AS INT), 1)) AS BIGINT)) AS hs
+  FROM c WHERE length(clean) >= 1),
+g AS (SELECT doc_id, n,
+    CASE WHEN n >= $SpanCharsK THEN list_transform(range(1, n-${SpanCharsK - 2}),
+      i -> ${Dedup.spanGramHash(SpanCharsK)})
+    ELSE CAST([] AS BIGINT[]) END AS ghs
+  FROM h),
+occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM g),
+dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
+pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(ghs)+1),
+    i -> {'i': i, 'gh': ghs[i]})) AS pg FROM g)),
+ds AS (SELECT p.doc_id, list_sort(list(p.i)) AS ss
+  FROM pos p JOIN dup d ON p.gh = d.gh AND p.doc_id <> d.keeper
+  GROUP BY p.doc_id),
+j AS (SELECT g.doc_id, g.n, coalesce(ds.ss, CAST([] AS BIGINT[])) AS ss
+  FROM g LEFT JOIN ds USING (doc_id))
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(len(list_filter(range(1, n+1),
+    p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanCharsK - 1})) > 0)) AS BIGINT) AS n_dup_chars
+FROM j""",
 
     "lm_score" ->
       """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -780,6 +780,66 @@ object Dedup {
   }
 
   /**
+   * Character-level exact-substring duplicate-coverage — the byte-
+   * granularity complement of [[spanDedup]]: where word k-grams miss
+   * copies that differ in punctuation or token boundaries ("fox, jumps"
+   * vs "fox jumps" tokenize differently, so no word gram matches), this
+   * grams over the PUNCTUATION- AND WHITESPACE-STRIPPED character
+   * stream (`[a-z0-9]` of the normalized text), so any duplicated
+   * passage ≥ k cleaned characters is caught regardless of separator
+   * variants — the spirit of Lee et al. 2022's byte-level ExactSubstr.
+   * Because cleaned-character positions don't map back to removable
+   * token spans, this variant REPORTS coverage instead of rewriting
+   * text — the duplicate-content score RefinedWeb-style pipelines gate
+   * on: one row per document with ≥ 1 cleaned character,
+   * `(doc_id, n_chars, n_dup_chars)`, where a position counts as
+   * duplicated iff some duplicated (df ≥ `minDf`) k-gram covers it and
+   * the document is not that gram's keeper (minimum doc_id).
+   *
+   * Scale shape is [[spanDedup]]'s (shared-once localCheckpoint, unique
+   * build side per gram, O(n log d) coverage via `sorted_floor`), with
+   * one difference: per-position hashing needs NO digest at all — the
+   * [[spanGramHash]] polynomial runs directly over the character codes
+   * (pure ASCII by construction, so Spark `ascii` and DuckDB `ascii`
+   * agree).
+   */
+  def spanDedupChars(df: DataFrame, k: Int = 20, minDf: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val gh = spanGramHash(k)
+    val dw = TextAnalysis.spread(df)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "[^a-z0-9]", "").as("clean"))
+      .filter(length(col("clean")) >= 1)
+      // split('') leaves a trailing "" element (limit -1 keeps empties);
+      // the filter drops it so both engines see length(clean) codes
+      .withColumn("hs", expr(
+        "transform(filter(split(clean, ''), c -> c != ''), c -> cast(ascii(c) as bigint))"))
+      .withColumn("ghs", expr(
+        s"""if(size(hs) >= $k, transform(sequence(0, size(hs)-$k), i -> $gh),
+               cast(array() as array<bigint>))"""))
+      .select(col("doc_id"), size(col("hs")).as("n"), col("ghs"))
+      .localCheckpoint()
+    val dup = dw.select(col("doc_id"), explode(expr("array_distinct(ghs)")).as("gh"))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("df") >= minDf)
+    val dupStarts = dw.select(col("doc_id"), posexplode(col("ghs")))
+      .toDF("doc_id", "i", "gh")
+      .join(dup, "gh")
+      .filter(col("doc_id") =!= col("keeper_doc"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("ss"))
+    dw.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("ss"), expr("cast(array() as array<bigint>)")))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_chars"),
+        expr(
+          s"""cast(size(filter(sequence(0, n-1),
+                p -> coalesce(sorted_floor(ss, cast(p as bigint)), cast(${-k} as bigint))
+                       >= cast(p - ${k - 1} as bigint))) as bigint)""").as("n_dup_chars"))
+  }
+
+  /**
    * 60-bit SimHash over the distinct word set: per bit position, words
    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
    * positive vote. Near-dups differ in few bits (Hamming distance).

@@ -216,6 +216,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 6L, "completely different words here now ok")))
   }
 
+  test("spanDedupChars flags a punctuation-variant copy the word-gram path provably misses") {
+    import spark.implicits._
+    // docs 1 and 5 share the passage "alpha beta gamma delta epsilon
+    // zeta" but with DIFFERENT punctuation/separators, so every word
+    // 5-gram differs ("beta," != "beta") — yet the cleaned [a-z0-9]
+    // streams share the same 30 characters
+    val df = Seq(
+      (1L, "Alpha beta, gamma delta epsilon zeta!"),
+      (5L, "prefix words alpha beta gamma; delta epsilon zeta suffix"),
+      (3L, "completely unrelated filler content here")
+    ).toDF("doc_id", "text")
+    // word-gram path: no duplicated 5-gram anywhere -> everything kept
+    val words = Dedup.spanDedup(df, 5, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(words.values.forall { case (n, kept) => n == kept }, words.toString)
+    // char-gram path: doc 1 (keeper) clean, doc 5 has the embedded
+    // 30-char passage fully covered ("prefixwords"=11 + 30 + "suffix"=6)
+    val chars = Dedup.spanDedupChars(df, 20, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(chars(1L) == ((30L, 0L)), chars.toString)
+    assert(chars(5L) == ((47L, 30L)), chars.toString)
+    assert(chars(3L)._2 == 0L, chars.toString)
+  }
+
   test("lmScore: integer bigram-LM conditional probabilities, tf-weighted mean") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
