@@ -95,6 +95,16 @@ object EmbeddingQueries {
           NearDupMinDot).withColumnRenamed("vec_id", "doc_id"))
         .withColumnRenamed("doc_id", "vec_id")
     }),
+    // incremental semantic dedup: a fourth of the embedding corpus plays
+    // the incoming batch, deduped against the other three quarters'
+    // shipped IVF index — batch probes join PRIOR cells only, never
+    // prior×prior (the embedding twin of dedup_incremental)
+    "semantic_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.semanticIncremental(
+        e.filter(col("vec_id") % 4 === 3), e.filter(col("vec_id") % 4 < 3),
+        s"$dir|prior=vid%4<3", NearDupMinDot, IvfCentroids, IvfProbe)
+    }),
     // symmetric int8 quantization audit (amax scale + quantized-vector
     // fingerprint + L1 reconstruction error), exact integer arithmetic
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
@@ -330,6 +340,36 @@ sreach AS (SELECT src AS id, src AS r FROM sedges
 sclus AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id)
 SELECT e.vec_id FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM sclus c WHERE c.id = e.vec_id AND c.id <> c.cluster_id)""",
+
+    // incremental oracle: prior-corpus hash-order seeds, prior-only
+    // assignment (ties to LOWEST cid — DotArgmax), new-batch probes
+    // (ties to HIGHEST cid — the engine's struct-desc sort), exact
+    // re-rank of probed prior cells, anti-join of qualifying losers
+    "semantic_incremental" ->
+      s"""WITH $intCte,
+cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM ie WHERE vec_id % 4 < 3
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
+cex AS (SELECT c.cid, x.i, x.ev FROM cent c JOIN iex x ON x.vec_id = c.cvid),
+pad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
+  FROM iex x JOIN cex c ON c.i = x.i WHERE x.vec_id % 4 < 3 GROUP BY 1, 2),
+passign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM pad)
+  WHERE rn = 1),
+nad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
+  FROM iex x JOIN cex c ON c.i = x.i WHERE x.vec_id % 4 = 3 GROUP BY 1, 2),
+probes AS (SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn FROM nad)
+  WHERE rn <= $IvfProbe),
+cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN passign a ON a.cid = p.cid),
+sc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
+  FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
+  GROUP BY 1, 2),
+losers AS (SELECT DISTINCT qid FROM sc WHERE dot >= $NearDupMinDot)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id % 4 = 3
+  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.qid = e.vec_id)""",
 
     "ann_lsh_recall" ->
       s"""WITH $intCte,

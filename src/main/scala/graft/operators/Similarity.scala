@@ -440,6 +440,57 @@ object Similarity {
                        minDot: Long): DataFrame =
     semanticClustersFrom(knnJoin(emb, k, nCentroids, nProbe), minDot)
 
+  // per-JVM memo of materialized prior-corpus IVF assignment tables —
+  // the reusable index artifact of the incremental path (centroids are
+  // metadata-scale and re-derived; the corpus-scale assignment is what
+  // must not be recomputed nightly)
+  private[graft] val sharedAssigns = new TableMemo("graft-ivfasg-")
+
+  /**
+   * Incremental (cross-run) semantic dedup — the embedding-space twin
+   * of [[Dedup.incrementalKeepers]]: yesterday's embedding corpus is
+   * already deduplicated and shipped with its IVF index; today's batch
+   * must be deduplicated AGAINST it without re-joining the prior corpus
+   * to itself. A new vector survives iff no prior vector in its probed
+   * IVF cells has inner product ≥ `minDot`. Composition:
+   *
+   *   1. centroids come from the PRIOR corpus ([[ivfCentroids]] —
+   *      metadata-scale, recomputed deterministically); the prior
+   *      corpus's cell assignment is materialized once per process
+   *      ([[TableMemo]], same staleness contract as [[sharedKnnJoin]])
+   *      — the shipped-index artifact a nightly pipeline reads back;
+   *   2. the NEW batch computes per-vector probe lists against those
+   *      centroids and equality-joins the prior assignment on
+   *      `centroid_id` — new×prior only, NEVER prior×prior, so nightly
+   *      cost scales with the batch, not the corpus;
+   *   3. exact integer re-rank; batch vectors with any qualifying prior
+   *      neighbor are dropped.
+   *
+   * Returns the surviving new `vec_id`s. Recall is the IVF probe
+   * curve's, like [[semanticClusters]]; precision is exact. Within-
+   * batch duplicates are [[semanticClusters]]' job on the batch alone —
+   * the same split [[Dedup.nightly]] makes for text.
+   */
+  def semanticIncremental(newEmb: DataFrame, priorEmb: DataFrame,
+                          priorKey: String, minDot: Long,
+                          nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(priorEmb, nCentroids)
+    val asgPath = sharedAssigns.getOrCreate(s"$priorKey|c=$nCentroids") { dir =>
+      ivfAssign(priorEmb, cents).write.mode("overwrite").parquet(dir)
+    }
+    val priorAssigned = priorEmb.sparkSession.read.parquet(asgPath)
+    val qProbes = newEmb
+      .withColumn("probes", probeList(cents, nProbe))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(col("probes")).as("centroid_id"))
+    val losers = priorAssigned
+      .join(qProbes, Seq("centroid_id"))
+      .select(col("qid"), dotInt("qv", "v").as("dot"))
+      .filter(col("dot") >= minDot)
+      .select(col("qid").as("vec_id")).distinct()
+    newEmb.select("vec_id").join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /**
    * Approximate top-k: LSH candidate generation (same bucket in ≥1
    * table) + exact integer-dot re-rank. The scale path for ANN when the

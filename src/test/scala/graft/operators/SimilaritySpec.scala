@@ -247,6 +247,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticIncremental drops batch vectors near a prior vector, keeps novel ones") {
+    import spark.implicits._
+    // prior corpus spans three axes; the batch has a near-copy of prior
+    // vector 1 (must drop) and a vector on the free fourth axis (keeps)
+    val prior = Similarity.intEmbeddings(Seq(
+      (1L, "p", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, "p", Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, "p", Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding"))
+    val batch = Similarity.intEmbeddings(Seq(
+      (11L, "n", Array(0.99f, 0.1f, 0.0f, 0.0f)), // ~prior 1: dot 0.99e12
+      (12L, "n", Array(0.0f, 0.0f, 0.0f, 1.0f))   // orthogonal to all
+    ).toDF("vec_id", "label", "embedding"))
+    val key = "spec-inc-" + System.nanoTime
+    val kept = Similarity.semanticIncremental(batch, prior, key,
+        minDot = 350000000000L, nCentroids = 2, nProbe = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+    // the prior assignment table was materialized once and is reused
+    val path = Similarity.sharedAssigns.pathOf(s"$key|c=2")
+    assert(path.isDefined)
+    Similarity.semanticIncremental(batch, prior, key,
+      minDot = 350000000000L, nCentroids = 2, nProbe = 2).collect()
+    assert(Similarity.sharedAssigns.pathOf(s"$key|c=2") == path)
+  }
+
   test("sharedKnnJoin materializes the edge table once per key, edges identical to knnJoin") {
     val small = emb.filter(col("vec_id") < 200)
     val key = "spec-knn-" + System.nanoTime
