@@ -562,13 +562,16 @@ object Dedup {
    * for a given `(corpusKey, params)` pays the full pipeline and writes
    * the table; later consumers in the same process read it back. This
    * is how the query gates model the production dedup-once shape while
-   * each remains independently runnable. See [[TableMemo]] for the
-   * staleness contract — `corpusKey` must change when the corpus does.
+   * each remains independently runnable. The memo key carries the
+   * input's file-listing fingerprint ([[TableMemo.keyOf]]), so
+   * rewriting the corpus behind the same path invalidates the entry;
+   * `corpusKey` is a namespace (and the sole staleness carrier only for
+   * file-less in-memory inputs — see [[TableMemo]]).
    */
   def sharedClusters(df: DataFrame, corpusKey: String, num: Int = 1, den: Int = 2,
                      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                      rowsPerBand: Int = 4): DataFrame = {
-    val key = s"$corpusKey|$num/$den|k=$k|h=$numHashes|b=$bands|r=$rowsPerBand"
+    val key = s"$corpusKey|${TableMemo.keyOf(df)}|$num/$den|k=$k|h=$numHashes|b=$bands|r=$rowsPerBand"
     val path = sharedTables.getOrCreate(key) { dir =>
       clustersTable(df, dir, num, den, k, numHashes, bands, rowsPerBand)
     }

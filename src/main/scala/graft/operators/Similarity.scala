@@ -402,12 +402,13 @@ object Similarity {
    * IVF-blocked join is the expensive step, and each downstream
    * consumer (semantic dedup, clustering, recommendation exports)
    * should read the materialized edge table (corpus×k rows, four
-   * columns) instead of recomputing the join. See [[TableMemo]] for
-   * the staleness contract.
+   * columns) instead of recomputing the join. The memo key carries the
+   * input's file-listing fingerprint ([[TableMemo.keyOf]]) so a
+   * rewritten corpus invalidates the entry; see [[TableMemo]].
    */
   def sharedKnnJoin(emb: DataFrame, corpusKey: String, k: Int,
                     nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val key = s"$corpusKey|k=$k|c=$nCentroids|p=$nProbe"
+    val key = s"$corpusKey|${TableMemo.keyOf(emb)}|k=$k|c=$nCentroids|p=$nProbe"
     val path = sharedJoins.getOrCreate(key) { dir =>
       knnJoin(emb, k, nCentroids, nProbe).write.mode("overwrite").parquet(dir)
     }
@@ -475,7 +476,8 @@ object Similarity {
                           priorKey: String, minDot: Long,
                           nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = ivfCentroids(priorEmb, nCentroids)
-    val asgPath = sharedAssigns.getOrCreate(s"$priorKey|c=$nCentroids") { dir =>
+    val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nCentroids"
+    val asgPath = sharedAssigns.getOrCreate(asgKey) { dir =>
       ivfAssign(priorEmb, cents).write.mode("overwrite").parquet(dir)
     }
     val priorAssigned = priorEmb.sparkSession.read.parquet(asgPath)

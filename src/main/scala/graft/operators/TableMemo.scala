@@ -2,18 +2,22 @@ package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.sql.DataFrame
+
 /**
- * Per-process memo of materialized parquet tables keyed by an opaque
- * caller-supplied key — the "compute once, consume many times" seam
- * behind [[Dedup.sharedClusters]] and [[Similarity.sharedKnnJoin]].
+ * Per-process memo of materialized parquet tables — the "compute once,
+ * consume many times" seam behind [[Dedup.sharedClusters]],
+ * [[Similarity.sharedKnnJoin]] and [[Similarity.semanticIncremental]].
  *
- * STALENESS CONTRACT: the memo trusts the key ALONE — it never
- * inspects the data. A fresh process always recomputes, but WITHIN one
- * process the first result for a key is served forever: if the corpus
- * behind a key changes (data rewritten at the same path, or a
- * different DataFrame passed with the same key), the caller MUST
- * supply a new key (e.g. append a version/snapshot id) or stale
- * results are returned by design.
+ * STALENESS CONTRACT: the memo trusts the key ALONE — it never inspects
+ * the data. All in-repo callers therefore build their key from
+ * [[TableMemo.contentKey]] — a fingerprint of the input's file listing
+ * (path, length, modification time of every file) — plus their
+ * parameters, so rewriting the data behind a path mints a new key and
+ * the memo self-invalidates. The caller-supplied key component remains
+ * a namespace, and carries staleness alone ONLY for inputs with no
+ * file-backed lineage (in-memory test fixtures), where `contentKey`
+ * returns None.
  *
  * Concurrency: `computeIfAbsent` only constructs a cheap holder under
  * the map's bin lock; the Spark job runs on first `path` access,
@@ -52,4 +56,55 @@ private[graft] final class TableMemo(prefix: String) {
         dir.toString
       })
     }).path
+}
+
+private[graft] object TableMemo {
+
+  /**
+   * Content fingerprint of `df`'s file-backed inputs: md5 over the
+   * sorted `(path, length, modificationTime)` of every input file —
+   * rewriting data at the same path changes the fingerprint (Spark
+   * writes fresh part-file names, and length/mtime move too), so memo
+   * keys built from it self-invalidate.
+   *
+   * Metadata-only and driver-side: the listing comes from the plan's
+   * already-materialized file index when the input is a V1 file scan
+   * (no filesystem round trips beyond what planning already paid);
+   * otherwise one `getFileStatus` per `inputFiles` entry. Returns None
+   * when the plan has no file-backed input (in-memory fixtures) — such
+   * inputs cannot be content-keyed and the caller's key stands alone.
+   */
+  def contentKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    val fromIndex: Seq[(String, Long, Long)] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation
+      }.collect { case fs: HadoopFsRelation => fs.location }
+        .collect { case idx: PartitioningAwareFileIndex => idx }
+        .flatMap(_.allFiles().map(s =>
+          (s.getPath.toString, s.getLen, s.getModificationTime)))
+    val entries =
+      if (fromIndex.nonEmpty) fromIndex
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        df.inputFiles.toSeq.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          (f, st.getLen, st.getModificationTime)
+        }
+      }
+    if (entries.isEmpty) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.sorted.foreach { case (p, l, m) =>
+        md.update(s"$p|$l|$m;".getBytes("UTF-8"))
+      }
+      Some(md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** The memo-key component for `df`: the content fingerprint, or the
+    * no-files sentinel for inputs that cannot be content-keyed. */
+  def keyOf(df: DataFrame): String = contentKey(df).getOrElse("nofiles")
 }

@@ -266,11 +266,35 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(kept == Set(12L))
     // the prior assignment table was materialized once and is reused
-    val path = Similarity.sharedAssigns.pathOf(s"$key|c=2")
+    // (in-memory fixture -> the no-files sentinel key component)
+    val path = Similarity.sharedAssigns.pathOf(s"$key|${TableMemo.keyOf(prior)}|c=2")
     assert(path.isDefined)
     Similarity.semanticIncremental(batch, prior, key,
       minDot = 350000000000L, nCentroids = 2, nProbe = 2).collect()
-    assert(Similarity.sharedAssigns.pathOf(s"$key|c=2") == path)
+    assert(Similarity.sharedAssigns.pathOf(s"$key|${TableMemo.keyOf(prior)}|c=2") == path)
+  }
+
+  test("content-keyed memo: rewriting data at the same path invalidates the entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck-").toString
+    emb.filter(col("vec_id") < 100).write.mode("overwrite").parquet(dir)
+    val k1 = TableMemo.contentKey(spark.read.parquet(dir))
+    assert(k1.isDefined)
+    // re-reading unchanged data fingerprints identically
+    assert(TableMemo.contentKey(spark.read.parquet(dir)) == k1)
+    // an in-memory plan has no file lineage
+    import spark.implicits._
+    assert(TableMemo.contentKey(Seq((1L, "x")).toDF("a", "b")).isEmpty)
+    // rewrite at the SAME path -> new fingerprint -> sharedKnnJoin
+    // mints a second memo entry instead of serving the stale table
+    val key = "spec-ck-" + System.nanoTime
+    Similarity.sharedKnnJoin(spark.read.parquet(dir), key, 2, 4, 2).collect()
+    assert(Similarity.sharedJoins.countKeys(key) == 1)
+    emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      .write.mode("overwrite").parquet(dir)
+    val k2 = TableMemo.contentKey(spark.read.parquet(dir))
+    assert(k2.isDefined && k2 != k1)
+    Similarity.sharedKnnJoin(spark.read.parquet(dir), key, 2, 4, 2).collect()
+    assert(Similarity.sharedJoins.countKeys(key) == 2)
   }
 
   test("sharedKnnJoin materializes the edge table once per key, edges identical to knnJoin") {
@@ -281,14 +305,15 @@ class SimilaritySpec extends SparkSpec {
     val a = Similarity.sharedKnnJoin(small, key, 3, 8, 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
     assert(a == direct)
-    val path = Similarity.sharedJoins.pathOf(s"$key|k=3|c=8|p=2")
+    val ck = TableMemo.keyOf(small)
+    val path = Similarity.sharedJoins.pathOf(s"$key|$ck|k=3|c=8|p=2")
     assert(path.isDefined)
     // second consumer reads the SAME materialized table (no recompute)
     Similarity.sharedKnnJoin(small, key, 3, 8, 2).collect()
-    assert(Similarity.sharedJoins.pathOf(s"$key|k=3|c=8|p=2") == path)
+    assert(Similarity.sharedJoins.pathOf(s"$key|$ck|k=3|c=8|p=2") == path)
     // distinct parameters are a distinct table
     Similarity.sharedKnnJoin(small, key, 2, 8, 2).collect()
-    assert(Similarity.sharedJoins.pathOf(s"$key|k=2|c=8|p=2") != path)
+    assert(Similarity.sharedJoins.pathOf(s"$key|$ck|k=2|c=8|p=2") != path)
   }
 
   test("quantizeInt8: exact truncating arithmetic, zero-vector guard, element fingerprint") {
