@@ -32,6 +32,7 @@ object EmbeddingQueries {
   private val IvfCentroids = 16
   private val IvfProbe = 4
   private val KJoin = 5
+  private val DiversityPerCell = 10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact ANN baseline: top-k by integer inner product, per query
@@ -108,6 +109,16 @@ object EmbeddingQueries {
     // symmetric int8 quantization audit (amax scale + quantized-vector
     // fingerprint + L1 reconstruction error), exact integer arithmetic
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    // diversity-balanced selection: every semantic neighborhood (IVF
+    // cell) capped at its best-scoring members — bounded top-k
+    // aggregate per cell, no window (doc_id aligns with vec_id in the
+    // fixtures, so document quality scores the vectors)
+    "diversity_sample" -> ((s, dir) => {
+      val scores = graft.operators.TextAnalysis.stats(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id").as("vec_id"), col("quality_e3").as("score"))
+      Similarity.diversitySample(emb(s, dir), scores, DiversityPerCell, IvfCentroids)
+    }),
 
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
@@ -340,6 +351,21 @@ sreach AS (SELECT src AS id, src AS r FROM sedges
 sclus AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id)
 SELECT e.vec_id FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM sclus c WHERE c.id = e.vec_id AND c.id <> c.cluster_id)""",
+
+    // diversity oracle: the IVF assignment CTEs + per-cell quality rank
+    // (score desc, vec_id — the CollectTopK struct order), capped
+    "diversity_sample" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+q AS (SELECT doc_id AS vec_id,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS score
+  FROM documents),
+r AS (SELECT a.vec_id, a.cid, q.score,
+    row_number() OVER (PARTITION BY a.cid ORDER BY q.score DESC, a.vec_id) AS rank
+  FROM assign a JOIN q USING (vec_id))
+SELECT vec_id, CAST(cid AS INT) AS centroid_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= $DiversityPerCell""",
 
     // incremental oracle: prior-corpus hash-order seeds, prior-only
     // assignment (ties to LOWEST cid — DotArgmax), new-batch probes

@@ -494,6 +494,39 @@ object Similarity {
   }
 
   /**
+   * Diversity-balanced sampling — the selection step after semantic
+   * dedup in a SemDeDup-style pipeline: cap every semantic neighborhood
+   * (IVF cell) at `perCell` members, keeping each cell's best-scoring
+   * vectors, so one dense topic cannot dominate the training mix the
+   * way a pure quality-ranked cut would let it. Returns
+   * `(vec_id, centroid_id, score, rank)`, rank 1..perCell within the
+   * cell by (score desc, vec_id asc).
+   *
+   * Scale shape: cell assignment is the per-row plan-literal projection
+   * ([[ivfAssign]] — two-level past [[FlatCentroidMax]]); the per-cell
+   * cap is a bounded `CollectTopK` AGGREGATE (map-side combinable
+   * priority queues — each partition reduces a cell to ≤ perCell
+   * structs BEFORE the one shuffle on `centroid_id`), not a window — a
+   * mega-cell never becomes one wide sorted partition, the same trade
+   * [[Curation.sourceCap]] makes for sources.
+   */
+  def diversitySample(emb: DataFrame, scores: DataFrame, perCell: Int,
+                      nCentroids: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cents = ivfCentroids(emb, nCentroids)
+    val scored = ivfAssign(emb, cents).join(scores, "vec_id")
+    val topN = Bridge.collectTopK(
+      Bridge.expression(struct((-col("score")).as("ns"), col("vec_id").as("vec_id"))),
+      perCell, reverse = true)
+    scored.groupBy("centroid_id").agg(sort_array(topN).as("ts"))
+      .select(col("centroid_id"), posexplode(col("ts")))
+      .select(col("col.vec_id").as("vec_id"),
+        col("centroid_id").cast("int").as("centroid_id"),
+        (-col("col.ns")).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
    * Approximate top-k: LSH candidate generation (same bucket in ≥1
    * table) + exact integer-dot re-rank. The scale path for ANN when the
    * table no longer admits a full scan per query.

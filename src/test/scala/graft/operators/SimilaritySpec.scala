@@ -274,6 +274,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.sharedAssigns.pathOf(s"$key|${TableMemo.keyOf(prior)}|c=2") == path)
   }
 
+  test("diversitySample: per-cell cap, score-ordered ranks, and no window in the plan") {
+    import spark.implicits._
+    val scores = emb.select(col("vec_id"), (col("vec_id") % 97).as("score"))
+    val q = Similarity.diversitySample(emb, scores, perCell = 3, nCentroids = 8)
+    // bounded top-k AGGREGATE, not a window — the mega-cell safety
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCell = rows.groupBy(_._2)
+    assert(byCell.nonEmpty)
+    byCell.values.foreach { cell =>
+      assert(cell.length <= 3)
+      // ranks contiguous from 1, scores non-increasing, ids break ties asc
+      val sorted = cell.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to cell.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1), s"$a !>= $b")
+        case _ =>
+      }
+    }
+  }
+
   test("content-keyed memo: rewriting data at the same path invalidates the entry") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ck-").toString
     emb.filter(col("vec_id") < 100).write.mode("overwrite").parquet(dir)
