@@ -67,6 +67,24 @@ object TextQueries {
     // character-level duplicate coverage over the punctuation-stripped
     // stream — catches separator-variant copies word grams miss
     "span_dedup_chars" -> ((s, dir) => Dedup.spanDedupChars(docs(s, dir), SpanCharsK, 2)),
+    // BPE tokenizer-training primitive: corpus-weighted adjacent
+    // char-pair counts over the distinct-word table, top-k candidates
+    "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(docs(s, dir), 20)),
+    // train/val split-leakage audit: deterministic hash split, then
+    // every LSH-verified near-dup pair that CROSSES the split boundary
+    // (the eval-contamination a random split silently ships)
+    "split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sp = d.select(col("doc_id"), expr(
+        """if(cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10 < 9,
+              'train', 'val')""").as("split"))
+      Dedup.lshNearPairs(d, 1, 2, 3, NumHashes, Bands, RowsPerBand)
+        .select("id_a", "id_b")
+        .join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b"), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    }),
     // corpus-level token frequency, top-k
     "word_freq" -> ((s, dir) =>
       docs(s, dir)
@@ -526,6 +544,37 @@ FROM j GROUP BY doc_id""",
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
 SELECT word, count(*) AS cnt FROM w GROUP BY word
 ORDER BY cnt DESC, word LIMIT 20""",
+
+    // both engines run 1-based substr over the distinct-word table, so
+    // the pair expression is dialect-shared verbatim
+    "bpe_merges" ->
+      """WITH wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wds GROUP BY w),
+pr AS (SELECT wc, unnest(list_transform(range(1, length(w)),
+    i -> substr(w, CAST(i AS INT), 1) || substr(w, CAST(i AS INT)+1, 1))) AS pair
+  FROM wf WHERE length(w) >= 2)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS total FROM pr GROUP BY pair
+ORDER BY total DESC, pair LIMIT 20""",
+
+    "split_leakage" ->
+      s"""$sigCte,
+bandsigs AS ($bandSelects),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsigs a JOIN bandsigs b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+csets AS (SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+  FROM dwords WHERE len(ws) >= 3),
+prs AS (SELECT id_a, id_b FROM cands
+  JOIN csets sa ON id_a = sa.doc_id JOIN csets sb ON id_b = sb.doc_id
+  WHERE 3 * len(list_intersect(sa.shs, sb.shs)) >= 1 * (len(sa.shs) + len(sb.shs))),
+spl AS (SELECT doc_id,
+    CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
+         THEN 'train' ELSE 'val' END AS split
+  FROM documents)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+FROM prs p JOIN spl sa ON p.id_a = sa.doc_id JOIN spl sb ON p.id_b = sb.doc_id
+WHERE sa.split <> sb.split""",
 
     "gopher_quality" -> {
       val stopList = TextAnalysis.GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")

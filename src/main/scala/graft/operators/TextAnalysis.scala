@@ -440,6 +440,34 @@ object TextAnalysis {
         expr("cast(div(sum(tf * ratio_e6), sum(tf)) as bigint)").as("weight_e6"))
   }
 
+  /**
+   * BPE first-merge candidate inventory — the opening step of
+   * byte-pair-encoding tokenizer training (Sennrich et al. 2016): count
+   * every adjacent character pair across the corpus, weighted by word
+   * frequency, and rank the merge candidates. (Full BPE iterates:
+   * merge the winner, recount, repeat — each round is this same
+   * aggregate over a rewritten symbol table; this operator is the
+   * corpus-scale primitive, exposed for the first round where all
+   * symbols are single characters.)
+   *
+   * Scale shape: ONE corpus-scale exchange (the word-frequency groupBy,
+   * map-side combinable, vocabulary-scale after combine); pair
+   * extraction then runs over DISTINCT words only — a 100 TB corpus has
+   * ~10⁸ distinct words regardless of token count, so the per-word
+   * char-pair explode never touches corpus-scale data; the pair rollup
+   * is alphabet²-bounded and the top-k is `TakeOrderedAndProject`.
+   * Returns `(pair, total)`, the k heaviest candidates.
+   */
+  def bpeMergeCandidates(df: DataFrame, k: Int = 20): DataFrame =
+    spread(df).select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w)-1), i -> concat(substr(w, i, 1), substr(w, i+1, 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("total"))
+      .orderBy(col("total").desc, col("pair")).limit(k)
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

@@ -216,6 +216,18 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 6L, "completely different words here now ok")))
   }
 
+  test("bpeMergeCandidates counts word-frequency-weighted adjacent char pairs") {
+    import spark.implicits._
+    // words: aa x3, abc x2, bb x1 -> pairs: aa=3, ab=2, bc=2, bb=1
+    val df = Seq(
+      (1L, "aa abc"),
+      (2L, "aa aa abc bb")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(df, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("aa", 3L), ("ab", 2L), ("bc", 2L), ("bb", 1L)))
+  }
+
   test("spanDedupChars flags a punctuation-variant copy the word-gram path provably misses") {
     import spark.implicits._
     // docs 1 and 5 share the passage "alpha beta gamma delta epsilon
