@@ -31,6 +31,11 @@ object CurationQueries {
   // mid-corpus token budget: lands the cutoff INSIDE a quality stratum
   // at sf0.01 (so the boundary-bucket window path is exercised)
   private val BudgetTokens = 20000L
+  // per-language token budgets for the mixture-selection gate — sized
+  // below each language's fixture mass so every group exercises the
+  // boundary-stratum path (single source of truth for engine AND oracle)
+  private val MixtureBudgets: Seq[(String, Long)] = Seq(
+    "en" -> 6000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2500L, "zh" -> 1500L)
   // release budget: well under the curated set's token mass at sf0.01,
   // so the release pipeline's budget stage actually cuts (the curated
   // set is ~39 docs / ~2.6k tokens; 1200 ships roughly half)
@@ -92,6 +97,11 @@ object CurationQueries {
     // fixed training-token budget, via histogram cutoff — no global sort
     "budget_select" -> ((s, dir) =>
       Curation.budgetSelect(docs(s, dir), BudgetTokens)),
+    // mixture control: per-language token budgets, best documents
+    // first within each language — per-group histogram cutoffs, no
+    // corpus-wide window or sort
+    "mixture_select" -> ((s, dir) =>
+      Curation.mixtureSelect(docs(s, dir), MixtureBudgets.toMap, "lang")),
     // DSIR-style importance weights: hashed-token-bucket target/raw
     // ratio, target = the standard quality gate over the token array
     "importance_weights" -> ((s, dir) =>
@@ -256,6 +266,24 @@ SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
   CAST(least(end_off, (seq_idx + 1) * $PackSeqLen) -
        greatest(start_off, seq_idx * $PackSeqLen) AS BIGINT) AS n_tokens_in_seq
 FROM e""",
+
+    // per-group twin of budget_select's oracle: the window partitions
+    // by language and the budget comes from the shared constant table
+    "mixture_select" -> {
+      val caseSql = MixtureBudgets
+        .map { case (g, b) => s"WHEN '$g' THEN $b" }.mkString(" ")
+      s"""WITH q AS (SELECT doc_id, lang,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) * 1000)
+      // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS quality_e3
+  FROM documents),
+w AS (SELECT doc_id, lang, n_tokens, quality_e3,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality_e3 DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    CASE lang $caseSql ELSE -1 END AS budget
+  FROM q)
+SELECT doc_id, lang, n_tokens, quality_e3 FROM w WHERE cum <= budget"""
+    },
 
     // oracle spells the SEMANTICS (one global ordered-prefix window);
     // the engine computes the same rows via the histogram cutoff

@@ -347,6 +347,56 @@ object Curation {
   }
 
   /**
+   * Per-group token-budget selection — the mixture-control step of a
+   * training-data build ("this release is 60 % web, 30 % code, 10 %
+   * books, best documents first"): within every group, select the
+   * best-quality documents whose running token sum stays inside that
+   * group's budget. Selection within a group is [[budgetSelect]]'s
+   * rule exactly (full quality strata while they fit, then a
+   * doc_id-ordered prefix of the boundary stratum) — value-identical
+   * to a per-group (quality desc, doc_id) running-sum window, which is
+   * how the DuckDB oracle spells it.
+   *
+   * Scale shape: ONE map-side-combinable aggregate builds the
+   * (group × permille-quality) histogram — ≤ |groups|·1001 rows to the
+   * driver; each group's cutoff is then pure filters plus (only for
+   * its boundary stratum) the [[orderedDocIdPrefix]] recursion, so no
+   * global sort and no corpus-wide window anywhere. Groups are a
+   * mixture axis (languages, sources, domains) — tens, not millions;
+   * groups absent from `budgets` are dropped.
+   */
+  def mixtureSelect(df: DataFrame, budgets: Map[String, Long],
+                    groupCol: String = "lang",
+                    windowRows: Long = 1L << 22): DataFrame = {
+    val s = df
+      .withColumn("ws", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col(groupCol).as("grp"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)")
+          .as("quality_e3"))
+    val hist = s.groupBy("grp", "quality_e3").agg(sum("n_tokens").as("mass"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val parts = budgets.toSeq.sortBy(_._1).flatMap { case (g, budget) =>
+      val strata = hist.getOrElse(g, Array.empty)
+        .map(t => (t._2, t._3)).sortBy(-_._1)
+      var above = 0L
+      var cutoff = Long.MinValue
+      for ((q, m) <- strata if cutoff == Long.MinValue)
+        if (above + m <= budget) above += m else cutoff = q
+      if (cutoff == Long.MinValue) Seq(s.filter(col("grp") === g))
+      else Seq(
+        s.filter(col("grp") === g && col("quality_e3") > cutoff),
+        orderedDocIdPrefix(
+          s.filter(col("grp") === g && col("quality_e3") === cutoff),
+          budget - above, windowRows))
+    }
+    parts.reduceOption(_ union _).getOrElse(s.filter(lit(false)))
+      .select(col("doc_id"), col("grp").as(groupCol),
+        col("n_tokens"), col("quality_e3"))
+  }
+
+  /**
    * The doc_id-ordered token-budget prefix of `s` (`(doc_id, n_tokens,
    * …)`, doc_id unique): the rows whose running `n_tokens` sum in
    * doc_id order stays ≤ `remaining` — WITHOUT ever globally sorting

@@ -271,6 +271,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSelect applies per-group budgets with boundary-stratum prefixes") {
+    import spark.implicits._
+    val ten = (p: String) => (1 to 10).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten("w"), "a"),                     // q=1000, 10 tokens
+      (2L, ten("x"), "a"),                     // q=1000, 10 tokens — same stratum
+      (3L, "y1 y1 " + (2 to 9).map(i => s"y$i").mkString(" "), "a"), // q=900
+      (4L, "b1 b2 b3 b4 b5", "b"),             // fits b's budget whole
+      (5L, "c1 c2 c3", "c")                    // group without a budget
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.mixtureSelect(docs, Map("a" -> 15L, "b" -> 100L), "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // group a: the q=1000 stratum (mass 20) exceeds budget 15 -> doc_id-
+    // ordered prefix keeps doc 1 only; q=900 never reached; group b fits
+    // whole; group c has no budget and is dropped
+    assert(out == Map(1L -> "a", 4L -> "b"))
+  }
+
   test("orderedDocIdPrefix recursion matches the window at every budget, no oversized sort") {
     import spark.implicits._
     // one degenerate stratum: 300 docs, every quality_e3 identical, and
