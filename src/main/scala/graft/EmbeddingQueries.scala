@@ -81,9 +81,8 @@ object EmbeddingQueries {
     // duplicates that share no n-grams collapse here. Oracle = the
     // kNN-join CTE + the same recursive min-reachability shape.
     "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticClustersFrom(
-        Similarity.sharedKnnJoin(emb(s, dir), dir, KJoin, IvfCentroids, IvfProbe),
-        NearDupMinDot)),
+      Similarity.sharedSemanticClusters(emb(s, dir), dir, KJoin,
+        IvfCentroids, IvfProbe, NearDupMinDot)),
     // embedding-corpus survivors after semantic cluster resolution —
     // Dedup.keepersFrom works on any (doc_id, cluster_id) map, so the
     // embedding-space keeper is the same anti-join shape as the text one
@@ -91,9 +90,9 @@ object EmbeddingQueries {
       val e = emb(s, dir)
       graft.operators.Dedup.keepersFrom(
         e.withColumnRenamed("vec_id", "doc_id"),
-        Similarity.semanticClustersFrom(
-          Similarity.sharedKnnJoin(e, dir, KJoin, IvfCentroids, IvfProbe),
-          NearDupMinDot).withColumnRenamed("vec_id", "doc_id"))
+        Similarity.sharedSemanticClusters(e, dir, KJoin,
+          IvfCentroids, IvfProbe, NearDupMinDot)
+          .withColumnRenamed("vec_id", "doc_id"))
         .withColumnRenamed("doc_id", "vec_id")
     }),
     // incremental semantic dedup: a fourth of the embedding corpus plays

@@ -415,6 +415,26 @@ object Similarity {
     emb.sparkSession.read.parquet(path)
   }
 
+  // per-JVM memo of materialized semantic-cluster tables — the same
+  // cluster-once-consume-many shape Dedup.sharedClusters gives text
+  // (dedup gate + keeper selection both read the ONE resolved table)
+  private[graft] val sharedSemClusters = new TableMemo("graft-semclus-")
+
+  /** [[semanticClustersFrom]] over the memoized kNN-join edge table,
+    * itself memoized: the threshold filter + connected-components
+    * resolution runs once per (corpus, params) and every consumer reads
+    * the written table. Content-keyed like the other memos. */
+  def sharedSemanticClusters(emb: DataFrame, corpusKey: String, k: Int,
+                             nCentroids: Int, nProbe: Int,
+                             minDot: Long): DataFrame = {
+    val key = s"$corpusKey|${TableMemo.keyOf(emb)}|k=$k|c=$nCentroids|p=$nProbe|d=$minDot"
+    val path = sharedSemClusters.getOrCreate(key) { dir =>
+      semanticClustersFrom(sharedKnnJoin(emb, corpusKey, k, nCentroids, nProbe), minDot)
+        .write.mode("overwrite").parquet(dir)
+    }
+    emb.sparkSession.read.parquet(path)
+  }
+
   /** [[semanticClusters]] over a precomputed kNN-join edge table (see
     * [[sharedKnnJoin]]) — threshold filter + connected components only. */
   def semanticClustersFrom(edges: DataFrame, minDot: Long): DataFrame =

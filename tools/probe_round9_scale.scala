@@ -30,4 +30,9 @@ val newBatch = bigEmb.filter(col("vec_id") % 100 === 37)
 val prior = bigEmb.filter(col("vec_id") % 100 =!= 37)
 // nCentroids ~ sqrt(n): the two-level coarse->fine assignment path
 time("semanticIncremental 10k new vs 990k prior (1000 cells, nProbe=8)") { println(graft.operators.Similarity.semanticIncremental(newBatch, prior, "probe9", 350000000000L, 1000, 8).count()) }
+val scores = bigEmb.select(col("vec_id"), (col("vec_id") % 1000).as("score"))
+time("diversitySample 1M vectors (1000 cells, 100/cell)") { println(graft.operators.Similarity.diversitySample(bigEmb, scores, 100, 1000).count()) }
+time("bpeMergeCandidates 1M docs (top 20)") { println(graft.operators.TextAnalysis.bpeMergeCandidates(big, 20).count()) }
+val langBudgets = Map("en" -> 600000L, "de" -> 200000L, "fr" -> 200000L, "es" -> 250000L, "zh" -> 150000L)
+time("mixtureSelect 1M docs (5 language budgets)") { println(graft.operators.Curation.mixtureSelect(big, langBudgets, "lang").count()) }
 System.exit(0)
