@@ -95,6 +95,24 @@ object EmbeddingQueries {
           .withColumnRenamed("vec_id", "doc_id"))
         .withColumnRenamed("doc_id", "vec_id")
     }),
+    // multimodal dedup capstone: a document ships only if it is the
+    // canonical member in BOTH spaces — text (LSH-verified shingle
+    // clusters) and embedding (semantic clusters); paraphrases that
+    // share no n-grams fall to the semantic side, boilerplate-edited
+    // copies with drifted embeddings fall to the text side. Both
+    // cluster maps come from their memoized tables — this gate is two
+    // anti-join-shaped consumers, not a recompute
+    "dedup_multimodal" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val textLosers = graft.operators.Dedup.sharedClusters(d, dir)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val semLosers = Similarity.sharedSemanticClusters(emb(s, dir), dir, KJoin,
+          IvfCentroids, IvfProbe, NearDupMinDot)
+        .filter(col("vec_id") =!= col("cluster_id"))
+        .select(col("vec_id").as("doc_id"))
+      d.join(textLosers.union(semLosers).distinct(), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }),
     // incremental semantic dedup: a fourth of the embedding corpus plays
     // the incoming batch, deduped against the other three quarters'
     // shipped IVF index — batch probes join PRIOR cells only, never
@@ -350,6 +368,26 @@ sreach AS (SELECT src AS id, src AS r FROM sedges
 sclus AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id)
 SELECT e.vec_id FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM sclus c WHERE c.id = e.vec_id AND c.id <> c.cluster_id)""",
+
+    // multimodal capstone oracle: the text cluster chain (recursive
+    // shingle CTEs from TextQueries) plus the semantic cluster chain,
+    // survivors = canonical in both
+    "dedup_multimodal" ->
+      s"""${TextQueries.recursiveSigCte},
+${TextQueries.clusterCte},
+$intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", qPred = "", k = KJoin, wrapAs = Some("kj"))},
+sp AS (SELECT qid, nid FROM kj WHERE dot >= $NearDupMinDot AND qid < nid),
+sedges AS (SELECT qid AS src, nid AS dst FROM sp UNION ALL SELECT nid, qid FROM sp),
+sreach AS (SELECT src AS id, src AS r FROM sedges
+  UNION
+  SELECT e.dst, r.r FROM sreach r JOIN sedges e ON e.src = r.id),
+sclus AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id),
+mmlosers AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id
+  UNION SELECT id AS doc_id FROM sclus WHERE id <> cluster_id)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM mmlosers l WHERE l.doc_id = d.doc_id)""",
 
     // diversity oracle: the IVF assignment CTEs + per-cell quality rank
     // (score desc, vec_id — the CollectTopK struct order), capped
