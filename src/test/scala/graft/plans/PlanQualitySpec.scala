@@ -55,7 +55,7 @@ class PlanQualitySpec extends SparkSpec {
     // a nested-loop fallback would be the all-pairs blowup at 100 TB
     for (q <- Seq("dedup_near_pairs", "lsh_candidates", "simhash_near_pairs",
                   "ann_lsh_topk", "ann_ivf_topk", "emb_near_pairs", "knn_join_emb",
-                  "semantic_incremental")) {
+                  "semantic_incremental", "dedup_multimodal", "split_leakage")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
@@ -67,7 +67,8 @@ class PlanQualitySpec extends SparkSpec {
     // span dedup, LM scoring and importance weighting all join a
     // corpus-scale stream against a vocabulary/inventory-scale table —
     // never all-pairs, and the vocabulary side broadcasts
-    for (q <- Seq("span_dedup", "lm_score", "importance_weights", "importance_sample")) {
+    for (q <- Seq("span_dedup", "span_dedup_chars", "lm_score", "importance_weights",
+                  "importance_sample")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
@@ -87,10 +88,13 @@ class PlanQualitySpec extends SparkSpec {
     val iw = graft.SparkEntry.queries("importance_weights")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(iw.contains("BroadcastHashJoin"), iw)
-    // the resampling consumer is a bounded top-k, not a global sort
-    val samp = graft.SparkEntry.queries("importance_sample")(spark, sf("sf0.001"))
-      .queryExecution.executedPlan.toString
-    assert(samp.contains("TakeOrderedAndProject"), samp)
+    // the resampling consumer is a bounded top-k, not a global sort —
+    // same shape for the BPE merge-candidate rollup
+    for (q <- Seq("importance_sample", "bpe_merges")) {
+      val p = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+    }
   }
 
   test("pipeline_corpus re-verifies near-dups on candidate pairs, not shingles") {
