@@ -104,7 +104,10 @@ object EmbeddingQueries {
     // anti-join-shaped consumers, not a recompute
     "dedup_multimodal" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val textLosers = graft.operators.Dedup.sharedClusters(d, dir)
+      // text-cluster params come from TextQueries so the engine and the
+      // oracle (built from TextQueries' CTEs) can never drift apart
+      val textLosers = graft.operators.Dedup.sharedClusters(d, dir, 1, 2, 3,
+          TextQueries.NumHashes, TextQueries.Bands, TextQueries.RowsPerBand)
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       val semLosers = Similarity.sharedSemanticClusters(emb(s, dir), dir, KJoin,
           IvfCentroids, IvfProbe, NearDupMinDot)

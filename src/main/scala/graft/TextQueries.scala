@@ -17,9 +17,12 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = 4
+  // private[graft]: dedup_multimodal's engine side (EmbeddingQueries)
+  // must use the SAME text-cluster parameters its oracle embeds via
+  // recursiveSigCte/clusterCte — one source of truth, no coincidence
+  private[graft] val NumHashes = 16
+  private[graft] val Bands = 4
+  private[graft] val RowsPerBand = 4
   // skew cap for the exact-Jaccard inverted-index join (see
   // Dedup.jaccardPairs): shingles in more than this many documents are
   // stop-shingles and excluded from the join (mirrored in the oracle)

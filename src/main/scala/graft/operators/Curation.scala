@@ -359,9 +359,10 @@ object Curation {
    *
    * Scale shape: ONE map-side-combinable aggregate builds the
    * (group × permille-quality) histogram — ≤ |groups|·1001 rows to the
-   * driver; each group's cutoff is then pure filters plus (only for
-   * its boundary stratum) the [[orderedDocIdPrefix]] recursion, so no
-   * global sort and no corpus-wide window anywhere. Groups are a
+   * driver; ONE further corpus scan applies every group's cutoff at
+   * once (a literal group→cutoff map filter), and only each group's
+   * single boundary stratum pays an extra [[orderedDocIdPrefix]] pass —
+   * no global sort and no corpus-wide window anywhere. Groups are a
    * mixture axis (languages, sources, domains) — tens, not millions;
    * groups absent from `budgets` are dropped.
    */
@@ -377,21 +378,34 @@ object Curation {
     val hist = s.groupBy("grp", "quality_e3").agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
-    val parts = budgets.toSeq.sortBy(_._1).flatMap { case (g, budget) =>
+    // per-group cutoff: -1 = the whole group fits (qualities are >= 0)
+    val cuts = budgets.toSeq.sortBy(_._1).map { case (g, budget) =>
       val strata = hist.getOrElse(g, Array.empty)
         .map(t => (t._2, t._3)).sortBy(-_._1)
       var above = 0L
-      var cutoff = Long.MinValue
-      for ((q, m) <- strata if cutoff == Long.MinValue)
+      var cutoff = -1L
+      for ((q, m) <- strata if cutoff < 0)
         if (above + m <= budget) above += m else cutoff = q
-      if (cutoff == Long.MinValue) Seq(s.filter(col("grp") === g))
-      else Seq(
-        s.filter(col("grp") === g && col("quality_e3") > cutoff),
-        orderedDocIdPrefix(
-          s.filter(col("grp") === g && col("quality_e3") === cutoff),
-          budget - above, windowRows))
+      (g, cutoff, budget - above)
     }
-    parts.reduceOption(_ union _).getOrElse(s.filter(lit(false)))
+    if (cuts.isEmpty)
+      return s.filter(lit(false))
+        .select(col("doc_id"), col("grp").as(groupCol),
+          col("n_tokens"), col("quality_e3"))
+    // the above-cutoff mass of EVERY group in ONE corpus scan, via a
+    // (group -> cutoff) literal map; groups without a budget fall to
+    // the MaxValue coalesce and drop out (try_element_at: ANSI-safe on
+    // missing keys). Only the boundary strata pay a further pass each.
+    val pairs = cuts
+      .map { case (g, c, _) => s"'${g.replace("'", "''")}', ${c}L" }.mkString(", ")
+    val above = s.filter(expr(
+      s"quality_e3 > coalesce(try_element_at(map($pairs), grp), ${Long.MaxValue}L)"))
+    val boundaries = cuts.collect { case (g, cutoff, remaining) if cutoff >= 0 =>
+      orderedDocIdPrefix(
+        s.filter(col("grp") === g && col("quality_e3") === cutoff),
+        remaining, windowRows)
+    }
+    (above +: boundaries).reduce(_ union _)
       .select(col("doc_id"), col("grp").as(groupCol),
         col("n_tokens"), col("quality_e3"))
   }

@@ -724,7 +724,12 @@ object Dedup {
    *  - the hashed projection is localCheckpointed ONCE and shared by
    *    its three consumers (dup inventory, dup starts, final join) —
    *    the [[nightly]] pattern; without it each consumer re-tokenizes
-   *    and re-hashes the corpus;
+   *    and re-hashes the corpus. The checkpoint's blocks live until the
+   *    returned plan is consumed and the Dataset garbage-collects (the
+   *    operator cannot unpersist what its result still reads) — a
+   *    RESIDENT service calling this repeatedly should drop dead blocks
+   *    between calls (`spark.sparkContext.getPersistentRDDs` sweep, as
+   *    `graft.Bench` does) or isolate calls per job;
    *  - the gram-frequency table aggregates per-document DISTINCT grams
    *    (`array_distinct` before the explode, so intra-doc repeats never
    *    inflate the exchange) — gram-vocabulary scale, map-side

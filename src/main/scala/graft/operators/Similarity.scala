@@ -407,8 +407,16 @@ object Similarity {
    * rewritten corpus invalidates the entry; see [[TableMemo]].
    */
   def sharedKnnJoin(emb: DataFrame, corpusKey: String, k: Int,
-                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val key = s"$corpusKey|${TableMemo.keyOf(emb)}|k=$k|c=$nCentroids|p=$nProbe"
+                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    sharedKnnJoinKeyed(emb, s"$corpusKey|${TableMemo.keyOf(emb)}", k, nCentroids, nProbe)
+
+  /** [[sharedKnnJoin]] with the content-fingerprinted key component
+    * already computed — so a caller that derived the fingerprint for
+    * its own memo (e.g. [[sharedSemanticClusters]]) doesn't pay the
+    * plan-optimization + file-listing pass a second time. */
+  private def sharedKnnJoinKeyed(emb: DataFrame, keyedCorpus: String, k: Int,
+                                 nCentroids: Int, nProbe: Int): DataFrame = {
+    val key = s"$keyedCorpus|k=$k|c=$nCentroids|p=$nProbe"
     val path = sharedJoins.getOrCreate(key) { dir =>
       knnJoin(emb, k, nCentroids, nProbe).write.mode("overwrite").parquet(dir)
     }
@@ -427,9 +435,12 @@ object Similarity {
   def sharedSemanticClusters(emb: DataFrame, corpusKey: String, k: Int,
                              nCentroids: Int, nProbe: Int,
                              minDot: Long): DataFrame = {
-    val key = s"$corpusKey|${TableMemo.keyOf(emb)}|k=$k|c=$nCentroids|p=$nProbe|d=$minDot"
+    // fingerprint once; the edge-table memo below reuses it
+    val keyedCorpus = s"$corpusKey|${TableMemo.keyOf(emb)}"
+    val key = s"$keyedCorpus|k=$k|c=$nCentroids|p=$nProbe|d=$minDot"
     val path = sharedSemClusters.getOrCreate(key) { dir =>
-      semanticClustersFrom(sharedKnnJoin(emb, corpusKey, k, nCentroids, nProbe), minDot)
+      semanticClustersFrom(
+        sharedKnnJoinKeyed(emb, keyedCorpus, k, nCentroids, nProbe), minDot)
         .write.mode("overwrite").parquet(dir)
     }
     emb.sparkSession.read.parquet(path)
@@ -496,6 +507,9 @@ object Similarity {
                           priorKey: String, minDot: Long,
                           nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = ivfCentroids(priorEmb, nCentroids)
+    // first night: no prior corpus, nothing to collide with — the whole
+    // batch survives (ivfAssign on zero centroids would throw)
+    if (cents.isEmpty) return newEmb.select("vec_id")
     val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nCentroids"
     val asgPath = sharedAssigns.getOrCreate(asgKey) { dir =>
       ivfAssign(priorEmb, cents).write.mode("overwrite").parquet(dir)

@@ -73,6 +73,9 @@ private[graft] object TableMemo {
    * otherwise one `getFileStatus` per `inputFiles` entry. Returns None
    * when the plan has no file-backed input (in-memory fixtures) — such
    * inputs cannot be content-keyed and the caller's key stands alone.
+   * That None case includes a `.cache()`d input whose plan was replaced
+   * by cache substitution: an InMemoryRelation exposes no files, so the
+   * caller's key is again the sole staleness carrier there.
    */
   def contentKey(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{
@@ -84,16 +87,18 @@ private[graft] object TableMemo {
         .collect { case idx: PartitioningAwareFileIndex => idx }
         .flatMap(_.allFiles().map(s =>
           (s.getPath.toString, s.getLen, s.getModificationTime)))
-    val entries =
-      if (fromIndex.nonEmpty) fromIndex
-      else {
-        val conf = df.sparkSession.sessionState.newHadoopConf()
-        df.inputFiles.toSeq.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          (f, st.getLen, st.getModificationTime)
-        }
-      }
+    // MERGE with inputFiles rather than short-circuiting on the V1
+    // index: a plan mixing a V1 scan with another source (DSv2, catalog
+    // table) must fingerprint BOTH sides, or a rewrite of the non-V1
+    // input would silently keep the old key
+    val indexed = fromIndex.map(_._1).toSet
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val extra = df.inputFiles.toSeq.filterNot(indexed).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      (f, st.getLen, st.getModificationTime)
+    }
+    val entries = fromIndex ++ extra
     if (entries.isEmpty) None
     else {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -265,6 +265,11 @@ class SimilaritySpec extends SparkSpec {
         minDot = 350000000000L, nCentroids = 2, nProbe = 2).collect()
       .map(_.getLong(0)).toSet
     assert(kept == Set(12L))
+    // first night: empty prior corpus -> the whole batch survives
+    val first = Similarity.semanticIncremental(batch, prior.filter(lit(false)),
+        key + "-empty", minDot = 350000000000L, nCentroids = 2, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(first == Set(11L, 12L))
     // the prior assignment table was materialized once and is reused
     // (in-memory fixture -> the no-files sentinel key component)
     val path = Similarity.sharedAssigns.pathOf(s"$key|${TableMemo.keyOf(prior)}|c=2")
