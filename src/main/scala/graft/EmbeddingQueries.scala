@@ -126,6 +126,39 @@ object EmbeddingQueries {
         e.filter(col("vec_id") % 4 === 3), e.filter(col("vec_id") % 4 < 3),
         s"$dir|prior=vid%4<3", NearDupMinDot, IvfCentroids, IvfProbe)
     }),
+    // ONLINE semantic dedup: the new quarter arrives as four
+    // microbatches; each batch foreachBatch-dedups against the FIXED
+    // prior corpus (memoized IVF assignment — built once, reused by
+    // every batch) and appends its survivors. Against a fixed prior
+    // the union of per-batch survivors is independent of the batch
+    // split, so the gate shares semantic_incremental's oracle — what
+    // it adds is proof that the streaming plumbing (foreachBatch,
+    // checkpointing, append sink) preserves the batch semantics.
+    "stream_semantic" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sem").toString
+      val e = emb(s, dir)
+      val prior = e.filter(col("vec_id") % 4 < 3)
+      e.filter(col("vec_id") % 4 === 3).repartition(4).write.parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.semanticIncremental(batch, prior, s"$dir|stream-prior",
+              NearDupMinDot, IvfCentroids, IvfProbe)
+            .write.mode("append").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(s"$tmp/out")
+      val rows = res.collect().toSeq
+      val outSchema = res.schema
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
     // symmetric int8 quantization audit (amax scale + quantized-vector
     // fingerprint + L1 reconstruction error), exact integer arithmetic
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
@@ -275,7 +308,12 @@ extop AS (SELECT qid, nid, dot, rank FROM (
     FROM p)
   WHERE rank <= $K)"""
 
-  val oracle: Map[String, String] = Map(
+  // against a FIXED prior the streamed per-batch union equals the batch
+  // incremental result, so the streaming gate shares its oracle
+  val oracle: Map[String, String] = oracleBase +
+    ("stream_semantic" -> oracleBase("semantic_incremental"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "ann_topk_ip" ->
       s"""WITH $intCte,
 $exactTopCte
