@@ -289,6 +289,39 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 4L -> "b"))
   }
 
+  test("mixtureSelect equals the per-group ordered-prefix on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random docs over 3 groups with colliding quality strata (few
+    // distinct token counts -> many quality ties, the hard case)
+    val docs = (1 to 120).map { i =>
+      val words = (1 to (rnd.nextInt(8) + 2)).map(_ => s"w${rnd.nextInt(6)}")
+      (i.toLong, words.mkString(" "), s"g${rnd.nextInt(3)}")
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    // reference: per-group (quality desc, doc_id) running-sum prefix
+    val stats = docs.map { case (id, text, g) =>
+      val ws = text.split("\\s+")
+      (id, g, ws.length.toLong, ws.distinct.length.toLong * 1000 / ws.length)
+    }
+    def ref(budgets: Map[String, Long]): Set[Long] =
+      stats.groupBy(_._2).flatMap { case (g, rows) =>
+        budgets.get(g).map { b =>
+          var cum = 0L
+          rows.sortBy(t => (-t._4, t._1))
+            .takeWhile { t => cum += t._3; cum <= b }.map(_._1)
+        }.getOrElse(Nil)
+      }.toSet
+    for (budgets <- Seq(
+        Map("g0" -> 50L, "g1" -> 120L, "g2" -> 0L),
+        Map("g0" -> 1L, "g1" -> 100000L),
+        Map("g0" -> 77L, "g1" -> 33L, "g2" -> 200L))) {
+      val got = Curation.mixtureSelect(df, budgets, "lang")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == ref(budgets), s"budgets=$budgets")
+    }
+  }
+
   test("orderedDocIdPrefix recursion matches the window at every budget, no oversized sort") {
     import spark.implicits._
     // one degenerate stratum: 300 docs, every quality_e3 identical, and

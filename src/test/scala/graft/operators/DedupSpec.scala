@@ -228,6 +228,38 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(("aa", 3L), ("ab", 2L), ("bc", 2L), ("bb", 1L)))
   }
 
+  test("spanDedup matches a brute-force reference on random high-duplication corpora") {
+    import spark.implicits._
+    val k = 3
+    val rnd = new scala.util.Random(9)
+    // tiny vocabulary -> dense accidental k-gram sharing across docs
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (1 to (rnd.nextInt(15) + k)).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+    }
+    // reference: dup grams on the token SEQUENCES themselves (no
+    // hashing — also cross-checks that the polynomial gram hash is
+    // faithful), keeper = min doc, coverage by any dup start within k
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val grams = toks.view.mapValues(ws => ws.sliding(k).toSeq.filter(_.length == k)).toMap
+    val keeper = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (g, occ) if occ.map(_._2).distinct.size >= 2 =>
+        g -> occ.map(_._2).min }
+    def refKept(id: Long): Seq[String] = {
+      val ws = toks(id)
+      val starts = grams(id).zipWithIndex.collect {
+        case (g, i) if keeper.get(g).exists(_ != id) => i
+      }.toSet
+      ws.indices.filterNot(p => starts.exists(s => s <= p && p <= s + k - 1)).map(ws)
+    }
+    val out = Dedup.spanDedup(docs.toDF("doc_id", "text"), k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    for ((id, _) <- docs) {
+      val kept = refKept(id)
+      assert(out(id) == ((toks(id).length.toLong, kept.length.toLong, kept.mkString(" "))),
+        s"doc $id")
+    }
+  }
+
   test("spanDedupChars flags a punctuation-variant copy the word-gram path provably misses") {
     import spark.implicits._
     // docs 1 and 5 share the passage "alpha beta gamma delta epsilon
