@@ -473,10 +473,15 @@ object Similarity {
     semanticClustersFrom(knnJoin(emb, k, nCentroids, nProbe), minDot)
 
   // per-JVM memo of materialized prior-corpus IVF assignment tables —
-  // the reusable index artifact of the incremental path (centroids are
-  // metadata-scale and re-derived; the corpus-scale assignment is what
-  // must not be recomputed nightly)
+  // the reusable index artifact of the incremental path
   private[graft] val sharedAssigns = new TableMemo("graft-ivfasg-")
+  // the centroid PICK is also memoized (driver-side, nCentroids rows):
+  // it is metadata-scale to hold but corpus-scale to COMPUTE (a top-n
+  // over the whole prior corpus) — without this every incremental call
+  // (every streaming microbatch) re-scans the prior corpus just to
+  // re-derive identical centroids
+  private[graft] val sharedCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
 
   /**
    * Incremental (cross-run) semantic dedup — the embedding-space twin
@@ -506,11 +511,12 @@ object Similarity {
   def semanticIncremental(newEmb: DataFrame, priorEmb: DataFrame,
                           priorKey: String, minDot: Long,
                           nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(priorEmb, nCentroids)
+    val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nCentroids"
+    val cents = sharedCentroids.computeIfAbsent(asgKey,
+      _ => ivfCentroids(priorEmb, nCentroids))
     // first night: no prior corpus, nothing to collide with — the whole
     // batch survives (ivfAssign on zero centroids would throw)
     if (cents.isEmpty) return newEmb.select("vec_id")
-    val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nCentroids"
     val asgPath = sharedAssigns.getOrCreate(asgKey) { dir =>
       ivfAssign(priorEmb, cents).write.mode("overwrite").parquet(dir)
     }
