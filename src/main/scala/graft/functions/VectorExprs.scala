@@ -279,3 +279,116 @@ case class DotTopKGrouped(child: Expression, coarse: Array[Long], nCoarse: Int,
   override protected def withNewChildInternal(c: Expression): DotTopKGrouped =
     copy(child = c)
 }
+
+/**
+ * `poly_grams(hs)`: all k-gram hashes of a BIGINT hash array, each the
+ * double 31-bit polynomial packed as `g1 * 2^31 + g2` — ONE fused
+ * rolling loop (O(n) multiply-add-mods total) replacing the interpreted
+ * `transform(sequence(...), i -> ...)` lambda whose 2(k-1) boxed
+ * tree-node evaluations PER POSITION dominate span dedup's hashing.
+ * Value-identical to [[graft.operators.Dedup.spanGramHash]]'s
+ * per-position fold (and therefore to the DuckDB oracle): the
+ * polynomial Σ (h_j mod M) · B^(k-1-j) mod M is path-independent, so
+ * the rolling recurrence `(v - r_out·B^(k-1))·B + r_in (mod M)`
+ * computes the same residues the fold does. Documents shorter than k
+ * hash to an empty array (the caller's `if(size >= k, …)` guard moves
+ * inside).
+ */
+case class PolyGrams(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1)
+  import PolyGrams._
+  // B^(k-1) mod M, for the rolling eviction of the leaving element
+  private val p1 = pow(B1, k - 1, M1)
+  private val p2 = pow(B2, k - 1, M2)
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_grams"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    while (i < k) {
+      val h = hs.getLong(i)
+      a1 = (a1 * B1 + h % M1) % M1
+      a2 = (a2 * B2 + h % M2) % M2
+      i += 1
+    }
+    out(0) = a1 * 2147483648L + a2
+    var s = 1
+    while (s <= n - k) {
+      val hOut = hs.getLong(s - 1)
+      val hIn = hs.getLong(s + k - 1)
+      a1 = (((a1 - hOut % M1 * p1 % M1) % M1 + M1) % M1 * B1 + hIn % M1) % M1
+      a2 = (((a2 - hOut % M2 * p2 % M2) % M2 + M2) % M2 * B2 + hIn % M2) % M2
+      out(s) = a1 * 2147483648L + a2
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val a1 = ctx.freshName("a1"); val a2 = ctx.freshName("a2")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val hOut = ctx.freshName("hOut")
+      val hIn = ctx.freshName("hIn")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $out = new long[$n < $k ? 0 : $n - $k + 1];
+         |if ($n >= $k) {
+         |  long $a1 = 0L; long $a2 = 0L;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $h = $hs.getLong($i);
+         |    $a1 = ($a1 * ${B1}L + $h % ${M1}L) % ${M1}L;
+         |    $a2 = ($a2 * ${B2}L + $h % ${M2}L) % ${M2}L;
+         |  }
+         |  $out[0] = $a1 * 2147483648L + $a2;
+         |  for (int $s = 1; $s <= $n - $k; $s++) {
+         |    long $hOut = $hs.getLong($s - 1);
+         |    long $hIn = $hs.getLong($s + $k - 1);
+         |    $a1 = ((($a1 - $hOut % ${M1}L * ${p1}L % ${M1}L) % ${M1}L + ${M1}L) % ${M1}L * ${B1}L + $hIn % ${M1}L) % ${M1}L;
+         |    $a2 = ((($a2 - $hOut % ${M2}L * ${p2}L % ${M2}L) % ${M2}L + ${M2}L) % ${M2}L * ${B2}L + $hIn % ${M2}L) % ${M2}L;
+         |    $out[$s] = $a1 * 2147483648L + $a2;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PolyGrams =
+    copy(child = c)
+}
+
+/** Constants of the double 31-bit polynomial gram hash — the single
+  * source of truth consumed by [[PolyGrams]], by
+  * [[graft.operators.Dedup.spanGramHash]]'s SQL spelling, and therefore
+  * by the DuckDB oracles. */
+object PolyGrams {
+  val M1 = 2147483647L // 2^31 - 1, prime
+  val M2 = 2147483629L // prime
+  val B1 = 1000003L
+  val B2 = 1000033L
+
+  /** b^e mod m by square-and-multiply (all operands < 2^31, so every
+    * product stays under 2^62 — exact in 64-bit). */
+  def pow(b: Long, e: Int, m: Long): Long = {
+    var result = 1L
+    var base = b % m
+    var exp = e
+    while (exp > 0) {
+      if ((exp & 1) == 1) result = result * base % m
+      base = base * base % m
+      exp >>= 1
+    }
+    result
+  }
+}

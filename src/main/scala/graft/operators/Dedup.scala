@@ -31,37 +31,24 @@ object Dedup {
   private def h60(c: Column, seed: Int): Column =
     expr(s"cast(conv(substr(md5(concat('$seed:', ${c.toString})), 1, 15), 16, 10) as bigint)")
 
-  // Double 31-bit polynomial gram-hash constants, shared with the
-  // spanDedup DuckDB oracle (single source of truth): two prime moduli
-  // and two bases. Packing the two residues into one BIGINT gives a
-  // ~62-bit gram key — the same collision class as the 60-bit md5 keys
-  // used elsewhere.
-  private[graft] val SpanM1 = 2147483647L // 2^31 - 1, prime
-  private[graft] val SpanM2 = 2147483629L // prime
-  private[graft] val SpanB1 = 1000003L
-  private[graft] val SpanB2 = 1000033L
-
   /**
-   * k-gram hash over a per-position integer hash array `hs`, emitted as
-   * ONE expression string valid in BOTH engines' SQL dialects (`%`, `*`,
-   * `+` and `hs[i+j]` indexing agree between Spark and DuckDB for the
-   * non-negative operands used here; only the base of `i` differs and is
-   * the caller's concern): two independent 31-bit polynomial hashes,
-   * packed as `g1 * 2^31 + g2`. Cost is O(k) integer multiply-adds per
-   * position — with k a small constant this is effectively linear in
-   * document length, vs. building and md5-digesting a k-token string at
-   * every position. (A true O(n) rolling recurrence is not expressible
-   * as a per-element SQL lambda — there is no array scan primitive —
-   * but the digest work, not the arithmetic, was the dominant cost.)
-   * All intermediates stay under 2^52 (residue < 2^31, base < 2^20), so
-   * 64-bit arithmetic is exact in both engines and ANSI-safe.
+   * The DuckDB-oracle spelling of [[graft.functions.PolyGrams]]'s
+   * k-gram hash over a per-position integer hash array `hs`: two
+   * independent 31-bit polynomial hashes (constants shared via the
+   * [[graft.functions.PolyGrams]] object), packed as `g1 * 2^31 + g2`.
+   * The oracle's per-position fold is O(k) integer multiply-adds; the
+   * engine side uses the fused expression's O(n) rolling recurrence —
+   * the polynomial mod M is path-independent, so both compute identical
+   * values. All intermediates stay under 2^52 (residue < 2^31,
+   * base < 2^20), exact in 64-bit.
    */
   private[graft] def spanGramHash(k: Int): String = {
+    import graft.functions.PolyGrams.{B1, B2, M1, M2}
     def poly(m: Long, b: Long): String =
       (1 until k).foldLeft(s"(hs[i] % $m)") { (acc, j) =>
         s"(($acc * $b + (hs[i+$j] % $m)) % $m)"
       }
-    s"(${poly(SpanM1, SpanB1)}) * 2147483648 + (${poly(SpanM2, SpanB2)})"
+    s"(${poly(M1, B1)}) * 2147483648 + (${poly(M2, B2)})"
   }
 
   /** Exact duplicate groups by content hash: one row per distinct text,
@@ -716,11 +703,12 @@ object Dedup {
    *
    * Scale shape — the relational analog of the paper's suffix-array
    * pass, two corpus-linear exchanges and zero quadratic joins:
-   *  - gram hashing is ONE md5 digest per TOKEN plus [[spanGramHash]]'s
-   *    polynomial combination per position — O(k) integer multiply-adds
-   *    with k a small constant, instead of building and digesting a
-   *    k-token string at every position (the digest work used to
-   *    dominate the whole operator);
+   *  - gram hashing is ONE md5 digest per TOKEN plus the fused
+   *    [[graft.functions.PolyGrams]] rolling polynomial — O(n)
+   *    multiply-add-mods per document TOTAL, instead of building and
+   *    digesting a k-token string at every position (the digest work
+   *    used to dominate the whole operator) or evaluating an
+   *    interpreted per-position lambda;
    *  - the hashed projection is localCheckpointed ONCE and shared by
    *    its three consumers (dup inventory, dup starts, final join) —
    *    the [[nightly]] pattern; without it each consumer re-tokenizes
@@ -750,16 +738,14 @@ object Dedup {
     // scope); registration is idempotent and session-local
     graft.functions.GraftFunctions.register(df.sparkSession)
     val th = "cast(conv(substr(md5(concat('sp:', t)), 1, 15), 16, 10) as bigint)"
-    val gh = spanGramHash(k)
     val dw = TextAnalysis.spread(df)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
-      // hs is referenced k times by ghs, so CollapseProject keeps the
-      // two projections separate (one md5 per token, evaluated once)
       .withColumn("hs", expr(s"transform(ws, t -> $th)"))
-      .withColumn("ghs", expr(
-        s"""if(size(ws) >= $k, transform(sequence(0, size(ws)-$k), i -> $gh),
-               cast(array() as array<bigint>))"""))
+      // fused O(n) rolling gram hash (short docs hash to empty inside)
+      .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.PolyGrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("hs")), k)))
       .drop("hs")
       // three consumers below (dup inventory, dup starts, final join):
       // materialize the tokenize+hash work exactly once
@@ -813,7 +799,6 @@ object Dedup {
    */
   def spanDedupChars(df: DataFrame, k: Int = 20, minDf: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val gh = spanGramHash(k)
     val dw = TextAnalysis.spread(df)
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "[^a-z0-9]", "").as("clean"))
@@ -822,9 +807,10 @@ object Dedup {
       // the filter drops it so both engines see length(clean) codes
       .withColumn("hs", expr(
         "transform(filter(split(clean, ''), c -> c != ''), c -> cast(ascii(c) as bigint))"))
-      .withColumn("ghs", expr(
-        s"""if(size(hs) >= $k, transform(sequence(0, size(hs)-$k), i -> $gh),
-               cast(array() as array<bigint>))"""))
+      // fused O(n) rolling gram hash (short docs hash to empty inside)
+      .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.PolyGrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("hs")), k)))
       .select(col("doc_id"), size(col("hs")).as("n"), col("ghs"))
       .localCheckpoint()
     val dup = dw.select(col("doc_id"), explode(expr("array_distinct(ghs)")).as("gh"))

@@ -228,6 +228,36 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(("aa", 3L), ("ab", 2L), ("bc", 2L), ("bb", 1L)))
   }
 
+  test("PolyGrams rolling recurrence equals the per-position fold, codegen and interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rnd = new scala.util.Random(17)
+    // random 60-bit-ish hash arrays incl. the n < k and n == k edges
+    val rows = (Seq(0, 1, 4, 5) ++ Seq.fill(30)(rnd.nextInt(60) + 2)).zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)(rnd.nextLong().abs & ((1L << 60) - 1))) }
+    for (k <- Seq(1, 3, 5, 20)) {
+      val df = rows.toDF("id", "hs")
+      val fused = df.select(col("id"), Bridge.column(
+          graft.functions.PolyGrams(Bridge.expression(col("hs")), k)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // the oracle spelling: per-position fold over the same array
+      val fold = df.select(col("id"), expr(
+          s"""if(size(hs) >= $k, transform(sequence(0, size(hs)-$k),
+                i -> ${Dedup.spanGramHash(k)}), cast(array() as array<bigint>))""").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == fold, s"k=$k")
+      // interpreted eval (no codegen) must agree too
+      for ((id, hs) <- rows) {
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
+        val got = graft.functions.PolyGrams(
+            org.apache.spark.sql.catalyst.expressions.Literal(arr,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), k)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(got.toLongArray().toSeq == fused(id.toLong), s"k=$k id=$id interpreted")
+      }
+    }
+  }
+
   test("spanDedup matches a brute-force reference on random high-duplication corpora") {
     import spark.implicits._
     val k = 3
