@@ -369,12 +369,21 @@ object Curation {
   def mixtureSelect(df: DataFrame, budgets: Map[String, Long],
                     groupCol: String = "lang",
                     windowRows: Long = 1L << 22): DataFrame = {
+    // localCheckpoint: the narrow signal table (4 columns, ~32 bytes a
+    // row — the TEXT stays behind) is read by the histogram pass, the
+    // cutoff filter and every boundary-stratum recursion; without it
+    // each pass re-runs the tokenizer over the corpus (and a filter
+    // pushed into the projection would inline it twice more). This is
+    // the materialize-the-stats-table-once shape a production build
+    // uses; blocks live until the result is consumed (see spanDedup's
+    // lifetime note).
     val s = df
       .withColumn("ws", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"), col(groupCol).as("grp"),
         size(col("ws")).cast("long").as("n_tokens"),
         expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)")
           .as("quality_e3"))
+      .localCheckpoint()
     val hist = s.groupBy("grp", "quality_e3").agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
