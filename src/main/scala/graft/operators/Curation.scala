@@ -330,7 +330,12 @@ object Curation {
    */
   def budgetSelect(df: DataFrame, budgetTokens: Long,
                    windowRows: Long = 1L << 22): DataFrame = {
+    // same materialize-the-narrow-signals-once shape as mixtureSelect:
+    // the histogram pass, the cutoff filter and every recursion level
+    // of the boundary prefix read the checkpointed 3-column table
+    // instead of re-running the tokenizer per pass
     val s = TextAnalysis.stats(df).select("doc_id", "n_tokens", "quality_e3")
+      .localCheckpoint()
     val hist = s.groupBy("quality_e3").agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     var above = 0L
