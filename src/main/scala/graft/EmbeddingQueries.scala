@@ -150,11 +150,23 @@ object EmbeddingQueries {
         }
         .option("checkpointLocation", s"$tmp/ckpt").start()
       try q.processAllAvailable() finally q.stop()
-      val res = s.read.parquet(s"$tmp/out")
+      // every microbatch producing zero survivors leaves no out dir;
+      // fall back to an empty result with the pipeline's own schema
+      // (analysis-only — .limit(0) over the same plan, no execution)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val fs = tmpPath.getFileSystem(hconf)
+      val res =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/out")))
+          s.read.parquet(s"$tmp/out")
+        else Similarity.semanticIncremental(e.filter(lit(false)), prior,
+          s"$dir|stream-prior", NearDupMinDot, IvfCentroids, IvfProbe).limit(0)
       val rows = res.collect().toSeq
       val outSchema = res.schema
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // resolve the filesystem FROM the path: FileSystem.get(conf) is
+      // the default fs, which misdirects the delete under any
+      // non-local fs.defaultFS
+      fs.delete(tmpPath, true)
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)

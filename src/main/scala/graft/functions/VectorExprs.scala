@@ -293,6 +293,13 @@ case class DotTopKGrouped(child: Expression, coarse: Array[Long], nCoarse: Int,
  * computes the same residues the fold does. Documents shorter than k
  * hash to an empty array (the caller's `if(size >= k, …)` guard moves
  * inside).
+ *
+ * PRECONDITION (as for `spanGramHash`): input hashes must be
+ * NON-NEGATIVE. JVM `%` is sign-preserving, so a negative element
+ * would produce negative residues and packed values that no longer
+ * match the oracle spelling. Every in-repo caller feeds non-negative
+ * md5/ascii-derived values; feed arbitrary longs through
+ * `pmod(h, lit(Long.MaxValue))` (or similar) first.
  */
 case class PolyGrams(child: Expression, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -410,10 +410,12 @@ object Curation {
     // (group -> cutoff) literal map; groups without a budget fall to
     // the MaxValue coalesce and drop out (try_element_at: ANSI-safe on
     // missing keys). Only the boundary strata pay a further pass each.
-    val pairs = cuts
-      .map { case (g, c, _) => s"'${g.replace("'", "''")}', ${c}L" }.mkString(", ")
-    val above = s.filter(expr(
-      s"quality_e3 > coalesce(try_element_at(map($pairs), grp), ${Long.MaxValue}L)"))
+    // Built with Column literals, not SQL text: group values may hold
+    // quotes/backslashes, which SQL-literal escaping would mangle.
+    val cutMap = map(cuts.flatMap { case (g, c, _) =>
+      Seq(lit(g), lit(c)) }: _*)
+    val above = s.filter(col("quality_e3") >
+      coalesce(try_element_at(cutMap, col("grp")), lit(Long.MaxValue)))
     val boundaries = cuts.collect { case (g, cutoff, remaining) if cutoff >= 0 =>
       orderedDocIdPrefix(
         s.filter(col("grp") === g && col("quality_e3") === cutoff),

@@ -12,9 +12,11 @@ import org.apache.spark.sql.DataFrame
  * STALENESS CONTRACT: the memo trusts the key ALONE — it never inspects
  * the data. All in-repo callers therefore build their key from
  * [[TableMemo.contentKey]] — a fingerprint of the input's file listing
- * (path, length, modification time of every file) — plus their
- * parameters, so rewriting the data behind a path mints a new key and
- * the memo self-invalidates. The caller-supplied key component remains
+ * (path, length, modification time of every file) AND its canonicalized
+ * logical plan — plus their parameters, so rewriting the data behind a
+ * path mints a new key and the memo self-invalidates, and two views
+ * derived from the same files via different filters/projections get
+ * distinct fingerprints. The caller-supplied key component remains
  * a namespace, and carries staleness alone ONLY for inputs with no
  * file-backed lineage (in-memory test fixtures), where `contentKey`
  * returns None.
@@ -62,9 +64,11 @@ private[graft] object TableMemo {
 
   /**
    * Content fingerprint of `df`'s file-backed inputs: md5 over the
-   * sorted `(path, length, modificationTime)` of every input file —
-   * rewriting data at the same path changes the fingerprint (Spark
-   * writes fresh part-file names, and length/mtime move too), so memo
+   * sorted `(path, length, modificationTime)` of every input file plus
+   * the canonicalized optimized plan — rewriting data at the same path
+   * changes the fingerprint (Spark writes fresh part-file names, and
+   * length/mtime move too), and derived views of the SAME files
+   * (different filters/projections) fingerprint differently, so memo
    * keys built from it self-invalidate.
    *
    * Metadata-only and driver-side: the listing comes from the plan's
@@ -105,6 +109,11 @@ private[graft] object TableMemo {
       entries.sorted.foreach { case (p, l, m) =>
         md.update(s"$p|$l|$m;".getBytes("UTF-8"))
       }
+      // Mix in the canonicalized plan: two views DERIVED from the same
+      // files (a filtered prior vs the full corpus) must not collide
+      // under one caller key just because their file listings match.
+      md.update(df.queryExecution.optimizedPlan.canonicalized.toString
+        .getBytes("UTF-8"))
       Some(md.digest().map("%02x".format(_)).mkString)
     }
   }
