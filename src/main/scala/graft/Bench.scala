@@ -167,14 +167,24 @@ object Bench {
     val gcs = jmap(m => num(m.gcSec))
     val leaks = jmap(m => m.leakedRdds.toString)
     val total = results.map(_._2.sec).filter(_ >= 0).sum
+    // attribution maps (gc time, leaked RDDs, sweep flag) go on their
+    // OWN line so the final line stays compact: a driver that captures
+    // only the last few KB of stdout must still see the final line's
+    // opening brace (one long line pushed it out of the window in
+    // earlier runs, leaving the timings unparsed)
+    val meta =
+      s"""{"metric":"bench_meta","gc_sec":$gcs,"leaked_rdds":$leaks,"sweep":$sweepEnabled}"""
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"gc_sec":$gcs,"leaked_rdds":$leaks,"sweep":$sweepEnabled,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the JSON also lands in a file: stdout can be polluted by build-tool
     // log prefixes, and the file is unambiguous for any driver
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),
+      meta + "\n" + json + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // print LAST, after Spark's shutdown chatter, and bare on stdout
+    // print LAST, after Spark's shutdown chatter, bare on stdout, with
+    // the compact timings line as the very last line
+    println(meta)
     println(json)
     System.out.flush()
   }
