@@ -25,6 +25,24 @@ object MultimodalQueries {
     "frame_sample"    -> ((s, dir) =>
       Multimodal.frameSample(media(s, dir), 4)
         .withColumn("frame", upper(hex(col("frame")))))
+,
+    // REAL decode: deterministic gray PNGs (closed-form pixels) are
+    // encoded AND decoded with genuine ImageIO on the executors; the
+    // oracle recomputes dimensions + pixel sum from the closed form
+    // alone, so a hash match proves the PNG round trip preserved every
+    // sample. pixel_sum = mean·w·h rounds exactly: the sum is < 2^18,
+    // far inside double's integer range, so the divide/multiply pair
+    // is within half an ulp of the integer.
+    "multimodal_real" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image", Multimodal.grayPng(id)))
+      Multimodal.decode(recs, Multimodal.ImageIoCodec)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(col("mean_byte") * col("width") * col("height"))
+            .cast("long").as("pixel_sum"))
+    })
   )
 
   // DuckDB 1.0 has no BLOB sha256/substring, so the oracle hashes and
@@ -48,6 +66,18 @@ f AS (SELECT doc_id,
     i -> {'idx': i, 'frame': upper(hex(encode(substring(content, CAST(i*256+1 AS INT), 256))))})) AS s
   FROM mm)
 SELECT doc_id, CAST(s.idx AS INT) AS frame_idx, s.frame AS frame
-FROM f WHERE s.idx % 4 = 0"""
+FROM f WHERE s.idx % 4 = 0""",
+
+    // expected decode stats from the SAME closed form grayPng encodes:
+    // w = 1 + id%31, h = 1 + id%17, pixel(x,y) = (id*31 + x*7 + y*13) % 256
+    "multimodal_real" ->
+      """SELECT doc_id,
+  CAST(1 + doc_id % 31 AS INT) AS width,
+  CAST(1 + doc_id % 17 AS INT) AS height,
+  CAST(1 AS INT) AS n_frames,
+  CAST(list_sum(flatten(list_transform(range(0, CAST(1 + doc_id % 17 AS INT)),
+    y -> list_transform(range(0, CAST(1 + doc_id % 31 AS INT)),
+      x -> (doc_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS pixel_sum
+FROM documents"""
   )
 }

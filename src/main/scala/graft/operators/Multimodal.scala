@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
  * run as partition-local typed transformations.
  *
  * The compute kernels live behind the [[MediaCodec]] seam: the
- * operators are written against the interface, so a REAL decoder
- * (libjpeg/ffmpeg/a model forward pass) drops in without touching the
- * Spark-side plumbing. The container has no media libraries, so the
- * default [[StandInCodec]] is a DETERMINISTIC STAND-IN (clearly
- * marked): it parses the byte stream with a fake but stable
- * algorithm. The Spark-side contract (schema, typed Dataset encoders,
- * per-partition batching, shuffle-free execution) is the real, tested
- * design:
+ * operators are written against the interface, so a decoder drops in
+ * without touching the Spark-side plumbing. IMAGES use the real
+ * [[ImageIoCodec]] (JDK `javax.imageio`: PNG/JPEG/BMP/GIF — true
+ * dimensions, raster-exact pixel stats, oracle-gated round trip).
+ * AUDIO/VIDEO have no JDK decoder and no media library exists in this
+ * environment, so they go through [[StandInCodec]], a clearly-marked
+ * DETERMINISTIC STAND-IN (a real ffmpeg/model kernel implements the
+ * same three methods). The Spark-side contract (schema, typed Dataset
+ * encoders, per-partition batching, shuffle-free execution) is the
+ * real, tested design:
  *
  *  - payloads never pass through the driver;
  *  - kernels run via `mapPartitions` (the Scala analog of
@@ -124,6 +126,147 @@ object Multimodal {
         MediaFeature(r.doc_id, hist.map(_ / n))
       }
     }
+  }
+
+  /**
+   * REAL image codec over JDK `javax.imageio` (PNG/JPEG/BMP/GIF —
+   * ships with every JRE, zero external deps). Image payloads only:
+   * `decode` throws on bytes no installed reader recognizes, so callers
+   * filter `media_type === "image"` first. Audio/video still go through
+   * [[StandInCodec]] (no JDK decoder exists for them).
+   *
+   *  - `decode`: true raster width/height; `n_frames` from
+   *    `ImageReader.getNumImages` (multi-frame GIFs count correctly);
+   *    `mean_byte` = mean over ALL raster samples (every band of every
+   *    pixel) read straight off the `Raster` — no color-space
+   *    conversion, so an 8-bit gray PNG round-trips its sample values
+   *    exactly.
+   *  - `resize`: nearest-neighbor sample copy raster-to-raster
+   *    (deterministic; `getRGB`/`Graphics2D` would gamma-convert
+   *    gray↔sRGB and change values), re-encoded as PNG.
+   *  - `features`: 16-bin L1-normalized histogram of raster samples —
+   *    the decoded-domain twin of [[StandInCodec]]'s byte histogram.
+   */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    private def readImage(r: MediaRecord): (BufferedImage, Int) = {
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no image reader for doc ${r.doc_id}")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, false)
+          val n = reader.getNumImages(true)
+          (reader.read(0), n)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRecord): MediaInfo = {
+        val (img, nFrames) = readImage(r)
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val bands = raster.getNumBands
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / (w.toLong * h * bands)
+        MediaInfo(r.doc_id, r.media_type, w, h, nFrames, mean)
+      }
+
+      def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+        val (img, _) = readImage(r)
+        // keep the source's standard type so sample copies are exact;
+        // custom-typed sources fall back to ARGB (still deterministic)
+        val outType =
+          if (img.getType == BufferedImage.TYPE_CUSTOM) BufferedImage.TYPE_INT_ARGB
+          else img.getType
+        val out = new BufferedImage(w, h, outType)
+        val si = img.getRaster
+        val so = out.getRaster
+        val bands = math.min(si.getNumBands, so.getNumBands)
+        var y = 0
+        while (y < h) {
+          val sy = (y.toLong * img.getHeight / h).toInt
+          var x = 0
+          while (x < w) {
+            val sx = (x.toLong * img.getWidth / w).toInt
+            var b = 0
+            while (b < bands) { so.setSample(x, y, b, si.getSample(sx, sy, b)); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", baos)
+        MediaRecord(r.doc_id, r.media_type, baos.toByteArray)
+      }
+
+      def features(r: MediaRecord): MediaFeature = {
+        val (img, _) = readImage(r)
+        val raster = img.getRaster
+        val hist = new Array[Float](16)
+        var n = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            var b = 0
+            while (b < raster.getNumBands) {
+              hist((raster.getSample(x, y, b) & 0xFF) >> 4) += 1f
+              n += 1
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeature(r.doc_id, hist.map(_ / math.max(1L, n)))
+      }
+    }
+  }
+
+  /**
+   * Deterministic 8-bit gray PNG fixture for `doc_id`: dimensions
+   * `(1 + id % 31) × (1 + id % 17)`, pixel `(x,y) = (id·31 + x·7 +
+   * y·13) mod 256`, written through real `ImageIO` PNG encoding. The
+   * same closed-form lets a SQL oracle recompute the expected
+   * dimensions and pixel sum WITHOUT decoding — so a gate over
+   * `decode(grayPng(id))` proves the encode→PNG→decode round trip
+   * preserves every sample.
+   */
+  def grayPng(docId: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = (1 + docId % 31).toInt
+    val h = (1 + docId % 17).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /**

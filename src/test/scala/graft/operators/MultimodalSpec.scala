@@ -108,6 +108,77 @@ class MultimodalSpec extends SparkSpec {
     assert(!m.columns.contains("content"))
     assert(m.count() === 500)
   }
+
+  test("ImageIoCodec: gray PNG decode is sample-exact against the closed form") {
+    import Multimodal.MediaRecord
+    val ids = Seq(0L, 1L, 16L, 30L, 31L, 527L) // covers w/h extremes incl. 1x1
+    val dec = Multimodal.ImageIoCodec.open()
+    ids.foreach { id =>
+      val info = dec.decode(MediaRecord(id, "image", Multimodal.grayPng(id)))
+      val w = (1 + id % 31).toInt
+      val h = (1 + id % 17).toInt
+      assert(info.width === w)
+      assert(info.height === h)
+      assert(info.n_frames === 1)
+      val expectedSum = (for { y <- 0 until h; x <- 0 until w }
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(math.round(info.mean_byte * w * h) === expectedSum)
+    }
+    dec.close()
+  }
+
+  test("ImageIoCodec: nearest-neighbor resize picks exact source samples") {
+    import java.awt.image.BufferedImage
+    import Multimodal.MediaRecord
+    val dec = Multimodal.ImageIoCodec.open()
+    // 4x4 gray ramp -> 2x2 keeps samples at (0,0),(2,0),(0,2),(2,2)
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) img.getRaster.setSample(x, y, 0, y * 4 + x)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val small = dec.resize(MediaRecord(1L, "image", baos.toByteArray), 2, 2)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small.content))
+    assert(back.getWidth === 2 && back.getHeight === 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield back.getRaster.getSample(x, y, 0)
+    assert(got === Seq(0, 2, 8, 10))
+    dec.close()
+  }
+
+  test("ImageIoCodec: RGB BMP decode averages every band; features L1-normalize") {
+    import java.awt.image.BufferedImage
+    import Multimodal.MediaRecord
+    val dec = Multimodal.ImageIoCodec.open()
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_3BYTE_BGR)
+    // pixel 0: rgb(10,20,30); pixel 1: rgb(40,50,60) -> sample mean 35
+    img.getRaster.setPixel(0, 0, Array(10, 20, 30))
+    img.getRaster.setPixel(1, 0, Array(40, 50, 60))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val info = dec.decode(MediaRecord(2L, "image", baos.toByteArray))
+    assert(info.width === 2 && info.height === 1)
+    assert(info.mean_byte === 35.0)
+    val f = dec.features(MediaRecord(2L, "image", baos.toByteArray))
+    assert(math.abs(f.feature.sum - 1f) < 1e-6)
+    // samples 10..60 all land in bins 0..3
+    assert(f.feature.drop(4).forall(_ == 0f))
+    dec.close()
+  }
+
+  test("ImageIoCodec through the operators: distributed decode matches local") {
+    import Multimodal.MediaRecord
+    import spark.implicits._
+    val recs = spark.range(40)
+      .as[Long].map(id => MediaRecord(id, "image", Multimodal.grayPng(id)))
+      .repartition(4)
+    val dist = Multimodal.decode(recs, Multimodal.ImageIoCodec).collect()
+      .map(i => i.doc_id -> ((i.width, i.height, i.mean_byte))).toMap
+    val dec = Multimodal.ImageIoCodec.open()
+    (0L until 40L).foreach { id =>
+      val local = dec.decode(MediaRecord(id, "image", Multimodal.grayPng(id)))
+      assert(dist(id) === ((local.width, local.height, local.mean_byte)))
+    }
+    dec.close()
+  }
 }
 
 object MultimodalSpec {
