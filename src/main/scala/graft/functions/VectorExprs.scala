@@ -375,6 +375,92 @@ case class PolyGrams(child: Expression, k: Int)
     copy(child = c)
 }
 
+/**
+ * `ascii_poly_grams(s)`: [[PolyGrams]] run DIRECTLY over a string's
+ * bytes — value-identical to `PolyGrams(transform(split(s, ''), c ->
+ * ascii(c)), k)` for ASCII input, without ever materializing the
+ * per-character string array and code array (three O(n) allocations
+ * per row that dominated char-level span dedup at the 1 M-doc probe).
+ *
+ * PRECONDITION: ASCII-only input (char-span dedup feeds `[a-z0-9]*` by
+ * construction). Non-ASCII bytes still hash deterministically (masked
+ * to 0..255, non-negative) but per BYTE, which diverges from the
+ * per-CHARACTER `ascii()` spelling the oracle uses.
+ */
+case class AsciiPolyGrams(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1)
+  import PolyGrams._
+  private val p1 = pow(B1, k - 1, M1)
+  private val p2 = pow(B2, k - 1, M2)
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ascii_poly_grams"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val str = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = str.numBytes()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    while (i < k) {
+      val h = (str.getByte(i) & 0xFF).toLong
+      a1 = (a1 * B1 + h % M1) % M1
+      a2 = (a2 * B2 + h % M2) % M2
+      i += 1
+    }
+    out(0) = a1 * 2147483648L + a2
+    var s = 1
+    while (s <= n - k) {
+      val hOut = (str.getByte(s - 1) & 0xFF).toLong
+      val hIn = (str.getByte(s + k - 1) & 0xFF).toLong
+      a1 = (((a1 - hOut % M1 * p1 % M1) % M1 + M1) % M1 * B1 + hIn % M1) % M1
+      a2 = (((a2 - hOut % M2 * p2 % M2) % M2 + M2) % M2 * B2 + hIn % M2) % M2
+      out(s) = a1 * 2147483648L + a2
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val a1 = ctx.freshName("a1"); val a2 = ctx.freshName("a2")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val hOut = ctx.freshName("hOut")
+      val hIn = ctx.freshName("hIn")
+      s"""
+         |int $n = $str.numBytes();
+         |long[] $out = new long[$n < $k ? 0 : $n - $k + 1];
+         |if ($n >= $k) {
+         |  long $a1 = 0L; long $a2 = 0L;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $h = (long) ($str.getByte($i) & 0xFF);
+         |    $a1 = ($a1 * ${B1}L + $h % ${M1}L) % ${M1}L;
+         |    $a2 = ($a2 * ${B2}L + $h % ${M2}L) % ${M2}L;
+         |  }
+         |  $out[0] = $a1 * 2147483648L + $a2;
+         |  for (int $s = 1; $s <= $n - $k; $s++) {
+         |    long $hOut = (long) ($str.getByte($s - 1) & 0xFF);
+         |    long $hIn = (long) ($str.getByte($s + $k - 1) & 0xFF);
+         |    $a1 = ((($a1 - $hOut % ${M1}L * ${p1}L % ${M1}L) % ${M1}L + ${M1}L) % ${M1}L * ${B1}L + $hIn % ${M1}L) % ${M1}L;
+         |    $a2 = ((($a2 - $hOut % ${M2}L * ${p2}L % ${M2}L) % ${M2}L + ${M2}L) % ${M2}L * ${B2}L + $hIn % ${M2}L) % ${M2}L;
+         |    $out[$s] = $a1 * 2147483648L + $a2;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AsciiPolyGrams =
+    copy(child = c)
+}
+
 /** Constants of the double 31-bit polynomial gram hash — the single
   * source of truth consumed by [[PolyGrams]], by
   * [[graft.operators.Dedup.spanGramHash]]'s SQL spelling, and therefore

