@@ -36,6 +36,9 @@ object TextQueries {
   // minimum duplicated-span length (in CLEANED CHARACTERS) for the
   // character-level variant — ~4 words' worth of [a-z0-9] content
   private val SpanCharsK = 20
+  // iterative BPE gate rounds (the oracle unrolls one CTE stage per
+  // round, so keep it small-ish)
+  private val BpeRounds = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
@@ -73,6 +76,10 @@ object TextQueries {
     // BPE tokenizer-training primitive: corpus-weighted adjacent
     // char-pair counts over the distinct-word table, top-k candidates
     "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(docs(s, dir), 20)),
+    // FULL iterative BPE training: each round applies the heaviest
+    // merge and recounts over the rewritten symbol table (driver-bounded
+    // loop, one vocabulary-scale aggregate per round)
+    "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), BpeRounds)),
     // train/val split-leakage audit: deterministic hash split, then
     // every LSH-verified near-dup pair that CROSSES the split boundary
     // (the eval-contamination a random split silently ships)
@@ -179,6 +186,32 @@ object TextQueries {
         1, 2, 3, NumHashes, Bands, RowsPerBand)
     })
   )
+
+  /** Unrolled-CTE oracle for [[TextAnalysis.bpeTrain]]: stage r counts
+    * pairs over the round-r symbol table, picks the (total desc, lhs,
+    * rhs) winner, and rewrites via sentinel-bounded string replace. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sep = "chr(31)"
+    val head =
+      s"""WITH wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wds GROUP BY w),
+v1 AS (SELECT $sep || array_to_string(list_transform(range(1, length(w)+1),
+    i -> substr(w, CAST(i AS INT), 1)), $sep || $sep) || $sep AS vstr, wc FROM wf)"""
+    val stages = (1 to rounds).map { r =>
+      s""",
+p$r AS (SELECT s.lhs AS lhs, s.rhs AS rhs, CAST(sum(wc) AS BIGINT) AS total FROM (
+    SELECT wc, unnest(list_transform(range(1, len(syms)), j -> {'lhs': syms[j], 'rhs': syms[j+1]})) AS s
+    FROM (SELECT wc, string_split(trim(vstr, $sep), $sep || $sep) AS syms FROM v$r))
+  GROUP BY 1, 2),
+b$r AS (SELECT lhs, rhs, total FROM p$r ORDER BY total DESC, lhs, rhs LIMIT 1),
+v${r + 1} AS (SELECT replace(vstr, $sep || lhs || $sep || $sep || rhs || $sep,
+    $sep || lhs || rhs || $sep) AS vstr, wc FROM v$r, b$r)"""
+    }.mkString
+    val rows = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, lhs || rhs AS merged, total FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"$head$stages\n$rows"
+  }
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
   private val shingleCte =
@@ -558,6 +591,15 @@ pr AS (SELECT wc, unnest(list_transform(range(1, length(w)),
   FROM wf WHERE length(w) >= 2)
 SELECT pair, CAST(sum(wc) AS BIGINT) AS total FROM pr GROUP BY pair
 ORDER BY total DESC, pair LIMIT 20""",
+
+    // full BPE training, one unrolled CTE stage per round. Symbol
+    // sequences ride as chr(31)-wrapped strings (each symbol enclosed
+    // in unit separators, absent from the ASCII corpus), so the greedy
+    // left-to-right merge IS string replace: the pattern
+    // sep+lhs+sep+sep+rhs+sep only aligns at symbol boundaries, and
+    // replace() scans left-to-right non-overlapping — the textbook BPE
+    // walk the engine's fold implements on arrays.
+    "bpe_train" -> bpeTrainOracle(BpeRounds),
 
     "split_leakage" ->
       s"""$sigCte,

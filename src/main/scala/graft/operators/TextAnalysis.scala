@@ -468,6 +468,70 @@ object TextAnalysis {
       .groupBy("pair").agg(sum("wc").as("total"))
       .orderBy(col("total").desc, col("pair")).limit(k)
 
+  /**
+   * FULL iterative BPE training (Sennrich et al. 2016), `rounds`
+   * merges: each round counts adjacent symbol pairs over the
+   * frequency-weighted vocabulary, applies the heaviest pair (greedy
+   * left-to-right, non-overlapping — the textbook walk), and recounts
+   * over the rewritten symbol table. Returns one row per round:
+   * `(round, lhs, rhs, merged, total)`. Tie-break is total-desc then
+   * (lhs, rhs) ascending — deterministic and mirrored by the oracle.
+   *
+   * Scale shape — the [[graft.operators.Similarity]] `ivfRefine` loop
+   * shape: the LOOP is driver-bounded (`rounds` iterations, one small
+   * `limit(1).collect()` each — the chosen pair, never data); the WORK
+   * per round is one distributed vocabulary-scale aggregate (pair
+   * counts over DISTINCT words, map-side combinable, alphabet²-bounded
+   * after the rollup) plus one narrow projection rewriting the symbol
+   * arrays, localCheckpointed so round N+1's plan does not replay
+   * rounds 1..N. The corpus is touched exactly once (the word-frequency
+   * groupBy); every later round runs over the ~10⁸-distinct-words
+   * vocabulary regardless of corpus size.
+   *
+   * The greedy merge is a fold: append each symbol, or replace the
+   * accumulator's tail when it equals `lhs` and the incoming symbol
+   * equals `rhs`. The fold IS the textbook walk: a just-merged tail
+   * equals `lhs+rhs`, which can never equal `lhs` (`rhs` is nonempty),
+   * so a merge output never chains into a second merge at the same
+   * position. Built with Column lambdas, not SQL text — symbols come
+   * from corpus data and must not be string-escaped into a plan.
+   */
+  def bpeTrain(df: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    var vocab = spread(df).select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("wc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] as l, syms[i] as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("wc").as("total"))
+        .orderBy(col("total").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        merges += ((r, a, b, a + b, best(0).getLong(2)))
+        vocab = vocab.select(
+          org.apache.spark.sql.functions.aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("wc")).localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "total")
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

@@ -228,6 +228,50 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(("aa", 3L), ("ab", 2L), ("bc", 2L), ("bb", 1L)))
   }
 
+  test("bpeTrain matches a brute-force Sennrich loop incl. merged-symbol rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (1 to 60).map { i =>
+      (i.toLong,
+        (1 to (rnd.nextInt(6) + 2))
+          .map(_ => (1 to (rnd.nextInt(4) + 1)).map(_ => "ab".charAt(rnd.nextInt(2))).mkString)
+          .mkString(" "))
+    }
+    // reference: frequency-weighted vocab of symbol seqs, greedy
+    // left-to-right merge each round, (count desc, lhs, rhs) tie-break
+    var vocab: Map[Seq[String], Long] = docs
+      .flatMap(_._2.split("\\s+")).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .map { case (w, c) => w.map(_.toString) -> c }
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (r <- 1 to 6) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((a, b), t) = counts.toSeq.minBy { case ((l, rr), c) => (-c, l, rr) }
+        expect += ((r, a, b, a + b, t))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq -> c
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    val got = TextAnalysis.bpeTrain(docs.toDF("doc_id", "text"), 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === expect.toSeq)
+    // the tiny alphabet forces later rounds to merge MERGED symbols —
+    // the part bpeMergeCandidates alone cannot see
+    assert(expect.exists { case (_, a, b, _, _) => a.length > 1 || b.length > 1 })
+  }
+
   test("PolyGrams rolling recurrence equals the per-position fold, codegen and interpreted") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge
