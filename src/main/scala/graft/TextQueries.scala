@@ -187,6 +187,37 @@ object TextQueries {
     })
   )
 
+  /** Oracle twin of [[TextAnalysis.langId]]: doc 1..3-gram ranks, the
+    * VALUES profile table generated from the SAME [[TextAnalysis
+    * .langProfiles]] literals, out-of-place distance, min-distance
+    * language with lexicographic tie-break. */
+  private def langIdOracle: String = {
+    val profRows = TextAnalysis.langProfiles.flatMap { case (l, prof) =>
+      prof.map { case (g, r) => s"('$l', '$g', $r)" }
+    }.mkString(",\n  ")
+    val langRows = TextAnalysis.langProfiles
+      .map { case (l, _) => s"('$l')" }.mkString(", ")
+    s"""WITH c AS (SELECT doc_id, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS c FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(c) + 1), i -> substr(c, CAST(i AS INT), 1))) AS g FROM c
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, length(c)), i -> substr(c, CAST(i AS INT), 2))) AS g FROM c
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, length(c) - 1), i -> substr(c, CAST(i AS INT), 3))) AS g FROM c),
+cnt AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+rk AS (SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS r FROM cnt),
+top AS (SELECT doc_id, g, r FROM rk WHERE r <= ${TextAnalysis.LangDocTopK}),
+prof(lang, g, pr) AS (VALUES
+  $profRows),
+langs(lang) AS (VALUES $langRows),
+d AS (SELECT t.doc_id, l.lang, SUM(coalesce(abs(t.r - p.pr), ${TextAnalysis.LangProfileSize})) AS dist
+  FROM top t CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
+  GROUP BY 1, 2),
+best AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn FROM d)
+SELECT doc_id, lang AS lang_pred FROM best WHERE rn = 1"""
+  }
+
   /** Unrolled-CTE oracle for [[TextAnalysis.bpeTrain]]: stage r counts
     * pairs over the round-r symbol table, picks the (total desc, lhs,
     * rhs) winner, and rewrites via sentinel-bounded string replace. */
@@ -295,17 +326,11 @@ WHERE NOT EXISTS (SELECT 1 FROM clus c
   CAST((CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) * 1000) // len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS quality_e3
 FROM documents""",
 
-    "lang_id" ->
-      """SELECT doc_id,
-  CASE
-    WHEN octet_length(encode(text)) > length(text) THEN 'zh'
-    WHEN contains(' '||lower(trim(text))||' ', ' der ') OR contains(' '||lower(trim(text))||' ', ' die ') OR contains(' '||lower(trim(text))||' ', ' und ') OR contains(' '||lower(trim(text))||' ', ' ist ') THEN 'de'
-    WHEN contains(' '||lower(trim(text))||' ', ' le ') OR contains(' '||lower(trim(text))||' ', ' les ') OR contains(' '||lower(trim(text))||' ', ' et ') OR contains(' '||lower(trim(text))||' ', ' est ') THEN 'fr'
-    WHEN contains(' '||lower(trim(text))||' ', ' el ') OR contains(' '||lower(trim(text))||' ', ' los ') OR contains(' '||lower(trim(text))||' ', ' las ') OR contains(' '||lower(trim(text))||' ', ' es ') THEN 'es'
-    WHEN contains(' '||lower(trim(text))||' ', ' the ') OR contains(' '||lower(trim(text))||' ', ' a ') OR contains(' '||lower(trim(text))||' ', ' is ') OR contains(' '||lower(trim(text))||' ', ' and ') THEN 'en'
-    ELSE 'unknown'
-  END AS lang_pred
-FROM documents""",
+    // Cavnar–Trenkle out-of-place distance against the same literal
+    // rank profiles the engine bakes into its plan (generated from one
+    // shared Scala source — rank LITERALS, no cross-engine profile
+    // sort)
+    "lang_id" -> langIdOracle,
 
     "fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -92,25 +92,108 @@ object TextAnalysis {
         expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)")
           .as("quality_e3"))
 
+  /** Cavnar–Trenkle profile size (ranks 1..40; also the out-of-place
+    * penalty for grams absent from a language profile). */
+  val LangProfileSize = 40
+  /** Number of top document grams compared against each profile. */
+  val LangDocTopK = 30
+
   /**
-   * Heuristic language identification: multibyte (non-ASCII) content →
-   * `zh`; otherwise stopword markers for de/fr/es/en; else `unknown`.
-   * A real corpus gets real signal from this; the driver's synthetic
-   * corpus shares one English-ish vocabulary across its `lang` labels,
-   * so here the heuristic (correctly) reports what the TEXT looks like —
-   * the oracle verifies the operator, not the synthetic labels.
+   * Per-language reference samples for the Cavnar–Trenkle profiles:
+   * the language's most common function words (standard public
+   * stopword inventories), letters and single spaces only so the
+   * derived grams embed safely as plan/SQL literals. `ru` exercises a
+   * non-Latin (Cyrillic) script end to end.
+   */
+  private[operators] val langSamples: Seq[(String, String)] = Seq(
+    "de" -> ("der die das und ist nicht ein eine mit von zu auf dem den im er sie es wir ihr sind war haben werden " +
+      "auch als bei nach aber aus durch wenn nur noch wie alle schon mehr sehr kann muss dann unter gegen hier"),
+    "en" -> ("the of and to in is was he for it with as his on be at by had not are but from or have an they which " +
+      "one you were all her she there would their we him been has when who will more no if out so said what"),
+    "es" -> ("de la que el en y a los del se las por un para con no una su al lo como mas pero sus le ya o este si " +
+      "porque esta entre cuando muy sin sobre tambien me hasta hay donde quien desde todo nos durante"),
+    "fr" -> ("de la et le les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont son avec " +
+      "comme mais ou nous tout vous leur bien sans peut cette ses dont aussi elle fait deux encore"),
+    "it" -> ("di e il la che in a per un non sono con si da come lo anche le dei piu nel alla della suo gli una dal " +
+      "ma io questo aveva lui tutto molto era quando loro ancora sua fatto essere fare due anni"),
+    "ru" -> ("и в не на я быть он с что а по это она этот к но они мы как из у который то за свой весь год от так о " +
+      "для ты же все тот мочь вы человек такой его только или еще бы себя один уже"))
+
+  /**
+   * The Cavnar–Trenkle rank profile of a sample: count every 1..3-gram
+   * of the space-padded, whitespace-collapsed, lowercased sample, rank
+   * by (count desc, gram asc), keep the top [[LangProfileSize]]. Pure
+   * driver-side Scala over BMP text (UTF-16 units == codepoints there),
+   * shared verbatim by the operator, the SQL-oracle generator, and the
+   * specs — rank literals, not a cross-engine sort.
+   */
+  private[graft] def langProfileOf(sample: String): Seq[(String, Int)] = {
+    val clean = " " + sample.trim.toLowerCase.replaceAll("\\s+", " ") + " "
+    val grams = for {
+      n <- 1 to 3
+      i <- 0 to clean.length - n
+    } yield clean.substring(i, i + n)
+    grams.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, c) => (-c, g) }
+      .take(LangProfileSize)
+      .zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
+  }
+
+  private[graft] def langProfiles: Seq[(String, Seq[(String, Int)])] =
+    langSamples.map { case (l, s) => l -> langProfileOf(s) }
+
+  /**
+   * N-gram language identification (Cavnar & Trenkle 1994, "N-Gram-
+   * Based Text Categorization"): rank the document's 1..3-gram
+   * frequencies, compare the top [[LangDocTopK]] against each
+   * language's [[LangProfileSize]]-gram rank profile by out-of-place
+   * distance (Σ |doc rank − profile rank|, absent grams costing the
+   * full profile size), and pick the minimum-distance language
+   * (lexicographic tie-break).
+   *
+   * Spark shape: the profiles are PLAN LITERALS (per-language
+   * `map(gram → rank)` built from [[langSamples]] with Column
+   * literals), so classification is one gram explode + one
+   * (doc_id, gram) count + one bounded top-k rollup (`CollectTopK`,
+   * map-side combinable, no corpus window) + one projection evaluating
+   * every language's distance — no join against a profile table, no
+   * per-language pass. The driver's synthetic corpus shares one
+   * English-ish vocabulary across its `lang` labels, so the gate
+   * (correctly) reports what the TEXT looks like; the multilingual
+   * spec classifies real de/en/es/fr/it/ru samples.
    */
   def langId(df: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), normalized(col("text")), lit(" "))
-    def any(words: String*): Column =
-      words.map(w => padded.contains(s" $w ")).reduce(_ || _)
-    df.select(col("doc_id"),
-      when(octet_length(col("text")) > length(col("text")), "zh")
-        .when(any("der", "die", "und", "ist"), "de")
-        .when(any("le", "les", "et", "est"), "fr")
-        .when(any("el", "los", "las", "es"), "es")
-        .when(any("the", "a", "is", "and"), "en")
-        .otherwise("unknown").as("lang_pred"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val clean = concat(lit(" "),
+      regexp_replace(normalized(col("text")), "\\s+", " "), lit(" "))
+    // n = 1..3 grams; the length guard keeps sequence() ascending on
+    // degenerate short strings
+    val gramsExpr = expr(
+      """flatten(transform(sequence(1, 3), n ->
+           case when length(c) >= n
+             then transform(sequence(1, length(c) - n + 1), i -> substr(c, i, n))
+             else cast(array() as array<string>) end))""")
+    val topK = Bridge.collectTopK(
+      Bridge.expression(struct((col("cnt") * -1).as("nc"), col("g").as("g"))),
+      LangDocTopK, reverse = true)
+    val ranked = spread(df).select(col("doc_id"), clean.as("c"))
+      .select(col("doc_id"), explode(gramsExpr).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sort_array(topK).as("tops"))
+      .select(col("doc_id"), expr("transform(tops, t -> t.g)").as("gs"))
+    val dists = langProfiles.map { case (lang, prof) =>
+      val profMap = map(prof.flatMap { case (g, r) =>
+        Seq(lit(g), lit(r)) }: _*)
+      struct(
+        aggregate(
+          zip_with(col("gs"), sequence(lit(1), size(col("gs"))),
+            (g, i) => coalesce(abs(i - try_element_at(profMap, g)),
+              lit(LangProfileSize))),
+          lit(0), (acc, x) => acc + x).as("dist"),
+        lit(lang).as("lang"))
+    }
+    ranked.select(col("doc_id"),
+      least(dists: _*).getField("lang").as("lang_pred"))
   }
 
   /** Whitespace-insensitive content fingerprint (whole-document):

@@ -72,20 +72,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, 1, 2).count() === 0) // 1/3 <  1/2
   }
 
-  test("langId detects real language signal (non-synthetic sanity)") {
+  test("langId classifies held-out sentences in all six profile languages") {
     import spark.implicits._
+    // none of these sentences appear in the profile samples — the
+    // n-gram profiles must generalize, incl. the Cyrillic (non-Latin)
+    // path end to end
     val df = Seq(
-      (1L, "The quick brown fox is jumping and running"),
-      (2L, "Der Hund ist gross und schnell"),
-      (3L, "Le chat est noir et les chiens sont grands"),
-      (4L, "El perro es grande y los gatos son pequenos"),
-      (5L, "你好 世界"),
-      (6L, "zzz qqq xxx")
+      (1L, "The house was on the hill and there was a light in it for all of them"),
+      (2L, "Der Hund und die Katze sind nicht in dem Haus aber wir haben sie gesehen"),
+      (3L, "El perro es grande y los gatos son pequenos pero no estan en la casa"),
+      (4L, "Le chat est noir et les chiens sont dans la maison avec nous"),
+      (5L, "Il gatto e il cane sono nella casa ma non sono molto grandi"),
+      (6L, "Он был в доме и она не была с ними но мы не знали что это было")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.langId(df).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
-      5L -> "zh", 6L -> "unknown"))
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "it", 6L -> "ru"))
+  }
+
+  test("langId profiles: 40 ranked grams per language, deterministic") {
+    val profs = TextAnalysis.langProfiles.toMap
+    assert(profs.keySet === Set("de", "en", "es", "fr", "it", "ru"))
+    profs.values.foreach { p =>
+      assert(p.length === TextAnalysis.LangProfileSize)
+      assert(p.map(_._2) === (1 to TextAnalysis.LangProfileSize))
+      // grams embed as plan/SQL literals: letters and spaces only
+      p.foreach { case (g, _) =>
+        assert(g.forall(c => c == ' ' || Character.isLetter(c)), s"gram '$g'")
+      }
+    }
+    // recomputation is stable (rank literals shared with the oracle)
+    assert(TextAnalysis.langProfiles === TextAnalysis.langProfiles)
   }
 
   test("fingerprint is whitespace-insensitive but content-sensitive") {
