@@ -255,6 +255,40 @@ object Similarity {
    * `nCentroids` rows (metadata-scale). Centroid ids number the picks
    * in vec_id order, mirrored verbatim by the DuckDB oracle.
    */
+  /**
+   * Auto-scaled IVF centroid count: `max(16, ceil(√n))` — the standard
+   * IVF cell-count rule, so candidate volume per probe stays ~`√n·k`
+   * and the per-row centroid scan stays `O(√nCentroids·dim)` on the
+   * two-level path. One corpus count pays for it (trivial next to any
+   * IVF consumer); every operator taking `nCentroids` treats the
+   * default `0` as "resolve via this rule" and memo keys carry the
+   * RESOLVED value, so two corpora of different sizes never share an
+   * entry under a literal `0`.
+   */
+  def autoCentroids(emb: DataFrame): Int =
+    math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+
+  /** `nCentroids` as given, or the [[autoCentroids]] rule for the
+    * `0`/"auto" sentinel. */
+  private def resolveCentroids(emb: DataFrame, nCentroids: Int): Int =
+    if (nCentroids > 0) nCentroids else autoCentroids(emb)
+
+  /**
+   * Cell-balance audit: per-cell vector counts under the (optionally
+   * Lloyd-refined) centroids — `(centroid_id, n_vecs)`. The
+   * distribution's p99/median is THE number to watch when sizing
+   * `nCentroids` at scale: balanced cells bound worst-case probe cost
+   * and keep the candidate join skew-free (AQE splits what remains).
+   */
+  def ivfCellSizes(emb: DataFrame, nCentroids: Int = 0,
+                   lloydIters: Int = 0): DataFrame = {
+    val nc = resolveCentroids(emb, nCentroids)
+    val seeds = ivfCentroids(emb, nc)
+    val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
+    ivfAssign(emb, cents)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vecs"))
+  }
+
   def ivfCentroids(emb: DataFrame, nCentroids: Int): Seq[(Int, Array[Long])] =
     emb.select(col("vec_id"), col("v"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -326,9 +360,9 @@ object Similarity {
    * with deterministic integer k-means ([[ivfRefine]]).
    */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 0, nProbe: Int = 4,
               lloydIters: Int = 0): DataFrame = {
-    val seeds = ivfCentroids(emb, nCentroids)
+    val seeds = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
     val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
     val assigned = ivfAssign(emb, cents)
     // probes materialized as a column BEFORE the explode:
@@ -372,9 +406,9 @@ object Similarity {
    * watch: refined centroids bound it, and AQE's skew-join split
    * handles residual hot cells.
    */
-  def knnJoin(emb: DataFrame, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+  def knnJoin(emb: DataFrame, k: Int, nCentroids: Int = 0, nProbe: Int = 4,
               lloydIters: Int = 0): DataFrame = {
-    val seeds = ivfCentroids(emb, nCentroids)
+    val seeds = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
     val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
     val assigned = ivfAssign(emb, cents)
     val qProbes = emb
@@ -407,8 +441,9 @@ object Similarity {
    * rewritten corpus invalidates the entry; see [[TableMemo]].
    */
   def sharedKnnJoin(emb: DataFrame, corpusKey: String, k: Int,
-                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
-    sharedKnnJoinKeyed(emb, s"$corpusKey|${TableMemo.keyOf(emb)}", k, nCentroids, nProbe)
+                    nCentroids: Int = 0, nProbe: Int = 4): DataFrame =
+    sharedKnnJoinKeyed(emb, s"$corpusKey|${TableMemo.keyOf(emb)}", k,
+      resolveCentroids(emb, nCentroids), nProbe)
 
   /** [[sharedKnnJoin]] with the content-fingerprinted key component
     * already computed — so a caller that derived the fingerprint for
@@ -435,12 +470,13 @@ object Similarity {
   def sharedSemanticClusters(emb: DataFrame, corpusKey: String, k: Int,
                              nCentroids: Int, nProbe: Int,
                              minDot: Long): DataFrame = {
+    val nc = resolveCentroids(emb, nCentroids)
     // fingerprint once; the edge-table memo below reuses it
     val keyedCorpus = s"$corpusKey|${TableMemo.keyOf(emb)}"
-    val key = s"$keyedCorpus|k=$k|c=$nCentroids|p=$nProbe|d=$minDot"
+    val key = s"$keyedCorpus|k=$k|c=$nc|p=$nProbe|d=$minDot"
     val path = sharedSemClusters.getOrCreate(key) { dir =>
       semanticClustersFrom(
-        sharedKnnJoinKeyed(emb, keyedCorpus, k, nCentroids, nProbe), minDot)
+        sharedKnnJoinKeyed(emb, keyedCorpus, k, nc, nProbe), minDot)
         .write.mode("overwrite").parquet(dir)
     }
     emb.sparkSession.read.parquet(path)
@@ -510,10 +546,12 @@ object Similarity {
    */
   def semanticIncremental(newEmb: DataFrame, priorEmb: DataFrame,
                           priorKey: String, minDot: Long,
-                          nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nCentroids"
+                          nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
+    // auto-resolve against the PRIOR corpus (the indexed side)
+    val nc = resolveCentroids(priorEmb, nCentroids)
+    val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nc"
     val cents = sharedCentroids.computeIfAbsent(asgKey,
-      _ => ivfCentroids(priorEmb, nCentroids))
+      _ => ivfCentroids(priorEmb, nc))
     // first night: no prior corpus, nothing to collide with — the whole
     // batch survives (ivfAssign on zero centroids would throw)
     if (cents.isEmpty) return newEmb.select("vec_id")

@@ -45,6 +45,30 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.length === 16, s"cells lost: ${s1.length}")
   }
 
+  test("auto-scaled centroids: √n cells, balanced under refinement at 50k rows") {
+    import spark.implicits._
+    val n = 50000L
+    // uniform deterministic vectors (xxhash64 per (id, dim) — a linear
+    // congruential fill makes a degenerate lattice that collapses IVF
+    // cells and would test nothing)
+    val big = spark.range(n).select(col("id").as("vec_id"),
+      lit("x").as("label"),
+      expr("transform(sequence(0, 15), j -> pmod(xxhash64(id, j), 2000001) - 1000000)")
+        .as("v"))
+    assert(Similarity.autoCentroids(big) === math.ceil(math.sqrt(n.toDouble)).toInt)
+    // nCentroids = 0 resolves via the √n rule inside the operator
+    val sizes = Similarity.ivfCellSizes(big, 0, lloydIters = 2)
+      .select("n_vecs").as[Long].collect().sorted
+    assert(sizes.length === 224, s"cells: ${sizes.length}") // ceil(√50000)
+    assert(sizes.sum === n)
+    val median = sizes(sizes.length / 2)
+    val p99 = sizes(sizes.length * 99 / 100)
+    // measured 2.0–2.8 at 100k/1M; 4.0 is the guard against balance
+    // regressions in the seed pick, assignment, or refinement
+    assert(p99.toDouble / median <= 4.0,
+      s"cell imbalance p99/median = ${p99.toDouble / median} (p99=$p99, median=$median)")
+  }
+
   test("LSH top-k: deterministic recall vs exact baseline, bounded candidate work") {
     val k = 10
     val queries = emb.filter(col("vec_id") < 10)
