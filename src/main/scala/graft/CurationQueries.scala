@@ -28,6 +28,10 @@ object CurationQueries {
   private val NShards = 8
   private val PackSeqLen = 256
   private val DecontamK = 5
+  // span gate uses 3-grams: the synthetic fixture's ~40-word vocabulary
+  // yields zero cross-doc 5-gram collisions at sf0.01, and a 0-row gate
+  // pins nothing — k=3 gives ~200 offset-checked occurrences
+  private val DecontamSpansK = 3
   // mid-corpus token budget: lands the cutoff INSIDE a quality stratum
   // at sf0.01 (so the boundary-bucket window path is exercised)
   private val BudgetTokens = 20000L
@@ -76,6 +80,13 @@ object CurationQueries {
     "decontam_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
       Curation.decontaminate(d.filter(!evalPred), d.filter(evalPred), DecontamK)
+    }),
+    // span-level decontamination: every matched eval 3-gram occurrence
+    // with exact token index and [start, end) char offsets into the
+    // whitespace-collapsed normalized text — redact spans, keep docs
+    "decontam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminateSpans(d.filter(!evalPred), d.filter(evalPred), DecontamSpansK)
     }),
     // same decontamination semantics in the eval-side-too-big-to-
     // broadcast shape: a Catalyst bloom filter over the eval shingle
@@ -232,6 +243,30 @@ SELECT * FROM iw ORDER BY weight_e6 DESC, doc_id LIMIT $IwSampleN""",
     // (bloom has no false negatives; positives are exactly re-verified),
     // so it is gated against the SAME oracle
     "decontam_bloom" -> decontamSql,
+
+    // offset-exact span oracle: char offsets recomputed independently
+    // from token-prefix joins (length of the first i-1 tokens + one
+    // separating space), occurrences NOT deduplicated
+    "decontam_spans" ->
+      s"""WITH dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+ev AS (SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < $EvalPermille),
+evsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws)-${DecontamSpansK - 2}),
+    i -> array_to_string(list_slice(ws, CAST(i AS INT), CAST(i+${DecontamSpansK - 1} AS INT)), ' '))) AS sh
+  FROM dwords JOIN ev USING (doc_id) WHERE len(ws) >= $DecontamSpansK),
+pos AS (SELECT doc_id, s.i - 1 AS start_tok, s.off AS start_char, s.sh AS sh FROM (
+  SELECT d.doc_id, unnest(list_transform(range(1, len(ws)-${DecontamSpansK - 2}),
+    i -> {'i': i,
+          'off': CASE WHEN i = 1 THEN 0
+                 ELSE length(array_to_string(list_slice(ws, 1, CAST(i-1 AS INT)), ' ')) + 1 END,
+          'sh': array_to_string(list_slice(ws, CAST(i AS INT), CAST(i+${DecontamSpansK - 1} AS INT)), ' ')})) AS s
+  FROM dwords d
+  WHERE len(ws) >= $DecontamSpansK
+    AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = d.doc_id)))
+SELECT p.doc_id, CAST(p.start_tok AS BIGINT) AS start_tok,
+  CAST(p.start_char AS BIGINT) AS start_char,
+  CAST(p.start_char + length(p.sh) AS BIGINT) AS end_char, p.sh AS sh
+FROM pos p JOIN evsh e ON p.sh = e.sh""",
 
     "pack_offsets" ->
       s"""WITH sh AS (SELECT doc_id,

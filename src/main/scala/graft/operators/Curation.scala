@@ -242,6 +242,51 @@ object Curation {
   }
 
   /**
+   * Span-level decontamination report — the surgical complement of
+   * [[decontaminate]]: instead of flagging whole documents, emit EVERY
+   * matched eval k-shingle occurrence with its exact location, so a
+   * pipeline can redact the contaminated span and keep the document.
+   * One row per occurrence: `(doc_id, start_tok, start_char, end_char,
+   * sh)` — token index of the shingle's first token, and [start, end)
+   * character offsets into the whitespace-collapsed normalized text
+   * (`regexp_replace(lower(trim(text)), '\s+', ' ')` — the same
+   * canonical form [[TextAnalysis.fingerprint]] hashes), where
+   * `end_char − start_char = length(sh)`.
+   *
+   * Scale shape: positions come from one per-document window (token
+   * ordinal + running character offset — document-sized partitions,
+   * never corpus-sized), shingles from `k−1` `lead`s over the same
+   * window, and the eval side broadcasts exactly as [[decontaminate]];
+   * in the too-big-to-broadcast regime prefilter `sh` with the
+   * [[decontaminateAtScale]] bloom before this join — a miss is
+   * definitive, so the span set is unchanged.
+   */
+  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
+                         k: Int = 5): DataFrame = {
+    val evalSh = TextAnalysis.shingles(evalSet, k).select("sh").distinct()
+    val toks = TextAnalysis.spread(corpus)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val ord = Window.partitionBy("doc_id").orderBy("pos")
+    val offWin = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val leads = (1 until k).map(j => lead(col("w"), j).over(ord))
+    val shCol =
+      if (k == 1) col("w")
+      else when(leads.last.isNotNull, concat_ws(" ", (col("w") +: leads): _*))
+    toks
+      .withColumn("start_char",
+        coalesce(sum(length(col("w")) + 1).over(offWin), lit(0L)))
+      .withColumn("sh", shCol)
+      .filter(col("sh").isNotNull)
+      .join(broadcast(evalSh), Seq("sh"))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("start_tok"),
+        col("start_char").cast("long").as("start_char"),
+        (col("start_char") + length(col("sh"))).cast("long").as("end_char"),
+        col("sh"))
+  }
+
+  /**
    * Token-stream packing offsets — the final layout step of a
    * pretraining-data build: documents are concatenated (in the
    * reproducible hash order of [[shardAssign]], per shard) into one

@@ -353,6 +353,29 @@ class CurationSpec extends SparkSpec {
     assert(tight == oracle(totalMass / 3))
   }
 
+  test("decontaminateSpans: offsets address the matched substring exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two  three\tbeta gamma delta four"), // messy whitespace
+      (3L, "beta gamma delta x beta gamma delta"),   // two occurrences
+      (4L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "beta gamma delta")).toDF("doc_id", "text")
+    val spans = Curation.decontaminateSpans(corpus, eval, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // every span's [start, end) slice of the canonical text IS the shingle
+    val clean = corpus.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")).toMap
+    spans.foreach { case (id, _, s, e, sh) =>
+      assert(clean(id).substring(s.toInt, e.toInt) === sh, s"doc $id")
+    }
+    val byDoc = spans.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDoc === Map(1L -> 1, 2L -> 1, 3L -> 2))
+    // start_tok is the shingle's first token ordinal
+    assert(spans.filter(_._1 == 3L).map(_._2).sorted.toSeq === Seq(0L, 4L))
+  }
+
   test("decontaminateAtScale equals decontaminate exactly, including the empty-eval edge") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
