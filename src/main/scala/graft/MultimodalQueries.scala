@@ -42,6 +42,23 @@ object MultimodalQueries {
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           round(col("mean_byte") * col("width") * col("height"))
             .cast("long").as("pixel_sum"))
+    }),
+    // RESIZE path, same proof shape: closed-form PNG → real
+    // nearest-neighbor resize to 8×6 (re-encoded PNG) → real decode;
+    // the oracle recomputes the resized pixel sum from the closed form
+    // at the nearest-neighbor source coordinates, so the gate pins the
+    // whole encode→resize→re-encode→decode chain sample-exact
+    "multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image", Multimodal.grayPng(id)))
+      Multimodal.decode(
+        Multimodal.resize(recs, 8, 6, Multimodal.ImageIoCodec),
+        Multimodal.ImageIoCodec)
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_byte") * col("width") * col("height"))
+            .cast("long").as("pixel_sum"))
     })
   )
 
@@ -78,6 +95,19 @@ FROM f WHERE s.idx % 4 = 0""",
   CAST(list_sum(flatten(list_transform(range(0, CAST(1 + doc_id % 17 AS INT)),
     y -> list_transform(range(0, CAST(1 + doc_id % 31 AS INT)),
       x -> (doc_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS pixel_sum
+FROM documents""",
+
+    // nearest-neighbor source coordinate: s = (target * srcDim) // dstDim
+    // — the same floor the codec's sample copy computes
+    "multimodal_resize" ->
+      """SELECT doc_id,
+  CAST(8 AS INT) AS width,
+  CAST(6 AS INT) AS height,
+  CAST(list_sum(flatten(list_transform(range(0, 6),
+    y -> list_transform(range(0, 8),
+      x -> (doc_id*31
+            + ((x * (1 + doc_id % 31)) // 8) * 7
+            + ((y * (1 + doc_id % 17)) // 6) * 13) % 256)))) AS BIGINT) AS pixel_sum
 FROM documents"""
   )
 }

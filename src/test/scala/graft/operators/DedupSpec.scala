@@ -91,6 +91,13 @@ class DedupSpec extends SparkSpec {
       5L -> "it", 6L -> "ru"))
   }
 
+  test("langId plan is shuffle-free: per-row ranking, no corpus exchange") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat"), (2L, "der hund lief")).toDF("doc_id", "text")
+    val plan = TextAnalysis.langId(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("langId profiles: 40 ranked grams per language, deterministic") {
     val profs = TextAnalysis.langProfiles.toMap
     assert(profs.keySet === Set("de", "en", "es", "fr", "it", "ru"))
