@@ -48,6 +48,22 @@ object MultimodalQueries {
     // the oracle recomputes the resized pixel sum from the closed form
     // at the nearest-neighbor source coordinates, so the gate pins the
     // whole encode→resize→re-encode→decode chain sample-exact
+    // REAL audio decode, same proof shape as multimodal_real:
+    // closed-form 8-bit PCM WAVs are encoded AND decoded with genuine
+    // javax.sound on the executors; the oracle recomputes rate/frames/
+    // sample sum from the closed form alone. sample_sum = mean·frames
+    // rounds exactly (sum < 2^17, well inside double's integer range).
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio", Multimodal.pcmWav(id)))
+      Multimodal.decode(recs, Multimodal.WavCodec)
+        .select(col("doc_id"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("n_frames"),
+          round(col("mean_byte") * col("n_frames")).cast("long").as("sample_sum"))
+    }),
     "multimodal_resize" -> ((s, dir) => {
       import s.implicits._
       val recs = s.read.parquet(s"$dir/documents.parquet")
@@ -95,6 +111,17 @@ FROM f WHERE s.idx % 4 = 0""",
   CAST(list_sum(flatten(list_transform(range(0, CAST(1 + doc_id % 17 AS INT)),
     y -> list_transform(range(0, CAST(1 + doc_id % 31 AS INT)),
       x -> (doc_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS pixel_sum
+FROM documents""",
+
+    // expected audio stats from the SAME closed form pcmWav encodes:
+    // 8 kHz mono, n = 100 + id%400 frames, sample i = (id*31 + i*7) % 256
+    "multimodal_audio" ->
+      """SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS channels,
+  CAST(100 + doc_id % 400 AS INT) AS n_frames,
+  CAST(list_sum(list_transform(range(0, CAST(100 + doc_id % 400 AS INT)),
+    i -> (doc_id*31 + i*7) % 256)) AS BIGINT) AS sample_sum
 FROM documents""",
 
     // nearest-neighbor source coordinate: s = (target * srcDim) // dstDim

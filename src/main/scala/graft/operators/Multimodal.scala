@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
  * without touching the Spark-side plumbing. IMAGES use the real
  * [[ImageIoCodec]] (JDK `javax.imageio`: PNG/JPEG/BMP/GIF — true
  * dimensions, raster-exact pixel stats, oracle-gated round trip).
- * AUDIO/VIDEO have no JDK decoder and no media library exists in this
- * environment, so they go through [[StandInCodec]], a clearly-marked
- * DETERMINISTIC STAND-IN (a real ffmpeg/model kernel implements the
- * same three methods). The Spark-side contract (schema, typed Dataset
- * encoders, per-partition batching, shuffle-free execution) is the
- * real, tested design:
+ * AUDIO uses the real [[WavCodec]] (JDK `javax.sound.sampled`: PCM
+ * WAV/AU/AIFF — true sample rate/channels/frame counts, byte-exact
+ * sample stats, oracle-gated round trip). VIDEO has no JDK decoder and
+ * no media library exists in this environment, so it goes through
+ * [[StandInCodec]], a clearly-marked DETERMINISTIC STAND-IN (a real
+ * ffmpeg kernel implements the same three methods); [[JdkCodec]]
+ * dispatches all three by `media_type`. The Spark-side contract
+ * (schema, typed Dataset encoders, per-partition batching,
+ * shuffle-free execution) is the real, tested design:
  *
  *  - payloads never pass through the driver;
  *  - kernels run via `mapPartitions` (the Scala analog of
@@ -238,6 +241,112 @@ object Multimodal {
         MediaFeature(r.doc_id, hist.map(_ / math.max(1L, n)))
       }
     }
+  }
+
+  /**
+   * REAL audio codec over JDK `javax.sound.sampled` (PCM WAV/AU/AIFF —
+   * ships with every JRE, zero external deps). Audio payloads only;
+   * `decode` throws on bytes no installed reader recognizes. Field
+   * mapping (documented because [[MediaInfo]] is image-shaped):
+   * `width` = sample rate (Hz), `height` = channels, `n_frames` =
+   * PCM frame count, `mean_byte` = mean of the raw PCM data bytes
+   * (for 8-bit unsigned mono, exactly the mean sample value).
+   *
+   *  - `resize`: nearest-neighbor RESAMPLE of the frame stream to
+   *    `w·h` frames (the time-axis twin of the image resize),
+   *    re-encoded as WAV with the source format;
+   *  - `features`: 16-bin L1-normalized histogram of the data bytes.
+   */
+  object WavCodec extends MediaCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    private def readAll(r: MediaRecord): (AudioFormat, Array[Byte]) = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try (in.getFormat, in.readAllBytes()) finally in.close()
+    }
+
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRecord): MediaInfo = {
+        val (fmt, data) = readAll(r)
+        val frames = data.length / fmt.getFrameSize
+        val mean = if (data.length == 0) 0.0
+          else data.map(b => (b & 0xFF).toLong).sum.toDouble / data.length
+        MediaInfo(r.doc_id, r.media_type,
+          fmt.getSampleRate.toInt, fmt.getChannels, frames, mean)
+      }
+
+      def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+        val (fmt, data) = readAll(r)
+        val fs = fmt.getFrameSize
+        val srcFrames = data.length / fs
+        val dstFrames = w * h
+        val out = new Array[Byte](dstFrames * fs)
+        var i = 0
+        while (i < dstFrames) {
+          val src = if (srcFrames == 0) 0 else (i.toLong * srcFrames / dstFrames).toInt
+          System.arraycopy(data, src * fs, out, i * fs, fs)
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(new java.io.ByteArrayInputStream(out), fmt, dstFrames),
+          AudioFileFormat.Type.WAVE, baos)
+        MediaRecord(r.doc_id, r.media_type, baos.toByteArray)
+      }
+
+      def features(r: MediaRecord): MediaFeature = {
+        val (_, data) = readAll(r)
+        val hist = new Array[Float](16)
+        data.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+        val n = math.max(1, data.length).toFloat
+        MediaFeature(r.doc_id, hist.map(_ / n))
+      }
+    }
+  }
+
+  /**
+   * The composite JDK codec: dispatch by `media_type` — images through
+   * [[ImageIoCodec]], audio through [[WavCodec]], video through
+   * [[StandInCodec]] (the JDK has no video decoder; that is the ONLY
+   * remaining stand-in surface). One decoder handle of each kind per
+   * partition, opened lazily.
+   */
+  object JdkCodec extends MediaCodec {
+    def open(): MediaDecoder = new MediaDecoder {
+      private lazy val img = ImageIoCodec.open()
+      private lazy val aud = WavCodec.open()
+      private lazy val std = StandInCodec.open()
+      private def route(t: String): MediaDecoder = t match {
+        case "image" => img
+        case "audio" => aud
+        case _ => std
+      }
+      def decode(r: MediaRecord): MediaInfo = route(r.media_type).decode(r)
+      def resize(r: MediaRecord, w: Int, h: Int): MediaRecord =
+        route(r.media_type).resize(r, w, h)
+      def features(r: MediaRecord): MediaFeature = route(r.media_type).features(r)
+      override def close(): Unit = { img.close(); aud.close(); std.close() }
+    }
+  }
+
+  /**
+   * Deterministic mono 8-bit PCM WAV fixture for `doc_id`: 8 kHz,
+   * `100 + id % 400` frames, sample `i = (id·31 + i·7) mod 256`
+   * (unsigned), written through real `AudioSystem` WAV encoding — the
+   * audio twin of [[grayPng]], closed-form so a SQL oracle recomputes
+   * the expected frame count and sample sum without decoding.
+   */
+  def pcmWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (100 + docId % 400).toInt
+    val data = Array.tabulate(n)(i => ((docId * 31 + i * 7) % 256).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 
   /**

@@ -164,6 +164,48 @@ class MultimodalSpec extends SparkSpec {
     dec.close()
   }
 
+  test("WavCodec: PCM WAV decode is byte-exact; nearest-neighbor resample picks frames") {
+    import Multimodal.MediaRecord
+    val dec = Multimodal.WavCodec.open()
+    val ids = Seq(0L, 7L, 399L, 1234L)
+    ids.foreach { id =>
+      val info = dec.decode(MediaRecord(id, "audio", Multimodal.pcmWav(id)))
+      val n = (100 + id % 400).toInt
+      assert(info.width === 8000)    // sample rate
+      assert(info.height === 1)      // channels
+      assert(info.n_frames === n)
+      val expectedSum = (0 until n).map(i => (id * 31 + i * 7) % 256).sum
+      assert(math.round(info.mean_byte * n) === expectedSum)
+    }
+    // resample 100+0 frames down to 5x2=10: frame j comes from source
+    // frame (j*n)/10 — re-decode and check each picked byte
+    val id = 0L
+    val small = dec.resize(MediaRecord(id, "audio", Multimodal.pcmWav(id)), 5, 2)
+    val back = dec.decode(small)
+    assert(back.n_frames === 10)
+    val n = 100
+    val expect = (0 until 10).map { j =>
+      val src = j * n / 10; (id * 31 + src * 7) % 256
+    }
+    assert(math.round(back.mean_byte * 10) === expect.sum)
+    val f = dec.features(MediaRecord(id, "audio", Multimodal.pcmWav(id)))
+    assert(math.abs(f.feature.sum - 1f) < 1e-6)
+    dec.close()
+  }
+
+  test("JdkCodec dispatches by media_type: real image + real audio + stand-in video") {
+    import Multimodal.MediaRecord
+    val dec = Multimodal.JdkCodec.open()
+    val img = dec.decode(MediaRecord(5L, "image", Multimodal.grayPng(5L)))
+    assert(img.width === (1 + 5 % 31) && img.height === (1 + 5 % 17))
+    val aud = dec.decode(MediaRecord(5L, "audio", Multimodal.pcmWav(5L)))
+    assert(aud.width === 8000 && aud.n_frames === 105)
+    // video falls through to the stand-in's length-derived shape
+    val vid = dec.decode(MediaRecord(5L, "video", Array.fill[Byte](600)(1)))
+    assert(vid.n_frames === (600 + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes)
+    dec.close()
+  }
+
   test("ImageIoCodec through the operators: distributed decode matches local") {
     import Multimodal.MediaRecord
     import spark.implicits._
