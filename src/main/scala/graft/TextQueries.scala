@@ -80,6 +80,14 @@ object TextQueries {
     // merge and recounts over the rewritten symbol table (driver-bounded
     // loop, one vocabulary-scale aggregate per round)
     "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(docs(s, dir), BpeRounds)),
+    // tokenizer APPLICATION: replay the trained merge list over every
+    // word (plan-literal folds, zero shuffle) — per-doc true token
+    // counts under the corpus's own tokenizer
+    "bpe_encode" -> ((s, dir) => {
+      val merges = TextAnalysis.bpeTrain(docs(s, dir), BpeRounds).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, dir), merges)
+    }),
     // train/val split-leakage audit: deterministic hash split, then
     // every LSH-verified near-dup pair that CROSSES the split boundary
     // (the eval-contamination a random split silently ships)
@@ -242,6 +250,28 @@ v${r + 1} AS (SELECT replace(vstr, $sep || lhs || $sep || $sep || rhs || $sep,
       .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, lhs || rhs AS merged, total FROM b$r")
       .mkString("\nUNION ALL ")
     s"$head$stages\n$rows"
+  }
+
+  /** Oracle twin of [[TextAnalysis.bpeEncode]] over [[bpeTrainOracle]]'s
+    * merge CTEs: every (doc, word occurrence) replays the b1..bR
+    * replace chain, then piece counts roll up per document. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val sep = "chr(31)"
+    val train = bpeTrainOracle(rounds)
+    // keep only the WITH-chain (drop the final merge-row SELECTs)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT CAST(1 AS INT)"))
+    val encodeStages = (1 to rounds).map { r =>
+      s""",
+w$r AS (SELECT doc_id, replace(vstr, $sep || lhs || $sep || $sep || rhs || $sep,
+    $sep || lhs || rhs || $sep) AS vstr FROM w${r - 1}, b$r)"""
+    }.mkString
+    s"""$ctes,
+dw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+w0 AS (SELECT doc_id, $sep || array_to_string(list_transform(range(1, length(w)+1),
+    i -> substr(w, CAST(i AS INT), 1)), $sep || $sep) || $sep AS vstr FROM dw)$encodeStages
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(string_split(trim(vstr, $sep), $sep || $sep))) AS BIGINT) AS n_pieces
+FROM w$rounds GROUP BY doc_id"""
   }
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
@@ -625,6 +655,11 @@ ORDER BY total DESC, pair LIMIT 20""",
     // replace() scans left-to-right non-overlapping — the textbook BPE
     // walk the engine's fold implements on arrays.
     "bpe_train" -> bpeTrainOracle(BpeRounds),
+
+    // tokenizer application: the SAME unrolled training stages derive
+    // b1..bR, then every (doc, word) replays the replace chain and the
+    // per-doc piece counts roll up
+    "bpe_encode" -> bpeEncodeOracle(BpeRounds),
 
     "split_leakage" ->
       s"""$sigCte,

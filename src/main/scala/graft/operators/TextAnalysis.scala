@@ -626,6 +626,41 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "lhs", "rhs", "merged", "total")
   }
 
+  /**
+   * Apply a trained BPE merge list ([[bpeTrain]]'s output order) to the
+   * corpus — the TOKENIZE step that consumes the training loop's
+   * artifact: every word starts as characters and replays each merge in
+   * sequence (the same greedy left-to-right fold, same
+   * merged-tail-never-chains argument). Returns per document
+   * `(doc_id, n_words, n_pieces)` — the real token count a pipeline
+   * budgets with under ITS OWN tokenizer, where [[tokenPieces]]
+   * approximates a fixed external one.
+   *
+   * Scale shape: ZERO SHUFFLE — the merge list is driver-bounded and
+   * baked in as plan literals (Column lambdas, never SQL text), so
+   * encoding is a pure per-row projection: O(merges · word length)
+   * array folds per word, embarrassingly parallel at any corpus size.
+   */
+  def bpeEncode(df: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+    def agg(e: Column, init: Column,
+            merge: (Column, Column) => Column): Column =
+      org.apache.spark.sql.functions.aggregate(e, init, merge)
+    def applyMerge(syms: Column, a: String, b: String): Column =
+      agg(syms, array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    def enc(w: Column): Column =
+      mergeList.foldLeft(filter(split(w, ""), c => c =!= lit(""))) {
+        case (syms, (a, b)) => applyMerge(syms, a, b)
+      }
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        agg(transform(col("ws"), w => size(enc(w))), lit(0),
+          (acc, x) => acc + x).cast("long").as("n_pieces"))
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

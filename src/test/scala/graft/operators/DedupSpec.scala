@@ -297,6 +297,39 @@ class DedupSpec extends SparkSpec {
     assert(expect.exists { case (_, a, b, _, _) => a.length > 1 || b.length > 1 })
   }
 
+  test("bpeEncode replays merges like the brute-force tokenizer, word by word") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aba bab abab"),
+      (2L, "aa bb ab ba"),
+      (3L, "abababab a b")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 4).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // reference: greedy left-to-right replay per word
+    def encode(w: String): Seq[String] =
+      merges.foldLeft(w.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+    val expect = Seq(1L, 2L, 3L).map { id =>
+      val ws = Map(1L -> "aba bab abab", 2L -> "aa bb ab ba",
+        3L -> "abababab a b")(id).split(" ").toSeq
+      id -> ((ws.length.toLong, ws.map(w => encode(w).length.toLong).sum))
+    }.toMap
+    val got = TextAnalysis.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // merged pieces actually shrink the count (the merges bit)
+    assert(got(3L)._2 < 10L)
+  }
+
   test("PolyGrams rolling recurrence equals the per-position fold, codegen and interpreted") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge

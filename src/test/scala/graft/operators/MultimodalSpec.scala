@@ -164,6 +164,31 @@ class MultimodalSpec extends SparkSpec {
     dec.close()
   }
 
+  test("ImageIoCodec: animated GIF reports its true frame count") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import Multimodal.MediaRecord
+    // write a 3-frame GIF through the JDK's sequence writer
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 3) {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.getRaster.setSample(x, y, 0, (f * 50 + x + y) % 256)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val dec = Multimodal.ImageIoCodec.open()
+    val info = dec.decode(MediaRecord(9L, "image", baos.toByteArray))
+    assert(info.n_frames === 3)
+    assert(info.width === 4 && info.height === 4)
+    dec.close()
+  }
+
   test("WavCodec: PCM WAV decode is byte-exact; nearest-neighbor resample picks frames") {
     import Multimodal.MediaRecord
     val dec = Multimodal.WavCodec.open()
