@@ -170,6 +170,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("span decontamination: broadcast eval side, window partitioned by doc") {
+    val plan = graft.SparkEntry.queries("decontam_spans")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the position/offset window must be keyed (per-document partitions,
+    // never the single-partition global-window trap)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, plan)
+    assert(windowLines.forall(_.contains("doc_id")),
+      "window not partitioned by doc_id:\n" + windowLines.mkString("\n"))
+  }
+
+  test("BPE encode and language ID never shuffle on a key (round-robin spread only)") {
+    // spread()'s RoundRobin repartition is allowed (it moves no data to
+    // a specific reducer — just widens parallelism for per-row work);
+    // a hash or range exchange would mean the ranking left the row
+    def keyedExchanges(p: String): Seq[String] =
+      p.linesIterator.filter(l => l.contains("Exchange") &&
+        (l.contains("hashpartitioning") || l.contains("rangepartitioning"))).toSeq
+    val lid = graft.SparkEntry.queries("lang_id")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(keyedExchanges(lid).isEmpty, s"lang_id keyed shuffle:\n$lid")
+    // bpe_encode's plan is projection-only AFTER the (gated separately)
+    // training rounds; pin the encode operator itself
+    val enc = graft.operators.TextAnalysis.bpeEncode(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"),
+      Seq(("a", "b"), ("ab", "c")))
+      .queryExecution.executedPlan.toString
+    assert(keyedExchanges(enc).isEmpty, s"bpe_encode keyed shuffle:\n$enc")
+  }
+
   test("bloom decontamination probes the filter before the exchange") {
     // the at-scale path must carry the bloom probe (might_contain) as a
     // plain filter on the corpus side so only bloom-positive shingles
