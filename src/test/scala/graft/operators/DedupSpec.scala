@@ -392,6 +392,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanDedupChars matches a brute-force reference on random corpora with copies") {
+    import spark.implicits._
+    val k = 6
+    val rnd = new scala.util.Random(31)
+    // tiny alphabet + punctuation noise -> dense char-gram sharing; the
+    // cleaned stream strips the noise so copies align
+    val base = (1 to 25).map { i =>
+      (i.toLong, (1 to (rnd.nextInt(20) + k))
+        .map(_ => "ab,. !".charAt(rnd.nextInt(6)).toString).mkString)
+    }
+    val docs = base ++ base.take(10).zipWithIndex.map { case ((_, t), j) => (50L + j, t) }
+    def cleanOf(t: String): String =
+      t.trim.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val cleans = docs.map { case (id, t) => id -> cleanOf(t) }
+      .filter(_._2.nonEmpty).toMap
+    val grams = cleans.view.mapValues(c =>
+      if (c.length < k) Seq.empty else c.sliding(k).toSeq).toMap
+    val keeper = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (g, occ) if occ.map(_._2).distinct.size >= 2 =>
+        g -> occ.map(_._2).min }
+    def refDup(id: Long): Long = {
+      val c = cleans(id)
+      val starts = grams(id).zipWithIndex.collect {
+        case (g, i) if keeper.get(g).exists(_ != id) => i
+      }.toSet
+      c.indices.count(p => starts.exists(s => s <= p && p <= s + k - 1)).toLong
+    }
+    val out = Dedup.spanDedupChars(docs.toDF("doc_id", "text"), k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === cleans.keySet)
+    cleans.keys.foreach { id =>
+      assert(out(id) === ((cleans(id).length.toLong, refDup(id))), s"doc $id")
+    }
+    // copies produce full coverage for non-keeper members somewhere
+    assert(out.exists { case (_, (n, d)) => n > 0 && n == d })
+  }
+
   test("spanDedup with exact text copies: collapse fans per-doc keeper status back out") {
     import spark.implicits._
     val k = 3
