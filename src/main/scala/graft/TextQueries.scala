@@ -218,12 +218,15 @@ top AS (SELECT doc_id, g, r FROM rk WHERE r <= ${TextAnalysis.LangDocTopK}),
 prof(lang, g, pr) AS (VALUES
   $profRows),
 langs(lang) AS (VALUES $langRows),
-d AS (SELECT t.doc_id, l.lang, SUM(coalesce(abs(t.r - p.pr), ${TextAnalysis.LangProfileSize})) AS dist
+d AS (SELECT t.doc_id, l.lang, SUM(coalesce(abs(t.r - p.pr), ${TextAnalysis.LangProfileSize})) AS dist,
+    CAST(count(*) AS BIGINT) AS ng
   FROM top t CROSS JOIN langs l
   LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
   GROUP BY 1, 2),
-best AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn FROM d)
-SELECT doc_id, lang AS lang_pred FROM best WHERE rn = 1"""
+best AS (SELECT doc_id, lang, dist, ng, row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn FROM d)
+SELECT doc_id,
+  CASE WHEN dist * 10 >= ng * ${TextAnalysis.LangProfileSize} * 9 THEN 'unknown' ELSE lang END AS lang_pred
+FROM best WHERE rn = 1"""
   }
 
   /** Unrolled-CTE oracle for [[TextAnalysis.bpeTrain]]: stage r counts
@@ -260,10 +263,18 @@ v${r + 1} AS (SELECT replace(vstr, $sep || lhs || $sep || $sep || rhs || $sep,
     val train = bpeTrainOracle(rounds)
     // keep only the WITH-chain (drop the final merge-row SELECTs)
     val ctes = train.substring(0, train.lastIndexOf("\nSELECT CAST(1 AS INT)"))
+    // scalar subqueries, not a cross join: if training exhausts before
+    // round r (b$r empty), a cross join would empty every later stage
+    // and the whole result — the CASE passes vstr through unchanged,
+    // matching the engine loop that simply stops merging
     val encodeStages = (1 to rounds).map { r =>
       s""",
-w$r AS (SELECT doc_id, replace(vstr, $sep || lhs || $sep || $sep || rhs || $sep,
-    $sep || lhs || rhs || $sep) AS vstr FROM w${r - 1}, b$r)"""
+w$r AS (SELECT doc_id,
+  CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN vstr
+       ELSE replace(vstr,
+         (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$r),
+         (SELECT $sep || lhs || rhs || $sep FROM b$r)) END AS vstr
+  FROM w${r - 1})"""
     }.mkString
     s"""$ctes,
 dw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),

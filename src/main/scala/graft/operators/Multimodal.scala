@@ -135,8 +135,8 @@ object Multimodal {
    * REAL image codec over JDK `javax.imageio` (PNG/JPEG/BMP/GIF —
    * ships with every JRE, zero external deps). Image payloads only:
    * `decode` throws on bytes no installed reader recognizes, so callers
-   * filter `media_type === "image"` first. Audio/video still go through
-   * [[StandInCodec]] (no JDK decoder exists for them).
+   * filter `media_type === "image"` first (audio has [[WavCodec]];
+   * video keeps the stand-in).
    *
    *  - `decode`: true raster width/height; `n_frames` from
    *    `ImageReader.getNumImages` (multi-frame GIFs count correctly);
@@ -144,9 +144,14 @@ object Multimodal {
    *    pixel) read straight off the `Raster` — no color-space
    *    conversion, so an 8-bit gray PNG round-trips its sample values
    *    exactly.
-   *  - `resize`: nearest-neighbor sample copy raster-to-raster
-   *    (deterministic; `getRGB`/`Graphics2D` would gamma-convert
-   *    gray↔sRGB and change values), re-encoded as PNG.
+   *  - `resize`: nearest-neighbor sample copy raster-to-raster for
+   *    component types (deterministic; `getRGB`/`Graphics2D` would
+   *    gamma-convert gray↔sRGB and change values); INDEXED/BINARY
+   *    sources (GIF palettes) copy COLORS via `getRGB` into ARGB
+   *    instead — their raster samples are palette indices, and an
+   *    index copy under a different palette would remap every color
+   *    (sRGB palette lookups are exact, no gamma conversion applies).
+   *    Re-encoded as PNG.
    *  - `features`: 16-bin L1-normalized histogram of raster samples —
    *    the decoded-domain twin of [[StandInCodec]]'s byte histogram.
    */
@@ -193,26 +198,44 @@ object Multimodal {
 
       def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
         val (img, _) = readImage(r)
-        // keep the source's standard type so sample copies are exact;
-        // custom-typed sources fall back to ARGB (still deterministic)
-        val outType =
-          if (img.getType == BufferedImage.TYPE_CUSTOM) BufferedImage.TYPE_INT_ARGB
-          else img.getType
-        val out = new BufferedImage(w, h, outType)
-        val si = img.getRaster
-        val so = out.getRaster
-        val bands = math.min(si.getNumBands, so.getNumBands)
-        var y = 0
-        while (y < h) {
-          val sy = (y.toLong * img.getHeight / h).toInt
-          var x = 0
-          while (x < w) {
-            val sx = (x.toLong * img.getWidth / w).toInt
-            var b = 0
-            while (b < bands) { so.setSample(x, y, b, si.getSample(sx, sy, b)); b += 1 }
-            x += 1
+        // indexed/binary rasters hold PALETTE INDICES, not samples — a
+        // raw index copy into an image with a different palette remaps
+        // every color, so those (and custom types) copy resolved ARGB
+        // colors instead; component types keep the exact sample copy
+        val indexed = img.getType == BufferedImage.TYPE_CUSTOM ||
+          img.getType == BufferedImage.TYPE_BYTE_INDEXED ||
+          img.getType == BufferedImage.TYPE_BYTE_BINARY ||
+          img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+        val out = new BufferedImage(w, h,
+          if (indexed) BufferedImage.TYPE_INT_ARGB else img.getType)
+        if (indexed) {
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * img.getHeight / h).toInt
+            var x = 0
+            while (x < w) {
+              val sx = (x.toLong * img.getWidth / w).toInt
+              out.setRGB(x, y, img.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+        } else {
+          val si = img.getRaster
+          val so = out.getRaster
+          val bands = math.min(si.getNumBands, so.getNumBands)
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * img.getHeight / h).toInt
+            var x = 0
+            while (x < w) {
+              val sx = (x.toLong * img.getWidth / w).toInt
+              var b = 0
+              while (b < bands) { so.setSample(x, y, b, si.getSample(sx, sy, b)); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
         }
         val baos = new java.io.ByteArrayOutputStream()
         ImageIO.write(out, "png", baos)
@@ -282,11 +305,16 @@ object Multimodal {
         val srcFrames = data.length / fs
         val dstFrames = w * h
         val out = new Array[Byte](dstFrames * fs)
-        var i = 0
-        while (i < dstFrames) {
-          val src = if (srcFrames == 0) 0 else (i.toLong * srcFrames / dstFrames).toInt
-          System.arraycopy(data, src * fs, out, i * fs, fs)
-          i += 1
+        // zero-frame source: leave the silence buffer (an arraycopy
+        // from the empty data array would throw) — the audio twin of
+        // the stand-in's blank canvas
+        if (srcFrames > 0) {
+          var i = 0
+          while (i < dstFrames) {
+            val src = (i.toLong * srcFrames / dstFrames).toInt
+            System.arraycopy(data, src * fs, out, i * fs, fs)
+            i += 1
+          }
         }
         val baos = new java.io.ByteArrayOutputStream()
         AudioSystem.write(

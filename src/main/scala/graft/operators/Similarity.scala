@@ -589,9 +589,9 @@ object Similarity {
    * [[Curation.sourceCap]] makes for sources.
    */
   def diversitySample(emb: DataFrame, scores: DataFrame, perCell: Int,
-                      nCentroids: Int = 16): DataFrame = {
+                      nCentroids: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val cents = ivfCentroids(emb, nCentroids)
+    val cents = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
     val scored = ivfAssign(emb, cents).join(scores, "vec_id")
     val topN = Bridge.collectTopK(
       Bridge.expression(struct((-col("score")).as("ns"), col("vec_id").as("vec_id"))),

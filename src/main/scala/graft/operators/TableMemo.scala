@@ -112,8 +112,14 @@ private[graft] object TableMemo {
       // Mix in the canonicalized plan: two views DERIVED from the same
       // files (a filtered prior vs the full corpus) must not collide
       // under one caller key just because their file listings match.
-      md.update(df.queryExecution.optimizedPlan.canonicalized.toString
-        .getBytes("UTF-8"))
+      // JSON, not toString: treeString elides columns past
+      // spark.sql.debug.maxToStringFields (default 25), so wide-schema
+      // projections differing only in late fields would stringify — and
+      // therefore fingerprint — identically. toJSON is lossless.
+      val plan = df.queryExecution.optimizedPlan.canonicalized
+      val planBytes =
+        try plan.toJSON catch { case _: Throwable => plan.treeString }
+      md.update(planBytes.getBytes("UTF-8"))
       Some(md.digest().map("%02x".format(_)).mkString)
     }
   }

@@ -117,7 +117,14 @@ object TextAnalysis {
     "it" -> ("di e il la che in a per un non sono con si da come lo anche le dei piu nel alla della suo gli una dal " +
       "ma io questo aveva lui tutto molto era quando loro ancora sua fatto essere fare due anni"),
     "ru" -> ("и в не на я быть он с что а по это она этот к но они мы как из у который то за свой весь год от так о " +
-      "для ты же все тот мочь вы человек такой его только или еще бы себя один уже"))
+      "для ты же все тот мочь вы человек такой его только или еще бы себя один уже"),
+    // unsegmented script: repetition encodes the character frequency
+    // rank (the profile builder counts occurrences), so the top grams
+    // are the most common hanzi — which is what matches running
+    // (space-free) Chinese text
+    "zh" -> ("的的的的的的 一一一一一 是是是是 不不不不 了了了 人人人 我我我 在在在 有有有 他他 这这 中中 大大 " +
+      "来来 上上 国国 个个 到到 说说 们们 为为 子子 和和 你你 地地 出出 道道 也也 时时 年年 得 就 那 要 下 " +
+      "以 生 会 自 着 去 之 过 家 学 对 可 她 里 后 小"))
 
   /**
    * The Cavnar–Trenkle rank profile of a sample: count every 1..3-gram
@@ -203,8 +210,15 @@ object TextAnalysis {
           lit(0), (acc, x) => acc + x).as("dist"),
         lit(lang).as("lang"))
     }
+    // rejection: when even the best profile misses ≥ 90% of the
+    // maximum possible distance (every gram absent costs
+    // LangProfileSize), the text is outside all profiled languages —
+    // report `unknown` rather than the lexicographic tie winner
+    val best = least(dists: _*)
     ranked.select(col("doc_id"),
-      least(dists: _*).getField("lang").as("lang_pred"))
+      when(best.getField("dist") * 10 >=
+             size(col("gs")) * LangProfileSize * 9, "unknown")
+        .otherwise(best.getField("lang")).as("lang_pred"))
   }
 
   /** Whitespace-insensitive content fingerprint (whole-document):
@@ -612,6 +626,7 @@ object TextAnalysis {
         val a = best(0).getString(0)
         val b = best(0).getString(1)
         merges += ((r, a, b, a + b, best(0).getLong(2)))
+        val prev = vocab
         vocab = vocab.select(
           org.apache.spark.sql.functions.aggregate(col("syms"),
             array().cast("array<string>"),
@@ -619,9 +634,14 @@ object TextAnalysis {
               size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
               concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
               .otherwise(concat(acc, array(s)))).as("syms"),
-          col("wc")).localCheckpoint()
+          col("wc")).localCheckpoint() // eager: prev is safe to drop now
+        Dedup.unpersistCheckpointed(prev)
       }
     }
+    // the result is the driver-side merge list — no plan reads the
+    // final symbol table either (the ccIterate convention: ≤ 1
+    // checkpointed table resident at any time, 0 after return)
+    Dedup.unpersistCheckpointed(vocab)
     import spark.implicits._
     merges.toSeq.toDF("round", "lhs", "rhs", "merged", "total")
   }
