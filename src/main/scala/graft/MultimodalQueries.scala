@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{AviCodec, Multimodal}
 
 /**
  * Multimodal-column query inventory: binary payload plumbing gated
@@ -75,6 +75,49 @@ object MultimodalQueries {
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_byte") * col("width") * col("height"))
             .cast("long").as("pixel_sum"))
+    }),
+    // REAL video decode: closed-form raw-DIB AVIs are container-written
+    // AND parsed/decoded by AviCodec on the executors (routed through
+    // JdkCodec's RIFF sniff, so the gate also pins the dispatch); the
+    // oracle recomputes dims, frame count, and total sample sum (3 BGR
+    // bands × pixels × frames) from the closed form alone. sample_sum =
+    // mean·w·h·frames·3 rounds exactly (sum < 2^20).
+    "multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "video", AviCodec.grayAvi(id)))
+      Multimodal.decode(recs, Multimodal.JdkCodec)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(col("mean_byte") * col("width") * col("height") *
+            col("n_frames") * 3).cast("long").as("sample_sum"))
+    }),
+    // Per-FRAME stats over the same fixtures: one row per decoded
+    // frame, shuffle-free flatMap — the real-decode frame enumeration
+    // the byte-window frame_sample gate approximates.
+    "video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "video", AviCodec.grayAvi(id)))
+      AviCodec.frameStats(recs)
+    }),
+    // RESIZE path: closed-form AVI → per-frame nearest-neighbor resize
+    // to 5×3 (re-wrapped in a fresh AVI container) → real decode; DIB
+    // frames stay byte-exact through the re-encode, so the oracle
+    // recomputes the resized sample sum at the nearest-neighbor source
+    // coordinates (same floor the codec computes).
+    "video_resize" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "video", AviCodec.grayAvi(id)))
+      Multimodal.decode(
+        Multimodal.resize(recs, 5, 3, Multimodal.JdkCodec),
+        Multimodal.JdkCodec)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(col("mean_byte") * col("width") * col("height") *
+            col("n_frames") * 3).cast("long").as("sample_sum"))
     })
   )
 
@@ -135,6 +178,49 @@ FROM documents""",
       x -> (doc_id*31
             + ((x * (1 + doc_id % 31)) // 8) * 7
             + ((y * (1 + doc_id % 17)) // 6) * 13) % 256)))) AS BIGINT) AS pixel_sum
+FROM documents""",
+
+    // expected video stats from the SAME closed form grayAvi encodes:
+    // w = 2 + id%14, h = 1 + id%11, nf = 1 + id%5,
+    // gray(x,y,f) = (id*31 + x*7 + y*13 + f*17) % 256, 3 equal BGR bands
+    "multimodal_video" ->
+      """SELECT doc_id,
+  CAST(2 + doc_id % 14 AS INT) AS width,
+  CAST(1 + doc_id % 11 AS INT) AS height,
+  CAST(1 + doc_id % 5 AS INT) AS n_frames,
+  CAST(3 * list_sum(list_transform(range(0, CAST(1 + doc_id % 5 AS INT)), f ->
+    list_sum(flatten(list_transform(range(0, CAST(1 + doc_id % 11 AS INT)), y ->
+      list_transform(range(0, CAST(2 + doc_id % 14 AS INT)), x ->
+        (doc_id*31 + x*7 + y*13 + f*17) % 256)))))) AS BIGINT) AS sample_sum
+FROM documents""",
+
+    "video_frames" ->
+      """WITH d AS (SELECT doc_id,
+    CAST(2 + doc_id % 14 AS INT) AS w,
+    CAST(1 + doc_id % 11 AS INT) AS h,
+    CAST(1 + doc_id % 5 AS INT) AS nf
+  FROM documents),
+fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
+  CAST(3 * list_sum(flatten(list_transform(range(0, h), y ->
+    list_transform(range(0, w), x ->
+      (doc_id*31 + x*7 + y*13 + f*17) % 256)))) AS BIGINT) AS sample_sum
+FROM fr""",
+
+    // nearest-neighbor source coordinate: s = (target * srcDim) // dstDim
+    // — the same floor AviCodec's resize sample copy computes
+    "video_resize" ->
+      """SELECT doc_id,
+  CAST(5 AS INT) AS width,
+  CAST(3 AS INT) AS height,
+  CAST(1 + doc_id % 5 AS INT) AS n_frames,
+  CAST(3 * list_sum(list_transform(range(0, CAST(1 + doc_id % 5 AS INT)), f ->
+    list_sum(flatten(list_transform(range(0, 3), y ->
+      list_transform(range(0, 5), x ->
+        (doc_id*31
+         + ((x * (2 + doc_id % 14)) // 5) * 7
+         + ((y * (1 + doc_id % 11)) // 3) * 13
+         + f*17) % 256)))))) AS BIGINT) AS sample_sum
 FROM documents"""
   )
 }

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
+
+import Multimodal.{MediaCodec, MediaDecoder, MediaFeature, MediaInfo, MediaRecord}
+
+/**
+ * REAL video codec over the AVI (RIFF) container, pure JDK — no media
+ * library needed. The container walk (`RIFF → LIST hdrl → strh/strf`,
+ * `LIST movi → ##db/##dc` frame chunks, word-aligned) is implemented
+ * against the published RIFF/AVI layout; two frame encodings decode:
+ *
+ *  - **raw DIB** (`biCompression = 0`, 24-bit): bottom-up BGR rows
+ *    padded to 4-byte stride (top-down when `biHeight < 0`) — decoded
+ *    byte-exact, so closed-form fixtures gate the whole
+ *    write→container→parse→raster chain against a SQL oracle;
+ *  - **MJPG**: each frame chunk is a complete JPEG, decoded with the
+ *    same `javax.imageio` stack [[Multimodal.ImageIoCodec]] uses.
+ *
+ * Anything else (H.264 etc.) genuinely needs a native decoder and
+ * throws with the codec fourcc in the message. Mirrors the reference's
+ * treatment of payloads as opaque typed bytes (`Tiny-MD-HBase` stores
+ * values uninterpreted; media interpretation is this engine's
+ * extension surface).
+ *
+ *  - `decode`: true dimensions from `strf`, frame count from the movi
+ *    chunk walk, `mean_byte` = mean over every decoded sample of every
+ *    frame (bands × pixels × frames);
+ *  - `resize`: per-frame nearest-neighbor at the raster level, frame
+ *    count preserved, re-encoded in the SOURCE frame encoding (DIB
+ *    stays byte-exact; MJPG re-quantizes like any JPEG re-encode) and
+ *    re-wrapped in a well-formed AVI (with idx1) by [[write]];
+ *  - `features`: 16-bin L1-normalized histogram over all samples.
+ */
+object AviCodec extends MediaCodec {
+  import java.awt.image.BufferedImage
+
+  /** Parsed container: dimensions, frame encoding, and the raw frame
+    * chunk payloads in stream order. */
+  final case class Avi(width: Int, height: Int, bitCount: Int,
+    compression: String, topDown: Boolean, fps: Int,
+    frames: Vector[Array[Byte]])
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL)) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Walk the RIFF tree and pull the video stream's format + frames.
+    * Only the first `vids` stream's `strf` is read; frame chunks are
+    * the `##db`/`##dc` members of `movi` (audio would be `##wb` and is
+    * skipped by the suffix match). */
+  def parse(bytes: Array[Byte]): Avi = {
+    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "AVI ", "not a RIFF/AVI payload")
+    var width = 0; var height = 0; var bitCount = 0
+    var compression = ""; var topDown = false; var fps = 0
+    var inVids = false; var haveFmt = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(bytes, p)
+        val sz = u32(bytes, p + 4).toInt
+        val body = p + 8
+        id match {
+          case "LIST" => walk(body + 4, math.min(body + sz, end))
+          case "strh" =>
+            inVids = fourcc(bytes, body) == "vids"
+            if (inVids && !haveFmt) {
+              val scale = u32(bytes, body + 20); val rate = u32(bytes, body + 24)
+              if (scale > 0) fps = (rate / scale).toInt
+            }
+          case "strf" if inVids && !haveFmt =>
+            haveFmt = true
+            width = i32(bytes, body + 4)
+            val rawH = i32(bytes, body + 8)
+            topDown = rawH < 0
+            height = math.abs(rawH)
+            bitCount = u16(bytes, body + 14)
+            val comp = u32(bytes, body + 16)
+            compression = if (comp == 0) "DIB " else fourcc(bytes, body + 16)
+          case f if f.length == 4 && f(0).isDigit && f(1).isDigit &&
+            (f.endsWith("db") || f.endsWith("dc")) =>
+            frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+          case _ => ()
+        }
+        p = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    require(haveFmt, "no vids strf header in AVI")
+    Avi(width, height, bitCount, compression, topDown,
+      if (fps > 0) fps else 25, frames.result())
+  }
+
+  /** One decoded frame as a sample accessor: `(bands, get(x, y, band))`.
+    * DIB frames read straight off the padded BGR rows (byte-exact);
+    * MJPG frames decode through ImageIO to a raster. */
+  private def decodeFrame(avi: Avi, data: Array[Byte]): (Int, (Int, Int, Int) => Int) =
+    avi.compression match {
+      case "DIB " =>
+        require(avi.bitCount == 24, s"unsupported DIB depth ${avi.bitCount}")
+        val stride = ((3 * avi.width + 3) / 4) * 4
+        (3, (x, y, b) => {
+          val row = if (avi.topDown) y else avi.height - 1 - y
+          data(row * stride + x * 3 + b) & 0xFF
+        })
+      case "MJPG" | "mjpg" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        require(img != null, "MJPG frame did not decode as JPEG")
+        val raster = img.getRaster
+        (raster.getNumBands, (x, y, b) => raster.getSample(x, y, b))
+      case other => throw new IllegalArgumentException(
+        s"no JVM decoder for video codec '$other' (DIB /MJPG supported)")
+    }
+
+  private def foreachSample(avi: Avi)(f: Int => Unit): Long = {
+    var n = 0L
+    avi.frames.foreach { fr =>
+      val (bands, get) = decodeFrame(avi, fr)
+      var y = 0
+      while (y < avi.height) {
+        var x = 0
+        while (x < avi.width) {
+          var b = 0
+          while (b < bands) { f(get(x, y, b)); n += 1; b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    n
+  }
+
+  // ---- writer -------------------------------------------------------
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+    cc(id) ++ le32(body.length.toLong) ++ body ++ pad
+  }
+  private def list(kind: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", cc(kind) ++ body)
+
+  /**
+   * Emit a well-formed single-stream video AVI (hdrl with avih + strl,
+   * movi, idx1) around the given frame payloads. `compression` is
+   * `"DIB "` (raw 24-bit bottom-up frames, `##db` chunks) or `"MJPG"`
+   * (JPEG frames, `##dc` chunks). Round-trips through [[parse]] and
+   * through any standard AVI reader.
+   */
+  def write(width: Int, height: Int, fps: Int, compression: String,
+            frames: Seq[Array[Byte]]): Array[Byte] = {
+    val dib = compression == "DIB "
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = le32(1000000L / math.max(1, fps)) ++ le32(0) ++ le32(0) ++
+      le32(0x10) /* HASINDEX */ ++ le32(frames.length.toLong) ++ le32(0) ++
+      le32(1) ++ le32(maxFrame.toLong) ++ le32(width.toLong) ++
+      le32(height.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc(compression) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) /* scale */ ++ le32(fps.toLong) /* rate */ ++
+      le32(0) ++ le32(frames.length.toLong) ++ le32(maxFrame.toLong) ++
+      le32(0xFFFFFFFFL) /* quality */ ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++
+      (if (dib) le32(0) else cc(compression)) ++
+      le32((((3 * width + 3) / 4) * 4 * height).toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameId = if (dib) "00db" else "00dc"
+    val moviBody = frames.map(f => chunk(frameId, f))
+    val movi = list("movi", cc("") ++ moviBody.flatten.toArray)
+    // idx1 offsets are relative to the movi list's type fourcc
+    var off = 4L
+    val idx = frames.indices.map { i =>
+      val e = cc(frameId) ++ le32(0x10L) ++ le32(off) ++
+        le32(frames(i).length.toLong)
+      off += 8 + frames(i).length + (frames(i).length & 1)
+      e
+    }
+    val idx1 = chunk("idx1", idx.flatten.toArray)
+    val riffBody = cc("AVI ") ++ hdrl ++ movi ++ idx1
+    cc("RIFF") ++ le32(riffBody.length.toLong) ++ riffBody
+  }
+
+  /** Pack a 24-bit bottom-up BGR DIB frame from a sample function
+    * (rows padded to 4-byte stride — the layout [[parse]] reads). */
+  def dibFrame(width: Int, height: Int)(sample: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val row = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val v = (sample(x, y) & 0xFF).toByte
+        val o = row * stride + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * Deterministic gray DIB-AVI fixture for `doc_id`: dimensions
+   * `(2 + id % 14) × (1 + id % 11)`, `1 + id % 5` frames, sample
+   * `(x,y,f) = (id·31 + x·7 + y·13 + f·17) mod 256` written into all
+   * three BGR bands — the video twin of [[Multimodal.grayPng]]. The
+   * closed form lets a SQL oracle recompute dimensions, frame count,
+   * and total sample sum (3× the gray sum) without decoding, so a gate
+   * over `decode(grayAvi(id))` pins the write→container-parse→raster
+   * chain byte-exact.
+   */
+  def grayAvi(docId: Long): Array[Byte] = {
+    val w = (2 + docId % 14).toInt
+    val h = (1 + docId % 11).toInt
+    val nf = (1 + docId % 5).toInt
+    val frames = (0 until nf).map { f =>
+      dibFrame(w, h)((x, y) => ((docId * 31 + x * 7 + y * 13 + f * 17) % 256).toInt)
+    }
+    write(w, h, 25, "DIB ", frames)
+  }
+
+  /** Does the payload sniff as a RIFF/AVI container? (Lets a
+    * mixed-source dispatch route real AVIs here and anything else to a
+    * fallback without trial parsing.) */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
+
+  def open(): MediaDecoder = new MediaDecoder {
+    def decode(r: MediaRecord): MediaInfo = {
+      val avi = parse(r.content)
+      var sum = 0L
+      val n = foreachSample(avi)(sum += _)
+      MediaInfo(r.doc_id, r.media_type, avi.width, avi.height,
+        avi.frames.length, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+      val avi = parse(r.content)
+      val outFrames = avi.frames.map { fr =>
+        val (bands, get) = decodeFrame(avi, fr)
+        def srcX(x: Int) = (x.toLong * avi.width / w).toInt
+        def srcY(y: Int) = (y.toLong * avi.height / h).toInt
+        if (avi.compression == "DIB ")
+          dibFrame(w, h)((x, y) => get(srcX(x), srcY(y), 0))
+        else {
+          // MJPG: resize in raster space, re-encode as JPEG (BGR —
+          // the JPEG writer rejects alpha rasters)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          val so = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < 3) {
+                so.setSample(x, y, b, get(srcX(x), srcY(y), math.min(b, bands - 1)))
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+      }
+      MediaRecord(r.doc_id, r.media_type,
+        write(w, h, avi.fps, avi.compression, outFrames))
+    }
+
+    def features(r: MediaRecord): MediaFeature = {
+      val avi = parse(r.content)
+      val hist = new Array[Float](16)
+      val n = foreachSample(avi)(s => hist((s & 0xFF) >> 4) += 1f)
+      MediaFeature(r.doc_id, hist.map(_ / math.max(1L, n)))
+    }
+  }
+
+  /**
+   * Per-FRAME stats — the real-decode analog of
+   * [[Multimodal.frameSample]]'s byte-window slicing: one row per
+   * decoded frame, `(doc_id, frame_idx, width, height, sample_sum)`.
+   * Frame enumeration is video-specific, so it lives here rather than
+   * on the three-method codec seam; shuffle-free (flatMap only), the
+   * binary column never leaves the partition.
+   */
+  def frameStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val avi = parse(r.content)
+      avi.frames.indices.map { i =>
+        val (bands, get) = decodeFrame(avi, avi.frames(i))
+        var sum = 0L
+        var y = 0
+        while (y < avi.height) {
+          var x = 0
+          while (x < avi.width) {
+            var b = 0
+            while (b < bands) { sum += get(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, i, avi.width, avi.height, sum)
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height", "sample_sum")
+  }
+}

@@ -336,25 +336,30 @@ object Multimodal {
   /**
    * The composite JDK codec: dispatch by `media_type` — images through
    * [[ImageIoCodec]], audio through [[WavCodec]], video through
-   * [[StandInCodec]] (the JDK has no video decoder; that is the ONLY
-   * remaining stand-in surface). One decoder handle of each kind per
+   * [[AviCodec]] when the payload sniffs as a RIFF/AVI container
+   * (raw-DIB and MJPG frames decode with the pure JDK; see
+   * [[AviCodec]]). Only non-AVI video (H.264 in MP4 etc.) falls back
+   * to [[StandInCodec]] — compressed codecs genuinely need a native
+   * decoder the JVM does not ship. One decoder handle of each kind per
    * partition, opened lazily.
    */
   object JdkCodec extends MediaCodec {
     def open(): MediaDecoder = new MediaDecoder {
       private lazy val img = ImageIoCodec.open()
       private lazy val aud = WavCodec.open()
+      private lazy val avi = AviCodec.open()
       private lazy val std = StandInCodec.open()
-      private def route(t: String): MediaDecoder = t match {
+      private def route(r: MediaRecord): MediaDecoder = r.media_type match {
         case "image" => img
         case "audio" => aud
+        case "video" if AviCodec.isAvi(r.content) => avi
         case _ => std
       }
-      def decode(r: MediaRecord): MediaInfo = route(r.media_type).decode(r)
+      def decode(r: MediaRecord): MediaInfo = route(r).decode(r)
       def resize(r: MediaRecord, w: Int, h: Int): MediaRecord =
-        route(r.media_type).resize(r, w, h)
-      def features(r: MediaRecord): MediaFeature = route(r.media_type).features(r)
-      override def close(): Unit = { img.close(); aud.close(); std.close() }
+        route(r).resize(r, w, h)
+      def features(r: MediaRecord): MediaFeature = route(r).features(r)
+      override def close(): Unit = { img.close(); aud.close(); avi.close(); std.close() }
     }
   }
 
