@@ -102,6 +102,19 @@ object MultimodalQueries {
         .map(id => Multimodal.MediaRecord(id, "video", AviCodec.grayAvi(id)))
       AviCodec.frameStats(recs)
     }),
+    // Cross-video FRAME dedup over the looped-footage fixtures: the
+    // engine decodes and digests every frame's canonical raster; the
+    // oracle derives the duplicate classes arithmetically (frame f of
+    // doc a == frame f of doc b iff a ≡ b mod 24, by construction of
+    // loopAvi) — a hash match proves decode+digest grouped exactly the
+    // frames the closed form says are identical.
+    "video_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "video", AviCodec.loopAvi(id)))
+      AviCodec.frameDedup(recs)
+    }),
     // RESIZE path: closed-form AVI → per-frame nearest-neighbor resize
     // to 5×3 (re-wrapped in a fresh AVI container) → real decode; DIB
     // frames stay byte-exact through the re-encode, so the oracle
@@ -206,6 +219,18 @@ SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
     list_transform(range(0, w), x ->
       (doc_id*31 + x*7 + y*13 + f*17) % 256)))) AS BIGINT) AS sample_sum
 FROM fr""",
+
+    // duplicate classes of the loopAvi closed form: (doc_id % 24, f);
+    // keeper = min doc_id holding that frame index (nf = 1 + id%5 gates
+    // membership), keeper_frame = f (cross-index collisions impossible)
+    "video_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS nf FROM documents),
+cb AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM d),
+g AS (SELECT doc_id % 24 AS cls, f, count(*) AS df, min(doc_id) AS keeper_doc
+  FROM cb GROUP BY 1, 2)
+SELECT b.doc_id, CAST(b.f AS INT) AS frame_idx, g.df AS df,
+  g.keeper_doc AS keeper_doc, CAST(b.f AS INT) AS keeper_frame
+FROM cb b JOIN g ON b.doc_id % 24 = g.cls AND b.f = g.f""",
 
     // nearest-neighbor source coordinate: s = (target * srcDim) // dstDim
     // — the same floor AviCodec's resize sample copy computes

@@ -73,6 +73,10 @@ object TextQueries {
     // character-level duplicate coverage over the punctuation-stripped
     // stream — catches separator-variant copies word grams miss
     "span_dedup_chars" -> ((s, dir) => Dedup.spanDedupChars(docs(s, dir), SpanCharsK, 2)),
+    // winnow-prefiltered APPROXIMATE span dedup: exact for duplicated
+    // spans >= k+w-1 tokens, candidates-only positioned join — the
+    // scale path for mostly-distinct corpora
+    "span_dedup_winnow" -> ((s, dir) => Dedup.spanDedupApprox(docs(s, dir), SpanK, 2, 4)),
     // BPE tokenizer-training primitive: corpus-weighted adjacent
     // char-pair counts over the distinct-word table, top-k candidates
     "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(docs(s, dir), 20)),
@@ -410,6 +414,58 @@ SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
   CAST(len(kt) AS BIGINT) AS n_kept,
   coalesce(array_to_string(kt, ' '), '') AS cleaned
 FROM kept""",
+
+    // winnow-prefiltered approximate variant: fingerprints are window
+    // minima (w=4) over the SAME polynomial gram hashes span_dedup
+    // uses; candidate docs share a duplicated fingerprint (df >= 2) or
+    // an exact-duplicated text; the span_dedup chain — including the
+    // dup inventory — runs over candidates only, everyone else passes
+    // through with n_kept = n_tokens. Exact for duplicated spans
+    // >= k+w-1 tokens by the winnowing guarantee.
+    "span_dedup_winnow" ->
+      s"""WITH dw AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1),
+th AS (SELECT doc_id, text, ws,
+    list_transform(ws, t -> CAST(('0x' || substr(md5('sp:' || t), 1, 15)) AS BIGINT)) AS hs
+  FROM dw),
+g AS (SELECT doc_id, text, ws,
+    CASE WHEN len(ws) >= $SpanK THEN list_transform(range(1, len(ws)-${SpanK - 2}),
+      i -> ${Dedup.spanGramHash(SpanK)})
+    ELSE CAST([] AS BIGINT[]) END AS ghs
+  FROM th),
+f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ghs)-2),
+    j -> list_min(ghs[j:j+3])))) AS fp
+  FROM g WHERE len(ghs) >= 4),
+dupf AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+cand AS (SELECT DISTINCT doc_id FROM f JOIN dupf USING (fp)
+  UNION
+  SELECT doc_id FROM g WHERE text IN (
+    SELECT text FROM documents GROUP BY text HAVING count(*) >= 2)),
+gc AS (SELECT doc_id, ws, ghs FROM g WHERE doc_id IN (SELECT doc_id FROM cand)),
+occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM gc),
+dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
+pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(ghs)+1),
+    i -> {'i': i, 'gh': ghs[i]})) AS pg FROM gc)),
+ds AS (SELECT p.doc_id, list_sort(list(p.i)) AS ss
+  FROM pos p JOIN dup d ON p.gh = d.gh AND p.doc_id <> d.keeper
+  GROUP BY p.doc_id),
+j AS (SELECT gc.doc_id, gc.ws, coalesce(ds.ss, CAST([] AS BIGINT[])) AS ss
+  FROM gc LEFT JOIN ds USING (doc_id)),
+kept AS (SELECT doc_id, ws,
+    list_transform(list_filter(range(1, len(ws)+1),
+      p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanK - 1})) = 0), p -> ws[p]) AS kt
+  FROM j)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+  CAST(len(kt) AS BIGINT) AS n_kept,
+  coalesce(array_to_string(kt, ' '), '') AS cleaned
+FROM kept
+UNION ALL
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+  CAST(len(ws) AS BIGINT) AS n_kept,
+  array_to_string(ws, ' ') AS cleaned
+FROM g
+WHERE doc_id NOT IN (SELECT doc_id FROM cand)""",
 
     // char-gram twin: same dup/keeper/coverage chain as span_dedup, over
     // ascii codes of the [a-z0-9]-only stream (no digest — the

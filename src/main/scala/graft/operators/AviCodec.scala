@@ -237,6 +237,28 @@ object AviCodec extends MediaCodec {
     write(w, h, 25, "DIB ", frames)
   }
 
+  /**
+   * Looped-footage fixture for the frame-dedup gate: dimensions
+   * `(2 + id % 4) × (1 + id % 3)`, `1 + id % 5` frames, sample
+   * `(x,y,f) = ((id % 8)·13 + f·17 + x·7 + y·11) mod 256`. Because the
+   * content depends on `id` only through `id % 8` and the dims through
+   * `id % 12`, frame `f` of document `a` equals frame `f` of document
+   * `b` iff `a ≡ b (mod 24)` — and never equals a different frame
+   * index (`13·Δ₈ + 17·Δf ≡ 0 (mod 256)` has no solution in range) —
+   * so a SQL oracle derives the duplicate classes arithmetically while
+   * the engine must reproduce them via genuine decode + digest.
+   */
+  def loopAvi(docId: Long): Array[Byte] = {
+    val w = (2 + docId % 4).toInt
+    val h = (1 + docId % 3).toInt
+    val nf = (1 + docId % 5).toInt
+    val frames = (0 until nf).map { f =>
+      dibFrame(w, h)((x, y) =>
+        (((docId % 8) * 13 + f * 17 + x * 7 + y * 11) % 256).toInt)
+    }
+    write(w, h, 25, "DIB ", frames)
+  }
+
   /** Does the payload sniff as a RIFF/AVI container? (Lets a
     * mixed-source dispatch route real AVIs here and anything else to a
     * fallback without trial parsing.) */
@@ -293,6 +315,56 @@ object AviCodec extends MediaCodec {
       val n = foreachSample(avi)(s => hist((s & 0xFF) >> 4) += 1f)
       MediaFeature(r.doc_id, hist.map(_ / math.max(1L, n)))
     }
+  }
+
+  /**
+   * Cross-video FRAME-level exact dedup: decode every frame to its
+   * canonical raster sample stream (dims + row-major samples — chunk
+   * encoding and container layout cannot influence the key, so a DIB
+   * frame and a losslessly re-wrapped copy collide as they should),
+   * digest it, and group identical frames corpus-wide. One row per
+   * frame: `(doc_id, frame_idx, df, keeper_doc, keeper_frame)` where
+   * `df` counts identical frames across the corpus and the keeper is
+   * the lexicographically first `(doc_id, frame_idx)` holder — the
+   * frame a pipeline keeps when trimming duplicated footage
+   * (openings, stills, looped segments).
+   *
+   * Scale shape: decode + digest are partition-local flatMap work (the
+   * binary column never shuffles); the exchange carries 16-byte
+   * digests at frame granularity, and the class rollup is map-side
+   * combinable with a UNIQUE-keyed build side for the fan-back join
+   * (the hottest duplicated frame contributes one class row, so frame
+   * skew cannot explode the join).
+   */
+  def frameDedup(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val hashed = media.flatMap { r =>
+      val avi = parse(r.content)
+      avi.frames.indices.map { i =>
+        val (bands, get) = decodeFrame(avi, avi.frames(i))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(le32(avi.width.toLong)); md.update(le32(avi.height.toLong))
+        var y = 0
+        while (y < avi.height) {
+          var x = 0
+          while (x < avi.width) {
+            var b = 0
+            while (b < bands) { md.update(get(x, y, b).toByte); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, i, md.digest().map("%02x".format(_)).mkString)
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+    val classes = hashed.groupBy("fhash").agg(
+      count(lit(1)).as("df"),
+      min(struct(col("doc_id"), col("frame_idx"))).as("kp"))
+    hashed.join(classes, "fhash")
+      .select(col("doc_id"), col("frame_idx"), col("df"),
+        col("kp.doc_id").as("keeper_doc"),
+        col("kp.frame_idx").as("keeper_frame"))
   }
 
   /**

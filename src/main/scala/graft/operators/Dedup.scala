@@ -743,20 +743,33 @@ object Dedup {
    *    membership scan, no token-level corpus explode.
    */
   def spanDedup(df: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
-    // sorted_floor must resolve inside the lambda below (expr-string
-    // scope); registration is idempotent and session-local
+    // sorted_floor must resolve inside the machinery's lambda
+    // (expr-string scope); registration is idempotent and session-local
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val th = "cast(conv(substr(md5(concat('sp:', t)), 1, 15), 16, 10) as bigint)"
-    val txt = TextAnalysis.spread(df)
-      .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
-      .localCheckpoint()
+    val txt = spanTxt(df)
     // one representative per distinct text: tokenize + hash ONCE per
     // text; m weights document frequency, min_doc is the only member
-    // that can keep any gram
-    val reps = txt
-      .groupBy("tkey")
-      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
-        first(col("text")).as("text"))
+    // that can keep any gram. Three consumers inside the machinery
+    // (dup inventory, dup starts, final join): materialize the
+    // tokenize+hash work exactly once.
+    val reps = spanReps(txt, k).localCheckpoint()
+    spanFanOut(txt, spanMachinery(reps, k, minDf))
+  }
+
+  /** Per-doc `(doc_id, tkey, text)` with the text-collapse key,
+    * checkpointed (it is read again by the final fan-out join). */
+  private def spanTxt(df: DataFrame): DataFrame =
+    TextAnalysis.spread(df)
+      .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
+      .localCheckpoint()
+
+  /** Tokenize + one md5 per token + the fused [[graft.functions
+    * .PolyGrams]] rolling gram hash, as chained aliases so each
+    * evaluates once (CollapseProject won't inline a non-cheap alias
+    * referenced twice). */
+  private def withGramHashes(keyed: DataFrame, k: Int): DataFrame = {
+    val th = "cast(conv(substr(md5(concat('sp:', t)), 1, 15), 16, 10) as bigint)"
+    keyed
       .withColumn("ws", TextAnalysis.tokens(col("text")))
       .filter(size(col("ws")) >= 1)
       .withColumn("hs", expr(s"transform(ws, t -> $th)"))
@@ -764,16 +777,38 @@ object Dedup {
       .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.PolyGrams(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("hs")), k)))
+  }
+
+  /** The distinct-text representative table the span machinery runs
+    * over: `(tkey, min_doc, m, ws, ghs)`. */
+  private def spanReps(txt: DataFrame, k: Int): DataFrame =
+    withGramHashes(
+      txt.groupBy("tkey")
+        .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
+          first(col("text")).as("text")), k)
       .select(col("tkey"), col("min_doc"), col("m"), col("ws"), col("ghs"))
-      // three consumers below (dup inventory, dup starts, final join):
-      // materialize the tokenize+hash work exactly once
-      .localCheckpoint()
-    val dup = reps
+
+  /** Fan per-distinct-text results back out to documents, picking the
+    * keeper or non-keeper variant per doc. */
+  private def spanFanOut(txt: DataFrame, allText: DataFrame): DataFrame =
+    txt.join(allText, "tkey")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("doc_id") === col("min_doc"), col("n_kept_keep"))
+          .otherwise(col("n_kept_all")).as("n_kept"),
+        when(col("doc_id") === col("min_doc"), col("cleaned_keep"))
+          .otherwise(col("cleaned_all")).as("cleaned"))
+
+  /** Dup inventory → dup start positions → per-text rebuild, over a
+    * CHECKPOINTED representative table (three consumers). Returns one
+    * row per text: `(tkey, min_doc, n_tokens, n_kept_keep,
+    * cleaned_keep, n_kept_all, cleaned_all)`. */
+  private def spanMachinery(active: DataFrame, k: Int, minDf: Int): DataFrame = {
+    val dup = active
       .select(col("min_doc"), col("m"), explode(expr("array_distinct(ghs)")).as("gh"))
       .groupBy("gh")
       .agg(sum(col("m")).as("df"), min(col("min_doc")).as("keeper_doc"))
       .filter(col("df") >= minDf)
-    val dupStarts = reps.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
+    val dupStarts = active.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
       .toDF("tkey", "min_doc", "i", "gh")
       .join(dup, "gh")
       .groupBy("tkey")
@@ -787,7 +822,7 @@ object Dedup {
             p -> coalesce(sorted_floor($ss, cast(p as bigint)), cast(${-k} as bigint))
                    < cast(p - ${k - 1} as bigint)),
           p -> ws[p])"""
-    val perText = reps.join(dupStarts, Seq("tkey"), "left")
+    val perText = active.join(dupStarts, Seq("tkey"), "left")
       .withColumn("ss_all",
         coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
       .withColumn("ss_keep",
@@ -804,12 +839,108 @@ object Dedup {
         array_join(col("kept_keep"), " ").as("cleaned_keep"),
         size(col("kept_all")).cast("long").as("n_kept_all"),
         array_join(col("kept_all"), " ").as("cleaned_all"))
-    txt.join(perText, "tkey")
-      .select(col("doc_id"), col("n_tokens"),
-        when(col("doc_id") === col("min_doc"), col("n_kept_keep"))
-          .otherwise(col("n_kept_all")).as("n_kept"),
-        when(col("doc_id") === col("min_doc"), col("cleaned_keep"))
-          .otherwise(col("cleaned_all")).as("cleaned"))
+    perText
+  }
+
+  /**
+   * APPROXIMATE exact-substring span dedup — [[spanDedup]] with a
+   * winnow prefilter (Schleimer et al.'s MOSS selection) fused into
+   * the same pipeline. The exact formulation's cost on a
+   * mostly-distinct corpus is dominated by carrying the full
+   * token/gram arrays of EVERY text through the dup-inventory and
+   * positioned-join stages; here a compact SIGNAL table — the
+   * pass-through scalars plus a fingerprint array of window-MINIMA of
+   * `w` consecutive polynomial gram hashes (a `least` ladder, no
+   * slice allocation; the token arrays are dropped before the
+   * checkpoint) — nominates CANDIDATE texts: those sharing a
+   * fingerprint with another text (doc-weighted df ≥ 2) or
+   * exact-duplicated outright (`m > 1`). The gram machinery is then
+   * REBUILT for the candidate fraction only; everything else passes
+   * through whole (`n_kept = n_tokens`) straight from the signal
+   * table.
+   *
+   * Approximation contract (the winnowing guarantee): any duplicated
+   * span of ≥ `k + w - 1` tokens contains a full fingerprint window
+   * in every text carrying it, so ALL its texts are candidates and
+   * the result matches [[spanDedup]] exactly for such spans —
+   * including gram df and keeper assignment, which lose no containing
+   * document. Duplicated spans SHORTER than `k + w - 1` tokens (k to
+   * k+w-2) may be missed when a containing text selects no shared
+   * fingerprint — a miss skips a removal, never invents one.
+   * Candidacy over-inclusion is harmless (results equal exact
+   * restricted to a superset), so the candidate threshold is fixed at
+   * 2 regardless of `minDf`; `minDf` still governs the dup inventory
+   * itself. Same output schema as [[spanDedup]].
+   *
+   * Scale shape: ONE tokenize+hash pass over distinct texts
+   * (checkpointing scalars + ~2n/(w+1) fingerprints instead of the
+   * ~2n-entry token+gram arrays), one fingerprint-vocabulary
+   * aggregate (map-side combinable, tiny build side broadcast back),
+   * then the exact machinery sized to the candidate fraction — the
+   * corpus-linear positioned exchange becomes candidates-linear, and
+   * only candidate texts are ever re-tokenized.
+   *
+   * ADAPTIVE BAIL-OUT: when the measured candidate fraction exceeds
+   * `maxCandidateFrac` (two scalar counts over already-materialized
+   * checkpoints — a driver decision on metadata, not data), the
+   * prefilter cannot prune enough to pay for re-tokenizing the
+   * candidates, so the operator falls back to the EXACT machinery
+   * over all texts — results then equal [[spanDedup]] outright
+   * (including sub-`k+w-1` spans) and the only overhead is the signal
+   * pass. Pass `maxCandidateFrac = 1.0` to pin the pure approximate
+   * semantics regardless of duplication (what the oracle gate does
+   * NOT need: its fixture sits at ~11% candidates, well under the
+   * default).
+   */
+  def spanDedupApprox(df: DataFrame, k: Int = 5, minDf: Int = 2,
+                      w: Int = 4, maxCandidateFrac: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val txt = spanTxt(df)
+    val fpLadder = (0 until w).map(j => s"ghs[j+$j]").mkString("least(", ", ", ")")
+    // compact per-distinct-text signal: pass-through scalars + winnow
+    // fingerprints; the heavy ws/hs/ghs arrays die before the
+    // checkpoint (consumers: fp inventory, candidacy join, pass-through)
+    val sig = withGramHashes(
+      txt.groupBy("tkey")
+        .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
+          first(col("text")).as("text")), k)
+      .withColumn("fps",
+        when(size(col("ghs")) >= w, expr(
+          s"array_distinct(transform(sequence(0, size(ghs)-$w), j -> $fpLadder))"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col("tkey"), col("min_doc"), col("m"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        array_join(col("ws"), " ").as("cleaned_pass"),
+        col("fps"))
+      .localCheckpoint()
+    val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(sum(col("m")).as("fdf"))
+      .filter(col("fdf") >= 2).select("fp")
+    val candKeys = sig.select(col("tkey"), explode(col("fps")).as("fp"))
+      .join(dupFp, "fp").select("tkey")
+      .union(sig.filter(col("m") > 1).select("tkey"))
+      .distinct()
+      .localCheckpoint() // consumed by the rebuild semi-join + anti-join
+    // adaptive bail-out: both counts read materialized checkpoints
+    if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
+      val reps = spanReps(txt, k).localCheckpoint()
+      spanFanOut(txt, spanMachinery(reps, k, minDf))
+    } else {
+      // full gram machinery rebuilt for candidate texts only (txt rows
+      // are small strings; the big arrays now exist only at candidate
+      // scale, checkpointed for the machinery's three consumers)
+      val activeReps =
+        spanReps(txt.join(candKeys, Seq("tkey"), "left_semi"), k)
+          .localCheckpoint()
+      val allText = spanMachinery(activeReps, k, minDf).unionByName(
+        sig.join(candKeys, Seq("tkey"), "left_anti")
+          .select(col("tkey"), col("min_doc"), col("n_tokens"),
+            col("n_tokens").as("n_kept_keep"),
+            col("cleaned_pass").as("cleaned_keep"),
+            col("n_tokens").as("n_kept_all"),
+            col("cleaned_pass").as("cleaned_all")))
+      spanFanOut(txt, allText)
+    }
   }
 
   /**

@@ -137,6 +137,38 @@ class AviCodecSpec extends SparkSpec {
     dec.close()
   }
 
+  test("frameDedup groups identical frames corpus-wide; container layout is irrelevant") {
+    import spark.implicits._
+    // ids 1 and 25 are congruent mod 24 → frame-for-frame identical
+    // content (nf: 1→2 frames, 25→1 frame, so only frame 0 collides);
+    // id 2 shares nothing. doc 99 is doc 1's frames re-wrapped in a
+    // FRESH container (different header bytes, same rasters) — it must
+    // land in doc 1's classes, proving the key is the decoded raster,
+    // not the payload bytes.
+    val rewrapped = {
+      val a = AviCodec.parse(AviCodec.loopAvi(1L))
+      AviCodec.write(a.width, a.height, 99, "DIB ", a.frames)
+    }
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", AviCodec.loopAvi(1L)),
+      Multimodal.MediaRecord(25L, "video", AviCodec.loopAvi(25L)),
+      Multimodal.MediaRecord(2L, "video", AviCodec.loopAvi(2L)),
+      Multimodal.MediaRecord(99L, "video", rewrapped)
+    ).toDS()
+    val out = AviCodec.frameDedup(recs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // doc 1 frame 0: shared with 25's frame 0 and 99's frame 0 → df 3
+    assert(out((1L, 0)) === ((3L, 1L, 0)))
+    assert(out((25L, 0)) === ((3L, 1L, 0)))
+    assert(out((99L, 0)) === ((3L, 1L, 0)))
+    // doc 1 frame 1: only 99 duplicates it (25 has a single frame)
+    assert(out((1L, 1)) === ((2L, 1L, 1)))
+    assert(out((99L, 1)) === ((2L, 1L, 1)))
+    // doc 2's frames are unique
+    for (f <- 0 until (1 + 2 % 5)) assert(out((2L, f)) === ((1L, 2L, f)))
+  }
+
   test("frameStats: one row per frame, sums match the closed form") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L)

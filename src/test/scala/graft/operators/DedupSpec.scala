@@ -475,6 +475,98 @@ class DedupSpec extends SparkSpec {
     assert(differs)
   }
 
+  test("spanDedupApprox: exact for long spans, bounded misses only ever keep more") {
+    import spark.implicits._
+    val k = 5; val w = 4 // winnow guarantee: spans >= k+w-1 = 8 tokens
+    val long = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val short = "one two three four five" // exactly k tokens
+    val df = Seq(
+      (1L, s"$long keeper1 tail"),
+      (2L, s"head2 $long tail2"),          // long span at another offset
+      (3L, s"$short only in this and"),
+      (4L, s"prefix4 $short suffix4 pad"), // short span: may be missed
+      (5L, "completely unrelated filler words go here now"),
+      (6L, "another disjoint document with its own tokens")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.spanDedup(df, k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val approx = Dedup.spanDedupApprox(df, k, 2, w, maxCandidateFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(approx.keySet === exact.keySet)
+    // the >= 8-token shared span is caught exactly: doc 1 keeps (keeper),
+    // doc 2 loses the span
+    assert(approx(1L) === exact(1L))
+    assert(approx(2L) === exact(2L))
+    assert(approx(2L)._2 < approx(2L)._1)
+    // contract on every doc: approx only ever keeps MORE than exact
+    // (a miss skips a removal; it never invents one), and untouched
+    // docs pass through intact
+    for (id <- exact.keys) {
+      assert(approx(id)._1 === exact(id)._1, s"n_tokens doc $id")
+      assert(approx(id)._2 >= exact(id)._2, s"n_kept doc $id")
+    }
+    assert(approx(5L)._2 === approx(5L)._1)
+    assert(approx(6L)._2 === approx(6L)._1)
+  }
+
+  test("spanDedupApprox equals spanDedup on a high-duplication random corpus " +
+    "when every dup span is winnow-long") {
+    import spark.implicits._
+    val k = 3; val w = 2 // guarantee span length k+w-1 = 4
+    val rnd = new scala.util.Random(23)
+    // build docs by concatenating a few SHARED 6-token blocks (longer
+    // than k+w-1, so every cross-doc duplication is winnow-visible)
+    // with per-doc unique filler between them
+    val blocks = (0 until 5).map(b => (0 until 6).map(t => s"b${b}x$t").mkString(" "))
+    val docs = (1 to 30).map { i =>
+      val parts = (0 until (rnd.nextInt(3) + 1)).flatMap { _ =>
+        Seq(blocks(rnd.nextInt(blocks.length)), s"u${i}q${rnd.nextInt(1000)}")
+      }
+      (i.toLong, parts.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val exact = Dedup.spanDedup(df, k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val approx = Dedup.spanDedupApprox(df, k, 2, w, maxCandidateFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(approx === exact)
+  }
+
+  test("spanDedupApprox bail-out: majority-duplicated corpus falls back to exact " +
+    "semantics, short spans included") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val short = "one two three four five" // exactly k tokens — pure approx MISSES it
+    // candidacy is measured over DISTINCT texts: three duplicated texts
+    // out of five distinct -> 0.6 > the 0.5 default
+    val df = Seq(
+      (1L, "copied text body repeated verbatim across documents here"),
+      (2L, "copied text body repeated verbatim across documents here"),
+      (3L, "second duplicated body with its own distinct words inside"),
+      (6L, "second duplicated body with its own distinct words inside"),
+      (7L, "third duplicated body carrying further unique filler tokens"),
+      (8L, "third duplicated body carrying further unique filler tokens"),
+      (4L, s"$short plus some extra padding words"),
+      // 7 tokens < k+w-1 = 8: doc 5 has no full winnow window, so the
+      // pure approx path can NEVER see it as a candidate — the miss is
+      // structural, not a lucky window minimum
+      (5L, s"x1 $short x2")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.spanDedup(df, k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // sanity: the short span IS removed by exact (doc 5 is not keeper)
+    assert(exact(5L)._2 < exact(5L)._1)
+    // pure approx misses it (docs 4, 5 share no full winnow window)
+    val pure = Dedup.spanDedupApprox(df, k, 2, w, maxCandidateFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(pure(5L)._2 === pure(5L)._1)
+    // default threshold: 3/5 candidates > 0.5 -> bail to exact, so even
+    // the short span is removed
+    val bailed = Dedup.spanDedupApprox(df, k, 2, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(bailed === exact)
+  }
+
   test("AsciiPolyGrams equals PolyGrams over ascii codes") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge
