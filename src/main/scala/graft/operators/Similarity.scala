@@ -328,6 +328,109 @@ object Similarity {
     cs
   }
 
+  // ---- product quantization (PQ) -------------------------------------
+
+  /** Per-row PQ code for subspace `s`: argmin L2 distance to the
+    * codebook = argmax `2·dot − |c|²` (the `|v|²` term is common),
+    * ties to the LOWEST code id — all integer, so the SQL oracle
+    * reproduces every assignment. One fused struct sort over `nCodes`
+    * literal entries, the [[probeList]] flat shape. */
+  private def pqCodeExpr(book: Array[Array[Long]], s: Int, d: Int): Column = {
+    val scored = book.zipWithIndex.map { case (cvec, cid) =>
+      val nrm = cvec.map(x => x * x).sum
+      struct(
+        (graft.functions.GraftFunctions.dot_long(
+          slice(col("v"), s * d + 1, d), typedLit(cvec.toSeq)) * 2 - lit(nrm)).as("d"),
+        lit(-cid).as("nc"))
+    }
+    -element_at(sort_array(array(scored: _*), asc = false), 1).getField("nc")
+  }
+
+  /**
+   * Product-quantization codebooks: the vector splits into `m`
+   * contiguous subspaces of `dim/m` components, each with its own
+   * `nCodes`-entry codebook. Seeds are the SAME deterministic
+   * hash-order rows [[ivfCentroids]] picks (sliced per subspace);
+   * `iters` rounds of integer Lloyd per subspace follow — L2
+   * assignment via [[pqCodeExpr]], cell means by truncating division,
+   * empty cells keep their previous entry (the [[ivfRefine]] contract,
+   * per subspace), so training is bit-reproducible in the oracle. One
+   * distributed pass per iteration: a subspace explode (`m` rows per
+   * vector) into a single `(sub, code)` aggregate with `dim/m`
+   * map-side-combinable sums. Driver holds `m × nCodes × dim/m` longs
+   * — metadata scale. Returns `books(sub)(code) = Array[Long]`.
+   */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, nCodes: Int = 16,
+                  iters: Int = 1): Array[Array[Array[Long]]] = {
+    val seeds = ivfCentroids(emb, nCodes)
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    var books = Array.tabulate(m)(s => seeds.map(_._2.slice(s * d, s * d + d)).toArray)
+    for (_ <- 0 until iters) {
+      val subRows = emb.select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), pqCodeExpr(books(s), s, d).as("code"),
+            slice(col("v"), s * d + 1, d).as("sv"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"), col("e.sv").as("sv"))
+      val aggs = count(lit(1)).as("n") +:
+        (0 until d).map(i => sum(expr(s"sv[$i]")).as(s"s$i"))
+      val rows = subRows.groupBy("sub", "code").agg(aggs.head, aggs.tail: _*).collect()
+      val means = rows.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.get(1).asInstanceOf[Number].intValue) ->
+          Array.tabulate(d)(i => r.getLong(3 + i) / n)
+      }.toMap
+      books = Array.tabulate(m)(s =>
+        Array.tabulate(nCodes)(c => means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** PQ-encode every vector: `(vec_id, c0 … c{m-1})` — `m` small code
+    * columns replace a `dim`-long vector (the 128× memory win that lets
+    * a corpus-wide ANN index stay resident). Pure per-row projection,
+    * shuffle-free. */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
+    val d = books(0)(0).length
+    emb.select(col("vec_id") +: books.indices.map(s =>
+      pqCodeExpr(books(s), s, d).cast("int").as(s"c$s")): _*)
+  }
+
+  /**
+   * PQ asymmetric-distance (ADC) top-k: each query computes one
+   * `m × nCodes` partial-dot table against the codebooks (broadcast —
+   * it is query-scale metadata), then every corpus vector is scored by
+   * summing the `m` table entries its codes select; approximate
+   * `dot(q,v) ≈ Σ_s dot(q_s, book_s[code_s])`. The scan touches CODES
+   * only — never the original vectors — which is the PQ trade: O(m)
+   * integer adds per (query, vector) over a 128×-compressed index.
+   * This is the linear-ADC primitive; at cluster scale compose it with
+   * the IVF probe ([[ivfTopK]]'s cell restriction) for the standard
+   * IVFPQ shape. Ties (score desc, nid asc) pinned for the oracle.
+   */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             nCodes: Int = 16, iters: Int = 1): DataFrame = {
+    val books = pqCodebooks(emb, m, nCodes, iters)
+    val d = books(0)(0).length
+    val codes = emb.select(col("vec_id").as("nid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), pqCodeExpr(books(s), s, d).as("code"))): _*)).as("e"))
+      .select(col("nid"), col("e.sub").as("sub"), col("e.code").as("code"))
+    val qtab = queries.select(col("vec_id").as("qid"), explode(array((for {
+        s <- 0 until m; c <- 0 until nCodes
+      } yield struct(lit(s).as("sub"), lit(c).as("code"),
+        graft.functions.GraftFunctions.dot_long(
+          slice(col("v"), s * d + 1, d), typedLit(books(s)(c).toSeq)).as("pdot"))): _*)).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.pdot").as("pdot"))
+    val scored = codes.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid").agg(sum(col("pdot")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "score", "rank")
+  }
+
   /** Per-row probe list (array of the top-`nProbe` centroid ids by
     * inner product against `v`). Flat up to [[FlatCentroidMax]]
     * centroids: one fused struct sort, ties (dot desc, cid desc) —

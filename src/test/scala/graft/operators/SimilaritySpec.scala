@@ -391,4 +391,56 @@ class SimilaritySpec extends SparkSpec {
       .head().getLong(0) >= 0L)
     assert(spark.sql("SELECT dot_long(array(1L,2L), array(3L,4L))").head().getLong(0) === 11L)
   }
+
+  test("PQ: codebook rows encode to themselves; ADC scores reconstruct exact dots " +
+    "for codebook-aligned vectors") {
+    import spark.implicits._
+    val m = 2; val nCodes = 4; val d = 2 // dim 4, 2 subspaces of 2
+    // corpus whose first nCodes rows are the hash-order seeds; no Lloyd
+    // round (iters = 0) so the codebooks ARE those rows' subvectors
+    val vecs = Seq(
+      0L -> Array(10L, 0L, 0L, 10L),
+      1L -> Array(0L, 10L, 10L, 0L),
+      2L -> Array(7L, 7L, 7L, 7L),
+      3L -> Array(-5L, 5L, 5L, -5L),
+      4L -> Array(10L, 0L, 10L, 0L), // mixes sub-0 of seed0 with sub-1 of seed1
+      5L -> Array(0L, 10L, 0L, 10L)
+    )
+    val emb = vecs.toDF("vec_id", "v")
+    val books = Similarity.pqCodebooks(emb, m, nCodes, iters = 0)
+    assert(books.length === m)
+    books.foreach(b => assert(b.length === nCodes))
+    val codes = Similarity.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> (1 until 1 + m).map(r.getInt).toSeq).toMap
+    // hash order picks 4 of the 6 rows as seeds; whichever they are,
+    // every row must encode each subspace to a true L2-argmin code, and
+    // a row whose subvector IS a codebook entry must land at distance 0
+    for ((id, cs) <- codes; s <- 0 until m) {
+      val sub = vecs.toMap.apply(id).slice(s * d, s * d + d).toSeq
+      val entry = books(s)(cs(s)).toSeq
+      val l2self = sub.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum
+      val l2code = sub.zip(entry).map { case (a, b) => (a - b) * (a - b) }.sum
+      // the chosen code is a true L2 argmin over the codebook
+      books(s).foreach { cand =>
+        val l2cand = sub.zip(cand).map { case (a, b) => (a - b) * (a - b) }.sum
+        assert(l2code <= l2cand, s"doc $id sub $s: code not argmin")
+      }
+      if (books(s).exists(_.toSeq == sub)) assert(l2code === 0L, s"doc $id sub $s")
+      assert(l2self === 0L) // tautology guard for the generator above
+    }
+    // ADC: for vectors whose subvectors all sit ON codebook entries the
+    // approximate score equals the exact dot
+    val q = emb.filter(col("vec_id") === 0L)
+    val adc = Similarity.pqTopK(emb, q, k = 5, m, nCodes, iters = 0).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val v0 = vecs.toMap.apply(0L)
+    for ((id, v) <- vecs; if id != 0L) {
+      val exactDot = v0.zip(v).map { case (a, b) => a * b }.sum
+      val cs = codes(id)
+      val recon = (0 until m).flatMap(s => books(s)(cs(s))).toArray
+      val adcExpected = v0.zip(recon).map { case (a, b) => a * b }.sum
+      assert(adc(id) === adcExpected, s"doc $id ADC mismatch")
+      if (recon.toSeq == v.toSeq) assert(adc(id) === exactDot, s"doc $id")
+    }
+  }
 }
