@@ -330,20 +330,17 @@ object Similarity {
 
   // ---- product quantization (PQ) -------------------------------------
 
-  /** Per-row PQ code for subspace `s`: argmin L2 distance to the
-    * codebook = argmax `2·dot − |c|²` (the `|v|²` term is common),
-    * ties to the LOWEST code id — all integer, so the SQL oracle
-    * reproduces every assignment. One fused struct sort over `nCodes`
-    * literal entries, the [[probeList]] flat shape. */
-  private def pqCodeExpr(book: Array[Array[Long]], s: Int, d: Int): Column = {
-    val scored = book.zipWithIndex.map { case (cvec, cid) =>
-      val nrm = cvec.map(x => x * x).sum
-      struct(
-        (graft.functions.GraftFunctions.dot_long(
-          slice(col("v"), s * d + 1, d), typedLit(cvec.toSeq)) * 2 - lit(nrm)).as("d"),
-        lit(-cid).as("nc"))
-    }
-    -element_at(sort_array(array(scored: _*), asc = false), 1).getField("nc")
+  /** All `m` PQ codes for a row as `array<int>` — L2 argmin per
+    * subspace (argmax `2·dot − |c|²`, ties to the LOWEST code id), all
+    * integer so the SQL oracle reproduces every assignment. ONE fused
+    * codegen expression ([[graft.functions.PqAssign]]); the unfused
+    * `m × nCodes` dot/slice spelling bloated the plan ~30× at sf0.1. */
+  private def pqCodesCol(books: Array[Array[Array[Long]]]): Column = {
+    val m = books.length; val nCodes = books(0).length; val d = books(0)(0).length
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqAssign(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+        books.flatten.flatten, m, nCodes, d))
   }
 
   /**
@@ -368,8 +365,9 @@ object Similarity {
     val d = dim / m
     var books = Array.tabulate(m)(s => seeds.map(_._2.slice(s * d, s * d + d)).toArray)
     for (_ <- 0 until iters) {
-      val subRows = emb.select(explode(array((0 until m).map(s =>
-          struct(lit(s).as("sub"), pqCodeExpr(books(s), s, d).as("code"),
+      val subRows = emb.withColumn("codes", pqCodesCol(books))
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), element_at(col("codes"), s + 1).as("code"),
             slice(col("v"), s * d + 1, d).as("sv"))): _*)).as("e"))
         .select(col("e.sub").as("sub"), col("e.code").as("code"), col("e.sv").as("sv"))
       val aggs = count(lit(1)).as("n") +:
@@ -390,11 +388,10 @@ object Similarity {
     * columns replace a `dim`-long vector (the 128× memory win that lets
     * a corpus-wide ANN index stay resident). Pure per-row projection,
     * shuffle-free. */
-  def pqEncode(emb: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
-    val d = books(0)(0).length
-    emb.select(col("vec_id") +: books.indices.map(s =>
-      pqCodeExpr(books(s), s, d).cast("int").as(s"c$s")): _*)
-  }
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
+    emb.withColumn("codes", pqCodesCol(books))
+      .select(col("vec_id") +: books.indices.map(s =>
+        element_at(col("codes"), s + 1).as(s"c$s")): _*)
 
   /**
    * PQ asymmetric-distance (ADC) top-k: each query computes one
@@ -412,16 +409,17 @@ object Similarity {
              nCodes: Int = 16, iters: Int = 1): DataFrame = {
     val books = pqCodebooks(emb, m, nCodes, iters)
     val d = books(0)(0).length
-    val codes = emb.select(col("vec_id").as("nid"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("sub"), pqCodeExpr(books(s), s, d).as("code"))): _*)).as("e"))
-      .select(col("nid"), col("e.sub").as("sub"), col("e.code").as("code"))
-    val qtab = queries.select(col("vec_id").as("qid"), explode(array((for {
-        s <- 0 until m; c <- 0 until nCodes
-      } yield struct(lit(s).as("sub"), lit(c).as("code"),
-        graft.functions.GraftFunctions.dot_long(
-          slice(col("v"), s * d + 1, d), typedLit(books(s)(c).toSeq)).as("pdot"))): _*)).as("e"))
-      .select(col("qid"), col("e.sub").as("sub"), col("e.code").as("code"),
-        col("e.pdot").as("pdot"))
+    val codes = emb.withColumn("codes", pqCodesCol(books))
+      .select(col("vec_id").as("nid"), posexplode(col("codes")))
+      .toDF("nid", "sub", "code")
+    val qtab = queries.withColumn("pt",
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.PqQueryTable(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+            books.flatten.flatten, m, nCodes, d)))
+      .select(col("vec_id").as("qid"), posexplode(col("pt")))
+      .select(col("qid"), (col("pos") / nCodes).cast("int").as("sub"),
+        (col("pos") % nCodes).cast("int").as("code"), col("col").as("pdot"))
     val scored = codes.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid").agg(sum(col("pdot")).as("score"))
