@@ -107,6 +107,14 @@ object EmbeddingQueries {
         .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
         .groupBy("qid").agg(count(col("nid")).as("hits"))
     }),
+    // IVFPQ: the probe restricts each query to nProbe cells, ADC
+    // scores the survivors from codes alone — the composition
+    // trillion-scale serving uses, gated end to end
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NQueries), K,
+        IvfCentroids, IvfProbe, PqM, PqCodes, PqIters)
+    }),
     // IVF-blocked kNN JOIN: k nearest neighbors for EVERY vector — the
     // whole-corpus semantic-dedup/clustering primitive; no broadcast,
     // one equi-join on the cell id. Both consumers (here and
@@ -509,6 +517,32 @@ FROM ie q LEFT JOIN (
   ON j.qid = q.vec_id
 WHERE q.vec_id < $NQueries
 GROUP BY 1""",
+
+    // IVFPQ: IVF probes (seed centroids, ties cid-desc) restrict the
+    // candidates; ADC scores them through the PQ codes; rank ties
+    // nid-asc — the full composition, one oracle
+    "ann_ivfpq_topk" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+$pqCte,
+pqd AS (SELECT x.vec_id AS qid, (x.i-1)//${Dim / PqM} AS sub, c.cid AS code,
+    CAST(sum(x.ev*c.ev) AS BIGINT) AS pdot
+  FROM iex x JOIN pcex2 c ON c.i = x.i WHERE x.vec_id < $NQueries GROUP BY 1, 2, 3),
+probes AS (SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+    FROM ad WHERE vec_id < $NQueries)
+  WHERE rn <= $IvfProbe),
+ipqc AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+ipqsc AS (SELECT c.qid, c.nid, CAST(sum(q.pdot) AS BIGINT) AS score
+  FROM ipqc c JOIN pasn2 a ON a.vec_id = c.nid
+  JOIN pqd q ON q.qid = c.qid AND q.sub = a.sub AND q.code = a.code
+  GROUP BY 1, 2)
+SELECT qid, nid, score, CAST(rank AS INT) AS rank FROM (
+    SELECT qid, nid, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+    FROM ipqsc)
+WHERE rank <= $K""",
 
     // kNN join: the same IVF probe/candidate/re-rank tail with the
     // query predicate removed — every vector is a query

@@ -393,6 +393,16 @@ object Similarity {
       .select(col("vec_id") +: books.indices.map(s =>
         element_at(col("codes"), s + 1).as(s"c$s")): _*)
 
+  /** The fused per-query ADC partial-dot table
+    * ([[graft.functions.PqQueryTable]]) as a column. */
+  private def pqQueryTableCol(books: Array[Array[Array[Long]]]): Column = {
+    val m = books.length; val nCodes = books(0).length; val d = books(0)(0).length
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqQueryTable(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+        books.flatten.flatten, m, nCodes, d))
+  }
+
   /**
    * PQ asymmetric-distance (ADC) top-k: each query computes one
    * `m × nCodes` partial-dot table against the codebooks (broadcast —
@@ -408,19 +418,57 @@ object Similarity {
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
              nCodes: Int = 16, iters: Int = 1): DataFrame = {
     val books = pqCodebooks(emb, m, nCodes, iters)
-    val d = books(0)(0).length
     val codes = emb.withColumn("codes", pqCodesCol(books))
       .select(col("vec_id").as("nid"), posexplode(col("codes")))
       .toDF("nid", "sub", "code")
-    val qtab = queries.withColumn("pt",
-        org.apache.spark.sql.graftbridge.Bridge.column(
-          graft.functions.PqQueryTable(
-            org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
-            books.flatten.flatten, m, nCodes, d)))
+    val qtab = queries.withColumn("pt", pqQueryTableCol(books))
       .select(col("vec_id").as("qid"), posexplode(col("pt")))
       .select(col("qid"), (col("pos") / nCodes).cast("int").as("sub"),
         (col("pos") % nCodes).cast("int").as("code"), col("col").as("pdot"))
     val scored = codes.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid").agg(sum(col("pdot")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "score", "rank")
+  }
+
+  /**
+   * IVFPQ top-k — the composition trillion-scale ANN serving uses: the
+   * IVF probe restricts each query to `nProbe` cells, and ADC scores
+   * the survivors from their PQ CODES alone. After index build
+   * (assignment + codes, one row per vector), the query path never
+   * touches an original vector: per query the broadcast side is
+   * `nProbe × m × nCodes` partial-dot rows, the scan side is the
+   * probed cells' code rows, and the join carries only small integers.
+   * Scan cost ≈ `nProbe/nCentroids` of the corpus × `m` adds per
+   * survivor over a ~100×-compressed index — the memory and the
+   * candidate restriction compose multiplicatively. Every step stays
+   * integer and order-pinned (seed centroids, probe ties cid-desc as
+   * [[ivfTopK]], code ties lowest, rank ties nid-asc), so the full
+   * composition is oracle-gated.
+   */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 0, nProbe: Int = 4, m: Int = 4,
+                nCodes: Int = 16, pqIters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
+    val books = pqCodebooks(emb, m, nCodes, pqIters)
+    // the serving index: cell id + exploded codes, one (sub, code) row
+    // per vector per subspace — vectors are read only at build time
+    val index = ivfAssign(emb, cents).withColumn("codes", pqCodesCol(books))
+      .select(col("vec_id").as("nid"), col("centroid_id"), posexplode(col("codes")))
+      .toDF("nid", "centroid_id", "sub", "code")
+    val qtab = queries
+      .withColumn("probes", probeList(cents, nProbe))
+      .withColumn("pt", pqQueryTableCol(books))
+      .select(col("vec_id").as("qid"), explode(col("probes")).as("centroid_id"),
+        col("pt"))
+      .select(col("qid"), col("centroid_id"), posexplode(col("pt")))
+      .select(col("qid"), col("centroid_id"),
+        (col("pos") / nCodes).cast("int").as("sub"),
+        (col("pos") % nCodes).cast("int").as("code"), col("col").as("pdot"))
+    val scored = index.join(broadcast(qtab), Seq("centroid_id", "sub", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid").agg(sum(col("pdot")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))

@@ -392,6 +392,34 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sql("SELECT dot_long(array(1L,2L), array(3L,4L))").head().getLong(0) === 11L)
   }
 
+  test("ivfPqTopK composes: neighbors only from probed cells, scores are ADC scores") {
+    val e = Similarity.intEmbeddings(
+      spark.read.parquet(sf("sf0.01") + "/embeddings.parquet"))
+    val q = e.filter(col("vec_id") < 10)
+    // k large enough to surface EVERY probed candidate / every pair
+    val ivfAll = Similarity.ivfTopK(e, q, 100000, nCentroids = 16, nProbe = 4)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcAll = Similarity.pqTopK(e, q, 100000, 16, 32, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val out = Similarity.ivfPqTopK(e, q, 10, 16, 4, 16, 32, 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (pair, score, rank) =>
+      assert(ivfAll.contains(pair), s"$pair outside the probed cells")
+      assert(adcAll(pair) === score, s"$pair score is not the ADC score")
+      assert(rank >= 1 && rank <= 10)
+    }
+    // and it is a true top-k of the ADC scores WITHIN the candidate set
+    val byQ = out.groupBy(_._1._1)
+    byQ.foreach { case (qid, rows) =>
+      val returned = rows.map(_._2).toSeq.sorted.reverse
+      val candBest = ivfAll.filter(_._1 == qid).map(adcAll).toSeq.sorted.reverse
+        .take(rows.length)
+      assert(returned === candBest, s"query $qid: not the candidate-set ADC top-k")
+    }
+  }
+
   test("PQ: codebook rows encode to themselves; ADC scores reconstruct exact dots " +
     "for codebook-aligned vectors") {
     import spark.implicits._
