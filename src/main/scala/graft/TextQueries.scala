@@ -77,6 +77,10 @@ object TextQueries {
     // spans >= k+w-1 tokens, candidates-only positioned join — the
     // scale path for mostly-distinct corpora
     "span_dedup_winnow" -> ((s, dir) => Dedup.spanDedupApprox(docs(s, dir), SpanK, 2, 4)),
+    // the char-granularity twin: same signal-table prefilter over the
+    // char-gram hashes; non-candidates report zero duplicate coverage
+    "span_dedup_chars_winnow" -> ((s, dir) =>
+      Dedup.spanDedupCharsApprox(docs(s, dir), SpanCharsK, 2, 4)),
     // BPE tokenizer-training primitive: corpus-weighted adjacent
     // char-pair counts over the distinct-word table, top-k candidates
     "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(docs(s, dir), 20)),
@@ -496,6 +500,48 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
   CAST(len(list_filter(range(1, n+1),
     p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanCharsK - 1})) > 0)) AS BIGINT) AS n_dup_chars
 FROM j""",
+
+    // char twin of span_dedup_winnow: fingerprints are window minima
+    // (w=4) over the char-gram hashes; candidates share a duplicated
+    // fingerprint or a duplicated cleaned text; the chain runs over
+    // candidates only, everyone else reports zero coverage
+    "span_dedup_chars_winnow" ->
+      s"""WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g') AS clean
+  FROM documents),
+h AS (SELECT doc_id, clean, length(clean) AS n,
+    list_transform(range(1, length(clean)+1), i -> CAST(ascii(substr(clean, CAST(i AS INT), 1)) AS BIGINT)) AS hs
+  FROM c WHERE length(clean) >= 1),
+g AS (SELECT doc_id, clean, n,
+    CASE WHEN n >= $SpanCharsK THEN list_transform(range(1, n-${SpanCharsK - 2}),
+      i -> ${Dedup.spanGramHash(SpanCharsK)})
+    ELSE CAST([] AS BIGINT[]) END AS ghs
+  FROM h),
+f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ghs)-2),
+    j -> list_min(ghs[j:j+3])))) AS fp
+  FROM g WHERE len(ghs) >= 4),
+dupf AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+cand AS (SELECT DISTINCT doc_id FROM f JOIN dupf USING (fp)
+  UNION
+  SELECT doc_id FROM g WHERE clean IN (
+    SELECT clean FROM c GROUP BY clean HAVING count(*) >= 2)),
+gc AS (SELECT doc_id, n, ghs FROM g WHERE doc_id IN (SELECT doc_id FROM cand)),
+occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM gc),
+dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
+pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(ghs)+1),
+    i -> {'i': i, 'gh': ghs[i]})) AS pg FROM gc)),
+ds AS (SELECT p.doc_id, list_sort(list(p.i)) AS ss
+  FROM pos p JOIN dup d ON p.gh = d.gh AND p.doc_id <> d.keeper
+  GROUP BY p.doc_id),
+j AS (SELECT gc.doc_id, gc.n, coalesce(ds.ss, CAST([] AS BIGINT[])) AS ss
+  FROM gc LEFT JOIN ds USING (doc_id))
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(len(list_filter(range(1, n+1),
+    p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanCharsK - 1})) > 0)) AS BIGINT) AS n_dup_chars
+FROM j
+UNION ALL
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS n_dup_chars
+FROM g WHERE doc_id NOT IN (SELECT doc_id FROM cand)""",
 
     "lm_score" ->
       """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

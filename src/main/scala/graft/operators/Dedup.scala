@@ -991,17 +991,28 @@ object Dedup {
    */
   def spanDedupChars(df: DataFrame, k: Int = 20, minDf: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val txt = TextAnalysis.spread(df)
+    val txt = charTxt(df)
+    // one representative row per distinct cleaned text, carrying the
+    // group's size (df weight) and min doc (keeper candidate)
+    val reps = charReps(txt, k).localCheckpoint()
+    charFanOut(txt, charMachinery(reps, k, minDf))
+  }
+
+  /** Per-doc `(doc_id, tkey, clean)` over the `[a-z0-9]`-only stream,
+    * checkpointed (re-read by the fan-out join). */
+  private def charTxt(df: DataFrame): DataFrame =
+    TextAnalysis.spread(df)
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "[^a-z0-9]", "").as("clean"))
       .filter(length(col("clean")) >= 1)
       .withColumn("tkey", md5(col("clean")))
       .select(col("doc_id"), col("tkey"), col("clean"))
       .localCheckpoint()
-    // one representative row per distinct cleaned text, carrying the
-    // group's size (df weight) and min doc (keeper candidate)
-    val reps = txt
-      .groupBy("tkey")
+
+  /** Distinct-cleaned-text representatives with the fused char-gram
+    * hash: `(tkey, min_doc, m, n, ghs)`. */
+  private def charReps(txt: DataFrame, k: Int): DataFrame =
+    txt.groupBy("tkey")
       .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
         first(col("clean")).as("clean"))
       .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
@@ -1009,8 +1020,19 @@ object Dedup {
           org.apache.spark.sql.graftbridge.Bridge.expression(col("clean")), k)))
       .select(col("tkey"), col("min_doc"), col("m"),
         length(col("clean")).as("n"), col("ghs"))
-      .localCheckpoint()
-    val dup = reps
+
+  /** Fan per-distinct-text coverage back out to documents. */
+  private def charFanOut(txt: DataFrame, perText: DataFrame): DataFrame =
+    txt.join(perText, "tkey")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") === col("min_doc"), col("dup_keep"))
+          .otherwise(col("dup_all")).as("n_dup_chars"))
+
+  /** Dup inventory → dup starts → interval-union coverage, over a
+    * CHECKPOINTED char representative table (three consumers). Returns
+    * `(tkey, min_doc, n_chars, dup_all, dup_keep)`. */
+  private def charMachinery(active: DataFrame, k: Int, minDf: Int): DataFrame = {
+    val dup = active
       .select(col("min_doc"), col("m"), explode(expr("array_distinct(ghs)")).as("gh"))
       .groupBy("gh")
       .agg(sum(col("m")).as("df"), min(col("min_doc")).as("keeper_doc"))
@@ -1018,7 +1040,7 @@ object Dedup {
     // per TEXT: sorted duplicated starts for non-keeper members (all
     // duplicated grams) and for the group's min-doc member (grams it
     // does not keep)
-    val starts = reps.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
+    val starts = active.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
       .toDF("tkey", "min_doc", "i", "gh")
       .join(dup, "gh")
       .groupBy("tkey")
@@ -1035,7 +1057,7 @@ object Dedup {
                         (a, b) -> least(b - a, cast($k as bigint))),
               cast($k as bigint), (acc, x) -> acc + x)
           end as bigint)"""
-    val perText = reps.join(starts, Seq("tkey"), "left")
+    active.join(starts, Seq("tkey"), "left")
       .withColumn("ss_all",
         coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
       .withColumn("ss_keep",
@@ -1043,10 +1065,56 @@ object Dedup {
       .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"),
         expr(cover("ss_all")).as("dup_all"),
         expr(cover("ss_keep")).as("dup_keep"))
-    txt.join(perText, "tkey")
-      .select(col("doc_id"), col("n_chars"),
-        when(col("doc_id") === col("min_doc"), col("dup_keep"))
-          .otherwise(col("dup_all")).as("n_dup_chars"))
+  }
+
+  /**
+   * APPROXIMATE char-level duplicate-coverage — [[spanDedupChars]]
+   * with the same fused winnow prefilter [[spanDedupApprox]] applies
+   * at word granularity: a compact signal table (scalars + window-
+   * minimum fingerprints over the already-needed char-gram polynomial
+   * hashes, the `least` ladder) nominates candidate texts (shared
+   * fingerprint with doc-weighted df ≥ 2, or exact-duplicated cleaned
+   * text `m > 1`); the gram machinery is rebuilt at candidate scale;
+   * non-candidates pass through with `n_dup_chars = 0`. Exact for
+   * duplicated char spans ≥ `k + w - 1` cleaned characters; shorter
+   * duplicated spans may be under-counted (coverage only ever drops,
+   * never rises). The same adaptive bail-out falls back to the exact
+   * machinery when candidates exceed `maxCandidateFrac` of distinct
+   * texts.
+   */
+  def spanDedupCharsApprox(df: DataFrame, k: Int = 20, minDf: Int = 2,
+                           w: Int = 4, maxCandidateFrac: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val txt = charTxt(df)
+    val fpLadder = (0 until w).map(j => s"ghs[j+$j]").mkString("least(", ", ", ")")
+    val sig = charReps(txt, k)
+      .withColumn("fps",
+        when(size(col("ghs")) >= w, expr(
+          s"array_distinct(transform(sequence(0, size(ghs)-$w), j -> $fpLadder))"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col("tkey"), col("min_doc"), col("m"), col("n"), col("fps"))
+      .localCheckpoint()
+    val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(sum(col("m")).as("fdf"))
+      .filter(col("fdf") >= 2).select("fp")
+    val candKeys = sig.select(col("tkey"), explode(col("fps")).as("fp"))
+      .join(dupFp, "fp").select("tkey")
+      .union(sig.filter(col("m") > 1).select("tkey"))
+      .distinct()
+      .localCheckpoint()
+    if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
+      val reps = charReps(txt, k).localCheckpoint()
+      charFanOut(txt, charMachinery(reps, k, minDf))
+    } else {
+      val activeReps =
+        charReps(txt.join(candKeys, Seq("tkey"), "left_semi"), k)
+          .localCheckpoint()
+      val allText = charMachinery(activeReps, k, minDf).unionByName(
+        sig.join(candKeys, Seq("tkey"), "left_anti")
+          .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"),
+            lit(0L).as("dup_all"), lit(0L).as("dup_keep")))
+      charFanOut(txt, allText)
+    }
   }
 
   /**

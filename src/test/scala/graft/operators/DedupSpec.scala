@@ -532,6 +532,53 @@ class DedupSpec extends SparkSpec {
     assert(approx === exact)
   }
 
+  test("spanDedupCharsApprox: coverage only drops, exact on winnow-long char spans, " +
+    "bail-out restores short spans") {
+    import spark.implicits._
+    val k = 10; val w = 3 // winnow-long threshold: k+w-1 = 12 cleaned chars
+    val long = "abcdefghijklmnop" // 16 shared cleaned chars >= 12
+    val s10 = "0123456789" // exactly k — a structural miss candidate
+    val df = Seq(
+      (1L, s"$long qdocone"),
+      (2L, s"zz $long ytwo"),
+      (3L, s"$s10 aaaaaaa"),
+      // doc 4 cleans to 11 chars < 12: no fingerprint window exists, so
+      // the pure approx path can never see it — structural miss
+      (4L, s"x $s10"),
+      (5L, "unrelated filler words entirely")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.spanDedupChars(df, k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = Dedup.spanDedupCharsApprox(df, k, 2, w, maxCandidateFrac = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    // exact flags doc 4's k-char overlap; pure approx structurally cannot
+    assert(exact(4L)._2 === 10L)
+    assert(approx(4L)._2 === 0L)
+    // the winnow-long span is exact: doc 2 (non-keeper) coverage matches
+    assert(exact(2L)._2 >= 16L)
+    assert(approx(2L) === exact(2L))
+    // coverage only ever drops; n_chars never changes
+    for (id <- exact.keys) {
+      assert(approx(id)._1 === exact(id)._1, s"n_chars doc $id")
+      assert(approx(id)._2 <= exact(id)._2, s"coverage rose for doc $id")
+    }
+    // bail-out: add three duplicated texts -> 4 of 8 distinct... make it
+    // 5 of 8 candidates is not needed; duplicate three NEW texts so
+    // candidates (3 dup texts + docs 1,2) = 5 of 8 distinct > 0.5
+    val more = df.union(Seq(
+      (6L, "first duplicated body"), (7L, "first duplicated body"),
+      (8L, "second duplicated body"), (9L, "second duplicated body"),
+      (10L, "third duplicated body"), (11L, "third duplicated body")
+    ).toDF("doc_id", "text"))
+    val exact2 = Dedup.spanDedupChars(more, k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bailed = Dedup.spanDedupCharsApprox(more, k, 2, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bailed === exact2) // short span on doc 4 included
+    assert(bailed(4L)._2 === 10L)
+  }
+
   test("spanDedupApprox bail-out: majority-duplicated corpus falls back to exact " +
     "semantics, short spans included") {
     import spark.implicits._

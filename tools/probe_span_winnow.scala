@@ -22,6 +22,8 @@ val fivepct = docs.crossJoin(spark.range(copies).toDF("rep")).select((col("doc_i
 println(s"[probe] 5pct-dup rows=${fivepct.count()}")
 time("spanDedup  EXACT  5pct-dup 1M") { println(graft.operators.Dedup.spanDedup(fivepct, 5, 2).agg(sum("n_kept")).head.getLong(0)) }
 time("spanDedupApprox   5pct-dup 1M") { println(graft.operators.Dedup.spanDedupApprox(fivepct, 5, 2, 4).agg(sum("n_kept")).head.getLong(0)) }
+time("spanDedupChars  EXACT  5pct-dup 1M") { println(graft.operators.Dedup.spanDedupChars(fivepct, 20, 2).agg(sum("n_dup_chars")).head.getLong(0)) }
+time("spanDedupCharsApprox   5pct-dup 1M") { println(graft.operators.Dedup.spanDedupCharsApprox(fivepct, 20, 2, 4).agg(sum("n_dup_chars")).head.getLong(0)) }
 fivepct.unpersist()
 val distinct1m = docs.crossJoin(spark.range(copies).toDF("rep")).select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"), array_join(transform(split(col("text"), " "), t => concat(t, lit("~r"), col("rep"))), " ").as("text")).repartition(64).cache()
 println(s"[probe] mostly-distinct rows=${distinct1m.count()}")
