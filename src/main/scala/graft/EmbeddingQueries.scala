@@ -182,11 +182,13 @@ object EmbeddingQueries {
     // it adds is proof that the streaming plumbing (foreachBatch,
     // checkpointing, append sink) preserves the batch semantics.
     "stream_semantic" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sem").toString
       val e = emb(s, dir)
       val prior = e.filter(col("vec_id") % 4 < 3)
-      e.filter(col("vec_id") % 4 === 3).repartition(4).write.parquet(s"$tmp/in")
-      val schema = s.read.parquet(s"$tmp/in").schema
+      val (tmp, schema) = graft.streaming.StreamMeter.setup {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sem").toString
+        e.filter(col("vec_id") % 4 === 3).repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val q = stream.writeStream
@@ -213,7 +215,7 @@ object EmbeddingQueries {
       // resolve the filesystem FROM the path: FileSystem.get(conf) is
       // the default fs, which misdirects the delete under any
       // non-local fs.defaultFS
-      fs.delete(tmpPath, true)
+      graft.streaming.StreamMeter.setup { fs.delete(tmpPath, true) }
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)

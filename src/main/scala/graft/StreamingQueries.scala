@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.PointStore
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamMeter, StreamingIngest}
 import graft.zorder.IntRange
 
 /**
@@ -32,18 +32,21 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_range" -> ((s, dir) => {
       import org.apache.hadoop.fs.{FileUtil, Path}
-      val tmp = Files.createTempDirectory("graft-stream-gate").toString
-      // the file stream source wants a DIRECTORY to watch; the source
-      // table may itself be a file OR a directory-shaped parquet
-      // dataset — FileUtil.copy handles both recursively (a bare
-      // Files.copy of a directory would copy an empty dir and the gate
-      // would silently compare an empty store)
-      val conf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/events.parquet")
-      val fs = src.getFileSystem(conf)
-      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-      FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // harness staging (metered separately for bench attribution): the
+      // file stream source wants a DIRECTORY to watch; the source table
+      // may itself be a file OR a directory-shaped parquet dataset —
+      // FileUtil.copy handles both recursively (a bare Files.copy of a
+      // directory would copy an empty dir and the gate would silently
+      // compare an empty store)
+      val (tmp, fs, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-gate").toString
+        val conf = s.sparkContext.hadoopConfiguration
+        val src = new Path(s"$dir/events.parquet")
+        val fs = src.getFileSystem(conf)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
+        (tmp, fs, s.read.parquet(s"$dir/events.parquet").schema)
+      }
       val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
       val q = StreamingIngest.start(stream, s"$tmp/store", s"$tmp/stats",
         s"$tmp/ckpt", splitThreshold = 100000L)
@@ -57,7 +60,7 @@ object StreamingQueries {
       // run leaks a store-sized copy in /tmp
       val rows = agg.collect().toSeq
       val outSchema = agg.schema
-      fs.delete(new Path(tmp), true)
+      StreamMeter.setup { fs.delete(new Path(tmp), true) }
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
@@ -72,13 +75,15 @@ object StreamingQueries {
     // the 2-D store (the reference's put path, lifted).
     "stream_ingest_box3" -> ((s, dir) => {
       import org.apache.hadoop.fs.{FileUtil, Path}
-      val tmp = Files.createTempDirectory("graft-stream-gate3").toString
-      val conf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/events.parquet")
-      val fs = src.getFileSystem(conf)
-      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-      FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val (tmp, fs, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-gate3").toString
+        val conf = s.sparkContext.hadoopConfiguration
+        val src = new Path(s"$dir/events.parquet")
+        val fs = src.getFileSystem(conf)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
+        (tmp, fs, s.read.parquet(s"$dir/events.parquet").schema)
+      }
       val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
       val q = StreamingIngest.start(stream, s"$tmp/store", s"$tmp/stats",
         s"$tmp/ckpt", splitThreshold = 100000L,
@@ -92,7 +97,7 @@ object StreamingQueries {
           sum(col("t").cast("long")).as("t_sum"))
       val rows = agg.collect().toSeq
       val outSchema = agg.schema
-      fs.delete(new Path(tmp), true)
+      StreamMeter.setup { fs.delete(new Path(tmp), true) }
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
@@ -108,13 +113,15 @@ object StreamingQueries {
     // unless watermark bookkeeping, window assignment, or append-mode
     // finalization is broken, which is the gate.
     "stream_hourly" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-stream-hourly").toString
-      val src = s.read.parquet(s"$dir/events.parquet")
-        .select(expr("timestamp_micros(div(ts, 1000))").as("event_time"),
-          col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
-      src.write.parquet(s"$tmp/in")
-      val maxTs = src.agg(max(col("event_time"))).head.getTimestamp(0)
-      val schema = s.read.parquet(s"$tmp/in").schema
+      val (tmp, maxTs, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-hourly").toString
+        val src = s.read.parquet(s"$dir/events.parquet")
+          .select(expr("timestamp_micros(div(ts, 1000))").as("event_time"),
+            col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
+        src.write.parquet(s"$tmp/in")
+        (tmp, src.agg(max(col("event_time"))).head().getTimestamp(0),
+          s.read.parquet(s"$tmp/in").schema)
+      }
       val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
       val agg = stream
         .withWatermark("event_time", "10 minutes")
@@ -138,8 +145,10 @@ object StreamingQueries {
       val res = s.read.parquet(s"$tmp/out")
       val rows = res.collect().toSeq
       val outSchema = res.schema
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
@@ -154,11 +163,13 @@ object StreamingQueries {
     // into the dedup, so the surviving-row arrival order — the one
     // nondeterministic degree of freedom — cannot affect the result.
     "stream_dedup" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-stream-dedup").toString
-      s.read.parquet(s"$dir/events.parquet")
-        .select("user_id", "event_type")
-        .repartition(4).write.parquet(s"$tmp/in")
-      val schema = s.read.parquet(s"$tmp/in").schema
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-dedup").toString
+        s.read.parquet(s"$dir/events.parquet")
+          .select("user_id", "event_type")
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val q = stream.dropDuplicates("user_id", "event_type")
@@ -171,8 +182,10 @@ object StreamingQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n_users"))
       val rows = agg.collect().toSeq
       val outSchema = agg.schema
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
@@ -191,11 +204,13 @@ object StreamingQueries {
     // production stream would add a watermark to bound the state store;
     // the gate's corpus is finite.)
     "stream_curate" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-stream-curate").toString
-      s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(4).write.parquet(s"$tmp/in")
-      val schema = s.read.parquet(s"$tmp/in").schema
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-curate").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val curated = stream
@@ -212,8 +227,10 @@ object StreamingQueries {
       val res = s.read.parquet(s"$tmp/out").select("fp")
       val rows = res.collect().toSeq
       val outSchema = res.schema
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
