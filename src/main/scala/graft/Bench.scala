@@ -90,7 +90,12 @@ object Bench {
         val rdds0 = spark.sparkContext.getPersistentRDDs.size
         val gc0 = gcMs
         val sec = timeOnce(body)
-        (sec, (gcMs - gc0) / 1e3, spark.sparkContext.getPersistentRDDs.size - rdds0)
+        val gcSec = (gcMs - gc0) / 1e3
+        // the run's result hit the sink — release its lineage
+        // checkpoints through the documented lifecycle hook before
+        // counting leaks: what survives the hook is a real leak
+        graft.operators.CheckpointScope.releaseAll()
+        (sec, gcSec, spark.sparkContext.getPersistentRDDs.size - rdds0)
       }
       val a = run()
       if (a._1 < 0 || runs < 2) Meas(a._1, a._2, a._3)

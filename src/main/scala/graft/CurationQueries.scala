@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Curation, TextAnalysis}
+import graft.operators.CheckpointScope.Scoped
 
 /**
  * Corpus-curation query inventory over `documents`: repetition scoring,
@@ -147,14 +148,14 @@ object CurationQueries {
       // same materialize-between-stages shape as the shared cluster
       // table, at ID-list cost
       val clean = cur.filter(!evalPred).join(contam, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .scopedCheckpoint()
       val budgeted = Curation.budgetSelect(d.join(clean, "doc_id"), ReleaseBudget)
-        .select("doc_id").localCheckpoint()
+        .select("doc_id").scopedCheckpoint()
       // materialize the (shipped-set-scale) result, then free the two
       // stage-boundary ID checkpoints — repeated release builds in one
       // session must not accumulate executor-storage blocks
       val out = Curation.shardAssign(d.join(budgeted, "doc_id"), NShards)
-        .localCheckpoint()
+        .scopedCheckpoint()
       graft.operators.Dedup.unpersistCheckpointed(clean)
       graft.operators.Dedup.unpersistCheckpointed(budgeted)
       out

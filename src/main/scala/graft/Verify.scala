@@ -35,6 +35,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // the query's result is on disk — its lineage checkpoints
+        // (CC labels, span signal tables, …) are dead weight now
+        graft.operators.CheckpointScope.releaseAll()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CheckpointScope.Scoped
 
 /**
  * Corpus-curation operators — the selection/cleaning steps of a
@@ -380,7 +381,7 @@ object Curation {
     // of the boundary prefix read the checkpointed 3-column table
     // instead of re-running the tokenizer per pass
     val s = TextAnalysis.stats(df).select("doc_id", "n_tokens", "quality_e3")
-      .localCheckpoint()
+      .scopedCheckpoint()
     val hist = s.groupBy("quality_e3").agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     var above = 0L
@@ -433,7 +434,7 @@ object Curation {
         size(col("ws")).cast("long").as("n_tokens"),
         expr("cast(div(cast(size(array_distinct(ws)) as bigint) * 1000, size(ws)) as bigint)")
           .as("quality_e3"))
-      .localCheckpoint()
+      .scopedCheckpoint()
     val hist = s.groupBy("grp", "quality_e3").agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.CheckpointScope.Scoped
 
 /**
  * Deduplication operators for LLM-data pipelines over `(doc_id, text)`:
@@ -255,7 +256,7 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.Bridge
     val newHashed = newDf.withColumn("th", md5(col("text")))
     val bandNew = bandSignatures(minhashSignatures(newDf, numHashes, k),
-      bands, rowsPerBand).localCheckpoint()
+      bands, rowsPerBand).scopedCheckpoint()
     val thBloom = bloomBytes(newHashed.select("th").distinct(), xxhash64(col("th")))
     val sigBloom = bloomBytes(
       bandNew.select(concat_ws(":", col("band_id"), col("sig")).as("bs")).distinct(),
@@ -284,7 +285,7 @@ object Dedup {
       .select(col("id_new").as("doc_id")).distinct()
     val survivors = exactSurvivors
       .join(nearLosers, Seq("doc_id"), "left_anti").select("doc_id")
-      .localCheckpoint() // eager: last read of the batch signatures
+      .scopedCheckpoint() // eager: last read of the batch signatures
     unpersistCheckpointed(bandNew)
     survivors
   }
@@ -312,8 +313,8 @@ object Dedup {
               num: Int = 1, den: Int = 2, k: Int = 3, numHashes: Int = 16,
               bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val bandNew = bandSignatures(minhashSignatures(newDf, numHashes, k),
-      bands, rowsPerBand).localCheckpoint()
-    val setsNew = TextAnalysis.shingleSets(newDf, k).localCheckpoint()
+      bands, rowsPerBand).scopedCheckpoint()
+    val setsNew = TextAnalysis.shingleSets(newDf, k).scopedCheckpoint()
     def verified(cands: DataFrame, setsB: DataFrame): DataFrame = cands
       .join(setsNew.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
       .join(setsB, "id_b")
@@ -343,7 +344,7 @@ object Dedup {
       .join(intraLosers, Seq("doc_id"), "left_anti")
       .join(crossLosers, Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .localCheckpoint() // eager: last read of the signature tables
+      .scopedCheckpoint() // eager: last read of the signature tables
     unpersistCheckpointed(bandNew)
     unpersistCheckpointed(setsNew)
     survivors
@@ -464,9 +465,9 @@ object Dedup {
     // split clusters
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .scopedCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).scopedCheckpoint()
     val enc3 = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaLong,
@@ -494,7 +495,7 @@ object Dedup {
         .as(enc3)
         .map { t => if (t._3) acc.add(1L); (t._1, t._2) }(enc2)
         .toDF("id", "label")
-        .localCheckpoint() // eager: the round's ONE action, tallying acc
+        .scopedCheckpoint() // eager: the round's ONE action, tallying acc
       changed = acc.value
       unpersistCheckpointed(labels)
       labels = next
@@ -505,13 +506,11 @@ object Dedup {
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), iter)
   }
 
-  /** Drop the storage of a `localCheckpoint`ed DataFrame once a later
-    * round has superseded it (blocking=false: eviction races nothing —
-    * the next round never reads it again). */
+  /** Drop the storage of a checkpointed DataFrame once a later round
+    * has superseded it — delegates to [[CheckpointScope.release]] so
+    * the scope registry stays in sync. */
   private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    CheckpointScope.release(df)
 
   /** Near-duplicate clusters in the full 100 TB shape: LSH candidates →
     * exact Jaccard re-verify ([[lshNearPairs]]) → transitive closure
@@ -752,7 +751,7 @@ object Dedup {
     // that can keep any gram. Three consumers inside the machinery
     // (dup inventory, dup starts, final join): materialize the
     // tokenize+hash work exactly once.
-    val reps = spanReps(txt, k).localCheckpoint()
+    val reps = spanReps(txt, k).scopedCheckpoint()
     spanFanOut(txt, spanMachinery(reps, k, minDf))
   }
 
@@ -761,7 +760,7 @@ object Dedup {
   private def spanTxt(df: DataFrame): DataFrame =
     TextAnalysis.spread(df)
       .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
-      .localCheckpoint()
+      .scopedCheckpoint()
 
   /** Tokenize + one md5 per token + the fused [[graft.functions
     * .PolyGrams]] rolling gram hash, as chained aliases so each
@@ -912,7 +911,7 @@ object Dedup {
         size(col("ws")).cast("long").as("n_tokens"),
         array_join(col("ws"), " ").as("cleaned_pass"),
         col("fps"))
-      .localCheckpoint()
+      .scopedCheckpoint()
     val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
       .groupBy("fp").agg(sum(col("m")).as("fdf"))
       .filter(col("fdf") >= 2).select("fp")
@@ -920,10 +919,10 @@ object Dedup {
       .join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
-      .localCheckpoint() // consumed by the rebuild semi-join + anti-join
+      .scopedCheckpoint() // consumed by the rebuild semi-join + anti-join
     // adaptive bail-out: both counts read materialized checkpoints
     if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
-      val reps = spanReps(txt, k).localCheckpoint()
+      val reps = spanReps(txt, k).scopedCheckpoint()
       spanFanOut(txt, spanMachinery(reps, k, minDf))
     } else {
       // full gram machinery rebuilt for candidate texts only (txt rows
@@ -931,7 +930,7 @@ object Dedup {
       // scale, checkpointed for the machinery's three consumers)
       val activeReps =
         spanReps(txt.join(candKeys, Seq("tkey"), "left_semi"), k)
-          .localCheckpoint()
+          .scopedCheckpoint()
       val allText = spanMachinery(activeReps, k, minDf).unionByName(
         sig.join(candKeys, Seq("tkey"), "left_anti")
           .select(col("tkey"), col("min_doc"), col("n_tokens"),
@@ -994,7 +993,7 @@ object Dedup {
     val txt = charTxt(df)
     // one representative row per distinct cleaned text, carrying the
     // group's size (df weight) and min doc (keeper candidate)
-    val reps = charReps(txt, k).localCheckpoint()
+    val reps = charReps(txt, k).scopedCheckpoint()
     charFanOut(txt, charMachinery(reps, k, minDf))
   }
 
@@ -1007,7 +1006,7 @@ object Dedup {
       .filter(length(col("clean")) >= 1)
       .withColumn("tkey", md5(col("clean")))
       .select(col("doc_id"), col("tkey"), col("clean"))
-      .localCheckpoint()
+      .scopedCheckpoint()
 
   /** Distinct-cleaned-text representatives with the fused char-gram
     * hash: `(tkey, min_doc, m, n, ghs)`. */
@@ -1093,7 +1092,7 @@ object Dedup {
           s"array_distinct(transform(sequence(0, size(ghs)-$w), j -> $fpLadder))"))
           .otherwise(expr("cast(array() as array<bigint>)")))
       .select(col("tkey"), col("min_doc"), col("m"), col("n"), col("fps"))
-      .localCheckpoint()
+      .scopedCheckpoint()
     val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
       .groupBy("fp").agg(sum(col("m")).as("fdf"))
       .filter(col("fdf") >= 2).select("fp")
@@ -1101,14 +1100,14 @@ object Dedup {
       .join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
-      .localCheckpoint()
+      .scopedCheckpoint()
     if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
-      val reps = charReps(txt, k).localCheckpoint()
+      val reps = charReps(txt, k).scopedCheckpoint()
       charFanOut(txt, charMachinery(reps, k, minDf))
     } else {
       val activeReps =
         charReps(txt.join(candKeys, Seq("tkey"), "left_semi"), k)
-          .localCheckpoint()
+          .scopedCheckpoint()
       val allText = charMachinery(activeReps, k, minDf).unionByName(
         sig.join(candKeys, Seq("tkey"), "left_anti")
           .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.CheckpointScope.Scoped
 
 /**
  * Text-analysis operators for LLM-data pipelines over a `(doc_id, text)`
@@ -609,7 +610,7 @@ object TextAnalysis {
     var vocab = spread(df).select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("wc"))
-      .localCheckpoint()
+      .scopedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -634,7 +635,7 @@ object TextAnalysis {
               size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
               concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
               .otherwise(concat(acc, array(s)))).as("syms"),
-          col("wc")).localCheckpoint() // eager: prev is safe to drop now
+          col("wc")).scopedCheckpoint() // eager: prev is safe to drop now
         Dedup.unpersistCheckpointed(prev)
       }
     }

@@ -785,6 +785,36 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(1L) == "nav home about contact" && cleaned(2L) == "")
   }
 
+  test("CheckpointScope.releaseAll frees result-lineage checkpoint blocks after materialization") {
+    import spark.implicits._
+    // settle: evict anything prior suites left behind so the baseline is clean
+    CheckpointScope.releaseAll()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val rdds0 = spark.sparkContext.getPersistentRDDs.size
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (3L, "completely different content with no shared passages at all here now"),
+      (4L, "prefix words then the quick brown fox jumps over the lazy dog again and again and again")
+    ).toDF("doc_id", "text")
+    // span dedup + clusters: both checkpoint intermediates AND leave
+    // result-lineage checkpoints (signal tables, final CC labels)
+    val spanned = Dedup.spanDedup(docs, k = 5)
+    val clustered = Dedup.clusters(docs)
+    assert(spanned.count() == 4 && clustered.count() >= 2)
+    // results are materialized; before the hook, lineage blocks are live
+    assert(CheckpointScope.liveCount > 0,
+      "expected live result-lineage checkpoints before releaseAll")
+    CheckpointScope.releaseAll()
+    assert(CheckpointScope.liveCount == 0)
+    // give the async (blocking=false) evictions a moment, then confirm
+    // the block manager is back at baseline — the round-10 leak shape
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > rdds0 &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= rdds0)
+  }
+
   test("incrementalKeepers drops exact and near-dups of the prior corpus, keeps intra-batch dups") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
