@@ -41,6 +41,16 @@ object EmbeddingQueries {
   private val PqM = 16
   private val PqCodes = 32
   private val PqIters = 1
+  // IVFPQ refine stage: exact re-rank of the top-RerankC ADC candidates
+  // per query — the standard recall-recovery step. The refine is
+  // probe-limited (it recovers exactly the IVF ceiling: with the base
+  // nProbe=4 it measured 0.47 = ann_ivf_recall), so the refined gates
+  // run a deeper probe: 12/16 cells + C=100 measures recall@10 = 0.86
+  // on the weak-similarity fixture (sweep: p=4 0.47, p=8 0.66, p=10
+  // 0.76 probe-capped at any C, p=12 C=50 0.82) vs 0.49 pure ADC —
+  // the gated ann_ivfpq_rerank_recall pins what this point yields
+  private val RerankC = 100
+  private val RerankProbe = 12
   private val KJoin = 5
   private val DiversityPerCell = 10
 
@@ -114,6 +124,27 @@ object EmbeddingQueries {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < NQueries), K,
         IvfCentroids, IvfProbe, PqM, PqCodes, PqIters)
+    }),
+    // IVFPQ + exact refine: ADC nominates top-RerankC per query, only
+    // those rows touch original vectors for the exact re-rank — the
+    // production recall-recovery stage (same shape as lshTopK's)
+    "ann_ivfpq_rerank_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < NQueries), K,
+        RerankC, IvfCentroids, RerankProbe, PqM, PqCodes, PqIters)
+    }),
+    // gated recall of the refined IVFPQ path against the exact baseline
+    "ann_ivfpq_rerank_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pred = col("vec_id") < NQueries
+      val q = e.filter(pred)
+      val exact = Similarity.ipTopK(e, q, K).select(col("qid"), col("nid"))
+      val approx = Similarity.ivfPqRerankTopK(e, q, K, RerankC,
+        IvfCentroids, RerankProbe, PqM, PqCodes, PqIters)
+        .select(col("qid"), col("nid"))
+      q.select(col("vec_id").as("qid"))
+        .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
+        .groupBy("qid").agg(count(col("nid")).as("hits"))
     }),
     // IVF-blocked kNN JOIN: k nearest neighbors for EVERY vector — the
     // whole-corpus semantic-dedup/clustering primitive; no broadcast,
@@ -393,6 +424,25 @@ pasn2 AS (SELECT vec_id, sub, cid AS code FROM (
     FROM ppd2 p JOIN pn2 n ON n.cid = p.cid AND n.sub = p.sub) WHERE rn = 1)"""
   }
 
+  /** ADC-over-probed-cells CTEs shared by the IVFPQ gates (requires
+    * `intCte`, `ivfSeedCte`, `pqCte` in scope): per-query partial-dot
+    * table (`pqd`), IVF probes (ties cid-desc, `nProbe` deep), probed
+    * candidates, summed ADC scores (`ipqsc`). */
+  private def ivfPqAdcCte(nProbe: Int = IvfProbe): String =
+    s"""pqd AS (SELECT x.vec_id AS qid, (x.i-1)//${Dim / PqM} AS sub, c.cid AS code,
+    CAST(sum(x.ev*c.ev) AS BIGINT) AS pdot
+  FROM iex x JOIN pcex2 c ON c.i = x.i WHERE x.vec_id < $NQueries GROUP BY 1, 2, 3),
+probes AS (SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+    FROM ad WHERE vec_id < $NQueries)
+  WHERE rn <= $nProbe),
+ipqc AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+ipqsc AS (SELECT c.qid, c.nid, CAST(sum(q.pdot) AS BIGINT) AS score
+  FROM ipqc c JOIN pasn2 a ON a.vec_id = c.nid
+  JOIN pqd q ON q.qid = c.qid AND q.sub = a.sub AND q.code = a.code
+  GROUP BY 1, 2)"""
+
   private val exactTopCte =
     s"""p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
   FROM iex a JOIN iex b ON a.i = b.i AND b.vec_id <> a.vec_id
@@ -527,24 +577,56 @@ GROUP BY 1""",
       s"""WITH $intCte,
 $ivfSeedCte,
 $pqCte,
-pqd AS (SELECT x.vec_id AS qid, (x.i-1)//${Dim / PqM} AS sub, c.cid AS code,
-    CAST(sum(x.ev*c.ev) AS BIGINT) AS pdot
-  FROM iex x JOIN pcex2 c ON c.i = x.i WHERE x.vec_id < $NQueries GROUP BY 1, 2, 3),
-probes AS (SELECT vec_id AS qid, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
-    FROM ad WHERE vec_id < $NQueries)
-  WHERE rn <= $IvfProbe),
-ipqc AS (SELECT DISTINCT p.qid, a.vec_id AS nid
-  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
-ipqsc AS (SELECT c.qid, c.nid, CAST(sum(q.pdot) AS BIGINT) AS score
-  FROM ipqc c JOIN pasn2 a ON a.vec_id = c.nid
-  JOIN pqd q ON q.qid = c.qid AND q.sub = a.sub AND q.code = a.code
-  GROUP BY 1, 2)
+${ivfPqAdcCte()}
 SELECT qid, nid, score, CAST(rank AS INT) AS rank FROM (
     SELECT qid, nid, score,
       row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
     FROM ipqsc)
 WHERE rank <= $K""",
+
+    // refine stage: ADC cut at RerankC (ties score desc, nid asc), then
+    // exact dots for ONLY those rows, re-ranked (dot desc, nid asc)
+    "ann_ivfpq_rerank_topk" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+$pqCte,
+${ivfPqAdcCte(RerankProbe)},
+pqcut AS (SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+    FROM ipqsc)
+  WHERE rn <= $RerankC),
+rrsc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
+  FROM pqcut c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
+  GROUP BY 1, 2)
+SELECT qid, nid, dot, CAST(rank AS INT) AS rank FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+    FROM rrsc)
+WHERE rank <= $K""",
+
+    "ann_ivfpq_rerank_recall" ->
+      s"""WITH $intCte,
+$exactTopCte,
+$ivfSeedCte,
+$pqCte,
+${ivfPqAdcCte(RerankProbe)},
+pqcut AS (SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+    FROM ipqsc)
+  WHERE rn <= $RerankC),
+rrsc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
+  FROM pqcut c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
+  GROUP BY 1, 2),
+rrtop AS (SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+    FROM rrsc)
+  WHERE rank <= $K)
+SELECT q.vec_id AS qid, CAST(count(j.nid) AS BIGINT) AS hits
+FROM ie q LEFT JOIN (
+  SELECT e.qid, e.nid FROM extop e JOIN rrtop l ON e.qid = l.qid AND e.nid = l.nid) j
+  ON j.qid = q.vec_id
+WHERE q.vec_id < $NQueries
+GROUP BY 1""",
 
     // kNN join: the same IVF probe/candidate/re-rank tail with the
     // query predicate removed — every vector is a query

@@ -477,6 +477,37 @@ object Similarity {
       .select("qid", "nid", "score", "rank")
   }
 
+  /**
+   * IVFPQ with the standard exact REFINE stage: [[ivfPqTopK]]'s ADC
+   * scan nominates the top-`rerankC` candidates per query (cheap — the
+   * compressed index), then ONLY those `rerankC` rows per query are
+   * re-scored by exact integer dot against the original vectors and
+   * re-ranked. This is how production IVFPQ serving recovers recall the
+   * quantization error costs (pure ADC at the gated 16×32 operating
+   * point measures recall@10 ≈ 0.49; the refine step lifts it to the
+   * IVF probe ceiling): the full-precision vectors are touched for
+   * O(queries × rerankC) rows regardless of corpus size, so the scan
+   * side still reads codes only. Same shape as [[lshTopK]]'s re-rank.
+   * Ties pinned end to end: ADC cut (score desc, nid asc), final rank
+   * (dot desc, nid asc) — fully oracle-gated.
+   */
+  def ivfPqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                      rerankC: Int, nCentroids: Int = 0, nProbe: Int = 4,
+                      m: Int = 4, nCodes: Int = 16, pqIters: Int = 1): DataFrame = {
+    // the ADC top-rerankC IS the candidate cut, ties already pinned
+    val cand = ivfPqTopK(emb, queries, rerankC, nCentroids, nProbe, m,
+      nCodes, pqIters).select("qid", "nid")
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("v").as("qv")))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("nid"), col("v")), "nid")
+      .join(q, "qid")
+      .select(col("qid"), col("nid"), dotInt("qv", "v").as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
   /** Per-row probe list (array of the top-`nProbe` centroid ids by
     * inner product against `v`). Flat up to [[FlatCentroidMax]]
     * centroids: one fused struct sort, ties (dot desc, cid desc) —
