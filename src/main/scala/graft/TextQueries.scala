@@ -75,12 +75,16 @@ object TextQueries {
     "span_dedup_chars" -> ((s, dir) => Dedup.spanDedupChars(docs(s, dir), SpanCharsK, 2)),
     // winnow-prefiltered APPROXIMATE span dedup: exact for duplicated
     // spans >= k+w-1 tokens, candidates-only positioned join — the
-    // scale path for mostly-distinct corpora
-    "span_dedup_winnow" -> ((s, dir) => Dedup.spanDedupApprox(docs(s, dir), SpanK, 2, 4)),
+    // scale path for mostly-distinct corpora. maxCandidateFrac = 1.0
+    // pins the PURE approximate path: the oracle models winnow
+    // semantics with no bail-out, so the adaptive exact fallback must
+    // never engage in the gate regardless of fixture duplication rate
+    "span_dedup_winnow" -> ((s, dir) =>
+      Dedup.spanDedupApprox(docs(s, dir), SpanK, 2, 4, maxCandidateFrac = 1.0)),
     // the char-granularity twin: same signal-table prefilter over the
     // char-gram hashes; non-candidates report zero duplicate coverage
     "span_dedup_chars_winnow" -> ((s, dir) =>
-      Dedup.spanDedupCharsApprox(docs(s, dir), SpanCharsK, 2, 4)),
+      Dedup.spanDedupCharsApprox(docs(s, dir), SpanCharsK, 2, 4, maxCandidateFrac = 1.0)),
     // BPE tokenizer-training primitive: corpus-weighted adjacent
     // char-pair counts over the distinct-word table, top-k candidates
     "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(docs(s, dir), 20)),

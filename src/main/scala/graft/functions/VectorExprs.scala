@@ -491,6 +491,10 @@ case class PqAssign(child: Expression, books: Array[Long],
 
   override protected def nullSafeEval(vAny: Any): Any = {
     val v = vAny.asInstanceOf[ArrayData]
+    // UnsafeArrayData accessors are unchecked: a wrong-dimension vector
+    // would yield silent garbage codes, not an error
+    if (v.numElements() != m * dim) throw new IllegalArgumentException(
+      s"pq_assign: vector has ${v.numElements()} components, expected ${m * dim}")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -522,6 +526,10 @@ case class PqAssign(child: Expression, books: Array[Long],
       val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       val score = ctx.freshName("score")
       s"""
+         |if ($v.numElements() != ${m * dim}) {
+         |  throw new IllegalArgumentException("pq_assign: vector has " +
+         |    $v.numElements() + " components, expected ${m * dim}");
+         |}
          |int[] $out = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $best = 0;
@@ -565,6 +573,8 @@ case class PqQueryTable(child: Expression, books: Array[Long],
 
   override protected def nullSafeEval(vAny: Any): Any = {
     val v = vAny.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dim) throw new IllegalArgumentException(
+      s"pq_query_table: vector has ${v.numElements()} components, expected ${m * dim}")
     val out = new Array[Long](m * nCodes)
     var mc = 0
     while (mc < m * nCodes) {
@@ -585,6 +595,10 @@ case class PqQueryTable(child: Expression, books: Array[Long],
       val s = ctx.freshName("s"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
+         |if ($v.numElements() != ${m * dim}) {
+         |  throw new IllegalArgumentException("pq_query_table: vector has " +
+         |    $v.numElements() + " components, expected ${m * dim}");
+         |}
          |long[] $out = new long[${m * nCodes}];
          |for (int $mc = 0; $mc < ${m * nCodes}; $mc++) {
          |  int $s = $mc / $nCodes;

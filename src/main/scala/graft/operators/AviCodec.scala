@@ -52,15 +52,18 @@ object AviCodec extends MediaCodec {
     new String(b, o, 4, "US-ASCII")
 
   /** Walk the RIFF tree and pull the video stream's format + frames.
-    * Only the first `vids` stream's `strf` is read; frame chunks are
-    * the `##db`/`##dc` members of `movi` (audio would be `##wb` and is
-    * skipped by the suffix match). */
+    * The first `vids` stream's `strf` is read, its strl POSITION is
+    * remembered, and only `##db`/`##dc` chunks whose two-digit stream
+    * prefix equals that position are collected — a second video (or
+    * audio `##wb`) stream cannot interleave foreign frames into the
+    * first stream's dimensions/decoder. */
   def parse(bytes: Array[Byte]): Avi = {
     require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
       fourcc(bytes, 8) == "AVI ", "not a RIFF/AVI payload")
     var width = 0; var height = 0; var bitCount = 0
     var compression = ""; var topDown = false; var fps = 0
     var inVids = false; var haveFmt = false
+    var streamNo = -1; var vidsNo = -1
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var p = start
@@ -71,11 +74,16 @@ object AviCodec extends MediaCodec {
         id match {
           case "LIST" => walk(body + 4, math.min(body + sz, end))
           case "strh" =>
-            inVids = fourcc(bytes, body) == "vids"
-            if (inVids && !haveFmt) {
+            // streams are numbered by strl order — that number is the
+            // two-digit prefix of the stream's movi chunks
+            streamNo += 1
+            val isVids = fourcc(bytes, body) == "vids"
+            if (isVids && vidsNo < 0) {
+              vidsNo = streamNo
               val scale = u32(bytes, body + 20); val rate = u32(bytes, body + 24)
               if (scale > 0) fps = (rate / scale).toInt
             }
+            inVids = isVids && streamNo == vidsNo
           case "strf" if inVids && !haveFmt =>
             haveFmt = true
             width = i32(bytes, body + 4)
@@ -86,7 +94,8 @@ object AviCodec extends MediaCodec {
             val comp = u32(bytes, body + 16)
             compression = if (comp == 0) "DIB " else fourcc(bytes, body + 16)
           case f if f.length == 4 && f(0).isDigit && f(1).isDigit &&
-            (f.endsWith("db") || f.endsWith("dc")) =>
+            (f.endsWith("db") || f.endsWith("dc")) &&
+            vidsNo >= 0 && (f(0) - '0') * 10 + (f(1) - '0') == vidsNo =>
             frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
           case _ => ()
         }
@@ -161,6 +170,24 @@ object AviCodec extends MediaCodec {
    * (JPEG frames, `##dc` chunks). Round-trips through [[parse]] and
    * through any standard AVI reader.
    */
+  /** One stream's `strl` list (strh + strf) for a 24-bit video. */
+  private def strlBlock(width: Int, height: Int, fps: Int,
+                        compression: String, nFrames: Int,
+                        maxFrame: Int): Array[Byte] = {
+    val dib = compression == "DIB "
+    val strh = cc("vids") ++ cc(compression) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) /* scale */ ++ le32(fps.toLong) /* rate */ ++
+      le32(0) ++ le32(nFrames.toLong) ++ le32(maxFrame.toLong) ++
+      le32(0xFFFFFFFFL) /* quality */ ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++
+      (if (dib) le32(0) else cc(compression)) ++
+      le32((((3 * width + 3) / 4) * 4 * height).toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+  }
+
   def write(width: Int, height: Int, fps: Int, compression: String,
             frames: Seq[Array[Byte]]): Array[Byte] = {
     val dib = compression == "DIB "
@@ -169,18 +196,8 @@ object AviCodec extends MediaCodec {
       le32(0x10) /* HASINDEX */ ++ le32(frames.length.toLong) ++ le32(0) ++
       le32(1) ++ le32(maxFrame.toLong) ++ le32(width.toLong) ++
       le32(height.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val strh = cc("vids") ++ cc(compression) ++ le32(0) ++ le16(0) ++ le16(0) ++
-      le32(0) ++ le32(1) /* scale */ ++ le32(fps.toLong) /* rate */ ++
-      le32(0) ++ le32(frames.length.toLong) ++ le32(maxFrame.toLong) ++
-      le32(0xFFFFFFFFL) /* quality */ ++ le32(0) ++
-      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
-    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
-      le16(1) ++ le16(24) ++
-      (if (dib) le32(0) else cc(compression)) ++
-      le32((((3 * width + 3) / 4) * 4 * height).toLong) ++
-      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      strlBlock(width, height, fps, compression, frames.length, maxFrame))
     val frameId = if (dib) "00db" else "00dc"
     val moviBody = frames.map(f => chunk(frameId, f))
     val movi = list("movi", cc("") ++ moviBody.flatten.toArray)
@@ -197,9 +214,34 @@ object AviCodec extends MediaCodec {
     cc("RIFF") ++ le32(riffBody.length.toLong) ++ riffBody
   }
 
-  /** Pack a 24-bit bottom-up BGR DIB frame from a sample function
-    * (rows padded to 4-byte stride — the layout [[parse]] reads). */
-  def dibFrame(width: Int, height: Int)(sample: (Int, Int) => Int): Array[Byte] = {
+  /** TWO-video-stream DIB AVI (spec hook): stream 00 carries `frames`
+    * at `width × height`, stream 01 carries `frames2` at `w2 × h2`,
+    * chunks interleaved in movi — [[parse]] must return exactly stream
+    * 00's frames and dimensions. */
+  private[graft] def writeTwoStream(width: Int, height: Int,
+      frames: Seq[Array[Byte]], w2: Int, h2: Int,
+      frames2: Seq[Array[Byte]]): Array[Byte] = {
+    val fps = 25
+    val maxFrame = (frames ++ frames2).map(_.length).foldLeft(0)(math.max)
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++
+      le32(0x10) ++ le32(frames.length.toLong) ++ le32(0) ++
+      le32(2) ++ le32(maxFrame.toLong) ++ le32(width.toLong) ++
+      le32(height.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      strlBlock(width, height, fps, "DIB ", frames.length, maxFrame) ++
+      strlBlock(w2, h2, fps, "DIB ", frames2.length, maxFrame))
+    val interleaved = frames.map(chunk("00db", _))
+      .zipAll(frames2.map(chunk("01db", _)), Array.empty[Byte], Array.empty[Byte])
+      .flatMap { case (a, b) => Seq(a, b) }
+    val movi = list("movi", cc("") ++ interleaved.flatten.toArray)
+    val riffBody = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(riffBody.length.toLong) ++ riffBody
+  }
+
+  /** Pack a 24-bit bottom-up BGR DIB frame from a per-band sample
+    * function (rows padded to 4-byte stride — the layout [[parse]]
+    * reads). */
+  def bgrDibFrame(width: Int, height: Int)(sample: (Int, Int, Int) => Int): Array[Byte] = {
     val stride = ((3 * width + 3) / 4) * 4
     val out = new Array[Byte](stride * height)
     var y = 0
@@ -207,15 +249,21 @@ object AviCodec extends MediaCodec {
       val row = height - 1 - y
       var x = 0
       while (x < width) {
-        val v = (sample(x, y) & 0xFF).toByte
         val o = row * stride + x * 3
-        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        out(o) = (sample(x, y, 0) & 0xFF).toByte
+        out(o + 1) = (sample(x, y, 1) & 0xFF).toByte
+        out(o + 2) = (sample(x, y, 2) & 0xFF).toByte
         x += 1
       }
       y += 1
     }
     out
   }
+
+  /** Gray convenience: one sample replicated into all three BGR bands
+    * (the fixture writers' shape). */
+  def dibFrame(width: Int, height: Int)(sample: (Int, Int) => Int): Array[Byte] =
+    bgrDibFrame(width, height)((x, y, _) => sample(x, y))
 
   /**
    * Deterministic gray DIB-AVI fixture for `doc_id`: dimensions
@@ -281,7 +329,9 @@ object AviCodec extends MediaCodec {
         def srcX(x: Int) = (x.toLong * avi.width / w).toInt
         def srcY(y: Int) = (y.toLong * avi.height / h).toInt
         if (avi.compression == "DIB ")
-          dibFrame(w, h)((x, y) => get(srcX(x), srcY(y), 0))
+          // all three BGR bands sampled independently — a color DIB
+          // resize keeps its chroma (byte-exact nearest-neighbor)
+          bgrDibFrame(w, h)((x, y, b) => get(srcX(x), srcY(y), b))
         else {
           // MJPG: resize in raster space, re-encode as JPEG (BGR —
           // the JPEG writer rejects alpha rasters)

@@ -260,10 +260,14 @@ object Similarity {
    * IVF cell-count rule, so candidate volume per probe stays ~`√n·k`
    * and the per-row centroid scan stays `O(√nCentroids·dim)` on the
    * two-level path. One corpus count pays for it (trivial next to any
-   * IVF consumer); every operator taking `nCentroids` treats the
-   * default `0` as "resolve via this rule" and memo keys carry the
-   * RESOLVED value, so two corpora of different sizes never share an
-   * entry under a literal `0`.
+   * IVF consumer, and the memoized operators defer it past their
+   * memo-key lookup — see [[centroidKey]] — so a memo HIT stays
+   * metadata-only). NOTE a default-behavior change from the fixed-16
+   * era: every operator taking `nCentroids` treats the default `0` as
+   * "resolve via this rule", so default-arg callers on corpora larger
+   * than ~256 vectors get more (and different) cells than the old
+   * fixed 16 — pass `nCentroids = 16` explicitly to reproduce old
+   * results.
    */
   def autoCentroids(emb: DataFrame): Int =
     math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
@@ -272,6 +276,19 @@ object Similarity {
     * `0`/"auto" sentinel. */
   private def resolveCentroids(emb: DataFrame, nCentroids: Int): Int =
     if (nCentroids > 0) nCentroids else autoCentroids(emb)
+
+  /** Centroid-count memo-key component WITHOUT forcing resolution:
+    * explicit counts key literally; the auto sentinel stays symbolic
+    * (`"auto"`) when a content fingerprint pins the corpus — same
+    * fingerprint ⇒ same n ⇒ same resolution, so a memo HIT never pays
+    * the corpus count — and resolves eagerly only for
+    * un-fingerprintable in-memory inputs, where the resolved number is
+    * what distinguishes different-sized corpora under one caller key. */
+  private def centroidKey(emb: DataFrame, nCentroids: Int,
+                          fp: Option[String]): String =
+    if (nCentroids > 0) nCentroids.toString
+    else if (fp.isDefined) "auto"
+    else resolveCentroids(emb, 0).toString
 
   /**
    * Cell-balance audit: per-cell vector counts under the (optionally
@@ -621,17 +638,22 @@ object Similarity {
    * rewritten corpus invalidates the entry; see [[TableMemo]].
    */
   def sharedKnnJoin(emb: DataFrame, corpusKey: String, k: Int,
-                    nCentroids: Int = 0, nProbe: Int = 4): DataFrame =
-    sharedKnnJoinKeyed(emb, s"$corpusKey|${TableMemo.keyOf(emb)}", k,
-      resolveCentroids(emb, nCentroids), nProbe)
+                    nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
+    val fp = TableMemo.contentKey(emb)
+    sharedKnnJoinKeyed(emb, s"$corpusKey|${fp.getOrElse("nofiles")}", k,
+      nCentroids, centroidKey(emb, nCentroids, fp), nProbe)
+  }
 
   /** [[sharedKnnJoin]] with the content-fingerprinted key component
     * already computed — so a caller that derived the fingerprint for
     * its own memo (e.g. [[sharedSemanticClusters]]) doesn't pay the
-    * plan-optimization + file-listing pass a second time. */
+    * plan-optimization + file-listing pass a second time. `ncKey` is
+    * the [[centroidKey]] component; the sentinel `nCentroids` resolves
+    * inside the write closure, i.e. only on a memo MISS. */
   private def sharedKnnJoinKeyed(emb: DataFrame, keyedCorpus: String, k: Int,
-                                 nCentroids: Int, nProbe: Int): DataFrame = {
-    val key = s"$keyedCorpus|k=$k|c=$nCentroids|p=$nProbe"
+                                 nCentroids: Int, ncKey: String,
+                                 nProbe: Int): DataFrame = {
+    val key = s"$keyedCorpus|k=$k|c=$ncKey|p=$nProbe"
     val path = sharedJoins.getOrCreate(key) { dir =>
       knnJoin(emb, k, nCentroids, nProbe).write.mode("overwrite").parquet(dir)
     }
@@ -650,13 +672,17 @@ object Similarity {
   def sharedSemanticClusters(emb: DataFrame, corpusKey: String, k: Int,
                              nCentroids: Int, nProbe: Int,
                              minDot: Long): DataFrame = {
-    val nc = resolveCentroids(emb, nCentroids)
-    // fingerprint once; the edge-table memo below reuses it
-    val keyedCorpus = s"$corpusKey|${TableMemo.keyOf(emb)}"
-    val key = s"$keyedCorpus|k=$k|c=$nc|p=$nProbe|d=$minDot"
+    // fingerprint once; the edge-table memo below reuses it. The auto
+    // centroid count stays SYMBOLIC in both keys (centroidKey) so a
+    // memo hit is metadata-only — no corpus count, no file scan.
+    val fp = TableMemo.contentKey(emb)
+    val ncKey = centroidKey(emb, nCentroids, fp)
+    val keyedCorpus = s"$corpusKey|${fp.getOrElse("nofiles")}"
+    val key = s"$keyedCorpus|k=$k|c=$ncKey|p=$nProbe|d=$minDot"
     val path = sharedSemClusters.getOrCreate(key) { dir =>
       semanticClustersFrom(
-        sharedKnnJoinKeyed(emb, keyedCorpus, k, nc, nProbe), minDot)
+        sharedKnnJoinKeyed(emb, keyedCorpus, k, nCentroids, ncKey, nProbe),
+        minDot)
         .write.mode("overwrite").parquet(dir)
     }
     emb.sparkSession.read.parquet(path)
@@ -727,11 +753,14 @@ object Similarity {
   def semanticIncremental(newEmb: DataFrame, priorEmb: DataFrame,
                           priorKey: String, minDot: Long,
                           nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
-    // auto-resolve against the PRIOR corpus (the indexed side)
-    val nc = resolveCentroids(priorEmb, nCentroids)
-    val asgKey = s"$priorKey|${TableMemo.keyOf(priorEmb)}|c=$nc"
+    // auto-resolve against the PRIOR corpus (the indexed side) — but
+    // only on a centroid-memo MISS: the symbolic key keeps the per-
+    // microbatch hit path free of the corpus count
+    val fp = TableMemo.contentKey(priorEmb)
+    val asgKey =
+      s"$priorKey|${fp.getOrElse("nofiles")}|c=${centroidKey(priorEmb, nCentroids, fp)}"
     val cents = sharedCentroids.computeIfAbsent(asgKey,
-      _ => ivfCentroids(priorEmb, nc))
+      _ => ivfCentroids(priorEmb, resolveCentroids(priorEmb, nCentroids)))
     // first night: no prior corpus, nothing to collide with — the whole
     // batch survives (ivfAssign on zero centroids would throw)
     if (cents.isEmpty) return newEmb.select("vec_id")

@@ -118,6 +118,39 @@ class AviCodecSpec extends SparkSpec {
     dec.close()
   }
 
+  test("color DIB resize keeps all three BGR bands (no gray collapse)") {
+    val (w, h) = (6, 4)
+    // distinct per-band values: band b at (x,y) = 40*b + 3*x + 5*y
+    val frame = AviCodec.bgrDibFrame(w, h)((x, y, b) => 40 * b + 3 * x + 5 * y)
+    val bytes = AviCodec.write(w, h, 25, "DIB ", Seq(frame))
+    val dec = AviCodec.open()
+    val out = dec.resize(MediaRecord(7L, "video", bytes), 3, 2)
+    val avi = AviCodec.parse(out.content)
+    assert(avi.width === 3 && avi.height === 2)
+    val stride = ((3 * avi.width + 3) / 4) * 4
+    for (y <- 0 until 2; x <- 0 until 3; b <- 0 until 3) {
+      // nearest-neighbor source sample: floor scaling, same as resize
+      val (sx, sy) = (x * w / 3, y * h / 2)
+      val row = avi.height - 1 - y
+      val got = avi.frames(0)(row * stride + x * 3 + b) & 0xFF
+      assert(got === 40 * b + 3 * sx + 5 * sy, s"band $b at ($x,$y)")
+    }
+  }
+
+  test("two-video-stream AVI: only the first vids stream's chunks are parsed") {
+    val f0 = (0 until 2).map(i =>
+      AviCodec.dibFrame(4, 3)((x, y) => (10 * i + x + y) % 256))
+    val f1 = (0 until 3).map(i =>
+      AviCodec.dibFrame(8, 5)((x, y) => (99 + i + x * y) % 256))
+    val bytes = AviCodec.writeTwoStream(4, 3, f0, 8, 5, f1)
+    val avi = AviCodec.parse(bytes)
+    assert(avi.width === 4 && avi.height === 3)
+    assert(avi.frames.length === 2, "second stream's frames leaked in")
+    avi.frames.zip(f0).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+  }
+
   test("features: 16-bin histogram is L1-normalized over all frames") {
     val dec = AviCodec.open()
     val feat = dec.features(MediaRecord(9L, "video", AviCodec.grayAvi(9L)))
