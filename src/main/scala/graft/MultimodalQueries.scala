@@ -115,6 +115,43 @@ object MultimodalQueries {
         .map(id => Multimodal.MediaRecord(id, "video", AviCodec.loopAvi(id)))
       AviCodec.frameDedup(recs)
     }),
+    // PERCEPTUAL image near-dup: deterministically perturbed fixtures —
+    // per class (id % 25) a base PNG, a brightness-shifted PNG, and a
+    // JPEG re-encode — must collide under the integer aHash (shift
+    // invariance + area pooling) while distinct classes stay far apart
+    // (spec-pinned Hamming >= 18); banded Hamming pairing mines the
+    // pairs. The oracle derives the pair classes arithmetically; the
+    // engine has to earn them via genuine ImageIO decode + hash. This
+    // is the near-dup key exact raster digests can't provide: one
+    // brightness shift or re-encode defeats an md5 of the samples.
+    "image_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image", Multimodal.perturbedImage(id)))
+      graft.operators.Dedup.hammingNearPairs64(
+        Multimodal.imageAHash(recs)
+          .select(col("doc_id").as("id"), col("ahash").as("h")))
+    }),
+    // the video-frame twin: perturbed AVIs (base DIB / brightness-
+    // shifted DIB / MJPG re-encode), per-frame aHash, banded pairing on
+    // a packed (doc, frame) key — equal (class, frame_idx) collide
+    // across all variants, nothing else pairs
+    "frame_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "video", AviCodec.perturbedAvi(id)))
+      graft.operators.Dedup.hammingNearPairs64(
+        AviCodec.frameAHash(recs)
+          .select((col("doc_id") * 4 + col("frame_idx")).as("id"),
+            col("ahash").as("h")))
+        .select(expr("div(id_a, 4)").as("doc_a"),
+          (col("id_a") % 4).cast("int").as("frame_a"),
+          expr("div(id_b, 4)").as("doc_b"),
+          (col("id_b") % 4).cast("int").as("frame_b"),
+          col("hamming"))
+    }),
     // RESIZE path: closed-form AVI → per-frame nearest-neighbor resize
     // to 5×3 (re-wrapped in a fresh AVI container) → real decode; DIB
     // frames stay byte-exact through the re-encode, so the oracle
@@ -192,6 +229,28 @@ FROM documents""",
             + ((x * (1 + doc_id % 31)) // 8) * 7
             + ((y * (1 + doc_id % 17)) // 6) * 13) % 256)))) AS BIGINT) AS pixel_sum
 FROM documents""",
+
+    // perceptual near-dup pairs derived arithmetically: all variants of
+    // a class (id % 25) hash identically under aHash — the engine's
+    // decode+hash+banding must reproduce exactly the same-class pairs,
+    // every one at Hamming 0 (brightness shift is an exact invariance;
+    // the JPEG re-encode's noise vanishes under 4x4 area pooling on the
+    // bimodal pattern); distinct classes are spec-pinned >= 18 apart so
+    // none survive the Hamming budget
+    "image_near_dup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id""",
+
+    // frame twin: equal (class, frame_idx) collide across the three
+    // variants (DIB / shifted DIB / MJPG); frame patterns are seeded
+    // 2*class + f so cross-frame pairs never appear
+    "frame_near_dup" ->
+      """WITH fr AS (SELECT doc_id, f.range AS f FROM documents, range(0, 2) f)
+SELECT a.doc_id AS doc_a, CAST(a.f AS INT) AS frame_a,
+  b.doc_id AS doc_b, CAST(b.f AS INT) AS frame_b, CAST(0 AS INT) AS hamming
+FROM fr a JOIN fr b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.f = b.f AND a.doc_id < b.doc_id""",
 
     // expected video stats from the SAME closed form grayAvi encodes:
     // w = 2 + id%14, h = 1 + id%11, nf = 1 + id%5,

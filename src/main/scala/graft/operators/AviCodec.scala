@@ -418,6 +418,63 @@ object AviCodec extends MediaCodec {
   }
 
   /**
+   * Per-frame PERCEPTUAL hash: `(doc_id, frame_idx, ahash)` — every
+   * decoded frame through [[Multimodal.aHash64]]. Where [[frameDedup]]
+   * keys on the exact canonical raster (one brightness shift or MJPG
+   * re-encode defeats it), this is the near-dup key: a brightness-
+   * shifted DIB and an MJPG re-encode of the same footage hash
+   * identically (see the aHash64 invariances), so banded Hamming
+   * pairing ([[Dedup.hammingNearPairs64]]) finds re-encoded duplicate
+   * footage. Shuffle-free flatMap; only 8-byte hashes leave the
+   * partition.
+   */
+  def frameAHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val avi = parse(r.content)
+      avi.frames.indices.map { i =>
+        val (bands, get) = decodeFrame(avi, avi.frames(i))
+        (r.doc_id, i,
+          Multimodal.aHash64(avi.width, avi.height, bands, get))
+      }
+    }.toDF("doc_id", "frame_idx", "ahash")
+  }
+
+  /**
+   * Perceptual-dedup video fixture for `doc_id`: class = `id % 25`,
+   * variant = `(id / 25) % 3` — 0 base raw-DIB, 1 brightness-shifted
+   * (+30) DIB, 2 an MJPG re-encode of the same frames. Two 32×32
+   * frames per video; frame `f`'s pattern is
+   * [[Multimodal.classPattern]]`(2·class + f)`, so equal (class,
+   * frame_idx) collide under [[frameAHash]] across all three variants
+   * while different classes AND different frame indexes stay far apart
+   * — the oracle derives the frame-pair classes arithmetically, the
+   * engine must reproduce them via genuine decode + perceptual hash.
+   */
+  def perturbedAvi(docId: Long): Array[Byte] = {
+    val cls = docId % 25
+    val variant = (docId / 25) % 3
+    val shift = if (variant == 1) 30 else 0
+    val rawFrames = (0 until 2).map { f =>
+      (x: Int, y: Int) => Multimodal.classPattern(2 * cls + f)(x, y) + shift
+    }
+    if (variant == 2) {
+      import java.awt.image.BufferedImage
+      val jpegs = rawFrames.map { sample =>
+        val img = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        for (y <- 0 until 32; x <- 0 until 32)
+          raster.setSample(x, y, 0, sample(x, y))
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      }
+      write(32, 32, 25, "MJPG", jpegs)
+    } else
+      write(32, 32, 25, "DIB ", rawFrames.map(dibFrame(32, 32)))
+  }
+
+  /**
    * Per-FRAME stats — the real-decode analog of
    * [[Multimodal.frameSample]]'s byte-window slicing: one row per
    * decoded frame, `(doc_id, frame_idx, width, height, sample_sum)`.

@@ -405,6 +405,36 @@ object Dedup {
   }
 
   /**
+   * Banded Hamming near-pair mining over ANY 64-bit perceptual key —
+   * the [[simhashNearPairs]] machinery generalized to a caller-supplied
+   * `(id, h)` table (perceptual image hashes, video frame aHashes, …):
+   * 4 bands × 16 bits generate candidates (two keys within Hamming 3
+   * ALWAYS share a band — the banding guarantee; larger distances are
+   * caught when any band happens to agree), `bit_count(xor)` verifies,
+   * and the Hamming budget filters BEFORE the distinct so out-of-budget
+   * band collisions never reach the dedup exchange. Returns
+   * `(id_a, id_b, hamming)`, `id_a < id_b`.
+   *
+   * Scale shape: identical to [[simhashNearPairs]] — the self-join is
+   * banded (never all-pairs), the exchange carries 8-byte keys, and
+   * verification is a per-row popcount.
+   */
+  def hammingNearPairs64(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val banded = hashed.select(col("id"), col("h"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as band, shiftright(h, b * 16) & 65535 as v))"))
+        .as("bd"))
+      .select(col("id"), col("h"), col("bd.band").as("band"), col("bd.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
    * Connected components over an undirected edge list `(id_a, id_b)` —
    * the cluster-resolution step that turns near-duplicate PAIRS into
    * duplicate GROUPS (pairs alone under-delete: a~b and b~c must all

@@ -412,6 +412,127 @@ object Multimodal {
   }
 
   /**
+   * 64-bit average-hash (aHash) over a decoded raster — the classic
+   * perceptual image fingerprint (public knowledge: downscale to 8×8,
+   * threshold each cell against the global mean), computed in EXACT
+   * integer arithmetic so the result is bit-reproducible:
+   *
+   *  - cell `(i,j)` covers the pixel rectangle `[i·w/8,(i+1)·w/8) ×
+   *    [j·h/8,(j+1)·h/8)`; its value is the truncated mean of the
+   *    band-summed samples over the rectangle (area pooling — robust
+   *    to JPEG block noise where point sampling is not);
+   *  - bit `j·8+i` is set iff `cell·64 > Σ cells` (strict).
+   *
+   * Invariances that make it a NEAR-dup key where raster digests are
+   * exact-only: a uniform brightness shift `+c` moves every cell mean
+   * by exactly `bands·c` and the total by `64·bands·c` — bits
+   * unchanged; a uniform band replication (gray DIB's 3×BGR vs a gray
+   * JPEG's one band) scales both sides of the comparison — bits
+   * unchanged up to truncation noise, far below the bimodal margins a
+   * re-encode leaves intact. So a brightness-shifted copy hashes
+   * IDENTICALLY and a JPEG/MJPG re-encode hashes identically for any
+   * image whose cell means sit away from the global mean.
+   */
+  private[operators] def aHash64(w: Int, h: Int, bands: Int,
+                                 get: (Int, Int, Int) => Int): Long = {
+    require(w >= 8 && h >= 8, s"aHash needs a raster >= 8x8, got ${w}x$h")
+    val m = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var b = 0
+            while (b < bands) { s += get(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        m(j * 8 + i) = s / ((y1 - y0).toLong * (x1 - x0))
+        total += m(j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) { if (m(k) * 64 > total) hash |= 1L << k; k += 1 }
+    hash
+  }
+
+  /** Per-image perceptual hash: `(doc_id, ahash)` — real ImageIO
+    * decode, then [[aHash64]] over the raster. Partition-local
+    * (flatMap-shaped; the binary column never shuffles). */
+  def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      require(img != null, s"no image reader for doc ${r.doc_id}")
+      val raster = img.getRaster
+      (r.doc_id, aHash64(img.getWidth, img.getHeight, raster.getNumBands,
+        (x, y, b) => raster.getSample(x, y, b)))
+    }.toDF("doc_id", "ahash")
+  }
+
+  // splitmix64 finalizer (public-domain mixing constants) — the
+  // deterministic pattern generator behind the perceptual fixtures
+  private def mix64(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Bimodal 32×32 class pattern: cell `(ci,cj)` (4×4 px) is light
+    * (value 200) iff bit `cj·8+ci` of `mix64(seed)` is set, else dark
+    * (40) — pairwise far apart in aHash space for distinct seeds
+    * (spec-pinned), identical under the perturbations the fixtures
+    * apply. */
+  private[operators] def classPattern(seed: Long)(x: Int, y: Int): Int = {
+    val cell = (y / 4) * 8 + (x / 4)
+    if (((mix64(seed) >>> cell) & 1L) == 1L) 200 else 40
+  }
+
+  /**
+   * Perceptual-dedup image fixture for `doc_id`: class = `id % 25`
+   * (the pattern), variant = `(id / 25) % 3` — 0 the base PNG, 1 a
+   * brightness-shifted (+30) PNG, 2 a JPEG re-encode of the base
+   * raster. All variants of a class must collide under [[aHash64]]
+   * (shift-invariance / pooling robustness) while distinct classes
+   * stay far apart, so the near-dup gate's oracle can derive the pair
+   * classes arithmetically (`id % 25`) while the engine has to earn
+   * them via genuine decode + hash.
+   */
+  def perturbedImage(docId: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val cls = docId % 25
+    val variant = (docId / 25) % 3
+    val shift = if (variant == 1) 30 else 0
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        raster.setSample(x, y, 0, classPattern(cls)(x, y) + shift)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (variant == 2) "jpg" else "png", baos)
+    baos.toByteArray
+  }
+
+  /**
    * Derive a deterministic media table from the `documents` fixture:
    * the UTF-8 text bytes stand in for an encoded payload; media_type
    * cycles by id. (Real pipelines read binary files or parquet binary

@@ -231,6 +231,58 @@ class MultimodalSpec extends SparkSpec {
     dec.close()
   }
 
+  test("aHash64: brightness shift and JPEG re-encode collide; distinct classes " +
+    "stay >= 18 apart; banded pairing recovers exactly the same-class pairs") {
+    import Multimodal.MediaRecord
+    import spark.implicits._
+    def hashOf(id: Long): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.perturbedImage(id)))
+      val r = img.getRaster
+      Multimodal.aHash64(img.getWidth, img.getHeight, r.getNumBands,
+        (x, y, b) => r.getSample(x, y, b))
+    }
+    // all three variants (base PNG, +30 PNG, JPEG) of a class collide
+    val classes = (0L until 25L).map(hashOf)
+    (0L until 75L).foreach { id =>
+      assert(hashOf(id) === classes((id % 25).toInt),
+        s"variant ${id / 25} of class ${id % 25} does not collide")
+    }
+    // distinct classes are far apart (measured minimum: 21)
+    val minH = (for (i <- 0 until 25; j <- i + 1 until 25)
+      yield java.lang.Long.bitCount(classes(i) ^ classes(j))).min
+    assert(minH >= 18, s"cross-class hamming floor $minH")
+    // end-to-end: decode + hash + banded pairing over 75 perturbed docs
+    val recs = spark.range(75)
+      .as[Long].map(id => MediaRecord(id, "image", Multimodal.perturbedImage(id)))
+    val pairs = Dedup.hammingNearPairs64(
+        Multimodal.imageAHash(recs)
+          .select(col("doc_id").as("id"), col("ahash").as("h")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = (for {
+      a <- 0L until 75L; b <- a + 1 until 75L; if a % 25 == b % 25
+    } yield (a, b, 0)).toSet
+    assert(pairs.toSet === expected)
+  }
+
+  test("frameAHash: MJPG re-encode and shifted DIB frames pair with the base " +
+    "footage at frame granularity") {
+    import Multimodal.MediaRecord
+    import spark.implicits._
+    val recs = spark.range(75)
+      .as[Long].map(id => MediaRecord(id, "video", AviCodec.perturbedAvi(id)))
+    val pairs = Dedup.hammingNearPairs64(
+        AviCodec.frameAHash(recs)
+          .select((col("doc_id") * 4 + col("frame_idx")).as("id"),
+            col("ahash").as("h")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- 0L until 75L; b <- a + 1 until 75L; if a % 25 == b % 25
+      f <- 0 until 2
+    } yield (a * 4 + f, b * 4 + f, 0)).toSet
+    assert(pairs === expected)
+  }
+
   test("ImageIoCodec through the operators: distributed decode matches local") {
     import Multimodal.MediaRecord
     import spark.implicits._
