@@ -39,6 +39,28 @@ object TextQueries {
   // iterative BPE gate rounds (the oracle unrolls one CTE stage per
   // round, so keep it small-ish)
   private val BpeRounds = 8
+  // byte-level BPE fixture: reserved separator + per-doc mixed-script
+  // suffix (Cyrillic / Greek / kana / accented Latin — all invariant
+  // under lower() in both engines), single source of truth for the
+  // Spark queries AND the DuckDB oracle CTE
+  private val BpeSpecial = "<|sep|>"
+  private val MixedSuffixes = Seq("данные", "δεδομένα", "データ", "résumé")
+
+  /** The documents table with the mixed-script + special-token
+    * augmentation the byte-level BPE gates run on. */
+  private def augDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"), lit(s" $BpeSpecial "),
+        element_at(array(MixedSuffixes.map(lit): _*),
+          (col("doc_id") % 4 + 1).cast("int"))))
+
+  /** The same augmentation as a DuckDB CTE (named `adocs`). */
+  private def augDocsCte: String = {
+    val arr = MixedSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""adocs AS (SELECT doc_id,
+  text || ' $BpeSpecial ' || ($arr)[CAST(doc_id % 4 + 1 AS INT)] AS text
+  FROM documents)"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
@@ -99,6 +121,21 @@ object TextQueries {
       val merges = TextAnalysis.bpeTrain(docs(s, dir), BpeRounds).collect()
         .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs(s, dir), merges)
+    }),
+    // BYTE-level BPE training over the mixed-script fixture (each doc
+    // gains a non-ASCII suffix and a reserved separator): merges are
+    // two-hex-char byte symbols, the special token contributes nothing
+    "bpe_train_bytes" -> ((s, dir) =>
+      TextAnalysis.bpeTrainBytes(augDocs(s, dir), BpeRounds, Seq(BpeSpecial))),
+    // byte-fallback ENCODING with special tokens: every mixed-script
+    // word decomposes into the closed byte alphabet (nothing drops),
+    // the separator counts as exactly one piece and bypasses merges
+    "bpe_encode_bytes" -> ((s, dir) => {
+      val aug = augDocs(s, dir)
+      val merges = TextAnalysis.bpeTrainBytes(aug, BpeRounds, Seq(BpeSpecial))
+        .collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeBytes(aug, merges, Seq(BpeSpecial))
     }),
     // train/val split-leakage audit: deterministic hash split, then
     // every LSH-verified near-dup pair that CROSSES the split boundary
@@ -244,13 +281,36 @@ FROM best WHERE rn = 1"""
   /** Unrolled-CTE oracle for [[TextAnalysis.bpeTrain]]: stage r counts
     * pairs over the round-r symbol table, picks the (total desc, lhs,
     * rhs) winner, and rewrites via sentinel-bounded string replace. */
-  private def bpeTrainOracle(rounds: Int): String = {
-    val sep = "chr(31)"
-    val head =
-      s"""WITH wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+  private val BpeSep = "chr(31)"
+
+  /** v1 head of the char-level train oracle (split into characters). */
+  private def bpeCharHead: String =
+    s"""WITH wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
 wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wds GROUP BY w),
-v1 AS (SELECT $sep || array_to_string(list_transform(range(1, length(w)+1),
-    i -> substr(w, CAST(i AS INT), 1)), $sep || $sep) || $sep AS vstr, wc FROM wf)"""
+v1 AS (SELECT $BpeSep || array_to_string(list_transform(range(1, length(w)+1),
+    i -> substr(w, CAST(i AS INT), 1)), $BpeSep || $BpeSep) || $BpeSep AS vstr, wc FROM wf)"""
+
+  /** The byte decomposition of word expression `w` as the sentinel-
+    * joined vstr (two-hex-char symbols — DuckDB's hex(BLOB) matches
+    * Spark's uppercase hex). */
+  private def byteVstr(w: String): String =
+    s"""$BpeSep || array_to_string(list_transform(range(1, length(hex(encode($w)))//2 + 1),
+    i -> substr(hex(encode($w)), CAST(2*i-1 AS INT), 2)), $BpeSep || $BpeSep) || $BpeSep"""
+
+  /** v1 head of the BYTE-level train oracle over the augmented corpus:
+    * special-token words are excluded from the statistics (the engine's
+    * bpeTrainBytes contract). */
+  private def bpeByteHead: String =
+    s"""WITH $augDocsCte,
+wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM adocs),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wds WHERE w <> '$BpeSpecial' GROUP BY w),
+v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
+
+  private def bpeTrainOracle(rounds: Int): String =
+    bpeTrainOracleCore(bpeCharHead, rounds)
+
+  private def bpeTrainOracleCore(head: String, rounds: Int): String = {
+    val sep = BpeSep
     val stages = (1 to rounds).map { r =>
       s""",
 p$r AS (SELECT s.lhs AS lhs, s.rhs AS rhs, CAST(sum(wc) AS BIGINT) AS total FROM (
@@ -294,6 +354,35 @@ w0 AS (SELECT doc_id, $sep || array_to_string(list_transform(range(1, length(w)+
     i -> substr(w, CAST(i AS INT), 1)), $sep || $sep) || $sep AS vstr FROM dw)$encodeStages
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
   CAST(sum(len(string_split(trim(vstr, $sep), $sep || $sep))) AS BIGINT) AS n_pieces
+FROM w$rounds GROUP BY doc_id"""
+  }
+
+  /** Byte-level twin of [[bpeEncodeOracle]] over [[bpeByteHead]]'s
+    * merge CTEs and the augmented corpus: each word occurrence carries
+    * an `sp` flag — special tokens pass through the replay untouched
+    * and count exactly one piece; everything else replays the byte-
+    * symbol merge chain. */
+  private def bpeByteEncodeOracle(rounds: Int): String = {
+    val sep = BpeSep
+    val train = bpeTrainOracleCore(bpeByteHead, rounds)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT CAST(1 AS INT)"))
+    val encodeStages = (1 to rounds).map { r =>
+      s""",
+w$r AS (SELECT doc_id, sp,
+  CASE WHEN sp OR (SELECT count(*) FROM b$r) = 0 THEN vstr
+       ELSE replace(vstr,
+         (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$r),
+         (SELECT $sep || lhs || rhs || $sep FROM b$r)) END AS vstr
+  FROM w${r - 1})"""
+    }.mkString
+    s"""$ctes,
+dw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM adocs),
+w0 AS (SELECT doc_id, (w = '$BpeSpecial') AS sp,
+  CASE WHEN w = '$BpeSpecial' THEN '' ELSE ${byteVstr("w")} END AS vstr FROM dw)$encodeStages
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT) AS n_special,
+  CAST(sum(CASE WHEN sp THEN 1
+    ELSE len(string_split(trim(vstr, $sep), $sep || $sep)) END) AS BIGINT) AS n_pieces
 FROM w$rounds GROUP BY doc_id"""
   }
 
@@ -777,6 +866,14 @@ ORDER BY total DESC, pair LIMIT 20""",
     // b1..bR, then every (doc, word) replays the replace chain and the
     // per-doc piece counts roll up
     "bpe_encode" -> bpeEncodeOracle(BpeRounds),
+
+    // byte-level training on the mixed-script augmented corpus: same
+    // unrolled stage chain, byte-symbol v1, special token excluded
+    "bpe_train_bytes" -> bpeTrainOracleCore(bpeByteHead, BpeRounds),
+
+    // byte-fallback encoding: special tokens one piece each, everything
+    // else replays the byte merge chain — nothing can drop
+    "bpe_encode_bytes" -> bpeByteEncodeOracle(BpeRounds),
 
     "split_leakage" ->
       s"""$sigCte,

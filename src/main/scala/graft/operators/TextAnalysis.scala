@@ -605,12 +605,34 @@ object TextAnalysis {
    * position. Built with Column lambdas, not SQL text — symbols come
    * from corpus data and must not be string-escaped into a plan.
    */
-  def bpeTrain(df: DataFrame, rounds: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    var vocab = spread(df).select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("wc"))
-      .scopedCheckpoint()
+  def bpeTrain(df: DataFrame, rounds: Int = 8): DataFrame =
+    bpeTrainLoop(df.sparkSession,
+      spread(df).select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("wc")),
+      rounds)
+
+  /**
+   * [[bpeTrain]] over the GPT-2-style BYTE alphabet: every word
+   * decomposes into its UTF-8 bytes (two-hex-char symbols, a closed
+   * 256-entry base vocabulary), so mixed-script corpora train without
+   * any character ever falling outside the alphabet. Words equal to a
+   * `specials` entry are excluded from the statistics entirely — a
+   * reserved token contributes no pairs and can never be split or
+   * merged into. Same loop, same driver-bounded scale shape.
+   */
+  def bpeTrainBytes(df: DataFrame, rounds: Int = 8,
+                    specials: Seq[String] = Seq.empty): DataFrame =
+    bpeTrainLoop(df.sparkSession,
+      spread(df).select(explode(tokens(col("text"))).as("w"))
+        .filter(!isSpecialCol(col("w"), specials))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(byteSymsCol(col("w")).as("syms"), col("wc")),
+      rounds)
+
+  private def bpeTrainLoop(spark: org.apache.spark.sql.SparkSession,
+                           vocab0: DataFrame, rounds: Int): DataFrame = {
+    var vocab = vocab0.scopedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -628,13 +650,7 @@ object TextAnalysis {
         val b = best(0).getString(1)
         merges += ((r, a, b, a + b, best(0).getLong(2)))
         val prev = vocab
-        vocab = vocab.select(
-          org.apache.spark.sql.functions.aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, s) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
-              .otherwise(concat(acc, array(s)))).as("syms"),
+        vocab = vocab.select(applyMergeCol(col("syms"), a, b).as("syms"),
           col("wc")).scopedCheckpoint() // eager: prev is safe to drop now
         Dedup.unpersistCheckpointed(prev)
       }
@@ -662,24 +678,78 @@ object TextAnalysis {
    * encoding is a pure per-row projection: O(merges · word length)
    * array folds per word, embarrassingly parallel at any corpus size.
    */
+  /** One greedy left-to-right merge pass over a symbol array as a fold:
+    * append each symbol, or replace the accumulator's tail when it
+    * equals `a` and the incoming symbol equals `b` (a just-merged tail
+    * can never re-match `a`, so no double merge at one position).
+    * Column lambdas, never SQL text — symbols come from corpus data. */
+  private def applyMergeCol(syms: Column, a: String, b: String): Column =
+    org.apache.spark.sql.functions.aggregate(
+      syms, array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** The word's UTF-8 bytes as two-hex-char symbols (`"68"`, `"D0"`) —
+    * both engines render hex uppercase, so the alphabet is
+    * oracle-identical. Words are non-empty (tokens() never yields
+    * `""`), so the sequence bound is always ≥ 1. */
+  private def byteSymsCol(w: Column): Column = {
+    val hs = hex(encode(w, "UTF-8"))
+    transform(sequence(lit(1), (length(hs) / 2).cast("int")),
+      i => hs.substr(i * 2 - 1, lit(2)))
+  }
+
+  /** Is `w` one of the reserved special tokens? (plan-literal OR chain —
+    * special lists are tokenizer-config-sized) */
+  private def isSpecialCol(w: Column, specials: Seq[String]): Column =
+    specials.foldLeft(lit(false))((acc, sp) => acc || (w === lit(sp)))
+
   def bpeEncode(df: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
     def agg(e: Column, init: Column,
             merge: (Column, Column) => Column): Column =
       org.apache.spark.sql.functions.aggregate(e, init, merge)
-    def applyMerge(syms: Column, a: String, b: String): Column =
-      agg(syms, array().cast("array<string>"), (acc, s) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
-          .otherwise(concat(acc, array(s))))
     def enc(w: Column): Column =
       mergeList.foldLeft(filter(split(w, ""), c => c =!= lit(""))) {
-        case (syms, (a, b)) => applyMerge(syms, a, b)
+        case (syms, (a, b)) => applyMergeCol(syms, a, b)
       }
     spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         agg(transform(col("ws"), w => size(enc(w))), lit(0),
           (acc, x) => acc + x).cast("long").as("n_pieces"))
+  }
+
+  /**
+   * [[bpeEncode]] with the byte fallback and reserved special tokens —
+   * the two properties a production tokenizer needs on 100 TB of
+   * uncurated text: NO character can drop (every word decomposes into
+   * the closed 256-symbol byte alphabet before merges replay, so
+   * mixed-script and emoji input tokenizes instead of vanishing), and
+   * special tokens (document separators, instruction markers) count as
+   * exactly ONE piece each and bypass the merge machinery entirely.
+   * Returns `(doc_id, n_words, n_special, n_pieces)`; `n_pieces`
+   * includes one piece per special occurrence. Scale shape unchanged:
+   * zero shuffle, plan-literal folds.
+   */
+  def bpeEncodeBytes(df: DataFrame, mergeList: Seq[(String, String)],
+                     specials: Seq[String] = Seq.empty): DataFrame = {
+    def agg(e: Column, init: Column,
+            merge: (Column, Column) => Column): Column =
+      org.apache.spark.sql.functions.aggregate(e, init, merge)
+    def enc(w: Column): Column =
+      mergeList.foldLeft(byteSymsCol(w)) {
+        case (syms, (a, b)) => applyMergeCol(syms, a, b)
+      }
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        agg(transform(col("ws"),
+            w => when(isSpecialCol(w, specials), lit(1)).otherwise(lit(0))),
+          lit(0), (acc, x) => acc + x).cast("long").as("n_special"),
+        agg(transform(col("ws"),
+            w => when(isSpecialCol(w, specials), lit(1)).otherwise(size(enc(w)))),
+          lit(0), (acc, x) => acc + x).cast("long").as("n_pieces"))
   }
 
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents

@@ -336,6 +336,36 @@ class DedupSpec extends SparkSpec {
     assert(got(3L)._2 < 10L)
   }
 
+  test("bpeEncodeBytes: byte fallback never drops, specials are one piece and " +
+    "bypass merges, training excludes specials") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa <|sep|> aa"),     // 'aa' dominates pair counts
+      (2L, "данные 🦊 <|sep|>"),       // mixed script + emoji + special
+      (3L, "aaaa")
+    ).toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrainBytes(docs, 2, Seq("<|sep|>")).collect()
+      .sortBy(_.getInt(0))
+    val merges = trained.map(r => (r.getString(1), r.getString(2))).toSeq
+    // round 1 must merge 'a'+'a' (hex 61,61) — the dominant pair; had
+    // specials leaked into the statistics, '<'|'|' pairs would compete
+    assert(merges.head === (("61", "61")))
+    assert(trained.forall(r => !r.getString(3).contains("3C")),
+      "special token's bytes leaked into the merge statistics")
+    val got = TextAnalysis.bpeEncodeBytes(docs, merges, Seq("<|sep|>")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 4 'aa' words (1 piece each after the 6161 merge) + 1 special
+    assert(got(1L) === ((5L, 1L, 5L)))
+    // doc 2: данные = 12 UTF-8 bytes with round 2's (D0,BD) merge
+    // applying twice -> 10 pieces, fox emoji = 4 bytes untouched,
+    // NOTHING drops; the special is exactly one piece
+    assert(merges(1) === (("D0", "BD")))
+    assert(got(2L) === ((3L, 1L, 10L + 4L + 1L)))
+    // doc 3: 'aaaa' = 4 bytes -> 2 merged pieces (round 2 may merge
+    // further; allow either but never the unmerged 4)
+    assert(got(3L)._3 < 4L)
+  }
+
   test("PolyGrams rolling recurrence equals the per-position fold, codegen and interpreted") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge
