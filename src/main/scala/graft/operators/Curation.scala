@@ -317,6 +317,100 @@ object Curation {
         expr(s"cast(div(end_off - n_tokens, $seqLen) as bigint)").as("seq_idx"))
 
   /**
+   * Whole-document sequence packing, BEST-FIT-DECREASING — the packing
+   * mode where documents must NOT cross sequence boundaries (each
+   * training sequence holds whole documents ≤ `seqLen`; leftover space
+   * is PADDING a real training run pays for). [[packOffsets]] streams
+   * documents across boundaries (no padding, but fragments); this is
+   * the other production trade, and arrival-order packing
+   * ([[packWholeNaive]]) wastes measurably more pad tokens than BFD.
+   *
+   * Deterministic algorithm, oracle-matched bit for bit: within each
+   * shard, documents sort by (effective length DESC, doc_id) —
+   * effective length = `min(n_tokens, seqLen)` (over-long documents
+   * truncate, the standard treatment) — and each document goes to the
+   * open bin with the HIGHEST fill that still fits (ties → lowest bin
+   * index), else opens a new bin. Returns
+   * `(doc_id, shard, n_tokens, bin_idx, start_off)` — `start_off` is
+   * the offset inside the bin, `n_tokens` the effective length.
+   *
+   * Scale shape: one shuffle on `shard` (writer-chosen, thousands at
+   * 100 TB), then a per-shard sequential fold over the shard's
+   * MANIFEST — `(doc_id, length)` pairs, never text — exactly the
+   * in-memory state a shard writer holds anyway. Sequential-with-state
+   * per group is what `flatMapGroups` exists for; the corpus-wide
+   * stream stays distributed.
+   */
+  def packBestFit(df: DataFrame, nShards: Int, seqLen: Int): DataFrame =
+    packWhole(df, nShards, seqLen, bestFit = true)
+
+  /** Arrival-order (shard-hash order) NEXT-fit whole-document packing —
+    * the naive baseline a pipeline gets without sorting: only the last
+    * bin is open; a document that does not fit closes it forever. Same
+    * output schema as [[packBestFit]]; exists to make the padding cost
+    * of naive packing measurable ([[packPadding]]). */
+  def packWholeNaive(df: DataFrame, nShards: Int, seqLen: Int): DataFrame =
+    packWhole(df, nShards, seqLen, bestFit = false)
+
+  private def packWhole(df: DataFrame, nShards: Int, seqLen: Int,
+                        bestFit: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val manifest = df.select(col("doc_id"),
+        expr("cast(conv(substr(md5(concat('shard:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"),
+        least(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          lit(seqLen.toLong)).as("eff"))
+      .select(col("doc_id"), col("h"), (col("h") % nShards).cast("int").as("shard"),
+        col("eff"))
+      .as[(Long, Long, Int, Long)]
+    manifest.groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray
+        val sorted =
+          if (bestFit) docs.sortBy(d => (-d._4, d._1)) // eff desc, doc_id
+          else docs.sortBy(d => (d._2, d._1))          // arrival: h, doc_id
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.iterator.map { d =>
+          val eff = d._4
+          var best = -1
+          var bestFill = -1L
+          if (bestFit) {
+            var i = 0
+            while (i < fills.length) {
+              if (fills(i) + eff <= seqLen && fills(i) > bestFill) {
+                bestFill = fills(i); best = i
+              }
+              i += 1
+            }
+          } else if (fills.nonEmpty && fills.last + eff <= seqLen) {
+            best = fills.length - 1; bestFill = fills.last
+          }
+          if (best < 0) {
+            fills += eff
+            (d._1, shard, eff, fills.length - 1, 0L)
+          } else {
+            fills(best) += eff
+            (d._1, shard, eff, best, bestFill)
+          }
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bin_idx", "start_off")
+  }
+
+  /** Padding audit of a whole-document packing: per shard, the bins
+    * used and the fraction of the shard's token slots spent on padding
+    * (`padding_e6`, exact integer permillion — the pad-token cost a
+    * training run pays for this packing). */
+  def packPadding(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.groupBy("shard").agg(
+        (max(col("bin_idx")) + 1).cast("long").as("n_bins"),
+        sum(col("n_tokens")).as("used"))
+      .select(col("shard"), col("n_bins"),
+        expr(s"cast(div((n_bins * $seqLen - used) * 1000000, n_bins * $seqLen) as bigint)")
+          .as("padding_e6"))
+
+  /**
    * Training-sequence provenance — the inverse lookup of
    * [[packOffsets]]: for every fixed-length training sequence, which
    * documents contribute tokens to it and how many. This is the

@@ -232,6 +232,47 @@ class CurationSpec extends SparkSpec {
     p.foreach { case (_, _, _, start, seq) => assert(seq == start / 256) }
   }
 
+  test("packBestFit: bins never overflow, offsets tile each bin, and BFD padding " +
+    "is <= the naive arrival-order packing") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val seqLen = 256
+    val best = Curation.packBestFit(docs, 4, seqLen).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(best.length == 500 && best.map(_._1).distinct.length == 500)
+    best.groupBy(b => (b._2, b._4)).foreach { case ((shard, bin), rows) =>
+      // bin capacity holds and the offsets tile the bin without gaps
+      assert(rows.map(_._3).sum <= seqLen, s"shard $shard bin $bin overflows")
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.head._5 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 == a._5 + a._3, s"gap in shard $shard bin $bin")
+        case _           =>
+      }
+    }
+    // dense bin indexes per shard (bins 0..n-1 all used)
+    best.groupBy(_._2).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins.toSeq == (0 until bins.length))
+    }
+    def padding(packed: Array[(Long, Int, Long, Int, Long)]): Long =
+      packed.groupBy(_._2).map { case (_, rows) =>
+        (rows.map(_._4).max + 1).toLong * seqLen - rows.map(_._3).sum
+      }.sum
+    val naive = Curation.packWholeNaive(docs, 4, seqLen).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(padding(best) <= padding(naive),
+      s"BFD padding ${padding(best)} exceeds naive ${padding(naive)}")
+    // and the audit column agrees with the hand count
+    val audited = Curation.packPadding(
+        Curation.packBestFit(docs, 4, seqLen), seqLen).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    best.groupBy(_._2).foreach { case (shard, rows) =>
+      val bins = (rows.map(_._4).max + 1).toLong
+      val expect = (bins * seqLen - rows.map(_._3).sum) * 1000000L / (bins * seqLen)
+      assert(audited(shard) == expect)
+    }
+  }
+
   test("seqProvenance: contributions tile the token stream exactly") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val pv = Curation.seqProvenance(docs, 8, 256).collect()
