@@ -108,6 +108,11 @@ object CurationQueries {
     // lowest bin), so a recursive-CTE oracle replays every placement
     "pack_bestfit" -> ((s, dir) =>
       Curation.packBestFit(docs(s, dir), NShards, PackSeqLen)),
+    // the padding audit over the BFD packing: per shard, bins used and
+    // the exact pad-fraction (permillion) a training run would pay
+    "pack_padding" -> ((s, dir) =>
+      Curation.packPadding(
+        Curation.packBestFit(docs(s, dir), NShards, PackSeqLen), PackSeqLen)),
     // provenance inverse of pack_offsets: training sequence -> the
     // documents feeding it, with exact per-sequence token contributions
     "seq_provenance" -> ((s, dir) =>
@@ -202,6 +207,41 @@ object CurationQueries {
   private val Em = Curation.EmailRe
   private val Dg = Curation.DigitRunRe
 
+  /** The BFD placement replay shared by the `pack_bestfit` and
+    * `pack_padding` oracles: per-shard (eff desc, doc_id) ranks, then a
+    * recursive CTE carrying the open-bin fill list through every
+    * placement (see the `pack_bestfit` entry's comment for the tie
+    * rules). Ends with the `rec` CTE holding one row per placed doc. */
+  private def packBestFitCte: String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+    least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), $PackSeqLen) AS eff
+  FROM documents),
+rk AS (SELECT doc_id, CAST(h % $NShards AS INT) AS shard, eff,
+    CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY eff DESC, doc_id) AS BIGINT) AS rk
+  FROM sh),
+rec AS (
+  SELECT shard, rk, doc_id, eff, CAST(0 AS INT) AS bin_idx,
+    CAST(0 AS BIGINT) AS start_off, [eff] AS fills
+  FROM rk WHERE rk = 1
+  UNION ALL
+  SELECT n.shard, n.rk, n.doc_id, n.eff,
+    CASE WHEN list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen)) IS NULL
+         THEN CAST(len(r.fills) AS INT)
+         ELSE CAST(list_position(r.fills,
+           list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen))) - 1 AS INT) END AS bin_idx,
+    COALESCE(list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen)),
+      CAST(0 AS BIGINT)) AS start_off,
+    CASE WHEN list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen)) IS NULL
+         THEN list_append(r.fills, n.eff)
+         ELSE list_transform(range(1, CAST(len(r.fills) AS BIGINT) + 1),
+           j -> CASE WHEN j = CAST(list_position(r.fills,
+                  list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen))) AS BIGINT)
+                THEN r.fills[CAST(j AS INT)] + n.eff
+                ELSE r.fills[CAST(j AS INT)] END)
+    END AS fills
+  FROM rec r JOIN rk n ON n.shard = r.shard AND n.rk = r.rk + 1)"""
+
   val oracle: Map[String, String] = Map(
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -290,42 +330,24 @@ SELECT doc_id, shard, n_tokens,
   CAST((end_off - n_tokens) // $PackSeqLen AS BIGINT) AS seq_idx
 FROM w""",
 
-    // BFD replayed step by step: rank documents (eff desc, doc_id)
-    // within each shard, then a recursive CTE carries the open-bin fill
-    // list — the chosen bin is the max fill still fitting
-    // (list_position = first index on ties, the engine's strict-greater
-    // walk), else a new bin opens. start_off = the chosen bin's fill
-    // before placement.
+    // BFD replayed step by step ([[packBestFitCte]]): rank documents
+    // (eff desc, doc_id) within each shard, then a recursive CTE
+    // carries the open-bin fill list — the chosen bin is the max fill
+    // still fitting (list_position = first index on ties, the engine's
+    // strict-greater walk), else a new bin opens. start_off = the
+    // chosen bin's fill before placement.
     "pack_bestfit" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id,
-    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
-    least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), $PackSeqLen) AS eff
-  FROM documents),
-rk AS (SELECT doc_id, CAST(h % $NShards AS INT) AS shard, eff,
-    CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY eff DESC, doc_id) AS BIGINT) AS rk
-  FROM sh),
-rec AS (
-  SELECT shard, rk, doc_id, eff, CAST(0 AS INT) AS bin_idx,
-    CAST(0 AS BIGINT) AS start_off, [eff] AS fills
-  FROM rk WHERE rk = 1
-  UNION ALL
-  SELECT n.shard, n.rk, n.doc_id, n.eff,
-    CASE WHEN list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen)) IS NULL
-         THEN CAST(len(r.fills) AS INT)
-         ELSE CAST(list_position(r.fills,
-           list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen))) - 1 AS INT) END AS bin_idx,
-    COALESCE(list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen)),
-      CAST(0 AS BIGINT)) AS start_off,
-    CASE WHEN list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen)) IS NULL
-         THEN list_append(r.fills, n.eff)
-         ELSE list_transform(range(1, CAST(len(r.fills) AS BIGINT) + 1),
-           j -> CASE WHEN j = CAST(list_position(r.fills,
-                  list_max(list_filter(r.fills, f -> f + n.eff <= $PackSeqLen))) AS BIGINT)
-                THEN r.fills[CAST(j AS INT)] + n.eff
-                ELSE r.fills[CAST(j AS INT)] END)
-    END AS fills
-  FROM rec r JOIN rk n ON n.shard = r.shard AND n.rk = r.rk + 1)
+      s"""$packBestFitCte
 SELECT doc_id, shard, eff AS n_tokens, bin_idx, start_off FROM rec""",
+
+    // rollup of the same recursive placement chain: bins = max index +
+    // 1 per shard, padding = unfilled slots per million (truncating //)
+    "pack_padding" ->
+      s"""$packBestFitCte
+SELECT shard, CAST(max(bin_idx) + 1 AS BIGINT) AS n_bins,
+  CAST(((CAST(max(bin_idx) + 1 AS BIGINT) * $PackSeqLen - sum(eff)) * 1000000)
+    // (CAST(max(bin_idx) + 1 AS BIGINT) * $PackSeqLen) AS BIGINT) AS padding_e6
+FROM rec GROUP BY shard""",
 
     "seq_provenance" ->
       s"""WITH sh AS (SELECT doc_id,
