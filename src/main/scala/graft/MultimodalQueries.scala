@@ -133,6 +133,21 @@ object MultimodalQueries {
         Multimodal.imageAHash(recs)
           .select(col("doc_id").as("id"), col("ahash").as("h")))
     }),
+    // the composition into the dedup framework: perceptual pairs feed
+    // the same O(log n) connected-components resolution the text and
+    // semantic sides use — one cluster per image class, labeled by the
+    // minimum doc_id (arithmetically id % 25 on this fixture)
+    "image_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image", Multimodal.perturbedImage(id)))
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.hammingNearPairs64(
+          Multimodal.imageAHash(recs)
+            .select(col("doc_id").as("id"), col("ahash").as("h")))
+          .select(col("id_a"), col("id_b")))
+    }),
     // the video-frame twin: perturbed AVIs (base DIB / brightness-
     // shifted DIB / MJPG re-encode), per-frame aHash, banded pairing on
     // a packed (doc, frame) key — equal (class, frame_idx) collide
@@ -241,6 +256,13 @@ FROM documents""",
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
 FROM documents a JOIN documents b
   ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id""",
+
+    // every doc of a class reaches every other (identical hashes =>
+    // complete pair graph), so the component minimum is the class's
+    // smallest doc_id — with contiguous ids that is doc_id % 25
+    "image_clusters" ->
+      """SELECT doc_id, CAST(doc_id % 25 AS BIGINT) AS cluster_id
+FROM documents""",
 
     // frame twin: equal (class, frame_idx) collide across the three
     // variants (DIB / shifted DIB / MJPG); frame patterns are seeded
