@@ -133,20 +133,20 @@ object MultimodalQueries {
         Multimodal.imageAHash(recs)
           .select(col("doc_id").as("id"), col("ahash").as("h")))
     }),
-    // the composition into the dedup framework: perceptual pairs feed
-    // the same O(log n) connected-components resolution the text and
-    // semantic sides use — one cluster per image class, labeled by the
-    // minimum doc_id (arithmetically id % 25 on this fixture)
+    // the composition into the dedup framework: star edges within each
+    // identical-hash class + verified hash-level edges feed the same
+    // O(log n) connected-components resolution the text and semantic
+    // sides use — one cluster per image class, labeled by the minimum
+    // doc_id (arithmetically id % 25 on this fixture); never the
+    // quadratic within-class pair set
     "image_clusters" -> ((s, dir) => {
       import s.implicits._
       val recs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id")).as[Long]
         .map(id => Multimodal.MediaRecord(id, "image", Multimodal.perturbedImage(id)))
-      graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup.hammingNearPairs64(
-          Multimodal.imageAHash(recs)
-            .select(col("doc_id").as("id"), col("ahash").as("h")))
-          .select(col("id_a"), col("id_b")))
+      graft.operators.Dedup.hammingClusters64(
+        Multimodal.imageAHash(recs)
+          .select(col("doc_id").as("id"), col("ahash").as("h")))
     }),
     // the video-frame twin: perturbed AVIs (base DIB / brightness-
     // shifted DIB / MJPG re-encode), per-frame aHash, banded pairing on

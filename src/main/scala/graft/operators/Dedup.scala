@@ -420,18 +420,75 @@ object Dedup {
    * verification is a per-row popcount.
    */
   def hammingNearPairs64(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val banded = hashed.select(col("id"), col("h"),
+    val ids = hashed.select(col("id"), col("h"))
+    // collapse-first (the span-dedup trick, at hash granularity): the
+    // banded self-join and the popcount verify run over DISTINCT hash
+    // values — identical hashes (exact perceptual duplicates, the bulk
+    // of a duplicate-heavy corpus) never enter the candidate join, so
+    // a hash held by n rows costs one band row instead of n (and its
+    // within-class pairs come from one equi-join, not band collisions)
+    val hashEdges = hammingHashEdges(ids.select("h").distinct(), maxHamming)
+    // within-class pairs: same hash value, Hamming 0 by definition
+    val within = ids.as("x").join(ids.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    // cross-class pairs: fan each verified hash edge back out to the
+    // id pairs it represents (distinct hashes ⇒ hamming ≥ 1, so the
+    // two branches cannot overlap)
+    val cross = hashEdges
+      .join(ids.select(col("h").as("ha"), col("id").as("ia")), "ha")
+      .join(ids.select(col("h").as("hb"), col("id").as("ib")), "hb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    within.union(cross)
+  }
+
+  /** Verified near-neighbor edges BETWEEN distinct 64-bit hash values:
+    * 4×16-bit banded candidates over a `(h)` table of UNIQUE hashes,
+    * popcount verify, budget filter before the distinct. `(ha, hb,
+    * hamming)` with `ha < hb`; within-Hamming-3 pairs are guaranteed
+    * caught (banding), larger distances when any band agrees. */
+  private def hammingHashEdges(distinctHashes: DataFrame,
+                               maxHamming: Int): DataFrame = {
+    val banded = distinctHashes.select(col("h"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b as band, shiftright(h, b * 16) & 65535 as v))"))
         .as("bd"))
-      .select(col("id"), col("h"), col("bd.band").as("band"), col("bd.v").as("v"))
+      .select(col("h"), col("bd.band").as("band"), col("bd.v").as("v"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
         expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /**
+   * Cluster resolution over a 64-bit perceptual key WITHOUT
+   * materializing the quadratic pair set: identical hashes connect
+   * through a STAR to their class representative (min id) — linear in
+   * rows, connectivity-identical to the complete within-class graph —
+   * and verified hash-level edges connect representatives. Connected
+   * components then label every id with its component minimum, exactly
+   * as [[connectedComponents]] over [[hammingNearPairs64]] would, but
+   * a duplicate-heavy corpus (the 100 TB norm: re-encoded stills,
+   * looped footage) costs O(rows + distinct-hash candidates) instead
+   * of O(class²). Ids with a unique hash and no near neighbor carry no
+   * edge and are absent from the output (the same contract as running
+   * CC over the pair set).
+   */
+  def hammingClusters64(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val ids = hashed.select(col("id"), col("h"))
+    val reps = ids.groupBy("h").agg(min(col("id")).as("rep"))
+    val star = ids.join(reps, "h").filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val cross = hammingHashEdges(reps.select("h"), maxHamming)
+      .join(reps.select(col("h").as("ha"), col("rep").as("ra")), "ha")
+      .join(reps.select(col("h").as("hb"), col("rep").as("rb")), "hb")
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+    connectedComponents(star.union(cross))
   }
 
   /**
