@@ -815,6 +815,43 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(1L) == "nav home about contact" && cleaned(2L) == "")
   }
 
+  test("hammingNearPairs64 equals the brute-force banded reference on random keys; " +
+    "hammingClusters64 labels like CC over the pair set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // base keys + near-copies at Hamming 1..8 + exact duplicates
+    val base = Seq.fill(60)(rnd.nextLong())
+    val rows = base.zipWithIndex.flatMap { case (h, i) =>
+      val id = i * 10L
+      val flips = 1 + rnd.nextInt(8)
+      var near = h
+      (0 until flips).foreach(_ => near ^= 1L << rnd.nextInt(64))
+      Seq((id, h), (id + 1, h), (id + 2, near)) // dup + near-copy
+    }
+    val df = rows.toDF("id", "h")
+    val got = Dedup.hammingNearPairs64(df, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: every pair within the Hamming budget that ALSO shares
+    // at least one 16-bit band (the banding contract: <= 3 always
+    // shares one; 4..6 only when a band happens to agree)
+    def bands(h: Long): Seq[Long] = (0 until 4).map(b => (h >>> (b * 16)) & 0xFFFFL)
+    val expect = (for {
+      a <- rows; b <- rows; if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2)
+      if d <= 6 && bands(a._2).zip(bands(b._2)).exists(p => p._1 == p._2)
+    } yield (a._1, b._1, d)).toSet
+    assert(got === expect)
+    assert(expect.exists(_._3 == 0) && expect.exists(_._3 > 0),
+      "fixture must exercise both dup and near-dup pairs")
+    // the star+hash-edge cluster path labels exactly like CC over pairs
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.hammingNearPairs64(df, 6).select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStars = Dedup.hammingClusters64(df, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStars === viaPairs)
+  }
+
   test("CheckpointScope.releaseAll frees result-lineage checkpoint blocks after materialization") {
     import spark.implicits._
     // settle: evict anything prior suites left behind so the baseline is clean
