@@ -29,6 +29,16 @@ val hashed = time(s"frameAHash decode+hash (${nVideos * framesPer} frames)") { v
 // (collapse-first) but must still EMIT the quadratic result
 time("hammingClusters64 over 200k frame hashes (duplicate-heavy)") { println(graft.operators.Dedup.hammingClusters64(hashed.select((col("doc_id") * 64 + col("frame_idx")).as("id"), col("ahash").as("h"))).count()) }
 hashed.unpersist(); media.unpersist()
+// 3. IVFPQ refine at serving scale: 1M vectors, sqrt(n)=auto centroids,
+//    32 probes, 16x32 PQ, C=4000 exact re-ranks per query — the
+//    full-precision reads stay O(queries x C) however big the corpus.
+val emb = graft.operators.Similarity.intEmbeddings(spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet"))
+val nBase = emb.count()
+val copies = (1000000 / nBase).toInt
+val big = emb.crossJoin(spark.range(copies).toDF("rep")).select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"), col("label"), expr("transform(v, (x, i) -> x + (rep * 31 + i * 7) % 1000)").as("v")).repartition(64).cache()
+println(s"[probe] vectors=${big.count()}")
+time("ivfPqRerankTopK (10 queries x 1M vecs, auto centroids, 32 probes, C=4000)") { println(graft.operators.Similarity.ivfPqRerankTopK(big, big.filter(col("vec_id") < 10), 10, rerankC = 4000, nCentroids = 0, nProbe = 32, m = 16, nCodes = 32, pqIters = 1).count()) }
+big.unpersist()
 val nDocs = 5000000
 val docs = spark.range(nDocs).select(col("id").as("doc_id"), concat(lit("w "), repeat(lit("t "), (pmod(col("id") * 2654435761L, lit(250)) + 5).cast("int"))).as("text")).repartition(64).cache()
 println(s"[probe] docs=${docs.count()}")
