@@ -148,6 +148,18 @@ object MultimodalQueries {
         Multimodal.imageAHash(recs)
           .select(col("doc_id").as("id"), col("ahash").as("h")))
     }),
+    // the audio modality's near-dup key: re-gained and DC-shifted
+    // copies collide under the affine-invariant window-mean hash
+    // (byte digests never match them); same arithmetic-class oracle
+    "audio_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio", Multimodal.perturbedWav(id)))
+      graft.operators.Dedup.hammingNearPairs64(
+        Multimodal.audioAHash(recs)
+          .select(col("doc_id").as("id"), col("ahash").as("h")))
+    }),
     // the video-frame twin: perturbed AVIs (base DIB / brightness-
     // shifted DIB / MJPG re-encode), per-frame aHash, banded pairing on
     // a packed (doc, frame) key — equal (class, frame_idx) collide
@@ -253,6 +265,13 @@ FROM documents""",
     // bimodal pattern); distinct classes are spec-pinned >= 18 apart so
     // none survive the Hamming budget
     "image_near_dup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id""",
+
+    // audio twin: all three variants (base / +10 DC offset / 3/4 gain)
+    // of a class collide under the affine-invariant window-mean hash
+    "audio_near_dup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
 FROM documents a JOIN documents b
   ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id""",

@@ -482,6 +482,84 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
+  /**
+   * 64-bit perceptual fingerprint of a PCM sample STREAM — the audio
+   * twin of [[aHash64]]: the stream splits into 64 equal time windows,
+   * each window's truncated mean compares against the global mean of
+   * window means (`m·64 > Σ m`, strict). Invariant under any positive
+   * AFFINE amplitude transform (gain and DC offset): windows and the
+   * total move in lockstep, so the bits cannot change (up to per-sample
+   * rounding noise, far below any real signal's window contrasts). The
+   * near-dup key for re-leveled, re-gained, or DC-shifted copies of the
+   * same audio that a byte digest can never match.
+   */
+  private[operators] def audioHash64(n: Int, get: Int => Int): Long = {
+    require(n >= 64, s"audioHash64 needs >= 64 samples, got $n")
+    val m = new Array[Long](64)
+    var total = 0L
+    var k = 0
+    while (k < 64) {
+      val i0 = k * n / 64; val i1 = (k + 1) * n / 64
+      var s = 0L
+      var i = i0
+      while (i < i1) { s += get(i); i += 1 }
+      m(k) = s / (i1 - i0)
+      total += m(k)
+      k += 1
+    }
+    var hash = 0L
+    var k2 = 0
+    while (k2 < 64) { if (m(k2) * 64 > total) hash |= 1L << k2; k2 += 1 }
+    hash
+  }
+
+  /** Per-clip perceptual audio hash: `(doc_id, ahash)` — real
+    * `javax.sound` decode to the PCM data bytes (unsigned 8-bit view),
+    * then [[audioHash64]]. Partition-local; 8-byte keys shuffle. */
+  def audioAHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val data = try in.readAllBytes() finally in.close()
+      (r.doc_id, audioHash64(data.length, i => data(i) & 0xFF))
+    }.toDF("doc_id", "ahash")
+  }
+
+  /**
+   * Perceptual-dedup audio fixture for `doc_id`: class = `id % 25`,
+   * variant = `(id / 25) % 3` — 0 the base clip, 1 a DC-offset (+10)
+   * copy, 2 a re-gained copy (`(s-128)·3/4 + 128`). 6400 samples in 64
+   * constant-plus-wiggle windows (loud 200 / quiet 56 by the class's
+   * [[mix64]] bits — far apart, so rounding under the gain transform
+   * cannot flip a bit). All variants of a class collide under
+   * [[audioHash64]] (affine invariance) while distinct classes stay far
+   * apart — same oracle strategy as [[perturbedImage]].
+   */
+  def perturbedWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val cls = docId % 25
+    val variant = (docId / 25) % 3
+    val bits = mix64(1000L + cls)
+    val n = 6400
+    val data = Array.tabulate(n) { i =>
+      val win = i * 64 / n
+      val base = (if (((bits >>> win) & 1L) == 1L) 200 else 56) + i * 7 % 5 - 2
+      val s = variant match {
+        case 1 => base + 10
+        case 2 => (base - 128) * 3 / 4 + 128
+        case _ => base
+      }
+      s.toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   // splitmix64 finalizer (public-domain mixing constants) — the
   // deterministic pattern generator behind the perceptual fixtures
   private def mix64(v: Long): Long = {
