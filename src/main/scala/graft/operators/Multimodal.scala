@@ -528,30 +528,40 @@ object Multimodal {
 
   /**
    * Perceptual-dedup audio fixture for `doc_id`: class = `id % 25`,
-   * variant = `(id / 25) % 3` — 0 the base clip, 1 a DC-offset (+10)
-   * copy, 2 a re-gained copy (`(s-128)·3/4 + 128`). 6400 samples in 64
-   * constant-plus-wiggle windows (loud 200 / quiet 56 by the class's
-   * [[mix64]] bits — far apart, so rounding under the gain transform
-   * cannot flip a bit). All variants of a class collide under
-   * [[audioHash64]] (affine invariance) while distinct classes stay far
-   * apart — same oracle strategy as [[perturbedImage]].
+   * variant = `(id / 25) % 4` — 0 the base clip, 1 a DC-offset (+10)
+   * copy, 2 a re-gained copy (`(s-128)·3/4 + 128`), 3 a
+   * nearest-neighbor RESAMPLE to 3/4 length (4800 frames). 6400 base
+   * samples in 64 constant-plus-wiggle windows (loud 200 / quiet 56 by
+   * the class's [[mix64]] bits — far apart, so rounding under the gain
+   * transform cannot flip a bit). All variants of a class collide
+   * under [[audioHash64]]: gain/offset by the affine invariance, the
+   * resample because the hash's 64 windows are RELATIVE to stream
+   * length — a sample-rate change realigns nothing. Distinct classes
+   * stay far apart — same oracle strategy as [[perturbedImage]].
    */
   def perturbedWav(docId: Long): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val cls = docId % 25
-    val variant = (docId / 25) % 3
+    val variant = (docId / 25) % 4
     val bits = mix64(1000L + cls)
-    val n = 6400
-    val data = Array.tabulate(n) { i =>
-      val win = i * 64 / n
-      val base = (if (((bits >>> win) & 1L) == 1L) 200 else 56) + i * 7 % 5 - 2
-      val s = variant match {
-        case 1 => base + 10
-        case 2 => (base - 128) * 3 / 4 + 128
-        case _ => base
+    val nBase = 6400
+    val base = Array.tabulate(nBase) { i =>
+      val win = i * 64 / nBase
+      val b = (if (((bits >>> win) & 1L) == 1L) 200 else 56) + i * 7 % 5 - 2
+      variant match {
+        case 1 => b + 10
+        case 2 => (b - 128) * 3 / 4 + 128
+        case _ => b
       }
-      s.toByte
     }
+    val data =
+      if (variant == 3)
+        // nearest-neighbor resample (the WavCodec.resize rule):
+        // source frame = target * srcLen / dstLen, floor
+        Array.tabulate(nBase * 3 / 4)(i =>
+          base((i.toLong * nBase / (nBase * 3 / 4)).toInt).toByte)
+      else base.map(_.toByte)
+    val n = data.length
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
     val baos = new java.io.ByteArrayOutputStream()
     AudioSystem.write(

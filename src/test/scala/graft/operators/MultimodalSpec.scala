@@ -265,8 +265,8 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet === expected)
   }
 
-  test("audioHash64: DC offset and re-gain collide (affine invariance); distinct " +
-    "clips stay far apart; pairing recovers the class pairs") {
+  test("audioHash64: DC offset, re-gain and nearest-neighbor resample collide; " +
+    "distinct clips stay far apart; pairing recovers the class pairs") {
     import Multimodal.MediaRecord
     import spark.implicits._
     def hashOf(id: Long): Long = {
@@ -276,21 +276,21 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioHash64(data.length, i => data(i) & 0xFF)
     }
     val classes = (0L until 25L).map(hashOf)
-    (0L until 75L).foreach { id =>
+    (0L until 100L).foreach { id =>
       assert(hashOf(id) === classes((id % 25).toInt),
         s"variant ${id / 25} of class ${id % 25} does not collide")
     }
     val minH = (for (i <- 0 until 25; j <- i + 1 until 25)
       yield java.lang.Long.bitCount(classes(i) ^ classes(j))).min
     assert(minH > 6, s"cross-class hamming floor $minH")
-    val recs = spark.range(75)
+    val recs = spark.range(100)
       .as[Long].map(id => MediaRecord(id, "audio", Multimodal.perturbedWav(id)))
     val pairs = Dedup.hammingNearPairs64(
         Multimodal.audioAHash(recs)
           .select(col("doc_id").as("id"), col("ahash").as("h")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val expected = (for {
-      a <- 0L until 75L; b <- a + 1 until 75L; if a % 25 == b % 25
+      a <- 0L until 100L; b <- a + 1 until 100L; if a % 25 == b % 25
     } yield (a, b, 0)).toSet
     assert(pairs === expected)
   }
