@@ -148,6 +148,26 @@ object MultimodalQueries {
         Multimodal.imageAHash(recs)
           .select(col("doc_id").as("id"), col("ahash").as("h")))
     }),
+    // DCT perceptual near-dup: the fixture adds the perturbation aHash
+    // CANNOT survive — a horizontal luminance ramp (uneven lighting /
+    // scanner gradient) moves edge-column cells across the spatial
+    // threshold (14 of 25 classes escape the aHash budget,
+    // spec-measured) while in frequency space the ramp is energy in
+    // bits {1,3,5} of one band, so sign-threshold pHash keeps every
+    // within-class pair within Hamming 4 with 3 of 4 bands agreeing.
+    // The oracle derives pair classes arithmetically; hamming is
+    // dropped from the output because the ramp pairs' exact distance
+    // is a measured property, not a closed form.
+    "image_phash_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image", Multimodal.perturbedImageP(id)))
+      graft.operators.Dedup.hammingNearPairs64(
+        Multimodal.imagePHash(recs)
+          .select(col("doc_id").as("id"), col("phash").as("h")))
+        .select(col("id_a"), col("id_b"))
+    }),
     // the audio modality's near-dup key: re-gained and DC-shifted
     // copies collide under the affine-invariant window-mean hash
     // (byte digests never match them); same arithmetic-class oracle
@@ -266,6 +286,14 @@ FROM documents""",
     // none survive the Hamming budget
     "image_near_dup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id""",
+
+    // pHash twin: all four variants (base / +30 brightness / horizontal
+    // luminance ramp / JPEG re-encode) of a class pair under the DCT
+    // hash; distinct classes stay >= 19 apart (spec-pinned)
+    "image_phash_near_dup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM documents a JOIN documents b
   ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id""",
 

@@ -482,6 +482,133 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
+  // DCT-II basis table for pHash64, fixed-point: C(u,x) =
+  // round(cos((2x+1)·u·π/64) · 2^13), built with StrictMath (fdlibm —
+  // bit-identical on every JVM, unlike Math.cos) so the hash is
+  // reproducible across platforms. Row u=0 is the constant 8192. The
+  // 2^13 scale keeps the worst-case (all energy in one coefficient)
+  // 63-coefficient sum a 4× margin under Long.MaxValue by Parseval.
+  private val DctC: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    StrictMath.round(StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0) * 8192.0)
+  }
+
+  /**
+   * 64-bit DCT perceptual hash (pHash) over a decoded raster — the
+   * frequency-domain sibling of [[aHash64]] (public knowledge:
+   * downscale, 2-D DCT, threshold the low-frequency block), computed
+   * in exact fixed-point integer arithmetic so the result is
+   * bit-reproducible:
+   *
+   *  - the raster area-pools to 32×32 (cell = truncated mean of the
+   *    band-summed rectangle, same pooling as [[aHash64]]);
+   *  - each cell is mean-centered WITHOUT division: `v = p·1024 − T`
+   *    where `T = Σ p` — a uniform brightness shift `+c` moves `p` by
+   *    exactly `bands·c` and `T` by `1024·bands·c`, so `v` (and hence
+   *    every DCT coefficient and every bit) is EXACTLY invariant;
+   *  - a 2-D DCT-II over `v` via [[DctC]] (separable: 8 row passes,
+   *    then 8 column passes — O(32·32·8) multiplies); coefficients
+   *    stay < 2^56, no overflow;
+   *  - bit `v·8+u` is set iff the coefficient is strictly positive
+   *    (the sign-threshold pHash variant; bit 0's DC coefficient is
+   *    exactly zero under centering, so it is always clear).
+   *
+   * What this buys over [[aHash64]]: spatial-domain cell thresholds
+   * break under a LUMINANCE RAMP (vignette, scanner gradient, uneven
+   * lighting) — the ramp moves edge cells across the global mean.
+   * In frequency space a horizontal ramp is energy in the (u odd,
+   * v=0) column — bits {1,3,5,7}, all inside ONE 16-bit band of
+   * [[graft.operators.Dedup.hammingNearPairs64]]'s 4-band split — so
+   * ramped copies still share 3 bands and pair, while the aHash of the
+   * same pair scatters flips across all bands (spec-measured).
+   */
+  private[operators] def pHash64(w: Int, h: Int, bands: Int,
+                                 get: (Int, Int, Int) => Int): Long = {
+    require(w >= 32 && h >= 32, s"pHash needs a raster >= 32x32, got ${w}x$h")
+    // area-pool to 32×32 (exact integer: floor of rectangle mean)
+    val p = new Array[Long](1024)
+    var total = 0L
+    var j = 0
+    while (j < 32) {
+      val y0 = j * h / 32; val y1 = (j + 1) * h / 32
+      var i = 0
+      while (i < 32) {
+        val x0 = i * w / 32; val x1 = (i + 1) * w / 32
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var b = 0
+            while (b < bands) { s += get(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        p(j * 32 + i) = s / ((y1 - y0).toLong * (x1 - x0))
+        total += p(j * 32 + i)
+        i += 1
+      }
+      j += 1
+    }
+    // mean-center scaled by 1024 (exact; kills the DC dependence on
+    // absolute brightness), then separable DCT-II restricted to the
+    // 8×8 low-frequency block
+    val row = Array.ofDim[Long](8, 32) // row(u)(y) = Σ_x C(u,x)·v(x,y)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) {
+          s += DctC(u)(x) * (p(y * 32 + x) * 1024L - total)
+          x += 1
+        }
+        row(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64) // coef(v*8+u) = Σ_y C(v,y)·row(u)(y)
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += DctC(v)(y) * row(u2)(y); y += 1 }
+        coef(v * 8 + u2) = s
+        u2 += 1
+      }
+      v += 1
+    }
+    // sign threshold (not the median/mean variant): each bit depends
+    // on ITS coefficient alone, so a perturbation confined to one
+    // frequency column cannot leak into other bits through a moving
+    // threshold — the property the banded pairing guarantee needs.
+    // coef(0,0) = (Σ v)·C0² = 0 exactly (v is mean-centered), so bit 0
+    // is naturally clear.
+    var hash = 0L
+    var k = 1
+    while (k < 64) { if (coef(k) > 0) hash |= 1L << k; k += 1 }
+    hash
+  }
+
+  /** Per-image DCT perceptual hash: `(doc_id, phash)` — real ImageIO
+    * decode, then [[pHash64]]. Partition-local, same shape as
+    * [[imageAHash]]. */
+  def imagePHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      require(img != null, s"no image reader for doc ${r.doc_id}")
+      val raster = img.getRaster
+      (r.doc_id, pHash64(img.getWidth, img.getHeight, raster.getNumBands,
+        (x, y, b) => raster.getSample(x, y, b)))
+    }.toDF("doc_id", "phash")
+  }
+
   /**
    * 64-bit perceptual fingerprint of a PCM sample STREAM — the audio
    * twin of [[aHash64]]: the stream splits into 64 equal time windows,
@@ -617,6 +744,48 @@ object Multimodal {
     }
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, if (variant == 2) "jpg" else "png", baos)
+    baos.toByteArray
+  }
+
+  /**
+   * Perceptual-dedup fixture for the DCT hash: class = `id % 25`
+   * (bimodal 75/175 pattern, seed space disjoint from
+   * [[perturbedImage]]), variant = `(id / 25) % 4` — 0 the base PNG,
+   * 1 a brightness-shifted (+30) PNG, 2 a HORIZONTAL LUMINANCE RAMP
+   * (`+(x−16)·4`, ±64 — uneven lighting / scanner gradient; the
+   * perturbation [[aHash64]] cannot survive: edge-column cells move
+   * up to 62 while the bimodal margin is 50), 3 a JPEG re-encode.
+   * All four variants of a class must stay within the pairing budget
+   * under [[pHash64]] — brightness exactly, the ramp because its DCT
+   * energy is confined to the (u odd, v=0) bits {1,3,5,7} plus a
+   * small threshold shift, the re-encode because JPEG preserves
+   * low-frequency content — while distinct classes stay far apart.
+   * Values are clamp-free by construction: 75−64 = 11, 175+64 = 239.
+   */
+  def perturbedImageP(docId: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val cls = docId % 25
+    val variant = (docId / 25) % 4
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val cell = (y / 4) * 8 + (x / 4)
+        val base = if (((mix64(2000L + cls) >>> cell) & 1L) == 1L) 175 else 75
+        val v = variant match {
+          case 1 => base + 30
+          case 2 => base + (x - 16) * 4
+          case _ => base
+        }
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (variant == 3) "jpg" else "png", baos)
     baos.toByteArray
   }
 

@@ -265,6 +265,66 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet === expected)
   }
 
+  test("pHash64: sign-threshold DCT hash survives the luminance ramp that " +
+    "defeats aHash64; within-class pairs always share a band; banded pairing " +
+    "recovers exactly the same-class pairs") {
+    import Multimodal.MediaRecord
+    import spark.implicits._
+    def raster(id: Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.perturbedImageP(id)))
+      (img.getWidth, img.getHeight, img.getRaster)
+    }
+    def pOf(id: Long): Long = {
+      val (w, h, r) = raster(id)
+      Multimodal.pHash64(w, h, r.getNumBands, (x, y, b) => r.getSample(x, y, b))
+    }
+    def aOf(id: Long): Long = {
+      val (w, h, r) = raster(id)
+      Multimodal.aHash64(w, h, r.getNumBands, (x, y, b) => r.getSample(x, y, b))
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ph = (0L until 100L).map(pOf)
+    // brightness shift is an EXACT invariance (mean-centering)
+    (0 until 25).foreach(c => assert(ph(c) === ph(c + 25)))
+    // ramp and JPEG variants stay within the pairing budget (measured
+    // maxima: ramp 3, JPEG 2, any within-class pair 4), and the ramp's
+    // flips are confined to the (u odd, v=0) bits {1,3,5,7} — one band
+    val rampMask = (0 until 25).map(c => ph(c) ^ ph(c + 50)).reduce(_ | _)
+    assert((rampMask & ~0xAAL) === 0L,
+      f"ramp flipped bits outside {1,3,5,7}: $rampMask%016x")
+    val withinMax = (for (c <- 0 until 25; i <- 0 until 4; j <- i + 1 until 4)
+      yield ham(ph(c + 25 * i), ph(c + 25 * j))).max
+    assert(withinMax <= 4, s"within-class pairwise hamming $withinMax")
+    // every within-class pair shares one of the 4 16-bit bands (recall
+    // under the banded join is exact, not probabilistic, on this corpus)
+    def shareBand(a: Long, b: Long) =
+      (0 until 4).exists(k => ((a >>> (k * 16)) & 0xFFFFL) == ((b >>> (k * 16)) & 0xFFFFL))
+    for (c <- 0 until 25; i <- 0 until 4; j <- i + 1 until 4)
+      assert(shareBand(ph(c + 25 * i), ph(c + 25 * j)))
+    // distinct classes are far apart (measured minimum: 19)
+    val minCross = (for (i <- 0 until 25; j <- i + 1 until 25)
+      yield ham(ph(i), ph(j))).min
+    assert(minCross >= 15, s"cross-class hamming floor $minCross")
+    // the CONTRAST that justifies the operator: the same ramp variant
+    // escapes the aHash budget for most classes (measured: 14 of 25,
+    // mean 6.84) — a spatial-threshold hash cannot pair these copies
+    val rampA = (0 until 25).map(c => ham(aOf(c), aOf(c + 50L)))
+    assert(rampA.count(_ > 6) >= 10,
+      s"expected the ramp to defeat aHash for most classes, got $rampA")
+    // end-to-end: decode + pHash + banded pairing over 100 perturbed docs
+    val recs = spark.range(100)
+      .as[Long].map(id => MediaRecord(id, "image", Multimodal.perturbedImageP(id)))
+    val pairs = Dedup.hammingNearPairs64(
+        Multimodal.imagePHash(recs)
+          .select(col("doc_id").as("id"), col("phash").as("h")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 100L; b <- a + 1 until 100L; if a % 25 == b % 25
+    } yield (a, b)).toSet
+    assert(pairs === expected)
+  }
+
   test("audioHash64: DC offset, re-gain and nearest-neighbor resample collide; " +
     "distinct clips stay far apart; pairing recovers the class pairs") {
     import Multimodal.MediaRecord
