@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Html
+
+/**
+ * HTML-extraction gates. The fixture page is CONSTRUCTED in-query from
+ * `documents` by one dialect-neutral expression (`||` concat and
+ * `replace` parse identically in Spark and DuckDB), so both engines
+ * agree on the input bytes; the extraction itself runs through
+ * [[graft.operators.Html]]'s shared generators — the gate therefore
+ * pins the whole markup→text chain (block removal, tag strip, entity
+ * decode, squeeze) bit-identically against the oracle.
+ */
+object HtmlQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /**
+   * A deterministic page per document: head with title + style block,
+   * a comment, nav links, the body text with injected entities, a
+   * script block with a `>` comparison (must vanish entirely), and a
+   * per-document outbound link. Block bodies are `<`-free and the
+   * comment dash-free — the documented deterministic-regex subset.
+   */
+  private[graft] val FixtureHtmlSql: String =
+    """'<html><head><title>Doc ' || doc_id || ' [' || source || ']</title>""" +
+      """<style>body { margin: 0; }</style></head><body>""" +
+      """<!-- fixture page --><nav><a href="https://example.com/">home</a> """ +
+      """<a href="https://example.com/about">about</a></nav>""" +
+      """<h1>Doc ' || doc_id || '</h1><p>' || """ +
+      """replace(text, 'data', '&quot;data&quot; &amp; more') || """ +
+      """'</p><script>var n = 2 > 1;</script>""" +
+      """<a href="https://docs.example.com/' || source || '/' || doc_id || """ +
+      """'">source page</a></body></html>'"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // markup → visible text: title, cleaned body, outbound-link count.
+    // The entity round trip is load-bearing: the fixture injects
+    // &quot;/&amp; forms that must decode to literal "/& in the output.
+    "html_extract" -> ((s, dir) =>
+      Html.extract(docs(s, dir)
+          .withColumn("html", expr(FixtureHtmlSql))
+          .select("doc_id", "html"))
+        .select(col("doc_id"), col("title"),
+          col("text").as("clean_text"), col("n_links"))),
+    // the outbound-link edge list (URL-level dedup / domain caps start
+    // here): one row per href occurrence, duplicates preserved
+    "html_links" -> ((s, dir) =>
+      Html.links(docs(s, dir)
+        .withColumn("html", expr(FixtureHtmlSql))
+        .select("doc_id", "html")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id, $FixtureHtmlSql AS html FROM documents)
+SELECT doc_id, ${Html.titleSql("html")} AS title,
+  ${Html.stripSql("html", duck = true)} AS clean_text,
+  CAST(len(${Html.linksSql("html")}) AS BIGINT) AS n_links
+FROM h""",
+
+    "html_links" ->
+      s"""WITH h AS (SELECT doc_id, $FixtureHtmlSql AS html FROM documents)
+SELECT doc_id, unnest(${Html.linksSql("html")}) AS href FROM h"""
+  )
+}
