@@ -26,7 +26,7 @@ object HtmlQueries {
    * per-document outbound link. Block bodies are `<`-free and the
    * comment dash-free — the documented deterministic-regex subset.
    */
-  private[graft] val FixtureHtmlSql: String =
+  val FixtureHtmlSql: String =
     """'<html><head><title>Doc ' || doc_id || ' [' || source || ']</title>""" +
       """<style>body { margin: 0; }</style></head><body>""" +
       """<!-- fixture page --><nav><a href="https://example.com/">home</a> """ +

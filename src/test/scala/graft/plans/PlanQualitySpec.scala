@@ -283,6 +283,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!gateLine.get.contains("split("), s"tokenizer inlined into the gate filter:\n$plan")
   }
 
+  test("html extraction is exchange-free; perceptron scoring shuffles " +
+    "exactly once on the document key") {
+    // the whole markup→text chain is per-row regexp/replace work — one
+    // codegen'd project over the scan
+    for (q <- Seq("html_extract", "html_links")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+    // scoring: explode → per-doc margin aggregate; the model rides as
+    // a literal array, so there is no second (join) exchange
+    val sc = graft.operators.Perceptron.score(
+        spark.read.parquet(s"${sf("sf0.001")}/documents.parquet"),
+        Array.fill[Long](graft.operators.Perceptron.Buckets + 1)(1L))
+      .queryExecution.executedPlan.toString
+    val n = sc.linesIterator.count(_.contains("Exchange"))
+    assert(n == 1, s"perceptron score has $n exchanges:\n$sc")
+    assert(!sc.contains("Join"), s"model must not join:\n$sc")
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
