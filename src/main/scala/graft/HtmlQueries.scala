@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Html
+import graft.operators.{Html, Urls}
 
 /**
  * HTML-extraction gates. The fixture page is CONSTRUCTED in-query from
@@ -37,6 +37,20 @@ object HtmlQueries {
       """<a href="https://docs.example.com/' || source || '/' || doc_id || """ +
       """'">source page</a></body></html>'"""
 
+  /**
+   * Messy-URL fixture: 7 registered domains, cycling explicit ports
+   * (default and non-default), `WWW.` + mixed-case authorities, and a
+   * rotating tail — tracking params mid-query, tracking params first,
+   * fragments, bare trailing slashes — every normalization the
+   * canonicalizer claims to perform.
+   */
+  val UrlFixtureSql: String =
+    """'HTTPS://WWW.Example' || (doc_id % 7) || '.COM' ||""" +
+      """ CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END ||""" +
+      """ '/Doc/' || doc_id ||""" +
+      """ CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/?utm_source=feed&q=' || doc_id""" +
+      """ WHEN 1 THEN '?fbclid=xyz&p=2' WHEN 2 THEN '/#sec' || doc_id ELSE '/' END"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // markup → visible text: title, cleaned body, outbound-link count.
     // The entity round trip is load-bearing: the fixture injects
@@ -52,7 +66,22 @@ object HtmlQueries {
     "html_links" -> ((s, dir) =>
       Html.links(docs(s, dir)
         .withColumn("html", expr(FixtureHtmlSql))
-        .select("doc_id", "html")))
+        .select("doc_id", "html"))),
+    // normalization over the messy-URL fixture: canonical form (case
+    // split between authority and path, port/www/tracking/fragment
+    // handling), host, registered domain, raw path — per-row,
+    // exchange-free
+    "url_canonical" -> ((s, dir) =>
+      Urls.parse(docs(s, dir)
+          .withColumn("url", expr(UrlFixtureSql))
+          .select("doc_id", "url"))
+        .select("doc_id", "canonical", "host", "domain", "path")),
+    // per-domain link analytics (the input to domain caps/blocklists):
+    // one shuffle on the domain key
+    "domain_stats" -> ((s, dir) =>
+      Urls.domainStats(docs(s, dir)
+        .withColumn("href", expr(UrlFixtureSql))
+        .select("doc_id", "href")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,6 +94,23 @@ FROM h""",
 
     "html_links" ->
       s"""WITH h AS (SELECT doc_id, $FixtureHtmlSql AS html FROM documents)
-SELECT doc_id, unnest(${Html.linksSql("html")}) AS href FROM h"""
+SELECT doc_id, unnest(${Html.linksSql("html")}) AS href FROM h""",
+
+    "url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, $UrlFixtureSql AS url FROM documents)
+SELECT doc_id, ${Urls.canonicalSql("url", duck = true)} AS canonical,
+  ${Urls.hostSql("url", duck = true)} AS host,
+  ${Urls.domainSql("url", duck = true)} AS domain,
+  ${Urls.pathSql("url")} AS path
+FROM u""",
+
+    "domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, $UrlFixtureSql AS href FROM documents),
+p AS (SELECT doc_id, ${Urls.domainSql("href", duck = true)} AS domain,
+    ${Urls.canonicalSql("href", duck = true)} AS canonical FROM u)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT canonical) AS BIGINT) AS n_targets
+FROM p WHERE domain <> '' GROUP BY domain"""
   )
 }
