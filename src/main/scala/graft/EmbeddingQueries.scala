@@ -88,6 +88,19 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
         nCentroids = IvfCentroids, nProbe = IvfProbe, lloydIters = 1)
     }),
+    // topic model over the same refined clustering: per-(topic, label)
+    // membership counts — what topic-balanced mixture selection reads;
+    // one assignment pass (fused argmax) + one model-scale aggregate
+    "topic_profile" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.ivfRefine(e,
+        Similarity.ivfCentroids(e, IvfCentroids), 1)
+      Similarity.ivfAssign(e, cents)
+        .join(s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("centroid_id").cast("int").as("topic"), col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+    }),
     // Product quantization: per-subspace integer-Lloyd codebooks (same
     // deterministic hash-order seeds as IVF), L2 code assignment — the
     // 128x-compressed ANN index representation, fully oracle-gated
@@ -357,6 +370,20 @@ assign AS (SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad)
   WHERE rn = 1)"""
 
+  /** One integer-Lloyd round over `assign`/`cex` → refined components
+    * `cex2`, dot table `ad2`, refined assignment `assign2` — shared by
+    * the kmeans top-k gate and the topic-profile gate. */
+  private val kmeansAssignCte =
+    s"""cm AS (SELECT s.cid, x.i, CAST(sum(x.ev) // count(*) AS BIGINT) AS ev
+  FROM assign s JOIN iex x ON x.vec_id = s.vec_id GROUP BY 1, 2),
+cex2 AS (SELECT * FROM cm UNION ALL
+  SELECT c.cid, c.i, c.ev FROM cex c WHERE c.cid NOT IN (SELECT DISTINCT cid FROM cm)),
+ad2 AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
+  FROM iex x JOIN cex2 c ON c.i = x.i GROUP BY 1, 2),
+assign2 AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad2)
+  WHERE rn = 1)"""
+
   /** IVF probe/candidate/re-rank tail over a dot table and an
     * assignment table (probe ties to the HIGHEST cid — the engine's
     * struct-desc sort). `qPred` restricts the query set; empty = every
@@ -511,16 +538,20 @@ ${ivfTopSql("ad", "assign")}""",
     "ann_ivf_kmeans_topk" ->
       s"""WITH $intCte,
 $ivfSeedCte,
-cm AS (SELECT s.cid, x.i, CAST(sum(x.ev) // count(*) AS BIGINT) AS ev
-  FROM assign s JOIN iex x ON x.vec_id = s.vec_id GROUP BY 1, 2),
-cex2 AS (SELECT * FROM cm UNION ALL
-  SELECT c.cid, c.i, c.ev FROM cex c WHERE c.cid NOT IN (SELECT DISTINCT cid FROM cm)),
-ad2 AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
-  FROM iex x JOIN cex2 c ON c.i = x.i GROUP BY 1, 2),
-assign2 AS (SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad2)
-  WHERE rn = 1),
+$kmeansAssignCte,
 ${ivfTopSql("ad2", "assign2")}""",
+
+    // topic model over the refined clustering: per-(topic, label)
+    // memberships — the cluster-composition report topic-balanced
+    // mixture selection reads (SemDeDup/topic-mixing shape)
+    "topic_profile" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+$kmeansAssignCte
+SELECT CAST(a.cid AS INT) AS topic, e.label,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM assign2 a JOIN embeddings e ON e.vec_id = a.vec_id
+GROUP BY 1, 2""",
 
     // PQ codes pivoted to one column per subspace — pins every
     // assignment of the trained codebooks
