@@ -112,7 +112,7 @@ object Bench {
     // comparable across rounds
     val streamKeys =
       Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup", "stream_hourly",
-        "stream_curate", "stream_semantic")
+        "stream_curate", "stream_semantic", "stream_classify")
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => streamKeys.contains(kv._1))
       .filter(kv => keep(kv._1))

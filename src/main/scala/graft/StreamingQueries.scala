@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.PointStore
+import graft.operators.{Html, Perceptron, PointStore, TextAnalysis}
 import graft.streaming.{StreamMeter, StreamingIngest}
 import graft.zorder.IntRange
 
@@ -154,6 +154,51 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Online web-ingest classification: the capstone composition of
+    // the web-ingest chain — raw HTML pages arrive as microbatches;
+    // each batch extracts visible text ([[Html.extract]], pure
+    // projection) and scores it under a model trained OFFLINE on the
+    // clean corpus ([[Perceptron.ipmTrain]], run in the setup phase —
+    // the deployment split every production filter has). Scoring uses
+    // the STATELESS margin fold ([[Perceptron.marginExpr]]: aggregate
+    // over hashed tokens, bias as init) so the stream stays append-mode
+    // with zero state; only accepted documents (margin > 0) are
+    // emitted. The oracle replays training doc-by-doc and scores the
+    // same extracted text in batch.
+    "stream_classify" -> ((s, dir) => {
+      val (tmp, schema, w) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-classify").toString
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val w = Perceptron.ipmTrain(docs)
+        docs.withColumn("html", expr(HtmlQueries.FixtureHtmlSql))
+          .select("doc_id", "html")
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema, w)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = Html.extract(stream)
+        .withColumn("ws", TextAnalysis.tokens(col("text")))
+        .withColumn("margin", Perceptron.marginExpr("ws", w))
+        .filter(col("margin") > 0)
+        .select(col("doc_id"), col("margin"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(s"$tmp/out")
+      val rows = res.collect().toSeq
+      val outSchema = res.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Stateful streaming dedup: dropDuplicates state must survive
     // across microbatches — the source is rewritten as several files
     // and streamed one file per trigger, so most (user_id, event_type)
@@ -257,6 +302,18 @@ FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
   AND user_id BETWEEN ${RY.min} AND ${RY.max}
   AND (event_id % 2097152) BETWEEN ${RT3.min} AND ${RT3.max}""",
+
+    "stream_classify" ->
+      s"""${Perceptron.oracleCore()},
+h AS (SELECT doc_id, ${HtmlQueries.FixtureHtmlSql} AS html FROM documents),
+xt AS (SELECT doc_id,
+    regexp_split_to_array(lower(trim(${Html.stripSql("html", duck = true)})), '\\s+') AS ws
+  FROM h),
+sc AS (SELECT xt.doc_id,
+    CAST(m.w[${Perceptron.Buckets + 1}] + list_sum(list_transform(xt.ws,
+      t -> m.w[CAST(${Perceptron.bucketDuck(Perceptron.Buckets)} + 1 AS BIGINT)])) AS BIGINT) AS margin
+  FROM xt, mix${Perceptron.Epochs} m)
+SELECT doc_id, margin FROM sc WHERE margin > 0""",
 
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -75,8 +75,10 @@ object Perceptron {
   private def bucketSpark(buckets: Int): String =
     s"pmod(cast(conv(substr(md5(concat('pc:', t)), 1, 15), 16, 10) as bigint), $buckets)"
 
-  /** The DuckDB twin of [[bucketSpark]]. */
-  private def bucketDuck(buckets: Int): String =
+  /** The DuckDB twin of [[bucketSpark]] (shared with the streaming
+    * gate's oracle, which scores extracted text under the trained
+    * weights). */
+  private[graft] def bucketDuck(buckets: Int): String =
     s"CAST(('0x' || substr(md5('pc:' || t), 1, 15)) AS BIGINT) % $buckets"
 
   /** One training example: sparse hashed counts (parallel arrays,
@@ -201,6 +203,23 @@ object Perceptron {
         when(col("margin") > 0, 1).otherwise(-1).cast("int").as("pred"),
         col("y").cast("int").as("label"))
       .withColumn("correct", (col("pred") === col("label")).cast("int"))
+  }
+
+  /**
+   * STATELESS margin column over a token-array column — the streaming
+   * formulation of [[score]]'s margin: a pure per-row fold
+   * (`aggregate` over the hashed tokens, bias as the init value), no
+   * groupBy, so it drops into an append-mode stream or any projection
+   * unchanged. Bit-identical to the aggregate form (integer sums
+   * commute).
+   */
+  def marginExpr(wsCol: String, w: Array[Long],
+                 buckets: Int = Buckets): org.apache.spark.sql.Column = {
+    val wLit = typedLit(w.toSeq)
+    aggregate(
+      expr(s"transform($wsCol, t -> ${bucketSpark(buckets)})"),
+      lit(w(buckets)),
+      (acc, b) => acc + element_at(wLit, (b + 1).cast("int")))
   }
 
   /**
