@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Html, Urls}
+import graft.operators.{Html, LinkGraph, Urls}
 
 /**
  * HTML-extraction gates. The fixture page is CONSTRUCTED in-query from
@@ -81,7 +81,25 @@ object HtmlQueries {
     "domain_stats" -> ((s, dir) =>
       Urls.domainStats(docs(s, dir)
         .withColumn("href", expr(UrlFixtureSql))
-        .select("doc_id", "href")))
+        .select("doc_id", "href"))),
+    // link-graph centrality (integer PageRank, 5 power iterations)
+    // over a deterministic synthetic page graph: a quadratic map
+    // (in-degree variation), an affine permutation, and hub edges
+    // (every page links one of the first 25 — the nav-page shape).
+    // Every iteration is integer-exact, so the final fixed-point ranks
+    // hash-match the oracle's unrolled replay.
+    "pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"))
+        .crossJoin(d.agg((max(col("doc_id")) + 1).as("n")))
+      val edges = base.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 7) % col("n")).as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 7) % col("n")).as("dst")))
+        .unionByName(base.select(col("doc_id").as("src"),
+          (col("doc_id") % 25).as("dst")))
+      LinkGraph.pageRank(edges, iters = 5)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,6 +129,15 @@ p AS (SELECT doc_id, ${Urls.domainSql("href", duck = true)} AS domain,
 SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT canonical) AS BIGINT) AS n_targets
-FROM p WHERE domain <> '' GROUP BY domain"""
+FROM p WHERE domain <> '' GROUP BY domain""",
+
+    "pagerank" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
+${LinkGraph.oracleCore(iters = 5)}
+SELECT v, rank FROM p5"""
   )
 }

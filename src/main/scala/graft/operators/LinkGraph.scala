@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.CheckpointScope.Scoped
+
+/**
+ * Link-graph centrality for crawl/corpus quality — the signal web-scale
+ * curation ranks domains and pages by (CommonCrawl publishes exactly
+ * this; PageRank, Page et al. 1999, is the classic form). Computed in
+ * exact FIXED-POINT integer arithmetic so every iteration — and the
+ * final ranks — hash-match a DuckDB replay:
+ *
+ *  - ranks carry in units of 1e-6 (`Scale`); damping is the exact
+ *    RATIONAL `dampNum/dampDen` (default 17/20 = the canonical 0.85) —
+ *    a small-denominator rational instead of a ×1e6 factor keeps the
+ *    largest intermediate at `dampNum · totalMass`, which stays inside
+ *    a Long up to ~5×10^11 vertices at this Scale (a ×1e6 damping
+ *    factor overflows past ~10^4 vertices);
+ *  - one iteration, per SOURCE u: `qd(u) = (p(u) // outdeg(u)) · 17 // 20`
+ *    (both truncations once per source, so they are well-defined and
+ *    engine-order-free), then `p'(v) = base + Σ_{u→v} qd(u)` with
+ *    `base = (dampDen−dampNum)·Scale // dampDen`;
+ *  - dangling-node mass (no out-edges) is dropped, the standard
+ *    simplification (ranks then sum to slightly under `n·Scale`, which
+ *    a consumer ranking BY the value never notices).
+ *
+ * Scale shape: the classic two-shuffle power iteration — join the rank
+ * table with out-degrees and the edge list on the source key, sum
+ * contributions on the destination key. Ranks localCheckpoint per
+ * round (lineage otherwise deepens by two joins per iteration); each
+ * superseded round releases immediately, the final table on result
+ * materialization ([[CheckpointScope]]). Iterations are a fixed small
+ * constant — rank ORDER stabilizes long before values converge.
+ */
+object LinkGraph {
+
+  /** Fixed-point rank unit (1e-6 of a unit rank). */
+  val Scale = 1000000L
+
+  /** Damping 17/20 — the canonical 0.85 as an exact rational. */
+  val DampNum = 17L
+  val DampDen = 20L
+
+  /**
+   * Integer PageRank over an edge list `(src, dst)` (Long vertex ids;
+   * parallel edges each contribute — pre-`distinct` if that is not
+   * intended). Returns `(v, rank)` for every vertex appearing as a
+   * source or destination.
+   */
+  def pageRank(edges: DataFrame, iters: Int = 5, dampNum: Long = DampNum,
+               dampDen: Long = DampDen): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .scopedCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .scopedCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .scopedCheckpoint()
+    val base = (dampDen - dampNum) * Scale / dampDen
+    var p = verts.select(col("v"), lit(Scale).as("rank"))
+    var pCk: DataFrame = null
+    var t = 0
+    while (t < iters) {
+      // damped per-source quotient FIRST (truncations once per u),
+      // then fan out along edges and sum per destination
+      val qd = p.join(outdeg, p("v") === outdeg("src"))
+        .select(p("v").as("u"),
+          expr(s"div(div(rank, outdeg) * $dampNum, $dampDen)").as("qd"))
+      val contrib = qd.join(e, col("u") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("qd")).as("c"))
+      val next = verts.join(contrib, verts("v") === contrib("dst"), "left")
+        .select(verts("v"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+        .scopedCheckpoint()
+      if (pCk != null) CheckpointScope.release(pCk)
+      pCk = next
+      p = next
+      t += 1
+    }
+    // inputs are superseded once the final ranks are materialized data;
+    // the final round's checkpoint is the RESULT's lineage and stays
+    // registered for the caller's release point
+    CheckpointScope.release(e)
+    CheckpointScope.release(outdeg)
+    CheckpointScope.release(verts)
+    p
+  }
+
+  /**
+   * The unrolled-iteration DuckDB oracle over an edge CTE named
+   * `edges(src, dst)`: CTE chain `p0 … p$iters(v, rank)`; append a
+   * SELECT against `p$iters`.
+   */
+  def oracleCore(iters: Int = 5, dampNum: Long = DampNum,
+                 dampDen: Long = DampDen): String = {
+    val base = (dampDen - dampNum) * Scale / dampDen
+    val head =
+      s"""verts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+p0 AS (SELECT v, CAST($Scale AS BIGINT) AS rank FROM verts)"""
+    val rounds = (1 to iters).map { t =>
+      s"""q$t AS (SELECT p.v, CAST(((p.rank // o.outdeg) * $dampNum) // $dampDen AS BIGINT) AS qd
+  FROM p${t - 1} p JOIN odeg o ON o.src = p.v),
+c$t AS (SELECT e.dst, CAST(sum(q.qd) AS BIGINT) AS c
+  FROM q$t q JOIN edges e ON e.src = q.v GROUP BY e.dst),
+p$t AS (SELECT v.v, CAST($base + coalesce(c.c, 0) AS BIGINT) AS rank
+  FROM verts v LEFT JOIN c$t c ON c.dst = v.v)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+}
