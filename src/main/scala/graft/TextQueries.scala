@@ -79,6 +79,10 @@ object TextQueries {
     "simhash_near_pairs" -> ((s, dir) => Dedup.simhashNearPairs(docs(s, dir), 8)),
     // per-document top-5 distinctive terms (integer tf-idf surrogate)
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(docs(s, dir), 5)),
+    // the retrieval upgrade over tfidf: saturated tf + length
+    // normalization + log2-quantized integer idf (ubiquitous terms
+    // score exactly zero)
+    "bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir), 5)),
     // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
     // winnowing (rolling-hash) local fingerprints, k=5 w=4
@@ -785,6 +789,23 @@ sc AS (SELECT p.doc_id, p.term, p.tf, d.df,
   FROM p JOIN dfreq d USING (term)),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn FROM sc)
 SELECT doc_id, term, tf, df, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5""",
+
+    "bm25_topk" -> {
+      import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
+p0 AS (SELECT doc_id, dl, unnest(list_distinct(ws)) AS term, ws FROM d),
+p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+sc AS (SELECT p.doc_id, p.term, p.tf, d.df,
+    CAST((length(bin(st.n_docs // d.df)) - 1) *
+      ((p.tf * $K1P1 * 1000000) //
+       (p.tf * 10000 + ($K1 * ((10000 - $B) + ($B * p.dl) // st.avgdl)) // 10000)) AS BIGINT) AS score_e6
+  FROM p JOIN dfreq d USING (term), st),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn FROM sc)
+SELECT doc_id, term, tf, df, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5"""
+    },
 
     "token_pieces" ->
       """SELECT doc_id,

@@ -37,15 +37,21 @@ import graft.operators.CheckpointScope.Scoped
  * majority-class accuracy, while this trainer converges. Within-shard
  * sequential updates are the damping; mixing is the parallelism.
  *
- * Scale shape: the corpus is scanned ONCE into the compact feature
+ * Scale shape: the corpus is scanned and SHUFFLED ONCE — the feature
  * table (`(doc_id, y, buckets[], counts[])`, one row per document,
- * ≤ `buckets`+1 sparse entries each — localCheckpointed, released on
- * return). Per epoch: one `groupByKey(shard).mapGroups` fold (each
- * group materializes only ITS shard's rows; size the shard count so a
- * shard's feature rows fit an executor — shards are a knob, not a
- * cap) emitting one 129-long delta vector per shard, collected at
- * model scale (shards × weights), never data scale. Driver state is
- * the weight vector alone.
+ * ≤ `buckets`+1 sparse entries each) hash-partitions by shard, sorts
+ * `(shard, doc_id)` within partitions, and localCheckpoints in that
+ * layout (released on return). Every epoch is then a SHUFFLE-FREE
+ * `mapPartitions` over the resident partitions: rows stream through
+ * the fold (never materialized per shard), shard boundaries are
+ * detected in the sorted stream, and each shard emits one
+ * `buckets+1`-long delta vector — collected at model scale
+ * (shards × weights), never data scale. The per-epoch
+ * `groupByKey(shard)` alternative re-exchanges the feature table
+ * every epoch: measured 227 s vs 32.7 s for 10 epochs at 1M docs.
+ * Driver state is the weight vector alone; shard count is the
+ * parallelism knob (more shards = more parallel folds, slightly more
+ * mixing averaging).
  */
 object Perceptron {
 

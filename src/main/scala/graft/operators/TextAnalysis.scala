@@ -341,6 +341,59 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  // BM25 operating point (Robertson-Spärck Jones), exact rationals in
+  // e4 fixed point — single source of truth for engine AND oracle:
+  // k1 = 1.2, b = 0.75, k1+1 = 2.2
+  val Bm25K1E4 = 12000L
+  val Bm25K1p1E4 = 22000L
+  val Bm25BE4 = 7500L
+
+  /**
+   * BM25 top-k terms per document — the retrieval scorer [[tfidfTopK]]
+   * approximates: saturated term frequency (diminishing returns past
+   * the first occurrences) and document-length normalization, all in
+   * exact integer arithmetic:
+   *
+   *  - `idf2 = length(bin(N // df)) − 1` = `floor(log2(N/df))` — the
+   *    log2-QUANTIZED idf, computed without floating point through the
+   *    binary-representation length (`bin` exists in both engines). A
+   *    term in every document gets idf2 = 0 and drops out — the
+   *    stopword-suppression behaviour the raw tf/df ratio lacks;
+   *  - `score_e6 = idf2 · (tf·(k1+1)·1e6) // (tf·1e4 + (k1·norm_e4)//1e4)`
+   *    with `norm_e4 = (1−b)·1e4 + (b·1e4·dl) // avgdl` — the classic
+   *    saturation/normalization denominator in e4 fixed point;
+   *    `avgdl = Σdl // N` (truncated corpus mean). Max intermediate
+   *    `tf·22000·1e6` stays inside a Long for documents to ~4×10^8
+   *    tokens.
+   *
+   * Scale shape: identical to [[tfidfTopK]] — per-row tf explode, a
+   * vocabulary-scale df aggregate broadcast back, one corpus-scale
+   * (2-number) stats broadcast, bounded CollectTopK per document.
+   */
+  def bm25TopK(df: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      expr("div(sum(dl), count(1))").as("avgdl"))
+    val pairs = tfExplode(docs, "ws", Seq("doc_id", "dl"), "term")
+    val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = pairs.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6", expr(
+        s"""(length(bin(div(n_docs, df))) - 1) *
+            div(tf * $Bm25K1p1E4 * 1000000,
+                tf * 10000 + div($Bm25K1E4 * ((10000 - $Bm25BE4) + div($Bm25BE4 * dl, avgdl)), 10000))"""))
+    val topN = Bridge.collectTopK(
+      Bridge.expression(struct((-col("score_e6")).as("ns"), col("term").as("term"),
+        col("tf").as("tf"), col("df").as("df"))), k, reverse = true)
+    scored.groupBy("doc_id").agg(sort_array(topN).as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), (-col("col.ns")).as("score_e6"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /**
    * Passage-overlap pairs over the winnowing index: documents sharing
    * at least `minShared` winnow fingerprints ([[winnowFingerprints]]) —

@@ -228,6 +228,31 @@ class DedupSpec extends SparkSpec {
     assert(rows((3L, 2L)) == (("durian", 1L, 1L, 1000000L)))
   }
 
+  test("bm25TopK: ubiquitous terms score exactly zero, tf saturates, " +
+    "longer documents are penalized") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare rare single"),
+      (2L, "common rare3 rare3 f f f f f"),
+      (3L, "common x1 x2"),
+      (4L, "common y1 y2")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25TopK(df, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    // 'common' appears in every doc → idf2 = floor(log2(4//4)) = 0:
+    // ubiquitous terms drop out entirely (raw tf/df never does this)
+    assert(rows((1L, "common")) === 0L)
+    assert(rows((3L, "common")) === 0L)
+    // saturation: same doc, same idf — tf=2 scores more than tf=1 but
+    // LESS than twice it (diminishing returns; tf/df would be linear)
+    val rare = rows((1L, "rare"))     // tf=2, df=1, dl=4
+    val single = rows((1L, "single")) // tf=1, df=1, dl=4
+    assert(rare > single && rare < 2 * single, s"rare=$rare single=$single")
+    // length normalization: same (tf, df) scores HIGHER in the shorter
+    // document — dl=4 vs dl=8
+    assert(rare > rows((2L, "rare3")), s"$rare vs ${rows((2L, "rare3"))}")
+  }
+
   test("spanDedup removes an offset-shifted shared passage (what segment alignment misses)") {
     import spark.implicits._
     // docs 1 and 5 share a 6-token passage at DIFFERENT offsets (0 vs 1)
