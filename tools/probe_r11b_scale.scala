@@ -33,4 +33,11 @@ val docs1m = spark.range(1000000).select(col("id").as("doc_id"), expr("concat(ca
 println(s"[probe] docs=${docs1m.count()}")
 val w1m = time("ipmTrain 1M docs, 64 shards, 10 epochs") { graft.operators.Perceptron.ipmTrain(docs1m, shards = 64) }
 time("score 1M docs") { println(graft.operators.Perceptron.score(docs1m, w1m).agg(sum(col("correct"))).head()) }
+docs1m.unpersist()
+// --- 4. PageRank at 2M vertices / 6M edges ---
+val nv = 2000000L
+val vb = spark.range(nv).select(col("id").as("doc_id")).crossJoin(spark.range(1).select(lit(nv).as("nn")))
+val ed = vb.select(col("doc_id").as("src"), ((col("doc_id")*col("doc_id")+7) % col("nn")).as("dst")).unionByName(vb.select(col("doc_id").as("src"), ((col("doc_id")*31+7) % col("nn")).as("dst"))).unionByName(vb.select(col("doc_id").as("src"), (col("doc_id") % 1000).as("dst")))
+time("pageRank 2M vertices / 6M edges / 5 iters") { println(graft.operators.LinkGraph.pageRank(ed, 5).count()) }
+graft.operators.CheckpointScope.releaseAll()
 System.exit(0)
