@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
  */
 object RelationalQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events carries the engine's canonical BIGINT-nanos event time
+    if (name == "events") graft.sources.EventTime.normalize(df, "ts") else df
+  }
 
-  /** nanos → epoch seconds (ts columns arrive as BIGINT nanos). */
+  /** timestamp → epoch seconds (matches DuckDB `epoch(..)`). */
   private def epochS(c: String) =
     col(c).cast("timestamp").cast("long")
 

@@ -115,7 +115,7 @@ object StreamingQueries {
     "stream_hourly" -> ((s, dir) => {
       val (tmp, maxTs, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-hourly").toString
-        val src = s.read.parquet(s"$dir/events.parquet")
+        val src = graft.sources.EventTime.events(s, dir)
           .select(expr("timestamp_micros(div(ts, 1000))").as("event_time"),
             col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
         src.write.parquet(s"$tmp/in")

@@ -19,7 +19,10 @@ object GraftCatalog {
     Tables.foreach { t =>
       val path = s"$dir/$t.parquet"
       if (new java.io.File(path).exists()) {
-        spark.read.parquet(path).createOrReplaceTempView(t)
+        // events.ts → canonical BIGINT nanos (engine-wide convention)
+        val df = spark.read.parquet(path)
+        val canon = if (t == "events") EventTime.normalize(df, "ts") else df
+        canon.createOrReplaceTempView(t)
       }
     }
     GraftFunctions.register(spark)

@@ -29,8 +29,10 @@ object Sessionize {
     n_events: Long, duration_s: Long)
   final case class OpenSession(start: Long, last: Long, n: Long)
 
-  /** Batch gap-and-islands: one row per completed session. */
-  def batch(events: DataFrame, gapNanos: Long): DataFrame = {
+  /** Batch gap-and-islands: one row per completed session. Accepts
+    * `ts` as BIGINT nanos or any timestamp type ([[graft.sources.EventTime]]). */
+  def batch(eventsIn: DataFrame, gapNanos: Long): DataFrame = {
+    val events = graft.sources.EventTime.normalize(eventsIn, "ts")
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))

@@ -81,10 +81,10 @@ object StreamingIngest {
     write = (pts, path, parts) => graft.operators.SpatioTemporal.write(pts, path, parts))
 
   /** Event-time hourly rollup, identical for batch and streaming input
-    * (the gated `events_hourly` query is its batch twin). `ts` is BIGINT
-    * nanoseconds (driver tables) → event-time timestamp. */
-  def hourlyCounts(events: DataFrame): DataFrame =
-    events
+    * (the gated `events_hourly` query is its batch twin). `ts` arrives
+    * as BIGINT nanos or a timestamp ([[graft.sources.EventTime]]). */
+  def hourlyCounts(eventsIn: DataFrame): DataFrame =
+    graft.sources.EventTime.normalize(eventsIn, "ts")
       // integer division: epoch-nanos exceed double precision (2^53)
       .withColumn("event_time", expr("timestamp_micros(div(ts, 1000))"))
       .withWatermark("event_time", "1 hour")

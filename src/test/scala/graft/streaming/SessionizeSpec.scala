@@ -106,9 +106,10 @@ class SessionizeSpec extends SparkSpec {
 
   test("streaming state machine emits exactly the non-final batch sessions") {
     import spark.implicits._
-    val events = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    val events = graft.sources.EventTime
+      .normalize(spark.read.parquet(sf("sf0.01") + "/events.parquet"), "ts")
       .filter(col("user_id") < 30)
-      .select(col("user_id"), col("ts").cast("long").as("ts"))
+      .select(col("user_id"), col("ts"))
       .cache()
     val batchSessions = Sessionize.batch(
       spark.read.parquet(sf("sf0.01") + "/events.parquet")
