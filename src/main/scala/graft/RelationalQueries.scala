@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
  * two decimals in the driver tables, so aggregates are computed in
  * integer cents (`round(v*100)` → BIGINT) — bit-exact and
  * order-independent in both engines, unlike floating-point sums.
- * Timestamps are nanosecond INT64 (read as BIGINT via
- * `nanosAsLong`) and surface as epoch seconds.
+ * Event timestamps are canonical BIGINT epoch nanoseconds via
+ * [[graft.sources.EventTime.normalize]], which absorbs both test-data
+ * vintages (TIMESTAMP(NANOS)-as-BIGINT and TIMESTAMP(MICROS) NTZ);
+ * queries surface them as epoch seconds.
  *
  * Scale notes (100 TB): every query below is shuffle-bounded with
  * map-side partial aggregation; small dimensions (nation, region,

@@ -21,11 +21,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
  * of the data they read.
  *
  * TIMESTAMP_NTZ carries no zone, and Spark refuses a direct
- * NTZ→BIGINT cast; the conversion routes NTZ → session-zone TIMESTAMP
- * → `unix_micros`. All graft entry points pin
- * `spark.sql.session.timeZone=UTC`, which makes that cast the
- * identity on the underlying micros — the same wall-clock instant
- * DuckDB's `epoch_ns(ts)` reports for the oracle.
+ * NTZ→BIGINT cast; the conversion measures the NTZ wall-clock's
+ * distance from the NTZ epoch literal with `timestampdiff(MICROSECOND,
+ * ...)` — a zone-independent subtraction that yields the same epoch
+ * DuckDB's `epoch_ns(ts)` reports for the oracle, regardless of
+ * `spark.sql.session.timeZone`. (Zoned TIMESTAMP already stores epoch
+ * micros, so `unix_micros` is likewise zone-independent there.)
  */
 object EventTime {
 
@@ -34,8 +35,12 @@ object EventTime {
     cols.filter(c => df.columns.contains(c)).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         case LongType => d // already canonical
-        case TimestampType | TimestampNTZType =>
-          d.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
+        case TimestampType =>
+          d.withColumn(c, unix_micros(col(c)) * lit(1000L))
+        case TimestampNTZType =>
+          // wall-clock minus NTZ epoch: no session-zone dependence
+          d.withColumn(c, expr(
+            s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$c`) * 1000"))
         case other =>
           throw new IllegalArgumentException(
             s"column $c: expected BIGINT nanos or a timestamp, got $other")

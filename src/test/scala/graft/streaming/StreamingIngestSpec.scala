@@ -132,10 +132,13 @@ class StreamingIngestSpec extends SparkSpec {
   test("watermark drops events later than the 1h threshold (append mode)") {
     import spark.implicits._
     val src = tmp("late-src")
-    val schema = spark.read.parquet(sf("sf0.01") + "/events.parquet").schema
     def mk(id: Long, tsNanos: Long, typ: String) =
       Seq((id, tsNanos, 1L, typ, 1.0, "")).toDF(
         "event_id", "ts", "user_id", "event_type", "value", "props")
+    // declare the stream schema from the fixture's own vintage (ts: BIGINT
+    // nanos) — EventTime.normalize inside hourlyCounts absorbs it, which is
+    // the mixed-vintage contract this test exercises
+    val schema = mk(0, 0L, "probe").schema
     val h0 = 1704067200000000000L // 2024-01-01 00:00 in nanos
 
     mk(1, h0 + 1000L, "on_time").write.parquet(s"$src/b0")
