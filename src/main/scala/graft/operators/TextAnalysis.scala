@@ -727,9 +727,12 @@ object TextAnalysis {
    * approximates a fixed external one.
    *
    * Scale shape: ZERO SHUFFLE — the merge list is driver-bounded and
-   * baked in as plan literals (Column lambdas, never SQL text), so
-   * encoding is a pure per-row projection: O(merges · word length)
-   * array folds per word, embarrassingly parallel at any corpus size.
+   * baked into one fused codegen expression
+   * ([[graft.functions.BpePieceCount]]), so encoding is a pure per-row
+   * projection: one compiled O(merges · word length) int scan per word,
+   * embarrassingly parallel at any corpus size. (The round-11 spelling —
+   * R nested `aggregate` higher-order folds — was plan-equivalent but
+   * ran interpreted, ~R boxed tree evaluations per symbol.)
    */
   /** One greedy left-to-right merge pass over a symbol array as a fold:
     * append each symbol, or replace the accumulator's tail when it
@@ -758,19 +761,27 @@ object TextAnalysis {
   private def isSpecialCol(w: Column, specials: Seq[String]): Column =
     specials.foldLeft(lit(false))((acc, sp) => acc || (w === lit(sp)))
 
+  /** The fused piece counter: one compiled O(len·R) scan per word
+    * ([[graft.functions.BpePieceCount]]) — value-identical to replaying
+    * [[applyMergeCol]] per merge, which stays as the training-loop
+    * spelling (vocabulary-scale, not corpus-scale). */
+  private def pieceCount(w: Column, mergeList: Seq[(String, String)],
+                         byteMode: Boolean): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpePieceCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(w),
+        mergeList, byteMode))
+
   def bpeEncode(df: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
     def agg(e: Column, init: Column,
             merge: (Column, Column) => Column): Column =
       org.apache.spark.sql.functions.aggregate(e, init, merge)
-    def enc(w: Column): Column =
-      mergeList.foldLeft(filter(split(w, ""), c => c =!= lit(""))) {
-        case (syms, (a, b)) => applyMergeCol(syms, a, b)
-      }
     spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        agg(transform(col("ws"), w => size(enc(w))), lit(0),
-          (acc, x) => acc + x).cast("long").as("n_pieces"))
+        agg(col("ws"), lit(0),
+          (acc, w) => acc + pieceCount(w, mergeList, byteMode = false))
+          .cast("long").as("n_pieces"))
   }
 
   /**
@@ -790,19 +801,16 @@ object TextAnalysis {
     def agg(e: Column, init: Column,
             merge: (Column, Column) => Column): Column =
       org.apache.spark.sql.functions.aggregate(e, init, merge)
-    def enc(w: Column): Column =
-      mergeList.foldLeft(byteSymsCol(w)) {
-        case (syms, (a, b)) => applyMergeCol(syms, a, b)
-      }
     spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        agg(transform(col("ws"),
-            w => when(isSpecialCol(w, specials), lit(1)).otherwise(lit(0))),
-          lit(0), (acc, x) => acc + x).cast("long").as("n_special"),
-        agg(transform(col("ws"),
-            w => when(isSpecialCol(w, specials), lit(1)).otherwise(size(enc(w)))),
-          lit(0), (acc, x) => acc + x).cast("long").as("n_pieces"))
+        agg(col("ws"), lit(0),
+          (acc, w) => acc + when(isSpecialCol(w, specials), lit(1)).otherwise(lit(0)))
+          .cast("long").as("n_special"),
+        agg(col("ws"), lit(0),
+          (acc, w) => acc + when(isSpecialCol(w, specials), lit(1))
+            .otherwise(pieceCount(w, mergeList, byteMode = true)))
+          .cast("long").as("n_pieces"))
   }
 
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
