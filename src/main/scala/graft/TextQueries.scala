@@ -62,6 +62,28 @@ object TextQueries {
   FROM documents)"""
   }
 
+  /** Retrieval fixture: the driver corpus is ~31 near-universal terms
+    * (df ≈ 0.78·N), which BOTH true BM25 idf and the engine's log2
+    * quantization correctly zero — so document retrieval over the raw
+    * table is degenerate. Append two topic layers with a real df
+    * spectrum (`ta<doc%61>` df ≈ N/61 → idf2 = 5, `tb<doc%13>`
+    * df ≈ N/13 → idf2 = 3; even docs carry the fine topic twice so tf
+    * saturation is exercised). Deterministic, replayed verbatim by the
+    * oracle CTE. */
+  private def retDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"),
+        format_string(" ta%d tb%d", col("doc_id") % 61, col("doc_id") % 13),
+        when(col("doc_id") % 2 === 0,
+          format_string(" ta%d", col("doc_id") % 61)).otherwise(lit(""))))
+
+  /** [[retDocs]] as a DuckDB CTE (named `rdocs`). */
+  private val retDocsCte: String =
+    """rdocs AS (SELECT doc_id,
+  text || ' ta' || (doc_id % 61) || ' tb' || (doc_id % 13) ||
+    (CASE WHEN doc_id % 2 = 0 THEN ' ta' || (doc_id % 61) ELSE '' END) AS text
+  FROM documents)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
     "lang_id"     -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -83,6 +105,19 @@ object TextQueries {
     // normalization + log2-quantized integer idf (ubiquitous terms
     // score exactly zero)
     "bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir), 5)),
+    // document RETRIEVAL: top-k documents per query by summed BM25 over
+    // the topic-augmented corpus; each query is every 29th document's
+    // own two topic terms plus one near-universal word (which the
+    // zero-idf filter must drop)
+    "bm25_doc_topk" -> ((s, dir) => {
+      val d = retDocs(s, dir)
+      val qs = d
+        .select(col("doc_id").as("query_id"),
+          format_string("ta%d tb%d %s", col("doc_id") % 61, col("doc_id") % 13,
+            element_at(TextAnalysis.tokens(col("text")), 1)).as("qtext"))
+        .filter(col("query_id") % 29 === 0)
+      TextAnalysis.bm25DocTopK(qs, d, 10)
+    }),
     // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
     // winnowing (rolling-hash) local fingerprints, k=5 w=4
@@ -805,6 +840,30 @@ sc AS (SELECT p.doc_id, p.term, p.tf, d.df,
   FROM p JOIN dfreq d USING (term), st),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn FROM sc)
 SELECT doc_id, term, tf, df, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5"""
+    },
+
+    "bm25_doc_topk" -> {
+      import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
+      s"""WITH $retDocsCte,
+w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),
+d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
+p0 AS (SELECT doc_id, dl, unnest(list_distinct(ws)) AS term, ws FROM d),
+p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+qt AS (SELECT doc_id AS query_id,
+    unnest(list_distinct(['ta' || (doc_id % 61), 'tb' || (doc_id % 13), ws[1]])) AS term
+  FROM w WHERE doc_id % 29 = 0),
+sc AS (SELECT qt.query_id, p.doc_id,
+    CAST((length(bin(st.n_docs // d.df)) - 1) *
+      ((p.tf * $K1P1 * 1000000) //
+       (p.tf * 10000 + ($K1 * ((10000 - $B) + ($B * p.dl) // st.avgdl)) // 10000)) AS BIGINT) AS score_e6
+  FROM p JOIN dfreq d USING (term) JOIN qt USING (term), st),
+agg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(score_e6) AS BIGINT) AS score_e6
+  FROM sc WHERE score_e6 > 0 GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rn FROM agg)
+SELECT query_id, doc_id, n_terms, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10"""
     },
 
     "token_pieces" ->

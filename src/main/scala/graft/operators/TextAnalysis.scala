@@ -395,6 +395,61 @@ object TextAnalysis {
   }
 
   /**
+   * Document-retrieval BM25 — the user-facing search/eval-decontam
+   * companion of [[bm25TopK]] (which ranks terms WITHIN a document):
+   * for each query in `queries` (`query_id`, `qtext`), the top-k
+   * documents by summed per-term BM25 score, exact in the same e4/e6
+   * fixed point so the DuckDB oracle is a direct replay. A document
+   * scores Σ over the query's DISTINCT terms of
+   * `idf2 · saturated_tf_norm` ([[bm25TopK]]'s per-(term, doc) score);
+   * zero-score contributions (terms in every document, idf2 = 0) are
+   * dropped BEFORE aggregation, so a document matching only stopwords
+   * is absent rather than ranked at zero — and their corpus-scale
+   * posting lists never enter the join. Ties break by ascending
+   * `doc_id` (pinned in both engines).
+   *
+   * Returns `(query_id, doc_id, n_terms, score_e6, rank)` with
+   * `n_terms` = how many query terms contributed.
+   *
+   * Scale shape: the corpus is NEVER shuffled — the query table is
+   * query-log-scale and broadcast twice (its distinct terms filter the
+   * posting explode map-side; so is the vocabulary-scale df table and
+   * the 2-number corpus stats). The only exchange is the
+   * `(query_id, doc_id)` partial-aggregated sum, bounded by the
+   * surviving posting lists of the query terms, then a bounded
+   * CollectTopK per query (k·partitions rows to the driver merge).
+   */
+  def bm25DocTopK(queries: DataFrame, df: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      expr("div(sum(dl), count(1))").as("avgdl"))
+    val pairs = tfExplode(docs, "ws", Seq("doc_id", "dl"), "term")
+    val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val scored = pairs.join(broadcast(qterms), "term") // sparse filter first
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6", expr(
+        s"""(length(bin(div(n_docs, df))) - 1) *
+            div(tf * $Bm25K1p1E4 * 1000000,
+                tf * 10000 + div($Bm25K1E4 * ((10000 - $Bm25BE4) + div($Bm25BE4 * dl, avgdl)), 10000))"""))
+      .filter(col("score_e6") > 0)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score_e6").as("score_e6"))
+    val topN = Bridge.collectTopK(
+      Bridge.expression(struct((-col("score_e6")).as("ns"), col("doc_id").as("doc_id"),
+        col("n_terms").as("n_terms"))), k, reverse = true)
+    scored.groupBy("query_id").agg(sort_array(topN).as("ds"))
+      .select(col("query_id"), posexplode(col("ds")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        col("col.n_terms").as("n_terms"), (-col("col.ns")).as("score_e6"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
    * Passage-overlap pairs over the winnowing index: documents sharing
    * at least `minShared` winnow fingerprints ([[winnowFingerprints]]) —
    * quotation/boilerplate mining, the partial-overlap relation n-gram

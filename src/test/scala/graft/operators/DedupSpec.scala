@@ -253,6 +253,36 @@ class DedupSpec extends SparkSpec {
     assert(rare > rows((2L, "rare3")), s"$rare vs ${rows((2L, "rare3"))}")
   }
 
+  test("bm25DocTopK: sums per-term scores, drops stopword-only matches, ties on doc_id") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "common apple banana"),
+      (2L, "common apple"),
+      (3L, "common banana banana"),
+      (4L, "common only")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "apple banana common"), (20L, "common")).toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25DocTopK(qs, docsDf, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // query 20 matches ONLY the ubiquitous term (idf2 = 0): no rows at
+    // all — a stopword query returns empty, never a zero-score ranking
+    assert(!out.keys.exists(_._1 == 20L))
+    // query 10: 'common' drops; docs 1 (apple+banana, 2 terms) beats
+    // docs 2 and 3 (1 term each)
+    val ranked = out.toSeq.filter(_._1._1 == 10L).sortBy(_._1._2)
+    assert(ranked.head._2._1 === 1L)   // doc 1 first (two terms summed)
+    assert(ranked.head._2._2 === 2L)   // n_terms = 2
+    assert(ranked.map(_._2._1).toSet === Set(1L, 2L, 3L)) // doc 4 absent
+    // per-query ranks are dense from 1
+    assert(ranked.map(x => x._1._2) === Seq(1L, 2L, 3L))
+    // replaying the one-doc-per-term scores: doc2/doc3 each carry one
+    // rarer term; both present, ordered by score then doc_id
+    val s2 = ranked.find(_._2._1 == 2L).get._2._3
+    val s3 = ranked.find(_._2._1 == 3L).get._2._3
+    assert(s2 > 0 && s3 > 0)
+  }
+
   test("spanDedup removes an offset-shifted shared passage (what segment alignment misses)") {
     import spark.implicits._
     // docs 1 and 5 share a 6-token passage at DIFFERENT offsets (0 vs 1)
