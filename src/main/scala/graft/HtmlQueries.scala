@@ -19,6 +19,22 @@ object HtmlQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The deterministic synthetic page graph the PageRank gates share:
+    * a quadratic map (in-degree variation), an affine permutation, and
+    * hub edges (every page links one of the first 25 — the nav-page
+    * shape). */
+  private def fixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"))
+      .crossJoin(d.agg((max(col("doc_id")) + 1).as("n")))
+    base.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") + 7) % col("n")).as("dst"))
+      .unionByName(base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("dst")))
+      .unionByName(base.select(col("doc_id").as("src"),
+        (col("doc_id") % 25).as("dst")))
+  }
+
   /**
    * A deterministic page per document: head with title + style block,
    * a comment, nav links, the body text with injected entities, a
@@ -88,18 +104,18 @@ object HtmlQueries {
     // (every page links one of the first 25 — the nav-page shape).
     // Every iteration is integer-exact, so the final fixed-point ranks
     // hash-match the oracle's unrolled replay.
-    "pagerank" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val base = d.select(col("doc_id"))
-        .crossJoin(d.agg((max(col("doc_id")) + 1).as("n")))
-      val edges = base.select(col("doc_id").as("src"),
-          ((col("doc_id") * col("doc_id") + 7) % col("n")).as("dst"))
-        .unionByName(base.select(col("doc_id").as("src"),
-          ((col("doc_id") * 31 + 7) % col("n")).as("dst")))
-        .unionByName(base.select(col("doc_id").as("src"),
-          (col("doc_id") % 25).as("dst")))
-      LinkGraph.pageRank(edges, iters = 5)
-    })
+    "pagerank" -> ((s, dir) => LinkGraph.pageRank(fixtureEdges(s, dir), iters = 5)),
+    // the same graph with every 5th page's out-edges removed (REAL
+    // dangling vertices — they still appear as destinations), damped
+    // dangling mass redistributed uniformly each round
+    "pagerank_dangling" -> ((s, dir) =>
+      LinkGraph.pageRank(fixtureEdges(s, dir).filter(col("src") % 5 =!= 0),
+        iters = 5, redistributeDangling = true)),
+    // convergence probe on the dangling graph: L1 rank movement of the
+    // final iteration — the early-stop threshold quantity
+    "pagerank_delta" -> ((s, dir) =>
+      LinkGraph.pageRankDelta(fixtureEdges(s, dir).filter(col("src") % 5 =!= 0),
+        iters = 5, redistributeDangling = true))
   )
 
   val oracle: Map[String, String] = Map(
@@ -138,6 +154,27 @@ edges AS (
   UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.oracleCore(iters = 5)}
-SELECT v, rank FROM p5"""
+SELECT v, rank FROM p5""",
+
+    "pagerank_dangling" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (SELECT * FROM (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz)
+  WHERE src % 5 <> 0),
+${LinkGraph.oracleCore(iters = 5, dangling = true)}
+SELECT v, rank FROM p5""",
+
+    "pagerank_delta" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (SELECT * FROM (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz)
+  WHERE src % 5 <> 0),
+${LinkGraph.oracleCore(iters = 5, dangling = true)}
+SELECT CAST(sum(abs(a.rank - b.rank)) AS BIGINT) AS l1_delta
+FROM p5 a JOIN p4 b ON b.v = a.v"""
   )
 }

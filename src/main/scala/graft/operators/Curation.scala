@@ -371,26 +371,38 @@ object Curation {
           if (bestFit) docs.sortBy(d => (-d._4, d._1)) // eff desc, doc_id
           else docs.sortBy(d => (d._2, d._1))          // arrival: h, doc_id
         val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // best-fit lookup structure: fill -> open bin indices at that
+        // fill. floorEntry(seqLen - eff) is "the HIGHEST fill that
+        // still fits" and first() is "ties -> lowest bin index" — the
+        // exact linear-scan tie rule at O(log B) per placement instead
+        // of O(B) (which went quadratic per shard past ~10^5 docs)
+        val byFill = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+        def link(fill: Long, i: Int): Unit =
+          byFill.computeIfAbsent(fill, _ => new java.util.TreeSet[Integer]())
+            .add(Integer.valueOf(i))
+        def unlink(fill: Long, i: Int): Unit = {
+          val s = byFill.get(fill)
+          s.remove(Integer.valueOf(i))
+          if (s.isEmpty) byFill.remove(fill)
+        }
         sorted.iterator.map { d =>
           val eff = d._4
           var best = -1
           var bestFill = -1L
           if (bestFit) {
-            var i = 0
-            while (i < fills.length) {
-              if (fills(i) + eff <= seqLen && fills(i) > bestFill) {
-                bestFill = fills(i); best = i
-              }
-              i += 1
-            }
+            val e = byFill.floorEntry(seqLen - eff)
+            if (e != null) { bestFill = e.getKey; best = e.getValue.first() }
           } else if (fills.nonEmpty && fills.last + eff <= seqLen) {
             best = fills.length - 1; bestFill = fills.last
           }
           if (best < 0) {
             fills += eff
+            if (bestFit) link(eff, fills.length - 1)
             (d._1, shard, eff, fills.length - 1, 0L)
           } else {
+            if (bestFit) unlink(bestFill, best)
             fills(best) += eff
+            if (bestFit) link(fills(best), best)
             (d._1, shard, eff, best, bestFill)
           }
         }

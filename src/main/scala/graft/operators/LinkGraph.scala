@@ -48,9 +48,46 @@ object LinkGraph {
    * parallel edges each contribute — pre-`distinct` if that is not
    * intended). Returns `(v, rank)` for every vertex appearing as a
    * source or destination.
+   *
+   * With `redistributeDangling`, the mass parked on dangling vertices
+   * (no out-edges) is NOT dropped: each iteration adds the damped
+   * per-vertex share `((D // n) · dampNum) // dampDen` of the dangling
+   * mass `D = Σ_{u dangling} p(u)` to every vertex — the standard
+   * stochastic-matrix completion, as a per-iteration 1-row aggregate
+   * broadcast into the rank update (both truncations once globally, so
+   * the spelling is engine-order-free and oracle-replayable). Cost: one
+   * extra metadata-scale aggregate per round; the two corpus-scale
+   * shuffles per iteration are unchanged.
    */
   def pageRank(edges: DataFrame, iters: Int = 5, dampNum: Long = DampNum,
-               dampDen: Long = DampDen): DataFrame = {
+               dampDen: Long = DampDen,
+               redistributeDangling: Boolean = false): DataFrame =
+    iterate(edges, iters, dampNum, dampDen, redistributeDangling,
+      keepPrev = false)._1
+
+  /**
+   * Convergence probe: the L1 rank movement `Σ_v |p_T(v) − p_{T−1}(v)|`
+   * of the FINAL iteration, as a 1-row table `(l1_delta)` — the
+   * quantity an early-stopping production run thresholds on (rank
+   * order stabilizes when it collapses). Same iteration core as
+   * [[pageRank]]; the second-to-last round's table is retained one
+   * round longer and the delta is one extra metadata-scale aggregate.
+   */
+  def pageRankDelta(edges: DataFrame, iters: Int = 5, dampNum: Long = DampNum,
+                    dampDen: Long = DampDen,
+                    redistributeDangling: Boolean = false): DataFrame = {
+    val (p, prev) = iterate(edges, iters, dampNum, dampDen,
+      redistributeDangling, keepPrev = true)
+    p.alias("a").join(prev.alias("b"), col("a.v") === col("b.v"))
+      .agg(sum(abs(col("a.rank") - col("b.rank"))).as("l1_delta"))
+  }
+
+  /** The shared power-iteration core; returns (final ranks, previous
+    * round's ranks — the initial table when `iters == 1`). */
+  private def iterate(edges: DataFrame, iters: Int, dampNum: Long,
+                      dampDen: Long, redistributeDangling: Boolean,
+                      keepPrev: Boolean): (DataFrame, DataFrame) = {
+    require(iters >= 1)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .scopedCheckpoint()
     val verts = e.select(col("src").as("v"))
@@ -58,9 +95,18 @@ object LinkGraph {
       .scopedCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .scopedCheckpoint()
+    // checkpointed, so joins against p (also verts-derived) can never
+    // trip self-join column ambiguity
+    val dangling = if (!redistributeDangling) null
+      else verts.join(outdeg, verts("v") === outdeg("src"), "left_anti")
+        .scopedCheckpoint()
+    val nverts = if (!redistributeDangling) null
+      else verts.agg(count(lit(1)).as("n"))
     val base = (dampDen - dampNum) * Scale / dampDen
     var p = verts.select(col("v"), lit(Scale).as("rank"))
-    var pCk: DataFrame = null
+    var prev: DataFrame = p
+    var pCk: DataFrame = null    // newest checkpoint (= p's table)
+    var prevCk: DataFrame = null // one older, retained only if keepPrev
     var t = 0
     while (t < iters) {
       // damped per-source quotient FIRST (truncations once per u),
@@ -70,44 +116,73 @@ object LinkGraph {
           expr(s"div(div(rank, outdeg) * $dampNum, $dampDen)").as("qd"))
       val contrib = qd.join(e, col("u") === e("src"))
         .groupBy(col("dst")).agg(sum(col("qd")).as("c"))
-      val next = verts.join(contrib, verts("v") === contrib("dst"), "left")
+      val next0 = verts.join(contrib, verts("v") === contrib("dst"), "left")
         .select(verts("v"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
-        .scopedCheckpoint()
-      if (pCk != null) CheckpointScope.release(pCk)
+      val next = (if (!redistributeDangling) next0
+        else {
+          val dmass = p.join(dangling, p("v") === dangling("v"))
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
+          val share = dmass.crossJoin(nverts)
+            .select(expr(s"div(div(d, n) * $dampNum, $dampDen)").as("s"))
+          next0.crossJoin(broadcast(share))
+            .select(col("v"), (col("rank") + col("s")).as("rank"))
+        }).scopedCheckpoint()
+      if (keepPrev) {
+        if (prevCk != null) CheckpointScope.release(prevCk)
+        prevCk = pCk
+      } else if (pCk != null) CheckpointScope.release(pCk)
       pCk = next
+      prev = p
       p = next
       t += 1
     }
     // inputs are superseded once the final ranks are materialized data;
-    // the final round's checkpoint is the RESULT's lineage and stays
+    // the live rounds' checkpoints are the RESULT's lineage and stay
     // registered for the caller's release point
     CheckpointScope.release(e)
     CheckpointScope.release(outdeg)
     CheckpointScope.release(verts)
-    p
+    if (dangling != null) CheckpointScope.release(dangling)
+    (p, prev)
   }
 
   /**
    * The unrolled-iteration DuckDB oracle over an edge CTE named
    * `edges(src, dst)`: CTE chain `p0 … p$iters(v, rank)`; append a
-   * SELECT against `p$iters`.
+   * SELECT against `p$iters`. With `dangling`, each round folds in the
+   * damped per-vertex dangling-mass share exactly as [[pageRank]]
+   * spells it.
    */
   def oracleCore(iters: Int = 5, dampNum: Long = DampNum,
-                 dampDen: Long = DampDen): String = {
+                 dampDen: Long = DampDen, dangling: Boolean = false): String = {
     val base = (dampDen - dampNum) * Scale / dampDen
     val head =
       s"""verts AS (SELECT DISTINCT v FROM
   (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
 odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-p0 AS (SELECT v, CAST($Scale AS BIGINT) AS rank FROM verts)"""
+p0 AS (SELECT v, CAST($Scale AS BIGINT) AS rank FROM verts)""" +
+      (if (!dangling) "" else s""",
+dang AS (SELECT v.v FROM verts v
+  WHERE NOT EXISTS (SELECT 1 FROM odeg o WHERE o.src = v.v)),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts)""")
     val rounds = (1 to iters).map { t =>
-      s"""q$t AS (SELECT p.v, CAST(((p.rank // o.outdeg) * $dampNum) // $dampDen AS BIGINT) AS qd
+      val qc =
+        s"""q$t AS (SELECT p.v, CAST(((p.rank // o.outdeg) * $dampNum) // $dampDen AS BIGINT) AS qd
   FROM p${t - 1} p JOIN odeg o ON o.src = p.v),
 c$t AS (SELECT e.dst, CAST(sum(q.qd) AS BIGINT) AS c
-  FROM q$t q JOIN edges e ON e.src = q.v GROUP BY e.dst),
+  FROM q$t q JOIN edges e ON e.src = q.v GROUP BY e.dst)"""
+      if (!dangling)
+        s"""$qc,
 p$t AS (SELECT v.v, CAST($base + coalesce(c.c, 0) AS BIGINT) AS rank
   FROM verts v LEFT JOIN c$t c ON c.dst = v.v)"""
+      else
+        s"""$qc,
+d$t AS (SELECT CAST(coalesce(sum(p.rank), 0) AS BIGINT) AS d
+  FROM p${t - 1} p JOIN dang ON dang.v = p.v),
+s$t AS (SELECT CAST(((d.d // nv.n) * $dampNum) // $dampDen AS BIGINT) AS s FROM d$t d, nv),
+p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
+  FROM verts v LEFT JOIN c$t c ON c.dst = v.v, s$t s)"""
     }
     (head +: rounds).mkString(",\n")
   }

@@ -34,6 +34,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("dangling redistribution conserves more mass and lifts every vertex") {
+    val plain = LinkGraph.pageRank(edges, iters = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val redis = LinkGraph.pageRank(edges, iters = 8, redistributeDangling = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    CheckpointScope.releaseAll()
+    assert(redis.keySet === plain.keySet)
+    // vertex 4 is dangling: its parked mass re-enters the system, so no
+    // vertex loses rank and the total strictly grows (up to truncation)
+    assert(redis.values.sum > plain.values.sum)
+    assert(plain.keySet.forall(v => redis(v) >= plain(v)),
+      s"plain=$plain redis=$redis")
+    // order among the non-dangling spine is preserved
+    assert(redis(0L) > redis(1L) && redis(1L) > redis(3L))
+  }
+
+  test("pageRankDelta shrinks as iterations converge") {
+    def delta(iters: Int) =
+      LinkGraph.pageRankDelta(edges, iters, redistributeDangling = true)
+        .head().getLong(0)
+    val d2 = delta(2); val d6 = delta(6)
+    CheckpointScope.releaseAll()
+    assert(d2 > 0L)
+    assert(d6 < d2, s"d2=$d2 d6=$d6")
+  }
+
   test("per-round checkpoints release as rounds supersede; only the " +
     "result's lineage stays registered") {
     CheckpointScope.releaseAll()
