@@ -259,18 +259,41 @@ object Similarity {
    * Auto-scaled IVF centroid count: `max(16, ceil(√n))` — the standard
    * IVF cell-count rule, so candidate volume per probe stays ~`√n·k`
    * and the per-row centroid scan stays `O(√nCentroids·dim)` on the
-   * two-level path. One corpus count pays for it (trivial next to any
-   * IVF consumer, and the memoized operators defer it past their
-   * memo-key lookup — see [[centroidKey]] — so a memo HIT stays
-   * metadata-only). NOTE a default-behavior change from the fixed-16
-   * era: every operator taking `nCentroids` treats the default `0` as
-   * "resolve via this rule", so default-arg callers on corpora larger
-   * than ~256 vectors get more (and different) cells than the old
-   * fixed 16 — pass `nCentroids = 16` explicitly to reproduce old
-   * results.
+   * two-level path. ONE corpus count pays for it per distinct input:
+   * the resolved value memoizes on the input's content fingerprint
+   * ([[TableMemo.contentKey]], metadata-only), so repeated auto-mode
+   * calls on the same corpus — across different operators in one
+   * session — re-run zero count jobs; the memoized operators
+   * additionally defer resolution past their memo-key lookup (see
+   * [[centroidKey]]) so a memo HIT never even fingerprints twice.
+   * Un-fingerprintable in-memory inputs still count each time (no safe
+   * identity to cache under). NOTE a default-behavior change from the
+   * fixed-16 era: every operator taking `nCentroids` treats the
+   * default `0` as "resolve via this rule", so default-arg callers on
+   * corpora larger than ~256 vectors get more (and different) cells
+   * than the old fixed 16 — pass `nCentroids = 16` explicitly to
+   * reproduce old results.
    */
-  def autoCentroids(emb: DataFrame): Int =
+  def autoCentroids(emb: DataFrame): Int = TableMemo.contentKey(emb) match {
+    case Some(fp) =>
+      autoCache.computeIfAbsent(fp, _ => Integer.valueOf(countAuto(emb))).intValue()
+    case None => countAuto(emb)
+  }
+
+  /** fingerprint → resolved auto centroid count (session-lifetime; the
+    * fingerprint self-invalidates when data is rewritten, so stale
+    * entries are unreachable, not wrong). */
+  private val autoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Count jobs the auto rule has actually run (spec hook: repeated
+    * resolution on one fingerprinted corpus must not re-count). */
+  private[operators] val autoCountJobs = new java.util.concurrent.atomic.AtomicLong()
+
+  private def countAuto(emb: DataFrame): Int = {
+    autoCountJobs.incrementAndGet()
     math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+  }
 
   /** `nCentroids` as given, or the [[autoCentroids]] rule for the
     * `0`/"auto" sentinel. */

@@ -45,6 +45,29 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.length === 16, s"cells lost: ${s1.length}")
   }
 
+  test("auto centroid resolution counts a fingerprinted corpus at most once") {
+    // file-backed input: content-fingerprintable, so the resolved √n
+    // memoizes — repeated auto-mode operators re-run ZERO count jobs
+    val raw = Similarity.intEmbeddings(
+      spark.read.parquet(sf("sf0.01") + "/embeddings.parquet"))
+    val before = Similarity.autoCountJobs.get()
+    val n1 = Similarity.autoCentroids(raw)
+    val after1 = Similarity.autoCountJobs.get()
+    assert(after1 - before <= 1)
+    // second resolution and a full auto-mode operator: no new counts
+    assert(Similarity.autoCentroids(raw) === n1)
+    Similarity.ivfCellSizes(raw, 0).collect()
+    assert(Similarity.autoCountJobs.get() === after1,
+      "auto resolution re-ran a count job on a memoized fingerprint")
+    // an in-memory (un-fingerprintable) input still counts each time
+    import spark.implicits._
+    val mem = Seq((1L, "a", Seq(1L, 2L)), (2L, "b", Seq(3L, 4L)))
+      .toDF("vec_id", "label", "v")
+    val m0 = Similarity.autoCountJobs.get()
+    Similarity.autoCentroids(mem); Similarity.autoCentroids(mem)
+    assert(Similarity.autoCountJobs.get() === m0 + 2)
+  }
+
   test("auto-scaled centroids: √n cells, balanced under refinement at 50k rows") {
     import spark.implicits._
     val n = 50000L
