@@ -46,10 +46,18 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("auto centroid resolution counts a fingerprinted corpus at most once") {
-    // file-backed input: content-fingerprintable, so the resolved √n
-    // memoizes — repeated auto-mode operators re-run ZERO count jobs
-    val raw = Similarity.intEmbeddings(
-      spark.read.parquet(sf("sf0.01") + "/embeddings.parquet"))
+    // file-backed input WRITTEN FRESH here: content-fingerprintable and
+    // immune to cache substitution (this suite's shared `emb` caches the
+    // intEmbeddings(testdata) plan, and a cached subplan swaps in an
+    // InMemoryRelation — the documented un-fingerprintable case that
+    // legitimately re-counts), so the resolved √n memoizes — repeated
+    // auto-mode operators re-run ZERO count jobs
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-autocent").toString + "/emb"
+    spark.range(300).select(col("id").as("vec_id"), lit("x").as("label"),
+      expr("transform(sequence(0, 3), j -> id * 7 + j)").as("v"))
+      .write.parquet(dir)
+    val raw = spark.read.parquet(dir)
     val before = Similarity.autoCountJobs.get()
     val n1 = Similarity.autoCentroids(raw)
     val after1 = Similarity.autoCountJobs.get()
