@@ -157,8 +157,7 @@ object TextQueries {
     // word (plan-literal folds, zero shuffle) — per-doc true token
     // counts under the corpus's own tokenizer
     "bpe_encode" -> ((s, dir) => {
-      val merges = TextAnalysis.bpeTrain(docs(s, dir), BpeRounds).collect()
-        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = TextAnalysis.bpeMerges(docs(s, dir), BpeRounds)
       TextAnalysis.bpeEncode(docs(s, dir), merges)
     }),
     // BYTE-level BPE training over the mixed-script fixture (each doc
@@ -171,9 +170,8 @@ object TextQueries {
     // the separator counts as exactly one piece and bypasses merges
     "bpe_encode_bytes" -> ((s, dir) => {
       val aug = augDocs(s, dir)
-      val merges = TextAnalysis.bpeTrainBytes(aug, BpeRounds, Seq(BpeSpecial))
-        .collect()
-        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = TextAnalysis.bpeMerges(aug, BpeRounds, Seq(BpeSpecial),
+        byteMode = true)
       TextAnalysis.bpeEncodeBytes(aug, merges, Seq(BpeSpecial))
     }),
     // train/val split-leakage audit: deterministic hash split, then

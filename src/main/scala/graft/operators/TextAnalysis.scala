@@ -713,6 +713,33 @@ object TextAnalysis {
    * position. Built with Column lambdas, not SQL text — symbols come
    * from corpus data and must not be string-escaped into a plan.
    */
+  /**
+   * The trained merge LIST for `df` — [[bpeTrain]]/[[bpeTrainBytes]]
+   * collected to the driver in round order, memoized per content
+   * fingerprint (trainer config in the key): a tokenizer is a
+   * train-once consume-everywhere artifact, so a session's second
+   * encode pass over the same corpus replays the merges without
+   * re-running the training loop (the [[TableMemo]] compute-once
+   * policy; un-fingerprintable in-memory inputs retrain per call).
+   */
+  def bpeMerges(df: DataFrame, rounds: Int = 8,
+                specials: Seq[String] = Seq.empty,
+                byteMode: Boolean = false): Seq[(String, String)] = {
+    def train(): Seq[(String, String)] =
+      (if (byteMode) bpeTrainBytes(df, rounds, specials) else bpeTrain(df, rounds))
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    TableMemo.contentKey(df) match {
+      case Some(fp) =>
+        mergeCache.computeIfAbsent(s"$fp|$rounds|${specials.mkString(",")}|$byteMode",
+          _ => train())
+      case None => train()
+    }
+  }
+
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   def bpeTrain(df: DataFrame, rounds: Int = 8): DataFrame =
     bpeTrainLoop(df.sparkSession,
       spread(df).select(explode(tokens(col("text"))).as("w"))
