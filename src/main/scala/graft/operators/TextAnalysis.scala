@@ -411,15 +411,21 @@ object TextAnalysis {
    * Returns `(query_id, doc_id, n_terms, score_e6, rank)` with
    * `n_terms` = how many query terms contributed.
    *
-   * Scale shape: the corpus is NEVER shuffled — the query table is
-   * query-log-scale and broadcast twice (its distinct terms filter the
-   * posting explode map-side; so is the vocabulary-scale df table and
-   * the 2-number corpus stats). The only exchange is the
-   * `(query_id, doc_id)` partial-aggregated sum, bounded by the
-   * surviving posting lists of the query terms, then a bounded
-   * CollectTopK per query (k·partitions rows to the driver merge).
+   * Scale shape: the corpus is NEVER shuffled on the default path —
+   * the query table is query-log-scale and broadcast (its distinct
+   * terms filter the posting explode map-side; so is the
+   * vocabulary-scale df table and the 2-number corpus stats). The only
+   * exchange is the `(query_id, doc_id)` partial-aggregated sum,
+   * bounded by the surviving posting lists of the query terms, then a
+   * bounded CollectTopK per query (k·partitions rows to the driver
+   * merge). For a query table too large to broadcast (batch eval
+   * decontamination with tens of millions of queries), pass
+   * `broadcastQueries = false`: the term join becomes a shuffle on the
+   * term key — both sides already idf-filtered — with identical
+   * results (spec-pinned).
    */
-  def bm25DocTopK(queries: DataFrame, df: DataFrame, k: Int = 10): DataFrame = {
+  def bm25DocTopK(queries: DataFrame, df: DataFrame, k: Int = 10,
+                  broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
@@ -427,11 +433,16 @@ object TextAnalysis {
       expr("div(sum(dl), count(1))").as("avgdl"))
     val pairs = tfExplode(docs, "ws", Seq("doc_id", "dl"), "term")
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = queries.select(col("query_id"),
+    val qterms0 = queries.select(col("query_id"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
-    val scored = pairs.join(broadcast(qterms), "term") // sparse filter first
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
+    val qterms = if (broadcastQueries) broadcast(qterms0) else qterms0
+    // positive-idf vocabulary joins FIRST: stopword posting lists (the
+    // corpus-scale ones) drop map-side, so neither the broadcast-hash
+    // probe nor the non-broadcast term shuffle ever carries them
+    val dfreqPos = dfreq.crossJoin(broadcast(stats))
+      .filter(expr("div(n_docs, df) >= 2"))
+    val scored = pairs.join(broadcast(dfreqPos), "term")
+      .join(qterms, "term")
       .withColumn("score_e6", expr(
         s"""(length(bin(div(n_docs, df))) - 1) *
             div(tf * $Bm25K1p1E4 * 1000000,

@@ -283,6 +283,20 @@ class DedupSpec extends SparkSpec {
     assert(s2 > 0 && s3 > 0)
   }
 
+  test("bm25DocTopK non-broadcast query path is value-identical") {
+    import spark.implicits._
+    val docsDf = (1L to 40L).map(i =>
+      (i, s"common w${i % 7} w${i % 11} " + ("pad " * (i % 5).toInt).trim))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "w1 w3 common"), (2L, "w2 w10")).toDF("query_id", "qtext")
+    def rows(bcast: Boolean) =
+      TextAnalysis.bm25DocTopK(qs, docsDf, 10, broadcastQueries = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(rows(true) === rows(false))
+    assert(rows(true).nonEmpty)
+  }
+
   test("spanDedup removes an offset-shifted shared passage (what segment alignment misses)") {
     import spark.implicits._
     // docs 1 and 5 share a 6-token passage at DIFFERENT offsets (0 vs 1)
