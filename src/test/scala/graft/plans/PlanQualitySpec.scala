@@ -203,6 +203,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(keyedExchanges(enc).isEmpty, s"bpe_encode keyed shuffle:\n$enc")
   }
 
+  test("bm25 document retrieval: corpus joins are broadcast-hash, never sort-merge") {
+    // default (broadcast-queries) path: the posting explode must meet
+    // the pruned vocabulary AND the query terms via BroadcastHashJoin —
+    // a SortMergeJoin would mean the corpus shuffled on the term key
+    val plan = graft.SparkEntry.queries("bm25_doc_topk")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled on term:\n$plan")
+  }
+
   test("bloom decontamination probes the filter before the exchange") {
     // the at-scale path must carry the bloom probe (might_contain) as a
     // plain filter on the corpus side so only bloom-positive shingles
