@@ -115,7 +115,12 @@ object HtmlQueries {
     // final iteration — the early-stop threshold quantity
     "pagerank_delta" -> ((s, dir) =>
       LinkGraph.pageRankDelta(fixtureEdges(s, dir).filter(col("src") % 5 =!= 0),
-        iters = 5, redistributeDangling = true))
+        iters = 5, redistributeDangling = true)),
+    // HITS hubs & authorities over the same graph: the nav pages
+    // (dst = doc_id % 25) should surface as the top authorities, the
+    // pages linking them as hubs — integer-exact per iteration, so the
+    // fixed-point scores hash-match the oracle's unrolled replay
+    "hits_scores" -> ((s, dir) => LinkGraph.hits(fixtureEdges(s, dir), iters = 5))
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +180,15 @@ edges AS (SELECT * FROM (
   WHERE src % 5 <> 0),
 ${LinkGraph.oracleCore(iters = 5, dangling = true)}
 SELECT CAST(sum(abs(a.rank - b.rank)) AS BIGINT) AS l1_delta
-FROM p5 a JOIN p4 b ON b.v = a.v"""
+FROM p5 a JOIN p4 b ON b.v = a.v""",
+
+    "hits_scores" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
+${LinkGraph.hitsOracleCore(iters = 5)}
+SELECT a.v, a.auth, h.hub FROM a5 a JOIN h5 h ON h.v = a.v"""
   )
 }

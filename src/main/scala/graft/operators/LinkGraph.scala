@@ -148,6 +148,96 @@ object LinkGraph {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
+   * integers — PageRank's companion centrality: authorities are pages
+   * many hubs point AT, hubs are pages pointing at many authorities.
+   * Per iteration (Kleinberg's original order): `auth_raw(v) =
+   * Σ_{u→v} hub(u)` from the PREVIOUS hubs, then `hub_raw(u) =
+   * Σ_{u→v} auth(v)` from the NEW auths; each vector is rescaled to
+   * `max = Scale` (the ∞-norm — a single 1-row aggregate broadcast;
+   * engine-order-free because the one truncating division happens once
+   * per vertex against one global max). The rescale product is widened
+   * to DECIMAL(38,0) / HUGEINT, so `raw · Scale` cannot overflow at any
+   * in-degree — raw itself is bounded by `maxdeg · Scale` which holds
+   * a Long to ~9×10^12 in-edges per vertex.
+   *
+   * Returns `(v, auth, hub)` for every vertex. Scale shape: two wide
+   * shuffles per iteration (sum per dst, sum per src) + two 1-row
+   * maxes, lineage checkpoint-released per round exactly like
+   * [[pageRank]]. Vertices with no in-edges score auth 0; no
+   * out-edges, hub 0.
+   */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .scopedCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .scopedCheckpoint()
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val m = raw.agg(max(col("raw")).as("m"))
+      verts.join(raw, Seq("v"), "left").crossJoin(broadcast(m))
+        .select(col("v"), coalesce(
+          expr(s"cast((cast(raw as decimal(38,0)) * $Scale) div m as bigint)"),
+          lit(0L)).as(out))
+    }
+    var h = verts.select(col("v"), lit(Scale).as("hub"))
+    var a: DataFrame = null
+    var hCk: DataFrame = null
+    var aCk: DataFrame = null
+    var t = 0
+    while (t < iters) {
+      val araw = h.join(e, h("v") === e("src"))
+        .groupBy(e("dst")).agg(sum(col("hub")).as("raw"))
+        .select(col("dst").as("v"), col("raw"))
+      val aNext = rescale(araw, "auth").scopedCheckpoint()
+      val hraw = aNext.join(e, aNext("v") === e("dst"))
+        .groupBy(e("src")).agg(sum(col("auth")).as("raw"))
+        .select(col("src").as("v"), col("raw"))
+      val hNext = rescale(hraw, "hub").scopedCheckpoint()
+      if (aCk != null) CheckpointScope.release(aCk)
+      if (hCk != null) CheckpointScope.release(hCk)
+      aCk = aNext; hCk = hNext
+      a = aNext; h = hNext
+      t += 1
+    }
+    val out = a.join(h, Seq("v")).select(col("v"), col("auth"), col("hub"))
+    CheckpointScope.release(e)
+    CheckpointScope.release(verts)
+    out
+  }
+
+  /**
+   * The unrolled-iteration DuckDB oracle twin of [[hits]] over an edge
+   * CTE named `edges(src, dst)`: CTE chain `h0, a1, h1 … a$iters,
+   * h$iters`; append a SELECT joining `a$iters` and `h$iters`.
+   */
+  def hitsOracleCore(iters: Int = 5): String = {
+    // every CTE is MATERIALIZED: each round references the previous
+    // one twice (the raw sum and the 1-row max), so DuckDB's default
+    // inlining would expand the chain EXPONENTIALLY — 2^iters scans of
+    // the edge fixture blows the process file-handle budget before it
+    // blows the planner
+    val head =
+      s"""verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+h0 AS MATERIALIZED (SELECT v, CAST($Scale AS BIGINT) AS hub FROM verts)"""
+    val rounds = (1 to iters).map { t =>
+      s"""ar$t AS MATERIALIZED (SELECT e.dst AS v, CAST(sum(h.hub) AS BIGINT) AS raw
+  FROM h${t - 1} h JOIN edges e ON e.src = h.v GROUP BY e.dst),
+am$t AS MATERIALIZED (SELECT max(raw) AS m FROM ar$t),
+a$t AS MATERIALIZED (SELECT v.v, CAST(coalesce((CAST(r.raw AS HUGEINT) * $Scale) // am.m, 0) AS BIGINT) AS auth
+  FROM verts v LEFT JOIN ar$t r ON r.v = v.v, am$t am),
+hr$t AS MATERIALIZED (SELECT e.src AS v, CAST(sum(a.auth) AS BIGINT) AS raw
+  FROM a$t a JOIN edges e ON e.dst = a.v GROUP BY e.src),
+hm$t AS MATERIALIZED (SELECT max(raw) AS m FROM hr$t),
+h$t AS MATERIALIZED (SELECT v.v, CAST(coalesce((CAST(r.raw AS HUGEINT) * $Scale) // hm.m, 0) AS BIGINT) AS hub
+  FROM verts v LEFT JOIN hr$t r ON r.v = v.v, hm$t hm)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /**
    * The unrolled-iteration DuckDB oracle over an edge CTE named
    * `edges(src, dst)`: CTE chain `p0 … p$iters(v, rank)`; append a
    * SELECT against `p$iters`. With `dangling`, each round folds in the

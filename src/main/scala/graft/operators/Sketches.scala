@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable corpus-profiling sketches — the fixed-size summaries a
+ * 100 TB pipeline keeps instead of exact state: HyperLogLog distinct
+ * counting (Flajolet et al. 2007) and Count-Min frequency estimation /
+ * heavy hitters (Cormode & Muthukrishnan 2005). Everything is exact
+ * INTEGER arithmetic over an md5-derived 60-bit hash (the same
+ * [[Dedup]] family hash), so every register, counter, and final
+ * estimate hash-matches a DuckDB replay.
+ *
+ * Scale shape — the whole point of a sketch:
+ *  - HLL registers are a `groupBy(reg).max(rho)` — max is commutative
+ *    and associative, so the shuffle after map-side partial
+ *    aggregation carries at most `m` cells PER PARTITION regardless of
+ *    corpus size, and two corpora's register tables merge by
+ *    element-wise max (incremental / cross-shard union for free).
+ *  - CM counters are a `groupBy(depth, bucket).sum` — same partial-agg
+ *    bound at `d·w` cells per partition; two sketches merge by
+ *    element-wise sum. Point queries are a broadcast lookup against
+ *    the `d·w`-row counter table.
+ *
+ * The verification gates deliberately ALSO compute the exact answer
+ * (count-distinct / exact top-k) next to the estimate — affordable at
+ * test scale, and it turns each gate into a standing accuracy probe
+ * (HLL standard error 1.04/√m ≈ 6.5% at m=256; CMS overestimates by
+ * at most εN with ε = e/w). Production callers at 100 TB run only the
+ * sketch side.
+ */
+object Sketches {
+
+  /** HLL register count m (power of two; 8-bit register index). */
+  val HllM = 256
+
+  /** HLL bias constant α_m for m = 256, in 1e-5 fixed point:
+    * 0.7213/(1 + 1.079/m). */
+  val AlphaE5 = 71827L
+
+  /** Count-Min depth (independent hash rows) and width (buckets/row). */
+  val CmDepth = 4
+  val CmWidth = 512
+
+  /** Seed base shared with the oracle spelling. */
+  val HllSeed = 77
+  val CmSeedBase = 101
+
+  /** 60-bit md5-derived hash — the dialect-shared family hash
+    * (engine twin of the oracle's `('0x' || substr(md5(...), 1, 15))`). */
+  private def h60(c: Column, seed: Int): Column =
+    expr(s"cast(conv(substr(md5(concat('$seed:', ${c.toString})), 1, 15), 16, 10) as bigint)")
+
+  /** One row per whitespace token of the normalized `text` column. */
+  private def words: Column = explode(TextAnalysis.tokens(col("text")))
+
+  /**
+   * The HLL register table over the corpus vocabulary: `(reg, rho)`
+   * for ALL `m` registers (absent registers rho 0). Register index is
+   * the hash's low 8 bits; `rho` is the 1-based position of the first
+   * set bit in the remaining 52 (all-zero → 53). Duplicate tokens
+   * cost nothing beyond the scan — max absorbs them map-side.
+   */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val h = docs.select(words.as("w"))
+      .select(h60(col("w"), HllSeed).as("h"))
+      .select((col("h") % HllM).as("reg"),
+        expr("h div 256").as("rest"))
+      // bin() has no leading zeros: length = floor(log2)+1, so
+      // rho = 52 - (length-1) + 1 = 53 - length; rest = 0 → 53
+      .select(col("reg"),
+        when(col("rest") === 0L, lit(53))
+          .otherwise(lit(53) - length(expr("bin(rest)"))).cast("int").as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+    spark.range(0, HllM).select(col("id").as("reg"))
+      .join(h, Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("rho"), lit(0)).cast("int").as("rho"))
+  }
+
+  /**
+   * The raw-estimator HLL distinct count next to the exact answer:
+   * one row `(n_exact, n_est, err_bp)`. The estimate is
+   * `α_m · m² / Σ_j 2^(−M_j)` computed exactly: each summand is scaled
+   * by 2^53 (`M_j ≤ 53`, so `2^(53−M_j)` is an exact BIGINT; the sum
+   * is ≤ m·2^53 < 2^62), and the final division widens to
+   * DECIMAL(38,0) — bit-identical to the oracle's HUGEINT replay. No
+   * small-range (linear-counting) correction: the gate corpus sits in
+   * the raw-estimator regime, and the correction needs a float `ln`.
+   */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val est = hllRegisters(docs)
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 53 - rho)")).as("s"))
+      .select(expr(
+        s"cast((cast(${AlphaE5 * HllM * HllM} as decimal(38,0)) * ${1L << 53}) " +
+          "div (cast(s as decimal(38,0)) * 100000) as bigint)").as("n_est"))
+    val exact = docs.select(words.as("w"))
+      .agg(count_distinct(col("w")).as("n_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_exact"), col("n_est"),
+        expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"))
+  }
+
+  /**
+   * Per-group HLL: distinct-token estimate vs exact for each value of
+   * `groupCol` — the GROUP BY sketch shape (per-source vocabulary
+   * size, per-domain URL cardinality…). One register-table shuffle
+   * keyed `(group, reg)`, still `|groups|·m` cells after partial agg.
+   */
+  def hllDistinctBy(docs: DataFrame, groupCol: String): DataFrame = {
+    val g = col(groupCol)
+    val regs = docs.select(g, words.as("w"))
+      .select(g, h60(col("w"), HllSeed).as("h"))
+      .select(g, (col("h") % HllM).as("reg"), expr("h div 256").as("rest"))
+      .select(g, col("reg"),
+        when(col("rest") === 0L, lit(53))
+          .otherwise(lit(53) - length(expr("bin(rest)"))).cast("int").as("rho"))
+      .groupBy(g, col("reg")).agg(max(col("rho")).as("rho"))
+    // absent registers contribute 2^53 each: add them arithmetically
+    // (m - n_present regs at rho 0) instead of materializing the dense
+    // group×m frame
+    val est = regs.groupBy(g)
+      .agg((sum(expr("shiftleft(cast(1 as bigint), 53 - rho)")) +
+        (lit(HllM) - count(lit(1))) * (1L << 53)).as("s"))
+      .select(g, expr(
+        s"cast((cast(${AlphaE5 * HllM * HllM} as decimal(38,0)) * ${1L << 53}) " +
+          "div (cast(s as decimal(38,0)) * 100000) as bigint)").as("n_est"))
+    val exact = docs.select(g, words.as("w"))
+      .groupBy(g).agg(count_distinct(col("w")).as("n_exact"))
+    exact.join(est, Seq(groupCol))
+      .select(g, col("n_exact"), col("n_est"))
+  }
+
+  /**
+   * The Count-Min counter table: `(depth, bucket, cnt)` over token
+   * OCCURRENCES — `d·w` cells (absent cells 0). Built from the
+   * per-token frequency table (counters are additive, so hashing
+   * distinct tokens weighted by their counts equals hashing every
+   * occurrence — one corpus shuffle on the token key, then a
+   * metadata-scale re-bucket).
+   */
+  def cmCounters(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = docs.select(words.as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val cells = tf
+      .select(col("w"), col("cnt"),
+        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("depth"))
+      .select(col("depth"),
+        (h60(col("w"), CmSeedBase).bitwiseXOR(h60(col("w"), CmSeedBase + 1) * col("depth"))
+          % CmWidth).as("bucket"),
+        col("cnt"))
+      .groupBy("depth", "bucket").agg(sum(col("cnt")).as("cnt"))
+    spark.range(0, CmDepth).select(col("id").as("depth"))
+      .crossJoin(spark.range(0, CmWidth).select(col("id").as("bucket")))
+      .join(cells, Seq("depth", "bucket"), "left")
+      .select(col("depth"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /**
+   * Heavy hitters through the sketch: the exact top-k tokens (ties by
+   * token) with their true counts AND the Count-Min estimate
+   * `min_i counter[i][h_i(w)]` — `(word, n_exact, n_est)`,
+   * `n_est ≥ n_exact` always (CMS never underestimates a point
+   * query). The counter table is broadcast; the probe is exchange-free
+   * beyond the top-k itself.
+   */
+  def cmHeavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val counters = cmCounters(docs)
+    val topk = docs.select(words.as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(k)
+    val probes = topk
+      .select(col("w"), col("n_exact"),
+        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("depth"))
+      .select(col("w"), col("n_exact"), col("depth"),
+        (h60(col("w"), CmSeedBase).bitwiseXOR(h60(col("w"), CmSeedBase + 1) * col("depth"))
+          % CmWidth).as("bucket"))
+    probes.join(broadcast(counters), Seq("depth", "bucket"))
+      .groupBy(col("w").as("word"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("word"), col("n_exact"), col("n_est"))
+  }
+}

@@ -60,6 +60,38 @@ class LinkGraphSpec extends SparkSpec {
     assert(d6 < d2, s"d2=$d2 d6=$d6")
   }
 
+  test("HITS: the universally-linked page is the top authority; its " +
+    "in-linkers are hubs; scores are ∞-norm-capped at Scale") {
+    val r = LinkGraph.hits(edges, iters = 6).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    CheckpointScope.releaseAll()
+    assert(r.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // 0 is linked by 1,2,3 — the unique max authority (score = Scale)
+    assert(r(0L)._1 === LinkGraph.Scale)
+    assert(r.filter(_._1 != 0L).values.forall(_._1 < LinkGraph.Scale))
+    // 1 and 3 each link authority 0 plus another page: the top hubs
+    assert(r(1L)._2 === LinkGraph.Scale || r(3L)._2 === LinkGraph.Scale)
+    // 4 is dangling (no out-edges): zero hub; nothing links 3: zero auth
+    assert(r(4L)._2 === 0L)
+    assert(r(3L)._1 === 0L)
+    assert(r.values.forall { case (a, h) =>
+      a >= 0L && a <= LinkGraph.Scale && h >= 0L && h <= LinkGraph.Scale })
+  }
+
+  test("HITS scores are partitioning-independent and release their rounds") {
+    CheckpointScope.releaseAll()
+    val a = LinkGraph.hits(edges, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val live = CheckpointScope.liveCount
+    CheckpointScope.releaseAll()
+    val b = LinkGraph.hits(edges.repartition(5), iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    CheckpointScope.releaseAll()
+    assert(a === b)
+    // only the final round's auth + hub checkpoints outlive the call
+    assert(live === 2, live.toString)
+  }
+
   test("per-round checkpoints release as rounds supersede; only the " +
     "result's lineage stays registered") {
     CheckpointScope.releaseAll()

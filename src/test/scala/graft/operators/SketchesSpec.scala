@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus with a known skewed frequency profile: token "t<i>" appears
+  // in documents i, i+1, …  → token t0 everywhere, tails rare
+  private def corpus(n: Int) = (0 until n)
+    .map(i => (i.toLong, (0 to i % 7).map(j => s"t$j w${i}x").mkString(" "), s"s${i % 3}"))
+    .toDF("doc_id", "text", "source")
+
+  test("HLL registers: dense m rows, rho in [0, 53], partitioning-independent") {
+    val d = corpus(200)
+    val r = Sketches.hllRegisters(d).collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(r.length === Sketches.HllM)
+    assert(r.map(_._1).toSet === (0L until Sketches.HllM.toLong).toSet)
+    assert(r.forall { case (_, rho) => rho >= 0 && rho <= 53 })
+    val r2 = Sketches.hllRegisters(d.repartition(7)).collect()
+      .map(x => (x.getLong(0), x.getInt(1)))
+    assert(r.toSet === r2.toSet)
+  }
+
+  test("HLL registers merge by element-wise max (the cross-shard union law)") {
+    val a = corpus(120); val b = corpus(260).filter(col("doc_id") >= 100)
+    val whole = Sketches.hllRegisters(a.unionByName(b.filter(col("doc_id") >= 120)))
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    val ra = Sketches.hllRegisters(a).collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    val rb = Sketches.hllRegisters(b).collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+    // b overlaps a on docs 100-119: max-merge still equals the union's
+    // registers because max is idempotent over duplicates
+    val merged = ra.map { case (k, v) => k -> math.max(v, rb(k)) }
+    assert(merged === whole)
+  }
+
+  test("HLL estimate lands within the expected error band of exact") {
+    val row = Sketches.hllDistinct(corpus(3000)).head()
+    val (exact, est, errBp) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(exact > 2500L, exact.toString) // ~3000 unique w<i>x tokens + t0..t6
+    // raw estimator at m=256: standard error ~6.5%; allow 4 sigma
+    assert(errBp < 2600L, s"exact=$exact est=$est err_bp=$errBp")
+    assert(errBp === math.abs(est - exact) * 10000 / exact)
+  }
+
+  test("per-group HLL tracks per-source vocabularies") {
+    val r = Sketches.hllDistinctBy(corpus(3000), "source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toList
+    assert(r.map(_._1).toSet === Set("s0", "s1", "s2"))
+    r.foreach { case (src, exact, est) =>
+      val err = math.abs(est - exact) * 10000 / exact
+      assert(err < 2600L, s"$src exact=$exact est=$est")
+    }
+  }
+
+  test("CMS counters: dense d×w, column sums all equal total occurrences") {
+    val d = corpus(500)
+    val c = Sketches.cmCounters(d).collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(c.length === Sketches.CmDepth * Sketches.CmWidth)
+    val total = d.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w")).count()
+    val perDepth = c.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDepth.values.toSet === Set(total),
+      s"total=$total perDepth=$perDepth")
+  }
+
+  test("CMS point estimates never underestimate and are tight for heavy keys") {
+    val hh = Sketches.cmHeavyHitters(corpus(800), 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(hh.length === 10)
+    hh.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"$w est=$est < exact=$exact")
+      // error bound εN with ε = e/w over ~3200 occurrences: generous cap
+      assert(est - exact <= 64L, s"$w est=$est exact=$exact")
+    }
+    // the universally-present token is the top hitter
+    assert(hh.maxBy(_._2)._1 === "t0")
+  }
+}
