@@ -320,7 +320,7 @@ object EmbeddingQueries {
   )
 
   /** Shared oracle CTE: fixed-point embeddings + positional expansion. */
-  private val intCte =
+  private[graft] val intCte =
     """ie AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v FROM embeddings),
 iex AS (SELECT vec_id, label, unnest(v) AS ev, generate_subscripts(v, 1) AS i FROM ie)"""
 

@@ -44,7 +44,7 @@ object SketchQueries {
     s"CAST(('0x' || substr(md5('$seed:' || $e), 1, 15)) AS BIGINT)"
 
   /** Shared register CTE: words → (reg, rho) → m-dense register table. */
-  private val regCte =
+  private[graft] val regCte =
     s"""w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
 hh AS (SELECT ${oh60("w", HllSeed)} AS h FROM w),
 rr AS (SELECT h % $HllM AS reg, h // 256 AS rest FROM hh),
@@ -67,7 +67,7 @@ counters AS (SELECT d.range AS depth, b.range AS bucket, CAST(coalesce(c.cnt, 0)
 
   /** The exact-integer HLL estimate over a register relation exposing
     * per-group `(s)` = Σ 2^(53−rho). */
-  private val estExpr =
+  private[graft] val estExpr =
     s"CAST((CAST(${AlphaE5 * HllM * HllM} AS HUGEINT) * ${1L << 53}) // (CAST(s AS HUGEINT) * 100000) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(

@@ -279,10 +279,62 @@ object StreamingQueries {
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
+    // Streaming distinct-count sketch: the documents corpus arrives as
+    // four microbatches; each batch appends its PARTIAL HyperLogLog
+    // register table to a sketch log, and the read side max-merges the
+    // log into one register set before applying the estimator
+    // ([[graft.operators.Sketches]]). This is the production shape for
+    // "distinct users/tokens so far" over an unbounded stream: state is
+    // O(m) per batch, the log is append-only, and because max is
+    // idempotent and commutative an at-least-once REPLAYED batch
+    // re-appends the same partials without changing the merge — no
+    // two-phase publish needed. The oracle computes the same estimate
+    // over the whole corpus in one pass: merge-then-estimate must equal
+    // estimate-over-union (the HLL merge law, also pinned in
+    // SketchesSpec).
+    "stream_hll" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-hll").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Sketches.hllRegisters(batch)
+            .write.mode("append").parquet(s"$tmp/sketch")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(s"$tmp/sketch")
+        .groupBy("reg").agg(max(col("rho")).as("rho"))
+      val est = graft.operators.Sketches.hllEstimate(merged)
+      val rows = est.collect().toSeq
+      val outSchema = est.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the batch spelling of the streamed sketch: registers over the
+    // whole corpus, then the estimator — equality IS the merge law
+    "stream_hll" ->
+      s"""WITH ${SketchQueries.regCte},
+sm AS (SELECT sum(CAST(1 AS BIGINT) << (53 - rho)) AS s FROM regs)
+SELECT ${SketchQueries.estExpr} AS n_est FROM sm""",
+
     "stream_ingest_range" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
   CAST(sum(event_id) AS BIGINT) AS id_sum,

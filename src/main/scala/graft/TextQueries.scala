@@ -70,7 +70,7 @@ object TextQueries {
     * df ≈ N/13 → idf2 = 3; even docs carry the fine topic twice so tf
     * saturation is exercised). Deterministic, replayed verbatim by the
     * oracle CTE. */
-  private def retDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def retDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("text",
       concat(col("text"),
         format_string(" ta%d tb%d", col("doc_id") % 61, col("doc_id") % 13),

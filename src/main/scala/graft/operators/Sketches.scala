@@ -90,17 +90,21 @@ object Sketches {
    * the raw-estimator regime, and the correction needs a float `ln`.
    */
   def hllDistinct(docs: DataFrame): DataFrame = {
-    val est = hllRegisters(docs)
-      .agg(sum(expr("shiftleft(cast(1 as bigint), 53 - rho)")).as("s"))
-      .select(expr(
-        s"cast((cast(${AlphaE5 * HllM * HllM} as decimal(38,0)) * ${1L << 53}) " +
-          "div (cast(s as decimal(38,0)) * 100000) as bigint)").as("n_est"))
     val exact = docs.select(words.as("w"))
       .agg(count_distinct(col("w")).as("n_exact"))
-    exact.crossJoin(broadcast(est))
+    exact.crossJoin(broadcast(hllEstimate(hllRegisters(docs))))
       .select(col("n_exact"), col("n_est"),
         expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"))
   }
+
+  /** The raw HLL estimate `(n_est)` from a DENSE `(reg, rho)` register
+    * table — the read side of any register log (batch, merged shards,
+    * or a streaming sketch store). */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(sum(expr("shiftleft(cast(1 as bigint), 53 - rho)")).as("s"))
+      .select(expr(
+        s"cast((cast(${AlphaE5 * HllM * HllM} as decimal(38,0)) * ${1L << 53}) " +
+          "div (cast(s as decimal(38,0)) * 100000) as bigint)").as("n_est"))
 
   /**
    * Per-group HLL: distinct-token estimate vs exact for each value of
