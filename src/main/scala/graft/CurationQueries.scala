@@ -71,6 +71,20 @@ object CurationQueries {
         .select("doc_id", "lang")),
     "source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), SourceCapN)),
     "token_histogram" -> ((s, dir) => Curation.tokenHistogram(docs(s, dir), HistBucket)),
+    // snapshot diff against a deterministically mutated next release:
+    // every 13th doc removed, every remaining 7th edited, every 17th
+    // re-added under a shifted id — added/removed/changed per doc,
+    // fingerprints projected before the one doc_id-keyed join
+    "corpus_diff" -> ((s, dir) => {
+      val prev = docs(s, dir).select("doc_id", "text")
+      val next = prev.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("doc_id")).as("text")))
+      Curation.corpusDiff(prev, next)
+    }),
     // deterministic training-shard assignment (reproducible global
     // shuffle: hash shard + in-shard rank)
     "shard_assign" -> ((s, dir) => Curation.shardAssign(docs(s, dir), NShards)),
@@ -416,6 +430,21 @@ FROM m""",
 SELECT CAST((n_tokens // 25) * 25 AS BIGINT) AS bucket,
   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
 FROM s GROUP BY 1""",
+
+    "corpus_diff" ->
+      """WITH nx AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new ' || doc_id AS text
+  FROM documents WHERE doc_id % 17 = 0),
+j AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+    CASE WHEN p.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN md5(p.text) <> md5(n.text) THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM documents p FULL OUTER JOIN nx n ON n.doc_id = p.doc_id)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
 
     // stage order mirrors the engine exactly: content gates → sample →
     // per-source rank over the post-filter survivors → cluster-loser

@@ -22,6 +22,14 @@ object EmbeddingQueries {
   private val NQueries = 10
   private val NearDupMinDot = 350000000000L // ~cosine 0.35 at unit norms
   private val Dim = 64
+  // random-projection operating point: 64 → 32 halves vector bytes;
+  // RAW projected-space recall@10 measured 0.22 on the weak-similarity
+  // fixture (dOut=16 ≈ 0.12) — which is why the production path
+  // shortlists top-C in projected space and re-ranks exactly:
+  // C=50 recovers 0.54, C=100 0.81 (the gated operating point;
+  // emb_project_rerank_recall pins whatever it yields)
+  private val ProjDim = 32
+  private val ProjC = 100
   // LSH operating point — single source of truth for engine AND oracle
   // (L=16, b=5) measured ~0.7 recall@10 on the weak-similarity fixture
   // (b=6 ≈ 0.5, b=8 ≈ 0.2) at a still-small candidate fraction — the
@@ -267,6 +275,49 @@ object EmbeddingQueries {
     // symmetric int8 quantization audit (amax scale + quantized-vector
     // fingerprint + L1 reconstruction error), exact integer arithmetic
     "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    // signed random projection 64 → 16: per-vector fingerprint pins
+    // every projected component; pure per-row fused-kernel work
+    "emb_project" -> ((s, dir) => {
+      val p = Similarity.randomProject(emb(s, dir), Dim, ProjDim)
+      p.select(col("vec_id"),
+        expr("md5(concat_ws(',', transform(p, y -> cast(y as string))))").as("p_fp"),
+        expr("aggregate(p, cast(0 as bigint), (acc, x) -> acc + abs(x))").as("l1"))
+    }),
+    // how much neighbor structure the 2× reduction keeps RAW: top-k in
+    // the projected space vs exact 64-dim top-k (same proof shape as
+    // ann_lsh_recall — the JL lemma, measured; the gate pins whatever
+    // the operating point yields)
+    "emb_project_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pred = col("vec_id") < NQueries
+      val pr = Similarity.randomProject(e, Dim, ProjDim)
+        .select(col("vec_id"), col("p").as("v"))
+      val exact = Similarity.ipTopK(e, e.filter(pred), K).select(col("qid"), col("nid"))
+      val approx = Similarity.ipTopK(pr, pr.filter(pred), K).select(col("qid"), col("nid"))
+      e.filter(pred).select(col("vec_id").as("qid"))
+        .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
+        .groupBy("qid").agg(count(col("nid")).as("hits"))
+    }),
+    // the projection's production shape: coarse top-C shortlist in the
+    // projected space, exact re-rank of only those pairs (full-
+    // precision reads O(queries·C) at any corpus size)
+    "emb_project_rerank_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.projectRerankTopK(e, e.filter(col("vec_id") < NQueries),
+        Dim, ProjDim, K, ProjC)
+    }),
+    // gated recall of the project→shortlist→re-rank path
+    "emb_project_rerank_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pred = col("vec_id") < NQueries
+      val q = e.filter(pred)
+      val exact = Similarity.ipTopK(e, q, K).select(col("qid"), col("nid"))
+      val approx = Similarity.projectRerankTopK(e, q, Dim, ProjDim, K, ProjC)
+        .select(col("qid"), col("nid"))
+      q.select(col("vec_id").as("qid"))
+        .join(exact.join(approx, Seq("qid", "nid")), Seq("qid"), "left")
+        .groupBy("qid").agg(count(col("nid")).as("hits"))
+    }),
     // diversity-balanced selection: every semantic neighborhood (IVF
     // cell) capped at its best-scoring members — bounded top-k
     // aggregate per cell, no window (doc_id aligns with vec_id in the
@@ -320,6 +371,32 @@ object EmbeddingQueries {
   )
 
   /** Shared oracle CTE: fixed-point embeddings + positional expansion. */
+  /** Oracle CTEs for the signed random projection: `pm` is the
+    * md5-parity ±1 matrix (the [[Similarity.projectionMatrix]] twin —
+    * +1 when the leading hex pair of the coefficient hash is even),
+    * `pr(vec_id, j, p)` the projected components. `iex.i` is 1-based. */
+  private val projCte =
+    s"""pm AS (SELECT j.range AS j, d.range AS d,
+  CASE WHEN CAST(('0x' || substr(md5('proj:${Similarity.ProjSeed}:' || j.range || ':' || d.range), 1, 2)) AS INT) % 2 = 0
+       THEN 1 ELSE -1 END AS c
+  FROM range(0, $ProjDim) j, range(0, $Dim) d),
+pr AS (SELECT x.vec_id, m.j, CAST(sum(m.c * x.ev) AS BIGINT) AS p
+  FROM iex x JOIN pm m ON m.d = x.i - 1 GROUP BY 1, 2)"""
+
+  /** Oracle CTEs for the project→shortlist→re-rank path: projected
+    * dots (`ppd`), top-`ProjC` candidates (`pcand`), exact re-scored
+    * dots for candidate pairs only (`prsc`). */
+  private val projCandCte =
+    s"""ppd AS (SELECT q.vec_id AS qid, n.vec_id AS nid, CAST(sum(q.p * n.p) AS BIGINT) AS dot
+  FROM pr q JOIN pr n ON n.j = q.j AND n.vec_id <> q.vec_id
+  WHERE q.vec_id < $NQueries GROUP BY 1, 2),
+pcand AS (SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn FROM ppd)
+  WHERE rn <= $ProjC),
+prsc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
+  FROM pcand c JOIN iex a ON a.vec_id = c.qid JOIN iex b ON b.vec_id = c.nid AND b.i = a.i
+  GROUP BY 1, 2)"""
+
   private[graft] val intCte =
     """ie AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v FROM embeddings),
 iex AS (SELECT vec_id, label, unnest(v) AS ev, generate_subscripts(v, 1) AS i FROM ie)"""
@@ -508,6 +585,57 @@ SELECT vec_id, CAST(amax AS BIGINT) AS amax,
   CAST(list_sum(list_transform(range(1, len(v)+1),
     i -> abs(v[i] - (q[i] * amax) // 127))) AS BIGINT) AS err_l1
 FROM qq""",
+
+    // md5-parity ±1 matrix (pm) → projected components (pr) — the
+    // oracle twin of Similarity.projectionMatrix/randomProject
+    "emb_project" ->
+      s"""WITH $intCte,
+$projCte
+SELECT vec_id, md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY j)) AS p_fp,
+  CAST(sum(abs(p)) AS BIGINT) AS l1
+FROM pr GROUP BY vec_id""",
+
+    "emb_project_recall" ->
+      s"""WITH $intCte,
+$projCte,
+$exactTopCte,
+pd AS (SELECT q.vec_id AS qid, n.vec_id AS nid, CAST(sum(q.p * n.p) AS BIGINT) AS dot
+  FROM pr q JOIN pr n ON n.j = q.j AND n.vec_id <> q.vec_id
+  WHERE q.vec_id < $NQueries GROUP BY 1, 2),
+ptop AS (SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn FROM pd)
+  WHERE rn <= $K)
+SELECT q.vec_id AS qid, CAST(count(j.nid) AS BIGINT) AS hits
+FROM ie q LEFT JOIN (
+  SELECT e.qid, e.nid FROM extop e JOIN ptop l ON e.qid = l.qid AND e.nid = l.nid) j
+  ON j.qid = q.vec_id
+WHERE q.vec_id < $NQueries
+GROUP BY 1""",
+
+    "emb_project_rerank_topk" ->
+      s"""WITH $intCte,
+$projCte,
+$projCandCte
+SELECT qid, nid, dot, rank FROM (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+  FROM prsc)
+WHERE rank <= $K""",
+
+    "emb_project_rerank_recall" ->
+      s"""WITH $intCte,
+$projCte,
+$projCandCte,
+$exactTopCte,
+prtop AS (SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn FROM prsc)
+  WHERE rn <= $K)
+SELECT q.vec_id AS qid, CAST(count(j.nid) AS BIGINT) AS hits
+FROM ie q LEFT JOIN (
+  SELECT e.qid, e.nid FROM extop e JOIN prtop l ON e.qid = l.qid AND e.nid = l.nid) j
+  ON j.qid = q.vec_id
+WHERE q.vec_id < $NQueries
+GROUP BY 1""",
 
     "emb_near_pairs" ->
       s"""WITH $intCte,

@@ -15,8 +15,27 @@ import graft.operators.Sketches
  */
 object SketchQueries {
 
+  /**
+   * Vocabulary-widening fixture: the driver corpus is ~31 near-universal
+   * terms — fine for frequency sketches' heavy hitters but DEGENERATE
+   * for distinct counting (n ≪ m puts raw HLL in its known
+   * small-range-bias regime, where production implementations switch
+   * to linear counting — which needs a float `ln` both engines would
+   * have to agree on bit-for-bit). Append 40 per-document unique
+   * tokens (`u<doc_id>_<i>`) with one dialect-shared expression, so
+   * corpus and per-source vocabularies land in the raw estimator's
+   * valid regime (n ≳ 2.5·m) and the accuracy columns mean something.
+   */
+  private[graft] val AugSql: String =
+    "text" + (0 until 40).map(i => s" || ' u' || doc_id || '_$i'").mkString
+
+  /** [[AugSql]] as an oracle CTE named `sdocs`. */
+  private val sdocsCte =
+    s"sdocs AS (SELECT doc_id, source, $AugSql AS text FROM documents)"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", expr(AugSql))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the m=256 HLL register table (reg, max-rho) — the fixed-size,
@@ -45,7 +64,8 @@ object SketchQueries {
 
   /** Shared register CTE: words → (reg, rho) → m-dense register table. */
   private[graft] val regCte =
-    s"""w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+    s"""$sdocsCte,
+w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM sdocs),
 hh AS (SELECT ${oh60("w", HllSeed)} AS h FROM w),
 rr AS (SELECT h % $HllM AS reg, h // 256 AS rest FROM hh),
 rho AS (SELECT reg, CASE WHEN rest = 0 THEN 53 ELSE 53 - len(bin(rest)) END AS rho FROM rr),
@@ -55,7 +75,8 @@ regs AS (SELECT t.range AS reg, coalesce(p.rho, 0) AS rho
 
   /** Shared CMS CTEs: token frequencies and the dense counter table. */
   private val cmsCte =
-    s"""w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+    s"""$sdocsCte,
+w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM sdocs),
 tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY w),
 cells AS (SELECT t.range AS depth,
     xor(${oh60("w", CmSeedBase)}, ${oh60("w", CmSeedBase + 1)} * t.range) % $CmWidth AS bucket,
@@ -85,7 +106,8 @@ SELECT ex.n_exact, est.n_est,
 FROM ex, est""",
 
     "hll_by_source" ->
-      s"""WITH w AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+      s"""WITH $sdocsCte,
+w AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM sdocs),
 hh AS (SELECT source, ${oh60("w", HllSeed)} AS h FROM w),
 rr AS (SELECT source, h % $HllM AS reg, h // 256 AS rest FROM hh),
 rho AS (SELECT source, reg, CASE WHEN rest = 0 THEN 53 ELSE 53 - len(bin(rest)) END AS rho FROM rr),

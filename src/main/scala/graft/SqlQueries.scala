@@ -61,7 +61,24 @@ GROUP BY event_type""")),
        simhash_agg(cast(conv(substr(md5(concat('0:', w)), 1, 15), 16, 10) as bigint)) AS simhash
 FROM (SELECT doc_id, explode(array_distinct(split(lower(trim(text)), '\\s+'))) AS w
       FROM documents)
-GROUP BY doc_id"""))
+GROUP BY doc_id""")),
+
+    // semi-structured ingestion through the SQL surface: build one
+    // JSONL record per document in-query, parse it back with a
+    // from_json schema projection (nested struct + field promotion) —
+    // the JSONL-corpus ingestion shape, gated against DuckDB's
+    // independent JSON parser. Per-row, exchange-free.
+    "sql_jsonl_roundtrip" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id, js.meta.src AS src, js.meta.id AS id,
+       cast(size(split(js.body, ' ')) as bigint) AS n_body,
+       js.meta.id = doc_id AS id_ok
+FROM (SELECT doc_id,
+        from_json(concat('{"meta":{"src":"', source, '","id":', doc_id,
+            '},"body":"',
+            array_join(slice(split(lower(trim(text)), '\\s+'), 1, 5), ' '),
+            '"}'),
+          'meta STRUCT<src: STRING, id: BIGINT>, body STRING') AS js
+      FROM documents)"""))
   )
 
   val oracle: Map[String, String] = Map(
@@ -79,6 +96,18 @@ WHERE CAST(floor(value*100) AS INT) BETWEEN 10000 AND 30000
   AND (event_id % 2097152) BETWEEN 500 AND 300000
 GROUP BY event_type""",
     // identical pipeline to the Column-API `simhash` gate
-    "sql_simhash" -> TextQueries.oracle("simhash")
+    "sql_simhash" -> TextQueries.oracle("simhash"),
+
+    "sql_jsonl_roundtrip" ->
+      """WITH j AS (SELECT doc_id,
+  '{"meta":{"src":"' || source || '","id":' || doc_id || '},"body":"' ||
+    array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[1:5], ' ') || '"}' AS js
+  FROM documents)
+SELECT doc_id,
+  json_extract_string(js, '$.meta.src') AS src,
+  CAST(json_extract(js, '$.meta.id') AS BIGINT) AS id,
+  CAST(len(string_split(json_extract_string(js, '$.body'), ' ')) AS BIGINT) AS n_body,
+  CAST(json_extract(js, '$.meta.id') AS BIGINT) = doc_id AS id_ok
+FROM j"""
   )
 }

@@ -297,7 +297,10 @@ object StreamingQueries {
     "stream_hll" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-hll").toString
+        // same vocabulary-widening fixture as the batch sketch gates
+        // (the raw corpus is ~31 distinct terms — small-range regime)
         s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", expr(SketchQueries.AugSql))
           .select("doc_id", "text")
           .repartition(4).write.parquet(s"$tmp/in")
         (tmp, s.read.parquet(s"$tmp/in").schema)

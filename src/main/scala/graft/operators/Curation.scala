@@ -660,4 +660,26 @@ object Curation {
         col("n_tokens"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
+
+  /**
+   * Snapshot diff between two corpus versions — the release-to-release
+   * bookkeeping of a continuously rebuilt corpus: `(doc_id, status)`
+   * with status `added` / `removed` / `changed` (docs identical in
+   * both snapshots are dropped — at 100 TB the unchanged mass is the
+   * bulk and nobody materializes it). Content comparison is by md5
+   * FINGERPRINT projected before the join, so document text never
+   * crosses the exchange; the join itself is one doc_id-keyed shuffle
+   * (bucketed snapshot layouts co-locate it away entirely).
+   */
+  def corpusDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text")).as("fp_prev"))
+    val b = next.select(col("doc_id"), md5(col("text")).as("fp_next"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_next").isNull, lit("removed"))
+          .when(col("fp_prev") =!= col("fp_next"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
 }

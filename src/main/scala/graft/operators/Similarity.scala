@@ -74,6 +74,72 @@ object Similarity {
         expr("""aggregate(zip_with(v, q, (x, y) -> abs(x - div(y * amax, 127))),
                           cast(0 as bigint), (acc, e) -> acc + e)""").as("err_l1"))
 
+  /** Seed of the deterministic random-projection matrix. */
+  val ProjSeed = 7
+
+  /**
+   * The md5-derived ±1 projection matrix: coefficient (j, d) is +1
+   * when the first byte of `md5("proj:<seed>:<j>:<d>")` is even —
+   * replayable in SQL as the parity of the leading hex pair. Shared by
+   * [[randomProject]] and the oracle spelling.
+   */
+  def projectionMatrix(dIn: Int, dOut: Int, seed: Int = ProjSeed): Array[Array[Long]] =
+    Array.tabulate(dOut) { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dIn) { d =>
+        val h = md.digest(s"proj:$seed:$j:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1L else -1L
+      }
+    }
+
+  /**
+   * Signed random projection to `dOut` integer components — the
+   * Johnson–Lindenstrauss / Achlioptas-style dimensionality reduction
+   * an embedding pipeline runs before clustering or coarse search
+   * (8 TB of 64-dim vectors become 2 TB of 16-dim ones with inner
+   * products approximately preserved). Each output component is one
+   * fused [[graft.functions.DotLong]] kernel against a PLAN-LITERAL
+   * ±1 row of the md5-derived matrix ([[projectionMatrix]]) — exact
+   * integer arithmetic, per-row, shuffle-free, and bit-replayable in
+   * SQL. Returns `(vec_id, label, p)` with `p` the dOut-element BIGINT
+   * array; `p` drops into every operator that reads `v` (top-k, IVF,
+   * quantization) unchanged.
+   */
+  def randomProject(emb: DataFrame, dIn: Int, dOut: Int,
+                    seed: Int = ProjSeed): DataFrame = {
+    val m = projectionMatrix(dIn, dOut, seed)
+    emb.select(col("vec_id"), col("label"),
+      array(m.map(row =>
+        graft.functions.GraftFunctions.dot_long(col("v"), lit(row))): _*).as("p"))
+  }
+
+  /**
+   * The projection's production composition: COARSE search in the
+   * `dOut`-dim projected space nominates `c` candidates per query,
+   * then only those pairs are re-scored by the exact full-dimension
+   * integer dot — full-precision reads stay O(queries · c) at any
+   * corpus size (the same refine shape as [[ivfPqRerankTopK]], with
+   * the 4×-smaller projected vectors as the scan side). Returns
+   * `(qid, nid, dot, rank)` with exact dots.
+   */
+  def projectRerankTopK(emb: DataFrame, queries: DataFrame, dIn: Int,
+                        dOut: Int, k: Int, c: Int,
+                        seed: Int = ProjSeed): DataFrame = {
+    val pr = randomProject(emb, dIn, dOut, seed)
+      .select(col("vec_id"), col("p").as("v"))
+    val prq = randomProject(queries, dIn, dOut, seed)
+      .select(col("vec_id"), col("p").as("v"))
+    val cand = ipTopK(pr, prq, c).select(col("qid"), col("nid"))
+    val qv = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rescored = emb.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(cand.join(broadcast(qv), Seq("qid"))), Seq("nid"))
+      .select(col("qid"), col("nid"), dotInt("qv", "nv").as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
   /**
    * Exact top-k neighbors by integer inner product for each query
    * vector: broadcast the query side, rank with a per-query window.

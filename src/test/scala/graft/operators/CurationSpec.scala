@@ -442,4 +442,18 @@ class CurationSpec extends SparkSpec {
     assert(hist.map(_._3).sum == totalTokens)
     assert(hist.forall { case (b, _, _) => b % 25 == 0 })
   }
+
+  test("corpusDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val r = Curation.corpusDiff(prev, next).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(r === Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // direction matters: swapping snapshots swaps added and removed
+    val rev = Curation.corpusDiff(next, prev).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(rev === Set((2L, "changed"), (4L, "removed"), (3L, "added")))
+  }
 }

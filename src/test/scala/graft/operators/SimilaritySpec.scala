@@ -530,4 +530,33 @@ class SimilaritySpec extends SparkSpec {
       if (recon.toSeq == v.toSeq) assert(adc(id) === exactDot, s"doc $id")
     }
   }
+
+  test("randomProject applies the md5 ±1 matrix exactly and is " +
+    "partitioning-independent") {
+    import spark.implicits._
+    // basis vectors isolate single matrix columns: projecting
+    // 1000·e_d must yield exactly 1000·M[j][d] in component j
+    val m = Similarity.projectionMatrix(8, 4)
+    val basis = (0 until 8).map { d =>
+      (d.toLong, 0, Array.tabulate(8)(i => if (i == d) 1000L else 0L))
+    }.toDF("vec_id", "label", "v")
+    val got = Similarity.randomProject(basis, 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
+    for (d <- 0 until 8; j <- 0 until 4)
+      assert(got(d.toLong)(j) === m(j)(d) * 1000L, s"d=$d j=$j")
+    val rep = Similarity.randomProject(basis.repartition(5), 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSeq).toMap
+    assert(rep === got.view.mapValues(_.toSeq).toMap)
+  }
+
+  test("projectRerankTopK with c >= corpus equals the exact top-k") {
+    val q = emb.filter(col("vec_id") < 2)
+    val exact = Similarity.ipTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val rr = Similarity.projectRerankTopK(emb, q, 64, 16, 5, c = 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // the shortlist covers everything, so the exact re-rank IS exact
+    assert(rr === exact)
+  }
 }

@@ -313,6 +313,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!sc.contains("Join"), s"model must not join:\n$sc")
   }
 
+  test("sketch plans: map-side partial fold before the register/counter " +
+    "shuffle; heavy-hitter probe broadcasts the counter table") {
+    // the whole point of a sketch: the exchange after partial agg
+    // carries at most m (or d·w) cells per partition, never the corpus
+    val reg = graft.SparkEntry.queries("hll_registers")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(reg.contains("partial_max"), reg)
+    val cnt = graft.SparkEntry.queries("cms_counters")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(cnt.contains("partial_"), cnt)
+    val hh = graft.SparkEntry.queries("cms_heavy_hitters")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(hh.contains("BroadcastHashJoin"), hh)
+    assert(!hh.contains("CartesianProduct"), hh)
+    // fusion composes two retrievers — no cartesian anywhere in the
+    // combined plan (the exact-ANN scorer's broadcast NLJ over the
+    // query side is its documented brute-force baseline shape)
+    val fu = graft.SparkEntry.queries("hybrid_rrf_topk")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!fu.contains("CartesianProduct"), fu)
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
