@@ -142,6 +142,26 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
       PointStore.get(partPoints(s, dir), GX, GY)
         .select(col("id"), col("x"), col("y"))),
 
+    // the SET-oriented generalization of O3: 60 query rectangles of
+    // widely varying sizes joined against the point set in one pass,
+    // as an equi-join on adaptive grid cells (graft.operators
+    // .SpatialJoin) — never a nested loop; the id-sum pins the exact
+    // matched multiset per rectangle
+    "spatial_join_count" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id").as("id"),
+        expr("cast(floor(value*100) as int)").as("x"),
+        col("user_id").cast("int").as("y"))
+      val rects = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id").as("rect_id"),
+          ((col("doc_id") * 97) % 45000).as("xmin"),
+          ((col("doc_id") * 97) % 45000 + 200 + (col("doc_id") % 17) * 600).as("xmax"),
+          ((col("doc_id") * 13) % 120).as("ymin"),
+          ((col("doc_id") * 13) % 120 + 3 + (col("doc_id") % 7) * 15).as("ymax"))
+      graft.operators.SpatialJoin.joinCount(pts, rects)
+    }),
+
     // O5 — exact kNN, deterministic (dist2, id) tie order
     "knn" -> ((s, dir) =>
       PointStore.knn(partPoints(s, dir), QX, QY, K)),
@@ -291,6 +311,19 @@ FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
   AND user_id BETWEEN ${RY.min} AND ${RY.max}
 GROUP BY event_type""",
+
+    "spatial_join_count" ->
+      """WITH r AS (SELECT doc_id AS rect_id,
+    (doc_id * 97) % 45000 AS xmin,
+    (doc_id * 97) % 45000 + 200 + (doc_id % 17) * 600 AS xmax,
+    (doc_id * 13) % 120 AS ymin,
+    (doc_id * 13) % 120 + 3 + (doc_id % 7) * 15 AS ymax
+  FROM documents WHERE doc_id < 60),
+p AS (SELECT event_id AS id, CAST(floor(value*100) AS INT) AS x, user_id AS y FROM events)
+SELECT r.rect_id, CAST(count(p.id) AS BIGINT) AS n_points,
+  CAST(coalesce(sum(p.id), 0) AS BIGINT) AS id_sum
+FROM r LEFT JOIN p ON p.x BETWEEN r.xmin AND r.xmax AND p.y BETWEEN r.ymin AND r.ymax
+GROUP BY r.rect_id""",
 
     "get_point" ->
       s"""SELECT p_partkey AS id, p_size AS x, CAST(floor(p_retailprice) AS INT) AS y

@@ -56,7 +56,8 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("dedup_near_pairs", "lsh_candidates", "simhash_near_pairs",
                   "ann_lsh_topk", "ann_ivf_topk", "emb_near_pairs", "knn_join_emb",
                   "semantic_incremental", "dedup_multimodal", "split_leakage",
-                  "ann_ivfpq_rerank_topk", "image_near_dup", "frame_near_dup")) {
+                  "ann_ivfpq_rerank_topk", "image_near_dup", "frame_near_dup",
+                  "spatial_join_count")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
