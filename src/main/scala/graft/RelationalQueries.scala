@@ -95,6 +95,45 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("rn"), col("run_cents"))
     }),
 
+    // exact per-group order statistics: p50/p90/p99 of event cents per
+    // event_type, spelled as deterministic RANK SELECTION (the element
+    // at rank ceil(q·n) of the sorted multiset — no interpolation, no
+    // engine-specific quantile builtin, so both engines agree
+    // bit-exactly; the value at a rank is tie-order-free even though
+    // row_number among equal cents is not). One sort-per-group window —
+    // exact quantiles cost a shuffle; the sketch-based alternative for
+    // corpus-scale group counts is the token-histogram cutoff
+    // (Curation.budgetSelect's shape)
+    "value_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("div(n + 1, 2)"), col("cents"))).as("p50"),
+          max(when(col("rn") === expr("div(9 * n + 9, 10)"), col("cents"))).as("p90"),
+          max(when(col("rn") === expr("div(99 * n + 99, 100)"), col("cents"))).as("p99"))
+    }),
+
+    // hierarchical totals in one pass (ROLLUP — absent in the
+    // reference, free in Catalyst: partial-agg per grouping set, one
+    // shuffle): per (type, cohort), per type, and grand total; NULL
+    // grouping markers rendered as 'ALL' so they are distinguishable
+    // from data nulls in both engines
+    "events_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 10).as("cohort"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+        .rollup(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("cohort").cast("string"), lit("ALL")).as("cohort"),
+          col("cnt"), col("sum_cents"))),
+
     // tumbling-window aggregation over the event stream table — the
     // batch twin of the streaming ingest aggregation (SURVEY §2.9)
     "events_hourly" -> ((s, dir) =>
@@ -194,6 +233,26 @@ GROUP BY n_name""",
   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "events_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
+  count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (SELECT event_type, user_id % 10 AS cohort,
+    CAST(round(value*100) AS BIGINT) AS cents FROM events)
+GROUP BY ROLLUP(event_type, cohort)""",
+
+    "value_quantiles" ->
+      """WITH c AS (SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+r AS (SELECT event_type, cents,
+    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM c)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50,
+  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90,
+  max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99
+FROM r GROUP BY event_type""",
 
     "events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
