@@ -27,6 +27,11 @@ object TextQueries {
   // Dedup.jaccardPairs): shingles in more than this many documents are
   // stop-shingles and excluded from the join (mirrored in the oracle)
   private val MaxShingleDf = 100
+
+  /** NFC fixture marker: decomposed e\u0301, n\u0303, A\u030A next to
+    * their precomposed forms (same Scala string feeds the gate AND the
+    * oracle SQL, so both engines see identical bytes). */
+  private val NfcMarker = "cafe\u0301 n\u0303 A\u030A \u00e9\u00f1\u00c5"
   // segment (pseudo-line) length for the line-level dedup gates: short
   // enough that the sf fixtures actually contain cross-document repeats
   private val SegLen = 5
@@ -86,6 +91,19 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"  -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
+    // Unicode NFC canonical composition (the pre-hash normalization
+    // every multilingual pipeline runs): the fixture appends DECOMPOSED
+    // e/n/A + combining marks next to their precomposed forms — the
+    // engine's codegen java.text.Normalizer expression must agree with
+    // DuckDB's independent utf8proc implementation on the composed
+    // string AND the character counts (which shrink under NFC)
+    "text_nfc" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" " + NfcMarker)).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("raw_chars"),
+        graft.functions.GraftFunctions.nfc_normalize(col("raw")).as("nfc"))
+      .withColumn("nfc_chars", length(col("nfc")).cast("long"))),
     "lang_id"     -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -483,6 +501,13 @@ clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
     ("dedup_incremental_bloom" -> oracleBase("dedup_incremental"))
 
   private lazy val oracleBase: Map[String, String] = Map(
+    "text_nfc" ->
+      s"""SELECT doc_id,
+  CAST(length(text || ' $NfcMarker') AS BIGINT) AS raw_chars,
+  nfc_normalize(text || ' $NfcMarker') AS nfc,
+  CAST(length(nfc_normalize(text || ' $NfcMarker')) AS BIGINT) AS nfc_chars
+FROM documents""",
+
     "dedup_clusters" ->
       s"""$recursiveSigCte,
 $clusterCte

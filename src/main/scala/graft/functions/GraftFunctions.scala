@@ -63,6 +63,11 @@ object GraftFunctions {
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Unicode NFC canonical composition (native codegen expression —
+    * Spark ships no normalizer; see [[NfcNormalize]]). */
+  def nfc_normalize(s: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(s)))
+
   /** One-pass SimHash aggregate over per-element 64-bit hashes
     * ([[SimHashAgg]] — map-side combinable counter buffer). */
   def simhash_agg(h: Column, bits: Int = 60): Column =
@@ -86,5 +91,7 @@ object GraftFunctions {
       es => SortedFloor(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash_agg",
       es => SimHashAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "built-in")
   }
 }

@@ -179,5 +179,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (es: Seq[Expression]) =>
         graft.functions.SimHashAgg(es.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => graft.functions.NfcNormalize(es.head)))
   }
 }
