@@ -24,6 +24,7 @@ object CurationQueries {
   private val SampleRates = Map("en" -> 100, "de" -> 300, "fr" -> 500)
   private val SampleDefault = 400
   private val SourceCapN = 10
+  private val WsampleK = 64
   private val HistBucket = 25
   private val RepMaxE3 = 300
   private val NShards = 8
@@ -70,6 +71,11 @@ object CurationQueries {
       Curation.stratifiedSample(docs(s, dir), "lang", SampleRates, SampleDefault)
         .select("doc_id", "lang")),
     "source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), SourceCapN)),
+    // weight-proportional priority sample (k smallest md5-hash/weight
+    // priorities, weight = token count) — TakeOrdered, never a global
+    // sort; exact integers both engines replay bit-for-bit
+    "weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(docs(s, dir), WsampleK)),
     "token_histogram" -> ((s, dir) => Curation.tokenHistogram(docs(s, dir), HistBucket)),
     // snapshot diff against a deterministically mutated next release:
     // every 13th doc removed, every remaining 7th edited, every 17th
@@ -277,6 +283,14 @@ FROM documents""",
       """SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 <
   CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 500 ELSE 400 END""",
+
+    "weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id,
+    greatest(1, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)) AS w,
+    CAST(('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, w, (h * 1000000) // w AS pri
+FROM w ORDER BY pri, doc_id LIMIT $WsampleK""",
 
     "source_cap" ->
       """SELECT doc_id, source, rn FROM (

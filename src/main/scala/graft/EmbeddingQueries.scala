@@ -61,6 +61,10 @@ object EmbeddingQueries {
   private val RerankProbe = 12
   private val KJoin = 5
   private val DiversityPerCell = 10
+  // MMR diversity re-rank operating point: top-20 exact shortlist,
+  // 8 picks, λ = 7/10 (score10 = 7·rel − 3·maxSimToPicked)
+  private val MmrK = 8
+  private val MmrC = 20
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact ANN baseline: top-k by integer inner product, per query
@@ -329,6 +333,15 @@ object EmbeddingQueries {
       Similarity.diversitySample(emb(s, dir), scores, DiversityPerCell, IvfCentroids)
     }),
 
+    // diversity-aware retrieval: greedy MMR over the exact top-C
+    // shortlist — each pick maximizes λ·rel − (1−λ)·maxSimToPicked in
+    // exact λ-scaled integers; per-query greedy is partition-local
+    // after one shuffle on qid (the oracle replays every pick with a
+    // recursive CTE)
+    "mmr_rerank_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrRerankTopK(e, e.filter(col("vec_id") < NQueries), MmrK, MmrC)
+    }),
     // gated recall metric: per query, how many of the LSH top-k appear
     // in the exact top-k (zero-hit queries included — 10 rows always)
     "ann_lsh_recall" -> ((s, dir) => {
@@ -567,6 +580,38 @@ extop AS (SELECT qid, nid, dot, rank FROM (
       s"""WITH $intCte,
 $exactTopCte
 SELECT qid, nid, dot, rank FROM extop""",
+
+    // greedy MMR replay: `rel` is the exact top-C shortlist, `ps` the
+    // candidate-pair dots, and the recursive `sel` carries the picked
+    // list — each step scores every remaining candidate (correlated
+    // max over sims to the picked set) and QUALIFY keeps the argmax
+    // with the engine's (score desc, nid asc) tie rule
+    "mmr_rerank_topk" ->
+      s"""WITH RECURSIVE $intCte,
+allsc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.ev * b.ev) AS BIGINT) AS dot
+  FROM iex a JOIN iex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $NQueries GROUP BY 1, 2),
+rel AS (SELECT qid, nid, dot FROM (
+    SELECT qid, nid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn FROM allsc)
+  WHERE rn <= $MmrC),
+ps AS (SELECT r1.qid, r1.nid AS a, r2.nid AS b, CAST(sum(x.ev * y.ev) AS BIGINT) AS dot
+  FROM rel r1 JOIN rel r2 ON r2.qid = r1.qid AND r2.nid <> r1.nid
+  JOIN iex x ON x.vec_id = r1.nid JOIN iex y ON y.vec_id = r2.nid AND y.i = x.i
+  GROUP BY 1, 2, 3),
+sel AS (
+  SELECT qid, 1 AS step, nid, 7*dot AS sc10, [nid] AS picked FROM (
+    SELECT qid, nid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn FROM rel)
+  WHERE rn = 1
+  UNION ALL
+  SELECT qid, step + 1, nid, sc10, list_append(picked, nid) FROM (
+    SELECT s.qid, s.step, s.picked, c.nid,
+      7*c.dot - 3*(SELECT max(p.dot) FROM ps p
+                   WHERE p.qid = s.qid AND p.a = c.nid AND list_contains(s.picked, p.b)) AS sc10
+    FROM sel s JOIN rel c ON c.qid = s.qid AND NOT list_contains(s.picked, c.nid)
+    WHERE s.step < $MmrK)
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc10 DESC, nid) = 1
+)
+SELECT qid, CAST(step AS INT) AS rank, nid, sc10 FROM sel""",
 
     // int8 quantization audit: per-vector max-abs scale, md5 fingerprint
     // of the quantized vector (pins every element), and exact-integer L1

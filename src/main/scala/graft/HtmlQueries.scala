@@ -105,6 +105,11 @@ object HtmlQueries {
     // Every iteration is integer-exact, so the final fixed-point ranks
     // hash-match the oracle's unrolled replay.
     "pagerank" -> ((s, dir) => LinkGraph.pageRank(fixtureEdges(s, dir), iters = 5)),
+    // per-vertex triangle counts over the same (undirected) graph —
+    // degree-ordered wedge closure, each triangle enumerated once from
+    // its lowest-(deg,id) corner; the orientation's O(√m) out-degree
+    // bound is what keeps hub vertices from a wedge blowup at scale
+    "triangle_count" -> ((s, dir) => LinkGraph.triangles(fixtureEdges(s, dir))),
     // the same graph with every 5th page's out-edges removed (REAL
     // dangling vertices — they still appear as destinations), damped
     // dangling mass redistributed uniformly each round
@@ -160,6 +165,17 @@ edges AS (
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.oracleCore(iters = 5)}
 SELECT v, rank FROM p5""",
+
+    "triangle_count" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
+${LinkGraph.trianglesOracleCore}
+SELECT v, count(*) AS n_tri FROM
+  (SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri)
+GROUP BY v""",
 
     "pagerank_dangling" ->
       s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),

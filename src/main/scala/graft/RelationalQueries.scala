@@ -119,6 +119,47 @@ object RelationalQueries {
           max(when(col("rn") === expr("div(99 * n + 99, 100)"), col("cents"))).as("p99"))
     }),
 
+    // sliding event-time window per user (RANGE frame over canonical
+    // nanos): for each event, count + cents-sum of the user's events in
+    // the trailing hour — the batch twin of a stream's sliding
+    // aggregate. One shuffle on user_id; the frame is computed by the
+    // window operator's running multiset, never a self-join
+    "events_sliding" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600000000000L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+        .withColumn("w_cnt", count(lit(1)).over(w))
+        .withColumn("w_sum_cents", sum(col("cents")).over(w))
+        .select("event_id", "user_id", "ts", "w_cnt", "w_sum_cents")
+    }),
+
+    // per-group outlier detection by Tukey fences on EXACT rank-selected
+    // quartiles (q1/q3 = elements at rank ceil(n/4)/ceil(3n/4), the
+    // value_quantiles definition): flag events outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR]. The half-integer fence is compared
+    // ×2 so everything stays exact BIGINTs. The per-type fences are a
+    // 5-row model broadcast back onto the fact scan — one window-sort
+    // shuffle for the quartiles, zero shuffles for the flagging pass
+    "outlier_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val fences = ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === expr("div(n + 3, 4)"), col("cents"))).as("q1"),
+          max(when(col("rn") === expr("div(3 * n + 3, 4)"), col("cents"))).as("q3"))
+      ev.join(broadcast(fences), "event_type")
+        .filter(lit(2) * col("cents") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")) ||
+          lit(2) * col("cents") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("q1"), col("q3"))
+    }),
+
     // hierarchical totals in one pass (ROLLUP — absent in the
     // reference, free in Catalyst: partial-agg per grouping set, one
     // shuffle): per (type, cohort), per type, and grand total; NULL
@@ -179,6 +220,13 @@ object RelationalQueries {
           "user_id", "e_ts", "p_ts", 1800L * 1000000000L)
         .select(col("e_id"), col("p_id"))
     }),
+
+    // ordered funnel over the event log: first view → first later
+    // click → first later purchase per user; one shuffle on user_id,
+    // later stages join the shrinking frontier co-partitioned
+    "funnel_counts" -> ((s, dir) =>
+      graft.operators.Funnel.counts(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
 
     // gap-based sessionization (24h gap) — batch twin of the
     // flatMapGroupsWithState streaming state machine (Sessionize)
@@ -253,6 +301,40 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n,
   max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90,
   max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99
 FROM r GROUP BY event_type""",
+
+    "events_sliding" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts,
+    CAST(round(value*100) AS BIGINT) AS cents FROM events)
+SELECT event_id, user_id, ts,
+  count(*) OVER w AS w_cnt,
+  CAST(sum(cents) OVER w AS BIGINT) AS w_sum_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""",
+
+    "outlier_events" ->
+      """WITH c AS (SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+r AS (SELECT event_type, cents,
+    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM c),
+f AS (SELECT event_type,
+    max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+    max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+  FROM r GROUP BY event_type)
+SELECT event_id, c.event_type, cents, q1, q3
+FROM c JOIN f ON c.event_type = f.event_type
+WHERE 2*cents > 2*q3 + 3*(q3 - q1) OR 2*cents < 2*q1 - 3*(q3 - q1)""",
+
+    "funnel_counts" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t, event_type AS ty FROM events),
+s1 AS (SELECT u, min(t) AS t1 FROM e WHERE ty = 'view' GROUP BY u),
+s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON s1.u = e.u
+  WHERE ty = 'click' AND t > t1 GROUP BY e.u),
+s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON s2.u = e.u
+  WHERE ty = 'purchase' AND t > t2 GROUP BY e.u)
+SELECT CAST(1 AS INT) AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+UNION ALL SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3""",
 
     "events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

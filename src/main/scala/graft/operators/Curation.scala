@@ -117,6 +117,33 @@ object Curation {
   }
 
   /**
+   * Deterministic weight-proportional sampling (priority sampling, the
+   * fixed-hash variant of Efraimidis–Spirakis exponential clocks): each
+   * document draws a 32-bit uniform `h` from md5 of its id and keeps
+   * the `k` SMALLEST priorities `pri = (h·10^6) div weight` — a
+   * heavier document gets a proportionally smaller priority, so the
+   * sample tilts toward weight exactly like u^(1/w) ranking does in
+   * the small-probability regime, but every quantity is an exact
+   * BIGINT both engines reproduce bit-for-bit (no pow, no RNG state).
+   *
+   * Weight here is the whitespace token count (≥ 1) — "sample
+   * proportional to training tokens", the curation shape for building
+   * a length-balanced subset. Selection is `TakeOrderedAndProject`:
+   * per-partition priority queues of size k, a k-row driver merge —
+   * never a global sort, so the operator is one scan at any corpus
+   * size.
+   */
+  def weightedSample(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"),
+        greatest(lit(1L), size(TextAnalysis.tokens(col("text"))).cast("long")).as("w"),
+        expr("cast(conv(substr(md5(concat('wsmp:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("pri", expr("div(h * 1000000, w)"))
+      .orderBy(col("pri"), col("doc_id"))
+      .limit(k)
+      .select("doc_id", "w", "pri")
+
+  /**
    * Per-source document cap — the per-host/per-domain cap of web-corpus
    * curation (no single source may dominate the training mixture).
    * Keeps the `n` lowest doc_ids per source with their rank.

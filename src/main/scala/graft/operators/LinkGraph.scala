@@ -276,4 +276,81 @@ p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
     }
     (head +: rounds).mkString(",\n")
   }
+
+  /**
+   * Per-vertex triangle counts over the UNDIRECTED simple graph
+   * underlying `(src, dst)` — the local-clustering signal of link-spam
+   * and community detection (triangles are what separates an organic
+   * neighborhood from a star-shaped link farm).
+   *
+   * Algorithm: degree-ordered wedge closure (the "compact-forward" /
+   * node-iterator++ scheme, Latapy 2008; also Suri & Vassilvitskii
+   * 2011 for the MapReduce shape). Each undirected edge is ORIENTED
+   * from its lower endpoint to its higher by the total order
+   * `(degree, id)`; every triangle then has exactly one source vertex
+   * with two out-edges, so
+   *
+   *   wedges:   e1(u→x) ⋈ e2(u→y) on u, with ord(x) < ord(y)
+   *   closure:  wedge(u,x,y) ⋈ oriented edge (x→y)
+   *
+   * enumerates each triangle EXACTLY once. The orientation is the
+   * scale guarantee: out-degrees under (deg, id) order are bounded by
+   * O(√m) on any graph (arboricity bound), so a 10^6-follower hub
+   * generates no 10^12-wedge blowup — its edges all point INTO it.
+   * Three equality-join shuffles total; never a cartesian.
+   *
+   * Returns `(v, n_tri)` for every vertex in ≥ 1 triangle.
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient a—b from lower (deg, id) to higher; carry the head's
+    // order key for the wedge comparison
+    val orient = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("w"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("db").as("d"), col("b").as("i")))
+          .otherwise(struct(col("da").as("d"), col("a").as("i")))
+          .as("word"))
+    val e1 = orient.select(col("u"), col("w").as("x"), col("word").as("xord"))
+    val e2 = orient.select(col("u"), col("w").as("y"), col("word").as("yord"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("xord") < col("yord"))
+      .select(col("u"), col("x"), col("y"))
+    val tri = wedges.join(
+      orient.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+    tri.select(col("u").as("v"))
+      .union(tri.select(col("x").as("v")))
+      .union(tri.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /**
+   * DuckDB twin of [[triangles]] over an edge CTE named
+   * `edges(src, dst)`: CTE chain ending in `tri(u, x, y)` (one row per
+   * triangle); append an aggregate over the unioned vertex columns.
+   */
+  def trianglesOracleCore: String =
+    """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+  (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+orient AS (SELECT
+    CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a ELSE und.b END AS u,
+    CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b ELSE und.a END AS w,
+    CASE WHEN (da.d, und.a) < (db.d, und.b) THEN db.d ELSE da.d END AS wd
+  FROM und JOIN tdeg da ON da.v = und.a JOIN tdeg db ON db.v = und.b),
+tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
+  FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND (e1.wd, e1.w) < (e2.wd, e2.w)
+  JOIN orient c ON c.u = e1.w AND c.w = e2.w)"""
 }

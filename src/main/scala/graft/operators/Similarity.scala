@@ -168,6 +168,106 @@ object Similarity {
   }
 
   /**
+   * Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+   * 1998) — the diversity-aware retrieval composition: the top-`c`
+   * candidates per query (exact integer inner product, [[ipTopK]]) are
+   * re-ordered greedily so each pick trades relevance against
+   * redundancy with the already-picked set:
+   *
+   *   pick_t = argmax  lamNum·rel(q,d) − (lamDen−lamNum)·max_{s∈S} sim(d,s)
+   *
+   * (the classic λ·rel − (1−λ)·maxSim, scaled by `lamDen` so every
+   * score is an exact BIGINT — default λ = 7/10). The first pick is
+   * pure relevance (S empty ⇒ redundancy 0); ties break on (score
+   * desc, nid asc) — fully deterministic, oracle-replayable by a
+   * recursive CTE.
+   *
+   * Scale shape: after ONE shuffle on `qid`, each query group holds
+   * its own O(c) candidates with vectors (O(c·d) state) and the greedy
+   * is O(k·c·d) partition-local integer work — queries never
+   * coordinate, so the operator scales with the query count and is
+   * indifferent to corpus size (the corpus was already reduced to the
+   * shortlist by the broadcast top-c scan).
+   *
+   * Output: (qid, rank, nid, sc10) with `sc10` the λ-scaled marginal
+   * score of the pick at its selection step.
+   */
+  def mmrRerankTopK(emb: DataFrame, queries: DataFrame, k: Int, c: Int,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(c >= k, s"need c >= k, got k=$k c=$c")
+    val cand = ipTopK(emb, queries, c)
+      .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"), col("dot"), col("nv"))
+    mmrRerank(cand, k, lamNum, lamDen)
+  }
+
+  /**
+   * The greedy MMR stage alone, over an ALREADY-BUILT shortlist
+   * `(qid, nid, dot, nv: Array[Long])` — feed it [[ipTopK]] output
+   * (what [[mmrRerankTopK]] does), or an IVF/LSH/IVFPQ candidate set
+   * at corpus scale where the exact scan is off the table. Same
+   * contract as [[mmrRerankTopK]].
+   */
+  def mmrRerank(cand: DataFrame, k: Int,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    require(lamNum >= 0 && lamDen >= lamNum, s"need 0 <= lamNum <= lamDen")
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val mu = (lamDen - lamNum).toLong
+    val lam = lamNum.toLong
+    cand.select(col("qid"), col("nid"), col("dot"), col("nv"))
+      .as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // dot desc, nid asc — the shortlist's deterministic order
+        val cs = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cs.length
+        val used = new Array[Boolean](n)
+        val maxSim = new Array[Long](n) // max dot vs picked; 0 when S empty is never read (step 1 is pure rel)
+        val out = new Array[(Long, Int, Long, Long)](math.min(k, n))
+        var step = 0
+        while (step < out.length) {
+          var best = -1
+          var bestSc = 0L
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val sc = if (step == 0) lam * cs(i)._3
+                       else lam * cs(i)._3 - mu * maxSim(i)
+              // ties: score desc then nid asc — cs is nid-asc within
+              // equal dot, but across dots nid order is arbitrary, so
+              // compare nids explicitly
+              if (best < 0 || sc > bestSc || (sc == bestSc && cs(i)._2 < cs(best)._2)) {
+                best = i; bestSc = sc
+              }
+            }
+            i += 1
+          }
+          used(best) = true
+          out(step) = (qid, step + 1, cs(best)._2, bestSc)
+          // fold the new pick into every remaining candidate's
+          // redundancy bound — O(c·d) per pick
+          val pv = cs(best)._4
+          i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val v = cs(i)._4
+              var d = 0L
+              var j = 0
+              while (j < v.length) { d += v(j) * pv(j); j += 1 }
+              if (step == 0 || d > maxSim(i)) maxSim(i) = d
+            }
+            i += 1
+          }
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "nid", "sc10")
+  }
+
+  /**
    * Hyperplane matrix for [[lshBuckets]]: component (t, b, d) is
    * md5-derived — from `md5("plane:<seed>:<t>:<b>:<d>")` take four
    * 5-hex-char chunks (four 20-bit uniforms) and sum them, centered at

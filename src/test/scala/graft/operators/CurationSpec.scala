@@ -443,6 +443,35 @@ class CurationSpec extends SparkSpec {
     assert(hist.forall { case (b, _, _) => b % 25 == 0 })
   }
 
+  test("weightedSample replays the exact hash/weight priorities and tilts to weight") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val k = 64
+    // driver-side replay: same md5-derived uniform, same token weight,
+    // same integer-division priority, same (pri, doc_id) selection
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(s"wsmp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val w = math.max(1L,
+          r.getString(1).trim.toLowerCase.split("\\s+").length.toLong)
+        (r.getLong(0), w, h32(r.getLong(0)) * 1000000L / w)
+      }
+      .sortBy { case (id, _, pri) => (pri, id) }.take(k)
+    val got = Curation.weightedSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(t => (t._3, t._1)).toSeq === expected.toSeq)
+    // weight-proportional: the sample's mean token count exceeds the
+    // corpus mean (deterministic on the fixed hash, so a plain assert)
+    val corpusMean = docs.select(avg(size(TextAnalysis.tokens(col("text"))))).head.getDouble(0)
+    val sampleMean = expected.map(_._2).sum.toDouble / expected.length
+    assert(sampleMean > corpusMean,
+      s"no weight tilt: sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("corpusDiff classifies added/removed/changed and drops unchanged") {
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")

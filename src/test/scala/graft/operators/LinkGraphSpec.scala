@@ -92,6 +92,45 @@ class LinkGraphSpec extends SparkSpec {
     assert(live === 2, live.toString)
   }
 
+  test("triangles: K4 counts, direction/multi-edge/self-loop immunity, none on a path") {
+    // K4 on {0,1,2,3} has 4 triangles, every vertex in exactly 3 —
+    // spelled with reversed duplicates, a parallel edge and a self
+    // loop, none of which may change the count; 4-5-6-7 is a path
+    // (triangle-free) and must not appear at all
+    val e = Seq(
+      (0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 1L),
+      (1L, 3L), (2L, 3L), (3L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val r = LinkGraph.triangles(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // partitioning-independent
+    val rep = LinkGraph.triangles(e.repartition(5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(rep === r)
+  }
+
+  test("triangles matches a naive adjacency-intersection reference on a hashed graph") {
+    val e = (0L until 400L).flatMap { i =>
+      Seq((i, (i * i + 7) % 400), (i, (i * 31 + 7) % 400), (i, i % 25))
+    }.toDF("src", "dst")
+    val got = LinkGraph.triangles(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // naive: undirected adjacency sets, per-triple membership count
+    val und = (0L until 400L).flatMap { i =>
+      Seq((i, (i * i + 7) % 400), (i, (i * 31 + 7) % 400), (i, i % 25))
+    }.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- und; c <- adj(a).intersect(adj(b)); if a < b && b < c) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    assert(got === naive.toMap)
+    assert(got.nonEmpty, "fixture produced no triangles")
+  }
+
   test("per-round checkpoints release as rounds supersede; only the " +
     "result's lineage stays registered") {
     CheckpointScope.releaseAll()

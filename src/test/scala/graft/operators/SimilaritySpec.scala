@@ -559,4 +559,56 @@ class SimilaritySpec extends SparkSpec {
     // the shortlist covers everything, so the exact re-rank IS exact
     assert(rr === exact)
   }
+
+  test("mmrRerankTopK replays a driver-side greedy MMR exactly") {
+    val k = 5; val c = 10; val nq = 3
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (0L until nq).flatMap { q =>
+      val short = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, dot(vecs(q), vecs(n))))
+        .sortBy { case (n, d) => (-d, n) }.take(c)
+      var picked = List.empty[Long]
+      (1 to k).map { step =>
+        val (nid, sc) = short.filterNot(t => picked.contains(t._1))
+          .map { case (n, rel) =>
+            val red = if (picked.isEmpty) 0L
+                      else picked.map(p => dot(vecs(n), vecs(p))).max
+            (n, 7L * rel - (if (picked.isEmpty) 0L else 3L * red))
+          }
+          .minBy { case (n, sc) => (-sc, n) }
+        picked :+= nid
+        (q, step, nid, sc)
+      }
+    }.toSet
+    val got = Similarity.mmrRerankTopK(emb, emb.filter(col("vec_id") < nq), k, c)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
+  test("mmrRerankTopK disperses a redundant shortlist where pure top-k repeats it") {
+    import spark.implicits._
+    // cluster A: three long near-copies, maximally relevant — their
+    // mutual dot (norm²) dwarfs their relevance, so after the first A
+    // pick the 3·maxSim penalty buries the other copies; cluster B is
+    // less relevant but near-orthogonal to A. Pure top-3 = all of A;
+    // MMR at λ=7/10 must pull in B at rank 2.
+    def v(x: Long, y: Long) = Array(x * 1000L, y * 1000L)
+    val rows = Seq(
+      (100L, 0, v(4000, 0)), (101L, 0, v(3999, 1)), (102L, 0, v(3998, 2)),
+      (200L, 1, v(500, 500)))
+    val e = rows.toDF("vec_id", "label", "v")
+    val q = Seq((0L, 0, v(1000, 0))).toDF("vec_id", "label", "v")
+    val mmr = Similarity.mmrRerankTopK(e, q, k = 3, c = 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(mmr.head === 100L)      // rank 1 is pure relevance
+    assert(mmr.take(2).contains(200L), // diversity kicks in by rank 2
+      s"MMR kept the redundant cluster: $mmr")
+    // and is partitioning-independent
+    val rep = Similarity.mmrRerankTopK(e.repartition(3), q, k = 3, c = 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(rep === mmr)
+  }
 }

@@ -336,6 +336,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!fu.contains("CartesianProduct"), fu)
   }
 
+  test("round-12 additions: TakeOrdered sample, broadcast fences, single-shuffle MMR") {
+    // weightedSample selects k-of-corpus via per-partition heaps — a
+    // global SortExec here would be the full-corpus sort trap
+    val ws = graft.SparkEntry.queries("weighted_sample")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    assert(!ws.contains("SortExec"), ws)
+    // outlier flagging joins the 5-row fence model back broadcast —
+    // the fact side must not shuffle for the comparison pass
+    val oe = graft.SparkEntry.queries("outlier_events")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(oe.contains("BroadcastHashJoin"), oe)
+    assert(!oe.contains("SortMergeJoin"), oe)
+    // the sliding RANGE frame is one window operator, not a self-join
+    val es = graft.SparkEntry.queries("events_sliding")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(es.contains("RunningWindowFunction") || es.contains("Window"), es)
+    assert(!es.contains("Join"), es)
+    // MMR: the greedy runs in one mapGroups after the qid exchange —
+    // candidate building broadcasts, so no sort-merge join anywhere
+    val mm = graft.SparkEntry.queries("mmr_rerank_topk")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(mm.contains("MapGroups"), mm)
+    assert(!mm.contains("SortMergeJoin") && !mm.contains("CartesianProduct"), mm)
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
