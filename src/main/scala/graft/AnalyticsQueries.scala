@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, DataQuality}
+
+/**
+ * Behavioral-analytics + warehouse-operations gates: cohort retention,
+ * Markov event transitions, SCD2 history reconstruction, gap-filled
+ * time-series resampling, and the declarative data-quality audit.
+ * None exist in the reference (SURVEY §2.4+ extension surface); all
+ * are deterministic integer/exact plans hash-gated against DuckDB.
+ */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") graft.sources.EventTime.normalize(df, "ts") else df
+  }
+
+  /** date column → epoch seconds (matches DuckDB `epoch(..)`). */
+  private def epochS(c: String) = col(c).cast("timestamp").cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // daily cohort retention triangle: users cohorted by first-event
+    // day, counted in every later active day (the events fixture spans
+    // ~30 days, so daily buckets give a real triangle where weekly
+    // degenerates to one cohort). ONE wide shuffle (groupBy user);
+    // active-day sets are calendar-span-bounded
+    "cohort_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(t(s, dir, "events"), Analytics.DayNanos)),
+
+    // first-order Markov transition matrix over each user's event
+    // stream under the total (ts, event_id) order
+    "event_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(t(s, dir, "events"))),
+
+    // SCD2 validity intervals from the orders change log: each
+    // customer's o_orderstatus runs collapsed to [valid_from,
+    // valid_to) segments — the warehouse history-build
+    "scd2_history" -> ((s, dir) =>
+      Analytics.scd2History(t(s, dir, "orders"),
+          col("o_custkey"), epochS("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+        .select(col("k").as("o_custkey"), col("a").as("o_orderstatus"),
+          col("valid_from"), col("valid_to"),
+          col("n_rows").as("n_orders"), col("seg"))),
+
+    // hourly resample with explicit zero rows for empty (type, hour)
+    // cells across the corpus's global hour span
+    "ts_gapfill" -> ((s, dir) =>
+      Analytics.gapFillHourly(t(s, dir, "events"))),
+
+    // declarative data-quality audit: completeness, domain/range
+    // conformance, key uniqueness, referential integrity — every
+    // per-table rule family folded into ONE conditional-aggregate
+    // scan; orphan checks are anti-join counts
+    "dq_audit" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val customer = t(s, dir, "customer")
+      DataQuality.report(
+        DataQuality.ruleViolations(orders, Seq(
+          "orders.o_custkey_null" -> col("o_custkey").isNull,
+          "orders.o_totalprice_nonpos" -> (col("o_totalprice") <= 0.0),
+          "orders.o_orderstatus_domain" ->
+            !col("o_orderstatus").isin("O", "F", "P"))),
+        DataQuality.duplicateKeyCount(orders, col("o_orderkey"),
+          "orders.o_orderkey_dup"),
+        DataQuality.orphanCount(orders, col("o_custkey"),
+          customer, col("c_custkey"), "orders.o_custkey_orphan"),
+        DataQuality.ruleViolations(lineitem, Seq(
+          "lineitem.l_quantity_range" ->
+            !expr("cast(round(l_quantity) as bigint)").between(1L, 50L),
+          "lineitem.l_discount_range" ->
+            !expr("cast(round(l_discount*100) as bigint)").between(0L, 10L),
+          "lineitem.l_tax_range" ->
+            !expr("cast(round(l_tax*100) as bigint)").between(0L, 8L))),
+        DataQuality.duplicateKeyCount(lineitem,
+          struct(col("l_orderkey"), col("l_linenumber")),
+          "lineitem.line_key_dup"),
+        DataQuality.orphanCount(lineitem, col("l_orderkey"),
+          orders, col("o_orderkey"), "lineitem.l_orderkey_orphan"),
+        // cross-table temporal coherence: a line shipped before its
+        // order was placed (one key-join, conditional-agg on top)
+        DataQuality.ruleViolations(
+          lineitem.join(orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey")),
+          Seq("lineitem.ship_before_order" ->
+            (col("l_shipdate") < col("o_orderdate")))))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS bk FROM events),
+uw AS (SELECT DISTINCT user_id, bk FROM e),
+f AS (SELECT user_id, min(bk) AS b0 FROM uw GROUP BY user_id)
+SELECT b0 AS cohort_bucket, bk - b0 AS bucket_offset, count(*) AS n_users
+FROM uw JOIN f USING (user_id) GROUP BY 1, 2""",
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, event_type FROM events),
+l AS (SELECT user_id, event_type AS src_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS dst_type
+  FROM e)
+SELECT src_type, dst_type, count(*) AS n_trans,
+  count(DISTINCT user_id) AS n_users
+FROM l WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type""",
+
+    "scd2_history" ->
+      """WITH o AS (SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) AS od,
+    o_orderkey AS tb, o_orderstatus AS a FROM orders),
+l AS (SELECT *, lag(a) OVER (PARTITION BY k ORDER BY od, tb) AS prev_a FROM o),
+m AS (SELECT *, CASE WHEN prev_a IS NULL OR prev_a <> a THEN 1 ELSE 0 END AS chg FROM l),
+s AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY k ORDER BY od, tb
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg FROM m),
+g AS (SELECT k, seg, max(a) AS a, min(od) AS valid_from,
+    count(*) AS n_orders FROM s GROUP BY k, seg)
+SELECT k AS o_custkey, a AS o_orderstatus, valid_from,
+  lead(valid_from) OVER (PARTITION BY k ORDER BY seg) AS valid_to,
+  n_orders, seg
+FROM g""",
+
+    "ts_gapfill" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+g AS (SELECT t.event_type, unnest(range(b.h0, b.h1 + 1)) AS hr
+  FROM (SELECT DISTINCT event_type FROM e) t, b),
+c AS (SELECT event_type, hr, count(*) AS cnt,
+    CAST(sum(cents) AS BIGINT) AS sum_cents FROM e GROUP BY event_type, hr)
+SELECT g.event_type, g.hr, COALESCE(cnt, 0) AS cnt,
+  COALESCE(sum_cents, 0) AS sum_cents
+FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr""",
+
+    "dq_audit" ->
+      """SELECT 'orders.o_custkey_null' AS check_name,
+  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad FROM orders
+UNION ALL SELECT 'orders.o_totalprice_nonpos',
+  CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+UNION ALL SELECT 'orders.o_orderstatus_domain',
+  CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+UNION ALL SELECT 'orders.o_orderkey_dup',
+  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL SELECT 'orders.o_custkey_orphan',
+  CAST(count(*) AS BIGINT) FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL SELECT 'lineitem.l_quantity_range',
+  CAST(coalesce(sum(CASE WHEN CAST(round(l_quantity) AS BIGINT) NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem.l_discount_range',
+  CAST(coalesce(sum(CASE WHEN CAST(round(l_discount*100) AS BIGINT) NOT BETWEEN 0 AND 10 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem.l_tax_range',
+  CAST(coalesce(sum(CASE WHEN CAST(round(l_tax*100) AS BIGINT) NOT BETWEEN 0 AND 8 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem.line_key_dup',
+  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem.l_orderkey_orphan',
+  CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL SELECT 'lineitem.ship_before_order',
+  CAST(coalesce(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+  )
+}

@@ -35,6 +35,18 @@ object HtmlQueries {
         (col("doc_id") % 25).as("dst")))
   }
 
+  /** [[fixtureEdges]] densified on its EVEN half by two intra-block-of-25
+    * maps — gives the k-core gate a genuine dense-kernel-vs-tendril
+    * split (the uniform base graph peels all-or-nothing). */
+  private def kcoreEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 2 === 0)
+    fixtureEdges(s, dir)
+      .unionByName(d.select(col("doc_id").as("src"),
+        expr("div(doc_id, 25) * 25 + (doc_id * 7 + 3) % 25").as("dst")))
+      .unionByName(d.select(col("doc_id").as("src"),
+        expr("div(doc_id, 25) * 25 + (doc_id * 11 + 5) % 25").as("dst")))
+  }
+
   /**
    * A deterministic page per document: head with title + style block,
    * a comment, nav links, the body text with injected entities, a
@@ -125,7 +137,14 @@ object HtmlQueries {
     // (dst = doc_id % 25) should surface as the top authorities, the
     // pages linking them as hubs — integer-exact per iteration, so the
     // fixed-point scores hash-match the oracle's unrolled replay
-    "hits_scores" -> ((s, dir) => LinkGraph.hits(fixtureEdges(s, dir), iters = 5))
+    "hits_scores" -> ((s, dir) => LinkGraph.hits(fixtureEdges(s, dir), iters = 5)),
+    // k-core decomposition (k=5) over the fixture graph DENSIFIED on
+    // its even half (two intra-block-of-25 maps): the densified block
+    // structure survives the peel while ~1/6 of the vertices — the
+    // sparse odd tendrils — peel away over several rounds. The engine
+    // iterates to the TRUE fixpoint; the oracle unrolls 9 peel rounds
+    // (fixture converges in 7 at every sf — extra rounds are no-ops)
+    "kcore" -> ((s, dir) => LinkGraph.kCore(kcoreEdges(s, dir), k = 5))
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +224,22 @@ edges AS (
   UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.hitsOracleCore(iters = 5)}
-SELECT a.v, a.auth, h.hub FROM a5 a JOIN h5 h ON h.v = a.v"""
+SELECT a.v, a.auth, h.hub FROM a5 a JOIN h5 h ON h.v = a.v""",
+
+    "kcore" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 7 + 3) % 25 AS dst
+    FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 11 + 5) % 25 AS dst
+    FROM documents WHERE doc_id % 2 = 0),
+${LinkGraph.kCoreOracleCore(k = 5, rounds = 9)}
+SELECT v, CAST(d AS BIGINT) AS deg FROM
+  (SELECT v, count(*) AS d FROM
+    (SELECT a AS v FROM ke9 UNION ALL SELECT b AS v FROM ke9) GROUP BY v)
+WHERE d >= 5"""
   )
 }

@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PointQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++ EmbeddingQueries.queries ++ MultimodalQueries.queries ++ StreamingQueries.queries ++ SqlQueries.queries ++ CurationQueries.queries ++ HtmlQueries.queries ++ ClassifierQueries.queries ++ SketchQueries.queries ++ FusionQueries.queries
+    PointQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++ EmbeddingQueries.queries ++ MultimodalQueries.queries ++ StreamingQueries.queries ++ SqlQueries.queries ++ CurationQueries.queries ++ HtmlQueries.queries ++ ClassifierQueries.queries ++ SketchQueries.queries ++ FusionQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    PointQueries.oracle ++ RelationalQueries.oracle ++ TextQueries.oracle ++ EmbeddingQueries.oracle ++ MultimodalQueries.oracle ++ StreamingQueries.oracle ++ SqlQueries.oracle ++ CurationQueries.oracle ++ HtmlQueries.oracle ++ ClassifierQueries.oracle ++ SketchQueries.oracle ++ FusionQueries.oracle
+    PointQueries.oracle ++ RelationalQueries.oracle ++ TextQueries.oracle ++ EmbeddingQueries.oracle ++ MultimodalQueries.oracle ++ StreamingQueries.oracle ++ SqlQueries.oracle ++ CurationQueries.oracle ++ HtmlQueries.oracle ++ ClassifierQueries.oracle ++ SketchQueries.oracle ++ FusionQueries.oracle ++ AnalyticsQueries.oracle
 }

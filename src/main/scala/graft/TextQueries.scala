@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Search, TextAnalysis}
 
 /**
  * Text-analysis + deduplication query inventory over `documents`
@@ -296,6 +296,19 @@ object TextQueries {
       val d = docs(s, dir)
       Dedup.nightly(d.filter(col("doc_id") % 4 === 3), d.filter(col("doc_id") % 4 < 3),
         1, 2, 3, NumHashes, Bands, RowsPerBand)
+    }),
+    // exact phrase search (positional-postings intersection): every
+    // 37th document's tokens 2..4 play a quoted query; occurrences
+    // surface wherever the corpus repeats the phrase — the token-ORDER
+    // retrieval companion to bm25_doc_topk's bag-of-words ranking
+    "phrase_search" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.filter(col("doc_id") % 37 === 1)
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 2, 3))
+            .as("phrase"))
+      Search.phraseOccurrences(qs, d)
     })
   )
 
@@ -1044,7 +1057,27 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
+
+    "phrase_search" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+q AS (SELECT doc_id AS query_id, ws[2:4] AS qs FROM w
+  WHERE doc_id % 37 = 1 AND len(ws) >= 4),
+toks AS (SELECT doc_id,
+    unnest(list_transform(range(1, len(ws) + 1), i -> {'p': i, 'w': ws[i]}), recursive := true)
+  FROM w),
+qt AS (SELECT query_id,
+    unnest(list_transform(range(1, len(qs) + 1), i -> {'i': i, 'w': qs[i]}), recursive := true)
+  FROM q),
+ql AS (SELECT query_id, len(qs) AS qlen FROM q),
+anch AS (SELECT qt.query_id, toks.doc_id, CAST(toks.p - qt.i AS BIGINT) AS anchor, qt.i
+  FROM toks JOIN qt ON toks.w = qt.w),
+fm AS (SELECT query_id, doc_id, anchor, count(DISTINCT i) AS nm
+  FROM anch GROUP BY query_id, doc_id, anchor),
+m AS (SELECT f.query_id, f.doc_id, f.anchor
+  FROM fm f JOIN ql USING (query_id) WHERE nm = qlen)
+SELECT query_id, doc_id, count(*) AS n_occ, min(anchor) AS first_pos
+FROM m GROUP BY query_id, doc_id"""
   )
 
   /** Shared oracle CTE: fixed-length token segments (`segs`), the

@@ -353,4 +353,82 @@ orient AS (SELECT
 tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
   FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND (e1.wd, e1.w) < (e2.wd, e2.w)
   JOIN orient c ON c.u = e1.w AND c.w = e2.w)"""
+
+  /**
+   * k-core decomposition by iterative peeling (Seidman 1983; the
+   * degree-threshold fixpoint): repeatedly delete every vertex whose
+   * degree in the SURVIVING undirected subgraph is below `k` until no
+   * deletion fires. The k-core is the standard "dense kernel" signal
+   * crawl-graph curation uses to separate genuinely interlinked
+   * communities from chains and tendrils (which peel away).
+   *
+   * Returns `(v, deg)` — each surviving vertex with its core-subgraph
+   * degree (all ≥ k by the fixpoint).
+   *
+   * Scale shape: each round is one partial-aggregatable degree rollup
+   * plus two SEMI joins of the edge table against the survivor set —
+   * never wider than the shrinking edge list. Rounds are bounded by
+   * the graph's peeling depth (`maxRounds` is a runaway backstop, not
+   * a tuning knob); every round's edge table is checkpointed and the
+   * superseded round released, so lineage stays one round deep exactly
+   * like [[pageRank]]. The per-round convergence probe reads one
+   * COUNT off the just-materialized checkpoint — no extra pass.
+   */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .scopedCheckpoint()
+    var nEdges = und.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val good = degrees(und).filter(col("deg") >= k).select(col("v"))
+        .scopedCheckpoint()
+      val next = und
+        .join(good, und("a") === good("v"), "left_semi")
+        .join(good, und("b") === good("v"), "left_semi")
+        .scopedCheckpoint()
+      val nNext = next.count()
+      CheckpointScope.release(good)
+      CheckpointScope.release(und)
+      converged = nNext == nEdges
+      und = next
+      nEdges = nNext
+      round += 1
+    }
+    degrees(und).filter(col("deg") >= k)
+  }
+
+  /**
+   * DuckDB twin of [[kCore]] over an edge CTE named `edges(src, dst)`:
+   * `rounds` UNROLLED peel rounds (the oracle cannot iterate to a
+   * data-dependent fixpoint; a gate using this must pin that its
+   * fixture converges within `rounds` — [[kCore]] itself always runs
+   * to the true fixpoint). CTE chain ends in `ke$rounds(a, b)`; append
+   * a degree aggregate filtered to ≥ k.
+   */
+  def kCoreOracleCore(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each round's edge table is referenced four times
+    // (twice in its degree rollup, twice in the next round's filter) —
+    // DuckDB's default inlining would otherwise expand the chain
+    // exponentially (and re-open the base parquet per reference)
+    val head =
+      """ke0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""
+    val steps = (0 until rounds).map { i =>
+      s"""kg$i AS MATERIALIZED (SELECT v FROM
+  (SELECT v, count(*) AS d FROM
+    (SELECT a AS v FROM ke$i UNION ALL SELECT b AS v FROM ke$i) GROUP BY v)
+  WHERE d >= $k),
+ke${i + 1} AS MATERIALIZED (SELECT a, b FROM ke$i
+  WHERE a IN (SELECT v FROM kg$i) AND b IN (SELECT v FROM kg$i))"""
+    }
+    (head +: steps).mkString(",\n")
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = Analytics.HourNanos
+  private val D = Analytics.DayNanos
+
+  // (event_id, user_id, ts, event_type, value)
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("cohortRetention: triangle matches a hand computation") {
+    // u1 first day 0, active days {0, 1, 3}; u2 first day 1, active {1};
+    // u3 first day 0, active {0, 3}
+    val e = ev(
+      (1, 1, 0 * D + 5, "view", 1.0), (2, 1, 1 * D + 5, "view", 1.0),
+      (3, 1, 3 * D + 5, "view", 1.0), (4, 1, 3 * D + 9, "click", 1.0),
+      (5, 2, 1 * D + 5, "view", 1.0),
+      (6, 3, 0 * D + 5, "view", 1.0), (7, 3, 3 * D + 5, "view", 1.0))
+    val r = Analytics.cohortRetention(e, D).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L,
+      (1L, 0L) -> 1L))
+    // partitioning-independent
+    val r2 = Analytics.cohortRetention(e.repartition(7), D).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r2 === r)
+  }
+
+  test("eventTransitions: consecutive pairs under the (ts, event_id) total order") {
+    // u1: view -> click -> view; u2: view -> view (tie on ts broken by
+    // event_id: 20 before 21)
+    val e = ev(
+      (1, 1, 100, "view", 1.0), (2, 1, 200, "click", 1.0),
+      (3, 1, 300, "view", 1.0),
+      (20, 2, 500, "view", 1.0), (21, 2, 500, "view", 1.0))
+    val r = Analytics.eventTransitions(e).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map(
+      ("view", "click") -> ((1L, 1L)),
+      ("click", "view") -> ((1L, 1L)),
+      ("view", "view") -> ((1L, 1L))))
+  }
+
+  test("scd2History: runs collapse, the last segment stays open") {
+    val log = Seq(
+      // key 1: A A B A  -> three segments (A, B, A)
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      // key 2: single run
+      (2L, 10L, 200L, "C"), (2L, 50L, 201L, "C"))
+      .toDF("k", "o", "tb", "a")
+    val r = Analytics.scd2History(log, col("k"), col("o"), col("tb"), col("a"))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]), x.getLong(4), x.getLong(5)))
+      .sortBy(t => (t._1, t._6))
+    assert(r === Seq(
+      (1L, "A", 10L, Some(30L), 2L, 1L),
+      (1L, "B", 30L, Some(40L), 1L, 2L),
+      (1L, "A", 40L, None, 1L, 3L),
+      (2L, "C", 10L, None, 2L, 1L)))
+  }
+
+  test("scd2History: same-order ties are pinned by the tiebreaker column") {
+    // two observations at the same o; tb order decides the run shape
+    val log = Seq((1L, 10L, 1L, "X"), (1L, 10L, 2L, "Y"))
+      .toDF("k", "o", "tb", "a")
+    val r = Analytics.scd2History(log, col("k"), col("o"), col("tb"), col("a"))
+      .orderBy("seg").collect().map(_.getString(1))
+    assert(r.toSeq === Seq("X", "Y"))
+  }
+
+  test("gapFillHourly: empty hours appear as zero rows, filled cells match the plain rollup") {
+    val e = ev(
+      (1, 1, 0 * H + 5, "view", 1.0),
+      (2, 1, 0 * H + 9, "view", 2.0),
+      (3, 2, 3 * H + 1, "view", 0.5),   // hours 1, 2 are gaps for view
+      (4, 2, 2 * H + 1, "click", 4.0))  // click appears only in hour 2
+    val r = Analytics.gapFillHourly(e).collect()
+      .map(x => ((x.getString(0), x.getLong(1)), (x.getLong(2), x.getLong(3)))).toMap
+    // full grid: 2 types x hours 0..3
+    assert(r.size === 8)
+    assert(r(("view", 0L)) === ((2L, 300L)))
+    assert(r(("view", 1L)) === ((0L, 0L)))
+    assert(r(("view", 2L)) === ((0L, 0L)))
+    assert(r(("view", 3L)) === ((1L, 50L)))
+    assert(r(("click", 2L)) === ((1L, 400L)))
+    assert(r(("click", 0L)) === ((0L, 0L)))
+  }
+
+  test("DataQuality: rule violations, duplicate keys, orphans each count exactly") {
+    val fact = Seq(
+      (1L, Some(10L), 5.0), (2L, Some(10L), -1.0),
+      (3L, None, 2.0), (3L, Some(99L), 3.0))
+      .toDF("id", "fk", "v")
+    val dim = Seq(10L).toDF("d")
+    val report = DataQuality.report(
+      DataQuality.ruleViolations(fact, Seq(
+        "fk_null" -> col("fk").isNull,
+        "v_nonpos" -> (col("v") <= 0.0))),
+      DataQuality.duplicateKeyCount(fact, col("id"), "id_dup"),
+      DataQuality.orphanCount(fact, col("fk"), dim, col("d"), "fk_orphan"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(report === Map(
+      "fk_null" -> 1L, "v_nonpos" -> 1L, "id_dup" -> 1L,
+      // null fk never matches the dim -> counts as an orphan row
+      "fk_orphan" -> 2L))
+  }
+}

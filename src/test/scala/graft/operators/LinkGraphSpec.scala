@@ -142,4 +142,54 @@ class LinkGraphSpec extends SparkSpec {
     CheckpointScope.releaseAll()
     assert(CheckpointScope.liveCount === 0)
   }
+
+  test("kCore matches a naive driver-side peel on a clique-plus-tendrils graph") {
+    import spark.implicits._
+    // K5 clique (ids 0-4), a path 5-6-7 hanging off vertex 0, and a
+    // 4-cycle 10-11-12-13 bridged to the clique at 1
+    val raw: Seq[(Long, Long)] =
+      (for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)) ++
+        Seq((0L, 5L), (5L, 6L), (6L, 7L),
+          (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (1L, 10L))
+    val e = raw.toDF("src", "dst")
+    def naive(k: Int): Map[Long, Long] = {
+      var und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.filter(t => t._1 != t._2)
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+          .map { case (v, l) => v -> l.size.toLong }
+        val good = deg.filter(_._2 >= k).keySet
+        val next = und.filter(t => good(t._1) && good(t._2))
+        changed = next.size != und.size
+        und = next
+      }
+      und.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+        .map { case (v, l) => v -> l.size.toLong }
+        .filter(_._2 >= k)
+    }
+    for (k <- 2 to 4) {
+      val got = LinkGraph.kCore(e, k).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got === naive(k), s"k=$k")
+    }
+    // k=2 keeps the cycle, k=3 peels it, k=4 leaves only the clique
+    assert(LinkGraph.kCore(e, 2).count() === 9)  // clique + cycle
+    assert(LinkGraph.kCore(e, 4).collect().map(_.getLong(0)).toSet ===
+      Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("kCore is direction/multi-edge/self-loop immune and releases its rounds") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = (base ++ base.map(_.swap) ++ Seq((1L, 1L), (2L, 2L)) ++ base)
+      .toDF("src", "dst")
+    CheckpointScope.releaseAll()
+    val got = LinkGraph.kCore(noisy, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the fixpoint's surviving edge table is the only live checkpoint
+    assert(CheckpointScope.liveCount === 1, CheckpointScope.liveCount.toString)
+    CheckpointScope.releaseAll()
+  }
 }
