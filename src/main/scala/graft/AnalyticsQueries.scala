@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, DataQuality}
+import graft.operators.{Analytics, DataQuality, RecordLinkage}
 
 /**
  * Behavioral-analytics + warehouse-operations gates: cohort retention,
@@ -90,6 +90,23 @@ object AnalyticsQueries {
             col("l_orderkey") === col("o_orderkey")),
           Seq("lineitem.ship_before_order" ->
             (col("l_shipdate") < col("o_orderdate")))))
+    }),
+
+    // fuzzy record linkage (entity resolution): a "dirty registry" of
+    // every 5th part's name with its 4th character deleted links back
+    // to the distinct-name catalog through deletion-neighborhood
+    // blocking + levenshtein <= 1 verify — the fuzzy match runs as an
+    // exact equi-join, never a cross product
+    "fuzzy_link" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+      val catalog = parts.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id_r"))
+        .select(col("id_r"), col("p_name").as("name_r"))
+      val dirty = parts.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("id_l"),
+          expr("concat(substring(p_name, 1, 3), substring(p_name, 5, length(p_name)))")
+            .as("name_l"))
+      RecordLinkage.linkEd1(dirty, catalog)
     })
   )
 
@@ -161,6 +178,21 @@ UNION ALL SELECT 'lineitem.l_orderkey_orphan',
   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 UNION ALL SELECT 'lineitem.ship_before_order',
   CAST(coalesce(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END), 0) AS BIGINT)
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "fuzzy_link" -> {
+      val lkeys = RecordLinkage.deletionKeysSql("name_l")
+      val rkeys = RecordLinkage.deletionKeysSql("name_r")
+      s"""WITH cat AS (SELECT min(p_partkey) AS id_r, p_name AS name_r FROM part GROUP BY p_name),
+dirty AS (SELECT p_partkey AS id_l,
+    substr(p_name, 1, 3) || substr(p_name, 5) AS name_l
+  FROM part WHERE p_partkey % 5 = 0),
+lk AS (SELECT id_l, name_l, unnest($lkeys) AS bk FROM dirty),
+rk AS (SELECT id_r, name_r, unnest($rkeys) AS bk FROM cat)
+SELECT DISTINCT id_l, name_l, id_r, name_r,
+  CAST(levenshtein(name_l, name_r) AS BIGINT) AS dist
+FROM lk JOIN rk USING (bk)
+WHERE levenshtein(name_l, name_r) <= 1"""
+    }
   )
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Html, Perceptron, PointStore, TextAnalysis}
+import graft.operators.{DataQuality, Html, Perceptron, PointStore, TextAnalysis}
 import graft.streaming.{StreamMeter, StreamingIngest}
 import graft.zorder.IntRange
 
@@ -281,6 +281,52 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Streaming data-quality monitor: each microbatch appends its
+    // per-rule violation counts ([[DataQuality.ruleViolations]] — one
+    // conditional-aggregate pass) to an audit log; the read side SUMS
+    // per rule. Counts are additive, so merge-then-read equals the
+    // batch audit over the union — the production "quality dashboard"
+    // loop where a batch that trips a threshold quarantines before
+    // publish. State is O(rules) per batch; an at-least-once replay
+    // would double-count, so the log append inherits the same
+    // idempotent-batch-id discipline as the ingest path (foreachBatch
+    // per-batch parquet append keyed by the checkpoint's batch id).
+    "stream_dq" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-dq").toString
+        s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "event_type", "value")
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val rules = Seq(
+        "events.value_nonpos" -> (col("value") <= 0.0),
+        "events.value_cents_gt_9000" ->
+          (expr("cast(round(value*100) as bigint)") > 9000L),
+        "events.error_events" -> (col("event_type") === "error"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          DataQuality.ruleViolations(batch, rules)
+            .write.mode("append").parquet(s"$tmp/log")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(s"$tmp/log")
+        .groupBy("check_name").agg(sum(col("n_bad")).as("n_bad"))
+      val rows = merged.collect().toSeq
+      val outSchema = merged.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Streaming distinct-count sketch: the documents corpus arrives as
     // four microbatches; each batch appends its PARTIAL HyperLogLog
     // register table to a sketch log, and the read side max-merges the
@@ -337,6 +383,16 @@ object StreamingQueries {
       s"""WITH ${SketchQueries.regCte},
 sm AS (SELECT sum(CAST(1 AS BIGINT) << (53 - rho)) AS s FROM regs)
 SELECT ${SketchQueries.estExpr} AS n_est FROM sm""",
+
+    // additive merge law: per-batch rule counts summed over the log
+    // must equal the one-pass batch audit over the union
+    "stream_dq" ->
+      """SELECT 'events.value_nonpos' AS check_name,
+  CAST(coalesce(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad FROM events
+UNION ALL SELECT 'events.value_cents_gt_9000',
+  CAST(coalesce(sum(CASE WHEN CAST(round(value*100) AS BIGINT) > 9000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+UNION ALL SELECT 'events.error_events',
+  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events""",
 
     "stream_ingest_range" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS cnt,

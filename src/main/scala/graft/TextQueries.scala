@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Search, TextAnalysis}
+import graft.operators.{Cooccur, Dedup, Search, TextAnalysis}
 
 /**
  * Text-analysis + deduplication query inventory over `documents`
@@ -309,7 +309,12 @@ object TextQueries {
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 2, 3))
             .as("phrase"))
       Search.phraseOccurrences(qs, d)
-    })
+    }),
+    // document-level PMI co-occurrence over the top-40 df terms
+    // (collocation mining; the quadratic pair door is closed by the
+    // bounded vocabulary — <= 40 terms per doc enter the self-join)
+    "pmi_pairs" -> ((s, dir) =>
+      Cooccur.pmiPairs(docs(s, dir), topN = 40, minPairCount = 5L))
   )
 
   /** Oracle twin of [[TextAnalysis.langId]]: doc 1..3-gram ranks, the
@@ -1077,7 +1082,22 @@ fm AS (SELECT query_id, doc_id, anchor, count(DISTINCT i) AS nm
 m AS (SELECT f.query_id, f.doc_id, f.anchor
   FROM fm f JOIN ql USING (query_id) WHERE nm = qlen)
 SELECT query_id, doc_id, count(*) AS n_occ, min(anchor) AS first_pos
-FROM m GROUP BY query_id, doc_id"""
+FROM m GROUP BY query_id, doc_id""",
+
+    "pmi_pairs" ->
+      """WITH occ AS (SELECT DISTINCT doc_id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+pdf AS (SELECT term, count(*) AS n_t FROM occ GROUP BY term),
+top AS (SELECT term, n_t FROM pdf ORDER BY n_t DESC, term LIMIT 40),
+focc AS (SELECT o.doc_id, o.term, t.n_t FROM occ o JOIN top t USING (term)),
+p AS (SELECT x.term AS term_a, y.term AS term_b, x.n_t AS n_a, y.n_t AS n_b,
+    count(*) AS n_ab
+  FROM focc x JOIN focc y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+SELECT term_a, term_b, n_ab, n_a, n_b,
+  (n_ab * n_docs * 10000) // (n_a * n_b) AS ratio_e4
+FROM p, nd"""
   )
 
   /** Shared oracle CTE: fixed-length token segments (`segs`), the
