@@ -362,6 +362,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!mm.contains("SortMergeJoin") && !mm.contains("CartesianProduct"), mm)
   }
 
+  test("round-12 analytics battery: broadcast query/model sides, no cartesian, " +
+    "single-window SCD2") {
+    // phrase search: the query-ordinal side broadcasts into the
+    // postings scan — the corpus explode must never sort-merge
+    val ps = graft.SparkEntry.queries("phrase_search")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"), ps)
+    // fuzzy linkage: deletion-neighborhood blocking is an equi-join —
+    // a CartesianProduct/BroadcastNestedLoop here means blocking broke
+    val fl = graft.SparkEntry.queries("fuzzy_link")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!fl.contains("CartesianProduct") && !fl.contains("NestedLoop"), fl)
+    // PMI: the top-N vocabulary is a TakeOrdered + broadcast filter;
+    // the only sort-merge allowed is the doc_id self-join
+    val pm = graft.SparkEntry.queries("pmi_pairs")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(pm.contains("TakeOrderedAndProject"), pm)
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("CartesianProduct"), pm)
+    // gap fill: the hour grid comes from a broadcast 1-row bounds
+    // aggregate — the fact table is scanned exactly twice (agg + types)
+    val gf = graft.SparkEntry.queries("ts_gapfill")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(gf.contains("BroadcastNestedLoopJoin") || gf.contains("BroadcastHashJoin"), gf)
+    assert(!gf.contains("CartesianProduct"), gf)
+    // SCD2: every window + the segment rollup shares ONE exchange on
+    // the key — count the shuffles
+    val sc = graft.SparkEntry.queries("scd2_history")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val exchanges = sc.toString.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"SCD2 shuffled $exchanges times:\n$sc")
+  }
+
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
     val pts = PointStore.points(
       spark.read.parquet(sf("sf0.01") + "/part.parquet"),
