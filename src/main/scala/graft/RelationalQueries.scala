@@ -228,6 +228,13 @@ object RelationalQueries {
       graft.operators.Funnel.counts(t(s, dir, "events"),
         Seq("view", "click", "purchase"))),
 
+    // per-user funnel completion TIMES (the row-level view behind
+    // funnel_counts): first view, first strictly-later click, first
+    // strictly-later purchase — NULL where the funnel stopped
+    "funnel_stage_times" -> ((s, dir) =>
+      graft.operators.Funnel.stageTimes(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // gap-based sessionization (24h gap) — batch twin of the
     // flatMapGroupsWithState streaming state machine (Sessionize)
     "sessionize" -> ((s, dir) =>
@@ -360,6 +367,16 @@ FROM events e JOIN events p
   ON e.user_id = p.user_id
  AND e.event_type = 'error' AND p.event_type = 'purchase'
  AND abs(epoch_ns(e.ts) - epoch_ns(p.ts)) <= 1800000000000""",
+
+    "funnel_stage_times" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t, event_type AS ty FROM events),
+s1 AS (SELECT u, min(t) AS t1 FROM e WHERE ty = 'view' GROUP BY u),
+s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON s1.u = e.u
+  WHERE ty = 'click' AND t > t1 GROUP BY e.u),
+s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON s2.u = e.u
+  WHERE ty = 'purchase' AND t > t2 GROUP BY e.u)
+SELECT s1.u, t1, t2, t3
+FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u""",
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
