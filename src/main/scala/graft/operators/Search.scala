@@ -53,9 +53,13 @@ object Search {
     val anchors = toks.join(broadcast(qtok), "term")
       .select(col("query_id"), col("doc_id"),
         (col("p").cast("long") - col("i")).as("anchor"), col("i"))
+    // plain count == distinct-ordinal count here: for a fixed
+    // (query, doc, anchor), ordinal i can only match at position
+    // anchor + i, and document positions are unique — so no
+    // distinct-expansion pass is needed in the rollup
     anchors
       .groupBy(col("query_id"), col("doc_id"), col("anchor"))
-      .agg(countDistinct(col("i")).as("n_ordinals"))
+      .agg(count(lit(1)).as("n_ordinals"))
       .join(broadcast(qlen), "query_id")
       .filter(col("n_ordinals") === col("len"))
       .groupBy(col("query_id"), col("doc_id"))
