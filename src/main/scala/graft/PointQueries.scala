@@ -212,7 +212,28 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
       val probes = pts.filter(col("id") % 100 === 0).select(col("id"), col("zkey"))
       StatsTable.asofLookup(s, probes, "zkey", stats, "bucket_key")
         .select(col("id"), col("bucket_key"))
-    })
+    }),
+
+    // distance self-join: all event-point pairs within Euclidean r=20
+    // — grid cells of side r, 3x3-neighborhood equi-join, exact dist²
+    // verify; each unordered pair exactly once by construction. The
+    // oracle is the brute-force quadratic join — the gate proves the
+    // grid decomposition loses and invents nothing
+    "distance_join" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id").as("id"),
+        expr("cast(floor(value*100) as int)").as("x"),
+        col("user_id").cast("int").as("y"))
+      graft.operators.SpatialJoin.distanceJoin(pts, 20L)
+    }),
+
+    // 2-D skyline over part points (size, price both minimized — the
+    // "smallest and cheapest" Pareto front); bucket-prefilter plan,
+    // NOT-EXISTS dominance oracle
+    "skyline" -> ((s, dir) =>
+      graft.operators.Analytics.skyline(
+        partPoints(s, dir).select(col("id"), col("x"), col("y")),
+        bucketWidth = 4L))
   )
 
   private def maskLit(pl: Int): String = ZOrder.makeMask(pl).toString
@@ -416,6 +437,22 @@ buckets AS (SELECT zkey & CAST(${maskLit(STATS_PL)} AS BIGINT) AS k, count(*) AS
 big AS (SELECT k FROM buckets WHERE n >= 100),
 probes AS (SELECT id, zkey FROM zpts WHERE id % 100 = 0)
 SELECT p.id, (SELECT max(k) FROM big b WHERE b.k <= p.zkey) AS bucket_key
-FROM probes p"""
+FROM probes p""",
+
+    "distance_join" ->
+      """WITH p AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events)
+SELECT a.id AS id_a, b.id AS id_b,
+  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400""",
+
+    "skyline" ->
+      """WITH p0 AS (SELECT CAST(p_size AS BIGINT) AS x,
+    CAST(floor(p_retailprice) AS BIGINT) AS y, min(p_partkey) AS id
+  FROM part GROUP BY 1, 2)
+SELECT id, x, y FROM p0 p
+WHERE NOT EXISTS (SELECT 1 FROM p0 q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))"""
   )
 }

@@ -158,4 +158,46 @@ object Analytics {
         coalesce(col("cnt"), lit(0L)).as("cnt"),
         coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
   }
+
+  /**
+   * 2-D skyline (Pareto front, both dimensions MINIMIZED — Börzsönyi
+   * et al. 2001): the points no other point dominates (≤ in both
+   * coordinates, < in at least one). "Smallest and cheapest" queries.
+   * Exact duplicates on `(x, y)` collapse to the minimum id first (the
+   * distinct skyline).
+   *
+   * Scale shape — the naive spelling is ONE GLOBAL window sort, which
+   * a 100 TB input cannot pay, so this runs the bucket-prefilter
+   * decomposition: (1) bucket by `x div bucketWidth`; (2) per-bucket
+   * min-y — a table of bucket-count rows — gets a running min over
+   * strictly-earlier buckets (a window over the TINY bucket table);
+   * (3) only points with `y` BELOW every earlier bucket's minimum
+   * survive (any other point is provably dominated by an earlier
+   * bucket's witness: strictly smaller x, ≤ y); (4) the exact
+   * running-min skyline scan runs over the SURVIVORS only — skyline-
+   * scale, not corpus-scale. Candidate ⊇ skyline and dominance is
+   * transitive, so filtering within the candidates is exact.
+   *
+   * Output: `(id, x, y)` — the non-dominated points.
+   */
+  def skyline(points: DataFrame, bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1)
+    val pts = points
+      .select(col("id").cast("long").as("id"),
+        col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(min(col("id")).as("id"))
+      .withColumn("bk", expr(s"div(x, $bucketWidth)"))
+    val bmin = pts.groupBy(col("bk")).agg(min(col("y")).as("bymin"))
+    val wb = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = bmin.withColumn("prevmin", min(col("bymin")).over(wb))
+      .select(col("bk"), col("prevmin"))
+    val cand = pts.join(broadcast(run), "bk")
+      .filter(col("prevmin").isNull || col("y") < col("prevmin"))
+    val ws = Window.orderBy(col("x"), col("y"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("pm", min(col("y")).over(ws))
+      .filter(col("pm").isNull || col("y") < col("pm"))
+      .select(col("id"), col("x"), col("y"))
+  }
 }

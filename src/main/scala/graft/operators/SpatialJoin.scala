@@ -87,4 +87,48 @@ object SpatialJoin {
         coalesce(col("n_points"), lit(0L)).as("n_points"),
         coalesce(col("id_sum"), lit(0L)).as("id_sum"))
   }
+
+  /**
+   * Distance self-join: every unordered pair of points within Euclidean
+   * distance `r` — the spatial near-duplicate / proximity-alert shape
+   * (sensors within range, co-located records). The classic grid
+   * method: with cell side `r`, any pair within distance `r` lies in
+   * the same or an ADJACENT cell, so one side keeps its own cell and
+   * the other emits its 3×3 neighborhood — the candidate generator is
+   * a plain equi-join on the cell key, exact `dx²+dy² ≤ r²` verifies.
+   *
+   * Each unordered pair survives exactly once WITHOUT a distinct pass:
+   * the neighborhood emission matches a given (a, b) orientation in
+   * exactly one `(ox, oy)` offset, and the `id_a < id_b` filter keeps
+   * one of the two orientations.
+   *
+   * Scale shape: one exchange per side on the cell key; candidate
+   * volume is Σ_cells n(cell)·n(3×3 neighborhood) — local density
+   * decides, never n². PRECONDITION: non-negative integer coordinates
+   * (the store's 31-bit point domain) so truncating division is floor
+   * division.
+   *
+   * Output: `(id_a, id_b, dist2)` with `dist2 = dx² + dy²`.
+   */
+  def distanceJoin(points: DataFrame, r: Long): DataFrame = {
+    require(r >= 1)
+    val p = points.select(col("id").cast("long").as("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+    val left = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      expr(s"div(x, $r)").as("cx"), expr(s"div(y, $r)").as("cy"))
+    val offsets = array((for (ox <- -1 to 1; oy <- -1 to 1)
+      yield struct(lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"))): _*)
+    val right = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"))
+      .withColumn("o", explode(offsets))
+      .select(col("id_b"), col("xb"), col("yb"),
+        (expr(s"div(xb, $r)") + col("o.ox")).as("cx"),
+        (expr(s"div(yb, $r)") + col("o.oy")).as("cy"))
+    left.join(right, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= lit(r * r))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+  }
 }

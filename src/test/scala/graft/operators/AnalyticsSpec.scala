@@ -94,6 +94,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(("click", 0L)) === ((0L, 0L)))
   }
 
+  test("skyline: matches naive dominance on anti-correlated data; bucket " +
+    "width does not change the result") {
+    // anti-correlated staircase + noise -> a large Pareto front, so the
+    // bucket prefilter path is genuinely exercised
+    val pts = (0 until 500).map { i =>
+      val x = (i * 7919) % 1000
+      val y = 1200 - x + (i * 104729) % 97   // strong anti-correlation
+      (i.toLong, x.toLong, y.toLong)
+    }
+    val df = pts.toDF("id", "x", "y")
+    // naive reference over distinct (x, y) with min id
+    val dedup = pts.groupBy(p => (p._2, p._3)).map { case ((x, y), l) =>
+      (l.map(_._1).min, x, y) }.toSeq
+    val naive = dedup.filter { case (_, x, y) =>
+      !dedup.exists { case (_, qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y) } }.toSet
+    for (w <- Seq(1L, 4L, 64L, 100000L)) {
+      val got = Analytics.skyline(df, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === naive, s"bucketWidth=$w")
+    }
+    assert(naive.size > 20, s"front too small to be a real test: ${naive.size}")
+  }
+
+  test("skyline: exact duplicates collapse to the min id") {
+    val df = Seq((5L, 1L, 1L), (3L, 1L, 1L), (7L, 0L, 9L))
+      .toDF("id", "x", "y")
+    val got = Analytics.skyline(df, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((3L, 1L, 1L), (7L, 0L, 9L)))
+  }
+
+  test("distanceJoin: matches the brute-force quadratic join, each pair once") {
+    val pts = (0 until 300).map { i =>
+      (i.toLong, ((i * 7919) % 200).toLong, ((i * 104729) % 150).toLong) }
+    val df = pts.toDF("id", "x", "y")
+    val r = 15L
+    val naive = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield ((a._1, b._1), d2)).toMap
+    val got = SpatialJoin.distanceJoin(df, r).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+    assert(got.length === got.toMap.size, "duplicate pairs emitted")
+    assert(got.toMap === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("DataQuality: rule violations, duplicate keys, orphans each count exactly") {
     val fact = Seq(
       (1L, Some(10L), 5.0), (2L, Some(10L), -1.0),

@@ -394,6 +394,17 @@ class PlanQualitySpec extends SparkSpec {
       .queryExecution.executedPlan
     val exchanges = sc.toString.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"SCD2 shuffled $exchanges times:\n$sc")
+    // distance join: the grid decomposition is an equi-join on the
+    // cell key — a cartesian/nested-loop here means the grid broke
+    val dj = graft.SparkEntry.queries("distance_join")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!dj.contains("CartesianProduct") && !dj.contains("NestedLoop"), dj)
+    // skyline: the bucket running-min table broadcasts back; the only
+    // full-width window runs over the pruned candidates
+    val sk = graft.SparkEntry.queries("skyline")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(sk.contains("BroadcastHashJoin"), sk)
+    assert(!sk.contains("CartesianProduct"), sk)
   }
 
   test("zorder expression stays inside WholeStageCodegen in the store pipeline") {
