@@ -95,6 +95,15 @@ object EmbeddingQueries {
     // hash-order seeds — the centroid update (truncating-division cell
     // means) is exact integer arithmetic, so the refined pipeline stays
     // fully oracle-gated
+    // FILTERED ANN: the same IVF index (built on the FULL corpus, so
+    // one index serves every predicate) answers queries restricted to
+    // a metadata slice — the predicate prunes the cell assignment
+    // BEFORE the probe join (pre-filter strategy)
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfFilteredTopK(e, e.filter(col("vec_id") < NQueries), K,
+        col("vec_id") % 3 === 1, nCentroids = IvfCentroids, nProbe = IvfProbe)
+    }),
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
@@ -480,13 +489,14 @@ assign2 AS (SELECT vec_id, cid FROM (
     * vector is a query (the kNN-join shape). */
   private def ivfTopSql(adT: String, asgT: String,
                         qPred: String = s"WHERE vec_id < $NQueries",
-                        k: Int = K, wrapAs: Option[String] = None): String =
+                        k: Int = K, wrapAs: Option[String] = None,
+                        candPred: String = ""): String =
     s"""probes AS (SELECT vec_id AS qid, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
     FROM $adT $qPred)
   WHERE rn <= $IvfProbe),
 cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
-  FROM probes p JOIN $asgT a ON a.cid = p.cid AND a.vec_id <> p.qid),
+  FROM probes p JOIN $asgT a ON a.cid = p.cid AND a.vec_id <> p.qid$candPred),
 sc AS (SELECT c.qid, c.nid, CAST(sum(a.ev * b2.ev) AS BIGINT) AS dot
   FROM cand c JOIN iex a ON a.vec_id = c.qid JOIN iex b2 ON b2.vec_id = c.nid AND b2.i = a.i
   GROUP BY 1, 2)""" + (wrapAs match {
@@ -703,6 +713,11 @@ SELECT qid, nid, dot, rank FROM lshtop""",
       s"""WITH $intCte,
 $ivfSeedCte,
 ${ivfTopSql("ad", "assign")}""",
+
+    "ann_filtered_topk" ->
+      s"""WITH $intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", candPred = " AND a.vec_id % 3 = 1")}""",
 
     // IVF + one Lloyd iteration: cell means by truncating integer
     // division (HUGEINT sum // count, cast back), empty cells keep

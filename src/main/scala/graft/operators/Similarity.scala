@@ -773,6 +773,44 @@ object Similarity {
   }
 
   /**
+   * FILTERED ANN: [[ivfTopK]] under a metadata predicate over the
+   * corpus side — "nearest documents WHERE lang = 'en' AND license =
+   * 'permissive'", the most-requested production vector-search shape.
+   * The index (centroids + cell assignment) is built on the FULL
+   * corpus, so one shared index serves every predicate; the predicate
+   * is applied to the ASSIGNED table BEFORE the probe join — i.e.
+   * pushed into the candidate scan, the pre-filter strategy. Catalyst
+   * pushes simple predicates through to the Parquet scan of a stored
+   * assignment, so a selective filter also prunes I/O.
+   *
+   * Recall note: pre-filtering keeps the probe list unchanged, so a
+   * HIGHLY selective predicate can empty the probed cells while
+   * matches exist in unprobed ones — raise `nProbe` with selectivity
+   * (the standard filtered-search guidance; post-filtering over-fetch
+   * is the alternative trade, composable as `ivfTopK(...).filter` with
+   * a larger k).
+   */
+  def ivfFilteredTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                      pred: Column, nCentroids: Int = 0, nProbe: Int = 4,
+                      lloydIters: Int = 0): DataFrame = {
+    val seeds = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
+    val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
+    val assigned = ivfAssign(emb, cents).filter(pred)
+    val qProbes = queries
+      .withColumn("probes", probeList(cents, nProbe))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(col("probes")).as("centroid_id"))
+    val scoredCand = assigned
+      .join(broadcast(qProbes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), dotInt("qv", "v").as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    scoredCand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
+  /**
    * IVF-blocked kNN JOIN: the k nearest neighbors (by exact integer
    * inner product) for EVERY vector in the table — the primitive behind
    * semantic dedup, diversity filtering, and embedding-space clustering

@@ -161,6 +161,25 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes.length > 4, "degenerate quantizer: everything in few cells")
   }
 
+  test("filtered ANN: every result satisfies the predicate; recall vs exact " +
+    "filtered top-k; shared full-corpus index") {
+    val k = 5
+    val q = emb.filter(col("vec_id") < 8)
+    val pred = col("vec_id") % 3 === 1
+    val got = Similarity.ivfFilteredTopK(emb, q, k, pred,
+      nCentroids = 16, nProbe = 8)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall { case (_, nid) => nid % 3 == 1 }, "predicate leaked")
+    // recall against the exact filtered top-k (generous probes: 8/16)
+    val exact = Similarity.ipTopK(emb.filter(pred), q, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rows.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"filtered recall $recall")
+    // candidate work is probe-bounded: never more than k results/query
+    val perQ = got.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ <= k))
+  }
+
   test("kNN join covers every vector and agrees with ivfTopK on a shared query subset") {
     val k = 5
     val joined = Similarity.knnJoin(emb, k, nCentroids = 16, nProbe = 4)
