@@ -287,10 +287,10 @@ object StreamingQueries {
     // per rule. Counts are additive, so merge-then-read equals the
     // batch audit over the union — the production "quality dashboard"
     // loop where a batch that trips a threshold quarantines before
-    // publish. State is O(rules) per batch; an at-least-once replay
-    // would double-count, so the log append inherits the same
-    // idempotent-batch-id discipline as the ingest path (foreachBatch
-    // per-batch parquet append keyed by the checkpoint's batch id).
+    // publish. State is O(rules) per batch; each batch OVERWRITES its
+    // batch-id-keyed log directory, so an at-least-once replay rewrites
+    // identical counts instead of double-counting (the additive merge
+    // stays exactly-once in net effect).
     "stream_dq" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-dq").toString
@@ -307,14 +307,17 @@ object StreamingQueries {
           (expr("cast(round(value*100) as bigint)") > 9000L),
         "events.error_events" -> (col("event_type") === "error"))
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // idempotent under at-least-once replay: each batch OVERWRITES
+          // its own batch-id-keyed directory, so a re-delivered batch
+          // rewrites identical counts instead of double-counting
           DataQuality.ruleViolations(batch, rules)
-            .write.mode("append").parquet(s"$tmp/log")
+            .write.mode("overwrite").parquet(s"$tmp/log/b$batchId")
         }
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       try q.processAllAvailable() finally q.stop()
-      val merged = s.read.parquet(s"$tmp/log")
+      val merged = s.read.parquet(s"$tmp/log/b*")
         .groupBy("check_name").agg(sum(col("n_bad")).as("n_bad"))
       val rows = merged.collect().toSeq
       val outSchema = merged.schema
