@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.CheckpointScope.Scoped
+
 /**
  * Behavioral / warehouse analytics over the event log and change
  * tables — the product-analytics battery (cohort retention, Markov
@@ -146,10 +148,17 @@ object Analytics {
     val e = events.select(col("event_type"),
       expr(s"div(ts, $HourNanos)").as("hr"),
       expr("cast(round(value*100) as bigint)").as("cents"))
+    // ONE scan of the fact table; bounds and the type list derive from
+    // the aggregated counts (post-aggregation scale), so the grid
+    // build never re-reads the corpus. The counts table is scope-
+    // checkpointed because three consumers read it (bounds, types,
+    // the final join) — released with the caller's CheckpointScope
+    // lifecycle like every other shared intermediate
     val counts = e.groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
-    val bounds = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-    val grid = e.select(col("event_type")).distinct()
+      .scopedCheckpoint()
+    val bounds = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = counts.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(expr("sequence(h0, h1)")).as("hr"))
