@@ -92,6 +92,41 @@ object AnalyticsQueries {
             (col("l_shipdate") < col("o_orderdate")))))
     }),
 
+    // PIVOT: per user-cohort event counts, one column per event type
+    // (explicit value list — deterministic schema, map-side partials;
+    // Catalyst rewrites pivot to one conditional aggregate pass)
+    "events_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("view", "click", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .select(col("cohort"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("signup"), lit(0L)).as("signup"))),
+
+    // set operations as a product question: of the users active in
+    // the first week, who RETAINED (intersect — active again later)
+    // and who CHURNED (except — never seen again). INTERSECT/EXCEPT
+    // plan as distinct-preserving semi/anti joins under Catalyst —
+    // never a driver-side set. (On this dense fixture every user
+    // retains; the churned leg staying empty is itself the assertion,
+    // and the retained leg carries the discrimination.)
+    "retention_sets" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr(s"div(ts, ${Analytics.WeekNanos})").as("wk"))
+      val w0 = e.agg(min(col("wk")).as("w0"))
+      val tagged = e.crossJoin(broadcast(w0))
+      val first = tagged.filter(col("wk") === col("w0")).select("user_id").distinct()
+      val later = tagged.filter(col("wk") > col("w0")).select("user_id").distinct()
+      first.intersect(later).select(lit("retained").as("stage"), col("user_id"))
+        .unionByName(
+          first.except(later).select(lit("churned").as("stage"), col("user_id")))
+    }),
+
     // fuzzy record linkage (entity resolution): a "dirty registry" of
     // every 5th part's name with its 4th character deleted links back
     // to the distinct-name catalog through deletion-neighborhood
@@ -179,6 +214,24 @@ UNION ALL SELECT 'lineitem.l_orderkey_orphan',
 UNION ALL SELECT 'lineitem.ship_before_order',
   CAST(coalesce(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "events_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS BIGINT) AS view,
+  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) AS BIGINT) AS click,
+  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase,
+  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error,
+  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END), 0) AS BIGINT) AS signup
+FROM events GROUP BY cohort""",
+
+    "retention_sets" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+b AS (SELECT min(wk) AS w0 FROM e),
+f AS (SELECT DISTINCT user_id FROM e, b WHERE wk = w0),
+l AS (SELECT DISTINCT user_id FROM e, b WHERE wk > w0)
+SELECT 'retained' AS stage, user_id FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM l)
+UNION ALL
+SELECT 'churned', user_id FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM l)""",
 
     "fuzzy_link" -> {
       val lkeys = RecordLinkage.deletionKeysSql("name_l")
