@@ -92,6 +92,26 @@ object AnalyticsQueries {
             (col("l_shipdate") < col("o_orderdate")))))
     }),
 
+    // incremental rollup maintenance: a stored hourly rollup over the
+    // "prior" 4/5 of the corpus merges with the new batch's rollup by
+    // summing partials at POST-aggregation scale — the batch-ETL
+    // maintenance law (merge(prior, batch) == recompute(whole), the
+    // additive analog of stream_hll's max-merge law). The corpus is
+    // never re-scanned to absorb a batch.
+    "rollup_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("div(ts, 3600000000000) * 3600").as("hour_epoch"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+      def rollup(df: DataFrame) = df
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      rollup(e.filter(col("event_id") % 5 < 4))
+        .unionByName(rollup(e.filter(col("event_id") % 5 === 4)))
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sum_cents")).as("sum_cents"))
+    }),
+
     // PIVOT: per user-cohort event counts, one column per event type
     // (explicit value list — deterministic schema, map-side partials;
     // Catalyst rewrites pivot to one conditional aggregate pass)
@@ -214,6 +234,13 @@ UNION ALL SELECT 'lineitem.l_orderkey_orphan',
 UNION ALL SELECT 'lineitem.ship_before_order',
   CAST(coalesce(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    // the oracle is the ONE-PASS rollup: merge-of-partials must equal it
+    "rollup_merge" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+  count(*) AS cnt,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY hour_epoch, event_type""",
 
     "events_pivot" ->
       """SELECT user_id % 10 AS cohort,
