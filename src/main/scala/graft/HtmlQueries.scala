@@ -144,7 +144,15 @@ object HtmlQueries {
     // sparse odd tendrils — peel away over several rounds. The engine
     // iterates to the TRUE fixpoint; the oracle unrolls 9 peel rounds
     // (fixture converges in 7 at every sf — extra rounds are no-ops)
-    "kcore" -> ((s, dir) => LinkGraph.kCore(kcoreEdges(s, dir), k = 5))
+    "kcore" -> ((s, dir) => LinkGraph.kCore(kcoreEdges(s, dir), k = 5)),
+    // TrustRank: teleport only to the 25 nav pages (the curated trust
+    // seeds) — rank flows outward from them; pages far from the hub
+    // neighborhood decay geometrically. Integer-exact per iteration,
+    // unrolled-CTE oracle like pagerank
+    "trustrank" -> ((s, dir) =>
+      LinkGraph.personalizedPageRank(fixtureEdges(s, dir),
+        docs(s, dir).filter(col("doc_id") < 25).select(col("doc_id").as("v")),
+        iters = 5))
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,6 +248,15 @@ ${LinkGraph.kCoreOracleCore(k = 5, rounds = 9)}
 SELECT v, CAST(d AS BIGINT) AS deg FROM
   (SELECT v, count(*) AS d FROM
     (SELECT a AS v FROM ke9 UNION ALL SELECT b AS v FROM ke9) GROUP BY v)
-WHERE d >= 5"""
+WHERE d >= 5""",
+
+    "trustrank" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
+${LinkGraph.personalizedOracleCore(iters = 5, seedPred = "v < 25")}
+SELECT v, rank FROM pp5"""
   )
 }

@@ -278,6 +278,107 @@ p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
   }
 
   /**
+   * Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina &
+   * Pedersen 2004): the random walk TELEPORTS only to the `seeds` —
+   * rank flows outward from a curated trust set, so pages reachable
+   * from trusted hubs score high and isolated link farms decay
+   * geometrically with distance from the seeds. The seed-propagation
+   * tool crawl curation uses to demote spam neighborhoods.
+   *
+   * Exact integer spelling, engine-order-free like [[pageRank]]: total
+   * mass `n·Scale` concentrates on the seeds — per-seed initial mass
+   * `m = n·Scale // |S|` and per-seed teleport base
+   * `((dampDen−dampNum)·m) // dampDen`, non-seeds carry base 0; each
+   * iteration is the same damped out-degree quotient + destination
+   * sum. Seed count and vertex count are DRIVER-side scalars (a trust
+   * seed set is curated metadata, never corpus-scale). Overflow
+   * margin: the largest intermediate is `dampNum · n·Scale`, the same
+   * bound as [[pageRank]] (~5×10^11 vertices at this Scale).
+   *
+   * Two corpus-scale shuffles per iteration; per-round checkpoint
+   * release identical to [[pageRank]]. Returns `(v, rank)`; vertices
+   * unreachable from the seeds converge to 0.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5, dampNum: Long = DampNum,
+                           dampDen: Long = DampDen): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .scopedCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .scopedCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .scopedCheckpoint()
+    val sd = seeds.select(col("v").cast("long").as("sv")).distinct()
+    val nS = sd.count()
+    require(nS >= 1, "personalizedPageRank needs a non-empty seed set")
+    val nV = verts.count()
+    val seedMass = Scale * nV / nS
+    val seedBase = (dampDen - dampNum) * seedMass / dampDen
+    val init = verts.join(sd, verts("v") === sd("sv"), "left")
+      .select(verts("v"),
+        when(col("sv").isNotNull, lit(seedMass)).otherwise(lit(0L)).as("rank"),
+        when(col("sv").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("base"))
+      .scopedCheckpoint()
+    var p = init.select(col("v"), col("rank"))
+    var pCk: DataFrame = null
+    var t = 0
+    while (t < iters) {
+      val qd = p.join(outdeg, p("v") === outdeg("src"))
+        .select(p("v").as("u"),
+          expr(s"div(div(rank, outdeg) * $dampNum, $dampDen)").as("qd"))
+      val contrib = qd.join(e, col("u") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("qd")).as("c"))
+      val next = init.select(col("v"), col("base"))
+        .join(contrib, init("v") === contrib("dst"), "left")
+        .select(init("v"), (col("base") + coalesce(col("c"), lit(0L))).as("rank"))
+        .scopedCheckpoint()
+      if (pCk != null) CheckpointScope.release(pCk)
+      pCk = next
+      p = next
+      t += 1
+    }
+    CheckpointScope.release(e)
+    CheckpointScope.release(outdeg)
+    CheckpointScope.release(verts)
+    CheckpointScope.release(init)
+    p
+  }
+
+  /**
+   * DuckDB twin of [[personalizedPageRank]] over an edge CTE
+   * `edges(src, dst)`: seeds selected by `seedPred` (a SQL predicate
+   * over the vertex column `v`), `iters` unrolled rounds ending in
+   * `pp$iters(v, rank)`.
+   */
+  def personalizedOracleCore(iters: Int, seedPred: String,
+                             dampNum: Long = DampNum,
+                             dampDen: Long = DampDen): String = {
+    val head =
+      s"""verts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+sds AS (SELECT v FROM verts WHERE $seedPred),
+sm AS (SELECT CAST(($Scale * (SELECT count(*) FROM verts)) // (SELECT count(*) FROM sds) AS BIGINT) AS m),
+sb AS (SELECT CAST((${dampDen - dampNum} * m) // $dampDen AS BIGINT) AS b FROM sm),
+pinit AS (SELECT v.v,
+    CASE WHEN s.v IS NOT NULL THEN sm.m ELSE 0 END AS rank,
+    CASE WHEN s.v IS NOT NULL THEN sb.b ELSE 0 END AS base
+  FROM verts v LEFT JOIN sds s ON s.v = v.v, sm, sb),
+pp0 AS (SELECT v, CAST(rank AS BIGINT) AS rank FROM pinit)"""
+    val rounds = (1 to iters).map { t =>
+      s"""pq$t AS (SELECT p.v, CAST(((p.rank // o.outdeg) * $dampNum) // $dampDen AS BIGINT) AS qd
+  FROM pp${t - 1} p JOIN odeg o ON o.src = p.v),
+pc$t AS (SELECT e.dst, CAST(sum(q.qd) AS BIGINT) AS c
+  FROM pq$t q JOIN edges e ON e.src = q.v GROUP BY e.dst),
+pp$t AS (SELECT i.v, CAST(i.base + coalesce(c.c, 0) AS BIGINT) AS rank
+  FROM pinit i LEFT JOIN pc$t c ON c.dst = i.v)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /**
    * Per-vertex triangle counts over the UNDIRECTED simple graph
    * underlying `(src, dst)` — the local-clustering signal of link-spam
    * and community detection (triangles are what separates an organic

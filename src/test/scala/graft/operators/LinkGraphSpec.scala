@@ -143,6 +143,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(CheckpointScope.liveCount === 0)
   }
 
+  test("personalized PageRank: rank decays with distance from the seeds, " +
+    "unreachable vertices score 0, rounds release") {
+    import spark.implicits._
+    // chain 0->1->2->3 seeded at 0, plus an isolated pair 10->11
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("v")
+    CheckpointScope.releaseAll()
+    val r = LinkGraph.personalizedPageRank(e, seeds, iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the walk teleports only to 0: each hop keeps the damped quotient,
+    // so rank strictly decays along the chain after the seed
+    assert(r(1L) > r(2L) && r(2L) > r(3L), r.toString)
+    assert(r(0L) > 0L)
+    // 10/11 are unreachable from the seed: no teleport mass, rank -> 0
+    assert(r(10L) === 0L && r(11L) === 0L, r.toString)
+    // partitioning-independent
+    val r2 = LinkGraph.personalizedPageRank(e.repartition(7), seeds, iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 === r)
+    CheckpointScope.releaseAll()
+    val r3 = LinkGraph.personalizedPageRank(e, seeds, iters = 3)
+    r3.count()
+    assert(CheckpointScope.liveCount === 1, CheckpointScope.liveCount.toString)
+    CheckpointScope.releaseAll()
+  }
+
   test("kCore matches a naive driver-side peel on a clique-plus-tendrils graph") {
     import spark.implicits._
     // K5 clique (ids 0-4), a path 5-6-7 hanging off vertex 0, and a
