@@ -152,7 +152,16 @@ object HtmlQueries {
     "trustrank" -> ((s, dir) =>
       LinkGraph.personalizedPageRank(fixtureEdges(s, dir),
         docs(s, dir).filter(col("doc_id") < 25).select(col("doc_id").as("v")),
-        iters = 5))
+        iters = 5)),
+    // bounded-frontier BFS from the trust seeds (crawl-depth audit):
+    // hop distances within 8 rounds — the fixture's affine-permutation
+    // edges give it a LONG reachability tail (full closure takes 74+
+    // rounds), so the gate pins the bounded semantic maxHops shares
+    // with a real crawl scheduler; the oracle unrolls exactly 8 rounds
+    "seed_distance" -> ((s, dir) =>
+      LinkGraph.seedDistance(fixtureEdges(s, dir),
+        docs(s, dir).filter(col("doc_id") < 25).select(col("doc_id").as("v")),
+        maxHops = 8))
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +266,15 @@ edges AS (
   UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.personalizedOracleCore(iters = 5, seedPred = "v < 25")}
-SELECT v, rank FROM pp5"""
+SELECT v, rank FROM pp5""",
+
+    "seed_distance" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
+${LinkGraph.seedDistanceOracleCore(rounds = 8, seedPred = "v < 25")}
+SELECT v, dist FROM sd8"""
   )
 }

@@ -379,6 +379,72 @@ pp$t AS (SELECT i.v, CAST(i.base + coalesce(c.c, 0) AS BIGINT) AS rank
   }
 
   /**
+   * Hop distance from a seed set (multi-source BFS over the DIRECTED
+   * edge list): the "link distance from trusted pages" companion to
+   * [[personalizedPageRank]] — crawl-depth auditing, frontier
+   * scheduling, and the integer feature TrustRank's geometric decay
+   * approximates. Returns `(v, dist)` for every vertex REACHABLE
+   * within `maxHops`; unreachable vertices are absent.
+   *
+   * Frontier relaxation: each round joins the current distance table
+   * along edges and keeps the minimum — distances only decrease, and
+   * a round that changes nothing is the fixpoint (diameter-bounded,
+   * `maxHops` also caps the answer by construction). Two shuffles per
+   * round (edge join + min rollup), per-round checkpoint release —
+   * the same lineage discipline as every iterative operator here.
+   */
+  def seedDistance(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().scopedCheckpoint()
+    var dist = seeds.select(col("v").cast("long").as("v")).distinct()
+      .select(col("v"), lit(0L).as("dist")).scopedCheckpoint()
+    var n = dist.count()
+    var hop = 0
+    var converged = false
+    while (!converged && hop < maxHops) {
+      val relaxed = dist.join(e, dist("v") === e("src"))
+        .select(e("dst").as("v"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .scopedCheckpoint()
+      val nNext = next.count()
+      CheckpointScope.release(dist)
+      // unit-weight BFS invariant: a vertex first appears in the table
+      // at exactly its true hop distance, and a label never changes
+      // after insertion — so an unchanged ROW COUNT is the fixpoint
+      converged = nNext == n
+      dist = next
+      n = nNext
+      hop += 1
+    }
+    CheckpointScope.release(e)
+    dist
+  }
+
+  /**
+   * DuckDB twin of [[seedDistance]] over an edge CTE `edges(src,
+   * dst)`: `rounds` unrolled relaxations (gate fixtures must converge
+   * within them), ending in `sd$rounds(v, dist)`.
+   */
+  def seedDistanceOracleCore(rounds: Int, seedPred: String): String = {
+    val head =
+      s"""dverts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges),
+sd0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM dverts WHERE $seedPred)"""
+    val steps = (1 to rounds).map { t =>
+      s"""sd$t AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+  SELECT v, dist FROM sd${t - 1}
+  UNION ALL
+  SELECT e.dst AS v, d.dist + 1 AS dist FROM sd${t - 1} d JOIN de e ON e.src = d.v
+) GROUP BY v)"""
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /**
    * Per-vertex triangle counts over the UNDIRECTED simple graph
    * underlying `(src, dst)` — the local-clustering signal of link-spam
    * and community detection (triangles are what separates an organic

@@ -169,6 +169,27 @@ class LinkGraphSpec extends SparkSpec {
     CheckpointScope.releaseAll()
   }
 
+  test("seedDistance: exact hop labels, maxHops frontier cap, fixpoint stop") {
+    import spark.implicits._
+    // diamond + chain: 0 -> {1,2} -> 3 -> 4 -> 5; disconnected 10 -> 11
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("v")
+    val full = LinkGraph.seedDistance(e, seeds)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(full === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L, 5L -> 4L))
+    // the frontier cap truncates, never mislabels
+    val capped = LinkGraph.seedDistance(e, seeds, maxHops = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(capped === full.filter(_._2 <= 2))
+    // multi-source: nearest seed wins
+    val ms = LinkGraph.seedDistance(e, Seq(0L, 4L).toDF("v"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ms(4L) === 0L && ms(5L) === 1L && ms(3L) === 2L)
+    CheckpointScope.releaseAll()
+  }
+
   test("kCore matches a naive driver-side peel on a clique-plus-tendrils graph") {
     import spark.implicits._
     // K5 clique (ids 0-4), a path 5-6-7 hanging off vertex 0, and a
