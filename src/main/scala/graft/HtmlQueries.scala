@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Html, LinkGraph, Urls}
@@ -161,7 +162,39 @@ object HtmlQueries {
     "seed_distance" -> ((s, dir) =>
       LinkGraph.seedDistance(fixtureEdges(s, dir),
         docs(s, dir).filter(col("doc_id") < 25).select(col("doc_id").as("v")),
-        maxHops = 8))
+        maxHops = 8)),
+    // CAPSTONE composition — the whole web-ingest chain as ONE query:
+    // markup → href extraction → messy-URL canonicalization →
+    // registered-domain edge list → dense id assignment (domain-
+    // vocabulary-scale window) → integer PageRank → named ranks.
+    // Every stage is the already-gated operator; the oracle replays
+    // the full chain through the same shared SQL generators
+    "pipeline_webgraph" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pages = d.withColumn("html", expr(FixtureHtmlSql))
+        .select("doc_id", "html")
+      val hrefs = Html.links(pages)
+        .unionByName(d.select(col("doc_id"), expr(UrlFixtureSql).as("href")))
+      val tgt = Urls.parse(hrefs, "href")
+        .filter(col("domain") =!= "")
+        .select(col("doc_id"), col("domain").as("dst_dom"))
+      val edgesNamed = tgt.select(
+        expr("concat('example', cast(doc_id % 7 as string), '.com')").as("src_dom"),
+        col("dst_dom"))
+      val doms = edgesNamed.select(col("src_dom").as("dom"))
+        .unionByName(edgesNamed.select(col("dst_dom").as("dom"))).distinct()
+      val ids = doms.withColumn("vid",
+        row_number().over(Window.orderBy(col("dom"))).cast("long"))
+      val e = edgesNamed
+        .join(broadcast(ids.select(col("dom").as("src_dom"), col("vid").as("src"))),
+          "src_dom")
+        .join(broadcast(ids.select(col("dom").as("dst_dom"), col("vid").as("dst"))),
+          "dst_dom")
+        .select("src", "dst")
+      LinkGraph.pageRank(e, iters = 5)
+        .join(broadcast(ids), col("v") === col("vid"))
+        .select(col("dom").as("domain"), col("rank"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -275,6 +308,22 @@ edges AS (
   UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.seedDistanceOracleCore(rounds = 8, seedPred = "v < 25")}
-SELECT v, dist FROM sd8"""
+SELECT v, dist FROM sd8""",
+
+    "pipeline_webgraph" ->
+      s"""WITH h AS (SELECT doc_id, $FixtureHtmlSql AS html FROM documents),
+hl AS (SELECT doc_id, unnest(${Html.linksSql("html")}) AS href FROM h),
+uh AS (SELECT doc_id, href FROM hl
+  UNION ALL SELECT doc_id, $UrlFixtureSql AS href FROM documents),
+tg AS (SELECT doc_id, ${Urls.domainSql("href", duck = true)} AS dst_dom FROM uh),
+en AS (SELECT 'example' || (doc_id % 7) || '.com' AS src_dom, dst_dom
+  FROM tg WHERE dst_dom <> ''),
+doms AS (SELECT DISTINCT dom FROM
+  (SELECT src_dom AS dom FROM en UNION ALL SELECT dst_dom FROM en)),
+ids AS (SELECT dom, CAST(row_number() OVER (ORDER BY dom) AS BIGINT) AS vid FROM doms),
+edges AS (SELECT s.vid AS src, t.vid AS dst
+  FROM en JOIN ids s ON s.dom = en.src_dom JOIN ids t ON t.dom = en.dst_dom),
+${LinkGraph.oracleCore(iters = 5)}
+SELECT i.dom AS domain, p.rank FROM p5 p JOIN ids i ON i.vid = p.v"""
   )
 }
