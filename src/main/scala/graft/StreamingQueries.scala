@@ -154,6 +154,56 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Sliding (OVERLAPPING) windowed aggregation in append mode: every
+    // event lands in four 1h/15m windows; the sentinel advances the
+    // watermark past every real window so append mode finalizes all of
+    // them (the sentinel's own windows never close and never emit).
+    // The batch oracle replays the overlap by exploding each event
+    // into its four window starts — streaming window ASSIGNMENT,
+    // watermark bookkeeping, and append finalization are all gated.
+    "stream_sliding" -> ((s, dir) => {
+      val (tmp, maxTs, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-sliding").toString
+        val src = graft.sources.EventTime.events(s, dir)
+          .select(expr("timestamp_micros(div(ts, 1000))").as("event_time"),
+            col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
+        src.write.parquet(s"$tmp/in")
+        (tmp, src.agg(max(col("event_time"))).head().getTimestamp(0),
+          s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+      val agg = stream
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("cnt"), col("sum_cents"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        import s.implicits._
+        Seq((new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+            "__sentinel", 0L))
+          .toDF("event_time", "event_type", "cents")
+          .write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      } finally q.stop()
+      val res = s.read.parquet(s"$tmp/out")
+      val rows = res.collect().toSeq
+      val outSchema = res.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Online web-ingest classification: the capstone composition of
     // the web-ingest chain — raw HTML pages arrive as microbatches;
     // each batch extracts visible text ([[Html.extract]], pure
@@ -443,6 +493,17 @@ WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
       // len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 500""",
 
     // the batch hourly rollup — identical to events_hourly's oracle
-    "stream_hourly" -> RelationalQueries.oracle("events_hourly")
+    "stream_hourly" -> RelationalQueries.oracle("events_hourly"),
+
+    // batch replay of the 1h/15m sliding assignment: each event
+    // explodes into its four window starts
+    "stream_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type,
+    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+w AS (SELECT ((tsec // 900) - k.k) * 900 AS win_start, event_type, cents
+  FROM e, (SELECT unnest(range(0, 4)) AS k) k)
+SELECT win_start, event_type, count(*) AS cnt,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY win_start, event_type"""
   )
 }
