@@ -227,6 +227,18 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
       graft.operators.SpatialJoin.distanceJoin(pts, 20L)
     }),
 
+    // spatio-temporal distance self-join: event pairs within r=150 in
+    // (x, y, t) — the 27-cell-neighborhood generalization; brute-force
+    // quadratic oracle again proves the grid loses/invents nothing
+    "distance_join_3d" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id").as("id"),
+        expr("cast(floor(value*100) as int)").as("x"),
+        col("user_id").cast("int").as("y"),
+        expr("cast(event_id % 2097152 as int)").as("t"))
+      graft.operators.SpatialJoin.distanceJoin3(pts, 150L)
+    }),
+
     // 2-D skyline over part points (size, price both minimized — the
     // "smallest and cheapest" Pareto front); bucket-prefilter plan,
     // NOT-EXISTS dominance oracle
@@ -446,6 +458,16 @@ SELECT a.id AS id_a, b.id AS id_b,
   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
 FROM p a JOIN p b ON a.id < b.id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400""",
+
+    "distance_join_3d" ->
+      """WITH p AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y, CAST(event_id % 2097152 AS BIGINT) AS t FROM events)
+SELECT a.id AS id_a, b.id AS id_b,
+  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+    + (a.t - b.t) * (a.t - b.t) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+    + (a.t - b.t) * (a.t - b.t) <= 22500""",
 
     "skyline" ->
       """WITH p0 AS (SELECT CAST(p_size AS BIGINT) AS x,

@@ -131,4 +131,42 @@ object SpatialJoin {
       .filter(col("dist2") <= lit(r * r))
       .select(col("id_a"), col("id_b"), col("dist2"))
   }
+
+  /**
+   * 3-D distance self-join — the spatio-temporal twin of
+   * [[distanceJoin]] ("objects within range r of each other in space
+   * AND time", the conflation/collision shape): cell side `r` in all
+   * three axes, the neighborhood emission grows to 3×3×3 = 27 keys on
+   * one side, everything else is the same equi-join + exact
+   * `dx²+dy²+dt² ≤ r²` verify with the same exactly-once pair
+   * accounting. Same non-negative-coordinate precondition.
+   */
+  def distanceJoin3(points: DataFrame, r: Long): DataFrame = {
+    require(r >= 1)
+    val p = points.select(col("id").cast("long").as("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+      col("t").cast("long").as("t"))
+    val left = p.select(col("id").as("id_a"), col("x").as("xa"),
+      col("y").as("ya"), col("t").as("ta"),
+      expr(s"div(x, $r)").as("cx"), expr(s"div(y, $r)").as("cy"),
+      expr(s"div(t, $r)").as("ct"))
+    val offsets = array((for (ox <- -1 to 1; oy <- -1 to 1; ot <- -1 to 1)
+      yield struct(lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"),
+        lit(ot.toLong).as("ot"))): _*)
+    val right = p.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("t").as("tb"))
+      .withColumn("o", explode(offsets))
+      .select(col("id_b"), col("xb"), col("yb"), col("tb"),
+        (expr(s"div(xb, $r)") + col("o.ox")).as("cx"),
+        (expr(s"div(yb, $r)") + col("o.oy")).as("cy"),
+        (expr(s"div(tb, $r)") + col("o.ot")).as("ct"))
+    left.join(right, Seq("cx", "cy", "ct"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")) +
+          (col("ta") - col("tb")) * (col("ta") - col("tb")))
+      .filter(col("dist2") <= lit(r * r))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+  }
 }

@@ -143,6 +143,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("distanceJoin3: matches the brute-force quadratic join in 3-D") {
+    val pts = (0 until 200).map { i =>
+      (i.toLong, ((i * 7919) % 120).toLong, ((i * 104729) % 90).toLong,
+        ((i * 31) % 100).toLong) }
+    val df = pts.toDF("id", "x", "y", "t")
+    val r = 25L
+    val naive = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) +
+        (a._4 - b._4) * (a._4 - b._4)
+      if d2 <= r * r
+    } yield ((a._1, b._1), d2)).toMap
+    val got = SpatialJoin.distanceJoin3(df, r).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+    assert(got.length === got.toMap.size, "duplicate pairs emitted")
+    assert(got.toMap === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("DataQuality: rule violations, duplicate keys, orphans each count exactly") {
     val fact = Seq(
       (1L, Some(10L), 5.0), (2L, Some(10L), -1.0),
