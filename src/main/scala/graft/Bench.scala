@@ -53,7 +53,7 @@ object Bench {
   private val streamKeys =
     Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup", "stream_hourly",
       "stream_curate", "stream_semantic", "stream_classify", "stream_hll",
-      "stream_dq", "stream_sliding")
+      "stream_dq", "stream_sliding", "stream_topk")
   private val storeKeys = Seq("store_build", "store_range", "store_knn")
   private val store3Keys = Seq("store3_build", "store3_range", "store3_knn")
 

@@ -380,6 +380,50 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Streaming heavy hitters: each microbatch writes its PARTIAL
+    // Count-Min counter table to a batch-id-keyed log directory
+    // (overwrite = replay-idempotent, like stream_dq); the read side
+    // SUMS the log element-wise — counters are additive, so
+    // merge-then-probe must equal the one-pass batch sketch. The
+    // trending-terms loop: O(d·w) state per batch, exact top-k probed
+    // through the merged sketch.
+    "stream_topk" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-topk").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", expr(SketchQueries.AugSql))
+          .select("doc_id", "text")
+          // two microbatches: the merge law needs >= 2 partials; the
+          // vocabulary-widened fixture makes every extra batch a full
+          // ~200k-term hashing pass, so no more than the law requires
+          .repartition(2).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Sketches.cmCounters(batch)
+            .write.mode("overwrite").parquet(s"$tmp/sketch/b$batchId")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(s"$tmp/sketch/b*")
+        .groupBy("depth", "bucket").agg(sum(col("cnt")).as("cnt"))
+      val probed = graft.operators.Sketches.cmProbe(
+        s.read.parquet(s"$tmp/in"), merged, 20)
+      val rows = probed.collect().toSeq
+      val outSchema = probed.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Streaming distinct-count sketch: the documents corpus arrives as
     // four microbatches; each batch appends its PARTIAL HyperLogLog
     // register table to a sketch log, and the read side max-merges the
@@ -494,6 +538,9 @@ WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly"),
+
+    // the one-pass batch sketch probe — equality IS the CM merge law
+    "stream_topk" -> SketchQueries.oracle("cms_heavy_hitters"),
 
     // batch replay of the 1h/15m sliding assignment: each event
     // explodes into its four window starts

@@ -171,8 +171,17 @@ object Sketches {
    * query). The counter table is broadcast; the probe is exchange-free
    * beyond the top-k itself.
    */
-  def cmHeavyHitters(docs: DataFrame, k: Int): DataFrame = {
-    val counters = cmCounters(docs)
+  def cmHeavyHitters(docs: DataFrame, k: Int): DataFrame =
+    cmProbe(docs, cmCounters(docs), k)
+
+  /**
+   * Probe a GIVEN counter table (one [[cmCounters]] output, or any
+   * element-wise SUM of several — the CM merge law) with the corpus's
+   * exact top-k tokens: `(word, n_exact, n_est)`. Split out from
+   * [[cmHeavyHitters]] so a streaming maintenance loop can merge its
+   * per-batch partial counters and probe the merged sketch.
+   */
+  def cmProbe(docs: DataFrame, counters: DataFrame, k: Int): DataFrame = {
     val topk = docs.select(words.as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("w")).limit(k)
