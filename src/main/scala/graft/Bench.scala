@@ -47,6 +47,10 @@ object Bench {
   private final case class Meas(sec: Double, gcSec: Double, leakedRdds: Int,
     setupSec: Double = 0.0)
 
+  /** How many child JVMs run at once in fork mode (1 = the round-12
+    * serial behavior); recorded in `bench_meta` for adjudication. */
+  private var benchConcurrency: Int = 1
+
   // the stream_* gates are end-to-end STREAMING-loop gates (each run
   // builds a whole store / replays the state machine) — measured once
   // under their own keys so the query inventory stays comparable
@@ -76,6 +80,8 @@ object Bench {
     val forkEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val wanted = if (args.nonEmpty) allKeys.filter(args.toSet) else allKeys
 
+    benchConcurrency = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CONCURRENCY", "4").toInt)
     if (childOut.isDefined) {
       // child mode: measure the requested keys in THIS fresh JVM, write
       // one parseable line per key, print nothing the driver could see
@@ -93,8 +99,18 @@ object Bench {
     }
   }
 
-  /** Spawn one child JVM per group; parent never starts Spark unless a
-    * child fails and its keys need the in-process fallback. */
+  /** Spawn one child JVM per group, `SPARK_GRAFT_BENCH_CONCURRENCY` (default
+    * 4) children at a time; parent never starts Spark unless a child fails
+    * and its keys need the in-process fallback.
+    *
+    * CONCURRENCY (round-13): ~195 serial children × ~15 s JVM/Spark
+    * bootstrap each blew past the driver's bench window (BENCH_r12 rc=124),
+    * so children now run 4-wide with `local[8]` each (32-cpu host fully
+    * subscribed, per-JVM isolation preserved — the property the fork exists
+    * for). Startup overlaps; measured sections of co-scheduled children can
+    * contend for cpu, which is the accepted trade for an artifact that
+    * actually lands; `SPARK_GRAFT_BENCH_CONCURRENCY=1` restores the serial
+    * solo-child numbers for adjudication. */
   private def runForked(sfDir: String, keys: Seq[String])
       : (Seq[(String, Meas)], Seq[String]) = {
     import scala.jdk.CollectionConverters._
@@ -106,14 +122,19 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(o => o.startsWith("-agentlib") || o.startsWith("-javaagent"))
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "900").toLong
-    val measured = scala.collection.mutable.LinkedHashMap.empty[String, Meas]
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    forkGroups(keys).foreach { group =>
+    val concurrency = benchConcurrency
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val childCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, hostCpus / concurrency).toString)
+    val measured = new java.util.concurrent.ConcurrentHashMap[String, Meas]()
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runGroup(group: Seq[String]): Unit = {
       val outFile = java.nio.file.Files.createTempFile("graft-bench-", ".tsv")
       val log = java.nio.file.Files.createTempFile("graft-bench-", ".log").toFile
       val cmd = (Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench") ++ group).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_CPUS", childCpus)
       pb.redirectErrorStream(true)
       pb.redirectOutput(log) // keep the parent's stdout protocol clean
       val ok =
@@ -137,22 +158,30 @@ object Bench {
       }.toMap
       group.foreach { k =>
         parsed.get(k) match {
-          case Some(m) if ok || m.sec >= 0 => measured(k) = m
-          case _ => failed += k
+          case Some(m) if ok || m.sec >= 0 => measured.put(k, m)
+          case _ => failed.add(k)
         }
       }
       if (!ok) System.err.println(
         s"[bench] child for $group exited abnormally; log: $log")
       java.nio.file.Files.deleteIfExists(outFile)
     }
-    if (failed.nonEmpty) {
-      System.err.println(s"[bench] in-process fallback for: ${failed.mkString(",")}")
-      measureKeys(sfDir, allKeys.filter(failed.contains)).foreach {
-        case (k, m) => measured(k) = m
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+    try {
+      val futures = forkGroups(keys).map { g =>
+        pool.submit(new Runnable { def run(): Unit = runGroup(g) })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val failedKeys = failed.asScala.toSeq.distinct
+    if (failedKeys.nonEmpty) {
+      System.err.println(s"[bench] in-process fallback for: ${failedKeys.mkString(",")}")
+      measureKeys(sfDir, allKeys.filter(failedKeys.contains)).foreach {
+        case (k, m) => measured.put(k, m)
       }
     }
     // report in canonical order regardless of completion order
-    (allKeys.filter(measured.contains).map(k => k -> measured(k)), failed.toSeq)
+    (allKeys.filter(measured.containsKey).map(k => k -> measured.get(k)), failedKeys)
   }
 
   /** Drop every cached relation and persisted RDD block (incl. dead
@@ -332,7 +361,7 @@ object Bench {
     // stdout can be polluted by build-tool log prefixes, and the file
     // is unambiguous for any reader
     val meta =
-      s"""{"metric":"bench_meta","fork":$fork,"fallback":$fb,"gc_sec":$gcs,"leaked_rdds":$leaks,"setup_sec":$setups}"""
+      s"""{"metric":"bench_meta","fork":$fork,"concurrency":$benchConcurrency,"fallback":$fb,"gc_sec":$gcs,"leaked_rdds":$leaks,"setup_sec":$setups}"""
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),
@@ -372,7 +401,7 @@ object Bench {
         .map { case (k, m) => "\"" + k + "\":" + num(m.setupSec) }) ++
       chunkLines("bench_part", "queries", entries(m => num(m.sec)))
     val summary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_keys":${results.size},"n_parts":${lines.size},"fork":$fork,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_keys":${results.size},"n_parts":${lines.size},"fork":$fork,"conc":$benchConcurrency,"sf":"$sfDir"}"""
     // print LAST, after any Spark shutdown chatter, bare on stdout, with
     // the compact summary as the very last line (bench_part chunks
     // directly above it so the tail window catches the newest parts too)

@@ -1096,7 +1096,7 @@ p AS (SELECT x.term AS term_a, y.term AS term_b, x.n_t AS n_a, y.n_t AS n_b,
   FROM focc x JOIN focc y ON x.doc_id = y.doc_id AND x.term < y.term
   GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
 SELECT term_a, term_b, n_ab, n_a, n_b,
-  (n_ab * n_docs * 10000) // (n_a * n_b) AS ratio_e4
+  CAST((n_ab::HUGEINT * n_docs * 10000) // (n_a::HUGEINT * n_b) AS BIGINT) AS ratio_e4
 FROM p, nd"""
   )
 

@@ -29,8 +29,11 @@ object DataQuality {
    */
   def ruleViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty)
+    // coalesce: sum over an empty table is NULL, but an empty audit
+    // (e.g. an empty replayed microbatch) must report 0 violations —
+    // the oracle spelling coalesces to zero for the same reason
     val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(pred, 1L).otherwise(0L)).as(s"_c$i")
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"_c$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.zipWithIndex

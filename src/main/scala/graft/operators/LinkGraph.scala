@@ -310,9 +310,14 @@ p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
       .scopedCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .scopedCheckpoint()
+    // seeds absent from the graph contribute no mass (the left join
+    // below drops them) — intersect BEFORE counting so the per-seed
+    // quotient n·Scale/|S| conserves total mass exactly as the oracle
+    // (which defines seeds as a subset of verts) does
     val sd = seeds.select(col("v").cast("long").as("sv")).distinct()
+      .join(verts, col("sv") === verts("v"), "left_semi")
     val nS = sd.count()
-    require(nS >= 1, "personalizedPageRank needs a non-empty seed set")
+    require(nS >= 1, "personalizedPageRank needs a non-empty in-graph seed set")
     val nV = verts.count()
     val seedMass = Scale * nV / nS
     val seedBase = (dampDen - dampNum) * seedMass / dampDen
@@ -569,6 +574,11 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
       nEdges = nNext
       round += 1
     }
+    // a maxRounds exit without a fixpoint would return a SUPERSET of the
+    // k-core with inflated degrees — refuse to hand that back silently
+    if (!converged) throw new IllegalStateException(
+      s"kCore(k=$k) did not reach its peeling fixpoint in $maxRounds rounds " +
+        s"($nEdges edges still shrinking); raise maxRounds")
     degrees(und).filter(col("deg") >= k)
   }
 
