@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sketches
+import graft.operators.{QuantileSketch, Sketches}
 
 /**
  * Sketch gates: HyperLogLog distinct counting and Count-Min heavy
@@ -53,8 +53,25 @@ object SketchQueries {
     "cms_counters" -> ((s, dir) => Sketches.cmCounters(docs(s, dir))),
     // exact top-20 tokens with their Count-Min point estimates:
     // (word, n_exact, n_est), n_est >= n_exact by construction
-    "cms_heavy_hitters" -> ((s, dir) => Sketches.cmHeavyHitters(docs(s, dir), 20))
+    "cms_heavy_hitters" -> ((s, dir) => Sketches.cmHeavyHitters(docs(s, dir), 20)),
+    // the q-digest node table over event cents — the fixed-size,
+    // deterministically-compacted, sum-mergeable RANK state (level-
+    // synchronous compression replayed by 16 unrolled oracle rounds)
+    "quantile_digest" -> ((s, dir) => QuantileSketch.digestTable(ev(s, dir), "cents")),
+    // digest quantile estimates at 7 φ targets vs the EXACT rank
+    // selection, realized rank error and the Levels·τ contract pinned
+    "quantile_sketch" -> ((s, dir) => QuantileSketch.quantileProbe(ev(s, dir), "cents")),
+    // the merge law: two half-corpus digests (split by event_id parity)
+    // merged by node-count sum + re-compression, probed against the
+    // FULL corpus's exact quantiles under the compounded bound
+    "quantile_merge" -> ((s, dir) =>
+      QuantileSketch.mergeProbe(ev(s, dir), "cents", "event_id"))
   )
+
+  /** Event cents — the [[QuantileSketch]] leaf universe ([0, 2^16)). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), expr("cast(round(value*100) as bigint)").as("cents"))
 
   import Sketches.{HllM, AlphaE5, CmDepth, CmWidth, HllSeed, CmSeedBase}
 
@@ -91,7 +108,116 @@ counters AS (SELECT d.range AS depth, b.range AS bucket, CAST(coalesce(c.cnt, 0)
   private[graft] val estExpr =
     s"CAST((CAST(${AlphaE5 * HllM * HllM} AS HUGEINT) * ${1L << 53}) // (CAST(s AS HUGEINT) * 100000) AS BIGINT)"
 
+  // ---- q-digest oracle spelling ------------------------------------
+  // The engine's level-synchronous compression is PURE integer
+  // arithmetic on a universe-bounded histogram, so the oracle replays
+  // it as Levels unrolled CTE rounds (the kCoreOracleCore pattern).
+  // MATERIALIZED everywhere a CTE is referenced more than once —
+  // DuckDB re-expands plain CTEs per reference.
+
+  private val QL = QuantileSketch.Levels
+  private val QK = QuantileSketch.K
+
+  /** Unrolled BUILD rounds over state CTEs `$p$l`(lvl, idx, cnt):
+    * all mass starts at leaves, so no parent pre-exists during round
+    * ℓ and the push test is just "sibling-pair sum ≤ τ". */
+  private def qdBuildRounds(p: String, tauRef: String): String =
+    (0 until QL).map { l =>
+      s"""g$p$l AS MATERIALIZED (SELECT idx // 2 AS pidx, sum(cnt) AS s FROM $p$l WHERE lvl = $l GROUP BY 1),
+$p${l + 1} AS MATERIALIZED (
+  SELECT lvl, idx, cnt FROM $p$l WHERE lvl < $l
+  UNION ALL
+  SELECT c.lvl, c.idx, c.cnt FROM $p$l c JOIN g$p$l g ON c.idx // 2 = g.pidx
+    WHERE c.lvl = $l AND g.s > ($tauRef)
+  UNION ALL
+  SELECT ${l + 1} AS lvl, pidx AS idx, s AS cnt FROM g$p$l WHERE s <= ($tauRef))"""
+    }.mkString(",\n")
+
+  /** Unrolled MERGE-compression rounds: node mass can pre-exist at any
+    * level (the union of two digests), so each round folds the sibling
+    * sum into any existing parent mass and carries untouched levels
+    * through. */
+  private def qdMergeRounds(p: String, tauRef: String): String =
+    (0 until QL).map { l =>
+      s"""g$p$l AS MATERIALIZED (SELECT idx // 2 AS pidx, sum(cnt) AS s FROM $p$l WHERE lvl = $l GROUP BY 1),
+d$p$l AS MATERIALIZED (SELECT g.pidx, g.s, coalesce(pp.cnt, 0) AS pc,
+    g.s + coalesce(pp.cnt, 0) <= ($tauRef) AS push
+  FROM g$p$l g LEFT JOIN (SELECT idx, cnt FROM $p$l WHERE lvl = ${l + 1}) pp ON pp.idx = g.pidx),
+$p${l + 1} AS MATERIALIZED (
+  SELECT lvl, idx, cnt FROM $p$l WHERE lvl < $l
+  UNION ALL
+  SELECT c.lvl, c.idx, c.cnt FROM $p$l c JOIN d$p$l d ON c.idx // 2 = d.pidx
+    WHERE c.lvl = $l AND NOT d.push
+  UNION ALL
+  SELECT ${l + 1} AS lvl, pidx AS idx, pc + s AS cnt FROM d$p$l WHERE push
+  UNION ALL
+  SELECT ${l + 1} AS lvl, d.pidx AS idx, d.pc AS cnt FROM d$p$l d WHERE NOT d.push AND d.pc > 0
+  UNION ALL
+  SELECT pr.lvl, pr.idx, pr.cnt FROM $p$l pr WHERE pr.lvl = ${l + 1}
+    AND pr.idx NOT IN (SELECT pidx FROM g$p$l)
+  UNION ALL
+  SELECT lvl, idx, cnt FROM $p$l WHERE lvl > ${l + 1})"""
+    }.mkString(",\n")
+
+  /** Post-order rank probe over digest CTE `$dg` and leaf CTE `lf`,
+    * reporting each φ's estimate next to the exact rank selection. */
+  private def qdProbeTail(dg: String, boundExpr: String): String =
+    s"""ordn AS (SELECT (idx + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS ub, lvl, cnt FROM $dg),
+cum AS MATERIALIZED (SELECT ub, lvl, CAST(sum(cnt) OVER (ORDER BY ub, lvl ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ordn),
+lcum AS MATERIALIZED (SELECT leaf, CAST(sum(cnt) OVER (ORDER BY leaf ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM lf),
+phis(phi) AS (VALUES (1), (5), (25), (50), (75), (95), (99)),
+tgt AS (SELECT phi, (phi * (SELECT n FROM nn) + 99) // 100 AS r FROM phis),
+sel AS (SELECT phi, r,
+    (SELECT min(leaf) FROM lcum WHERE c >= r) AS v_exact,
+    (SELECT min(ub) FROM cum WHERE cum >= r) AS v_est
+  FROM tgt),
+errs AS (SELECT phi, r, v_exact, v_est,
+    abs((SELECT coalesce(max(c), 0) FROM lcum WHERE leaf <= v_est) - r) AS rank_err
+  FROM sel)
+SELECT CAST(phi AS INT) AS phi_pct, (SELECT n FROM nn) AS n, v_exact, v_est, rank_err,
+  CAST($boundExpr AS BIGINT) AS bound, rank_err <= ($boundExpr) AS within
+FROM errs"""
+
+  /** Shared base: event cents → leaf histogram, n, τ, level-0 state. */
+  private val qdBase =
+    s"""ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+lf AS MATERIALIZED (SELECT cents AS leaf, count(*) AS cnt FROM ev GROUP BY 1),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM lf),
+tc AS (SELECT greatest(1, (SELECT n FROM nn) // $QK) AS tau),
+q0 AS (SELECT 0 AS lvl, leaf AS idx, cnt FROM lf)"""
+
   val oracle: Map[String, String] = Map(
+    "quantile_digest" ->
+      s"""WITH $qdBase,
+${qdBuildRounds("q", "SELECT tau FROM tc")}
+SELECT CAST(lvl AS INT) AS lvl, idx, CAST(cnt AS BIGINT) AS cnt FROM q$QL""",
+
+    "quantile_sketch" ->
+      s"""WITH $qdBase,
+${qdBuildRounds("q", "SELECT tau FROM tc")},
+${qdProbeTail(s"q$QL", s"$QL * (SELECT tau FROM tc)")}""",
+
+    "quantile_merge" ->
+      s"""WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+lfa AS MATERIALIZED (SELECT cents AS leaf, count(*) AS cnt FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+lfb AS MATERIALIZED (SELECT cents AS leaf, count(*) AS cnt FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+na AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n FROM lfa),
+nb AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n FROM lfb),
+ta AS (SELECT greatest(1, (SELECT n FROM na) // $QK) AS tau),
+tb AS (SELECT greatest(1, (SELECT n FROM nb) // $QK) AS tau),
+a0 AS (SELECT 0 AS lvl, leaf AS idx, cnt FROM lfa),
+${qdBuildRounds("a", "SELECT tau FROM ta")},
+b0 AS (SELECT 0 AS lvl, leaf AS idx, cnt FROM lfb),
+${qdBuildRounds("b", "SELECT tau FROM tb")},
+lf AS MATERIALIZED (SELECT cents AS leaf, count(*) AS cnt FROM ev GROUP BY 1),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM lf),
+tm AS (SELECT greatest(1, (SELECT n FROM nn) // $QK) AS tau),
+m0 AS (SELECT lvl, idx, sum(cnt) AS cnt FROM
+  (SELECT * FROM a$QL UNION ALL SELECT * FROM b$QL) GROUP BY 1, 2),
+${qdMergeRounds("m", "SELECT tau FROM tm")},
+${qdProbeTail(s"m$QL",
+        s"$QL * ((SELECT tau FROM ta) + (SELECT tau FROM tb) + (SELECT tau FROM tm))")}""",
+
     "hll_registers" ->
       s"""WITH $regCte
 SELECT CAST(reg AS BIGINT) AS reg, CAST(rho AS INT) AS rho FROM regs""",
