@@ -18,16 +18,22 @@ import org.apache.spark.sql.functions._
  * anchor collecting ALL `len` distinct ordinals is an occurrence.
  * Length-agnostic — a 2-token and a 12-token phrase run the same plan.
  *
- * Scale shape: the corpus side is exploded ONCE and never shuffled —
- * the query side (query-log scale, orders of magnitude below the
- * corpus) is broadcast into the postings scan, so matching is map-side;
- * the only exchange is the candidate rollup keyed on
- * `(query, doc, anchor)`, whose size is Σ_i df(query term i) — linear
- * in the matched postings, never corpus-wide. For adversarial
- * stopword-heavy phrases the standard refinement is rarest-term
- * anchoring (probe only the min-df term's postings, then verify by
- * position lookups); the uniform-ordinal join keeps the plan
- * single-pass and is the right default while query counts are small.
+ * Scale shape — RAREST-TERM ANCHORING: a df pass over the query
+ * vocabulary (map-side broadcast semi-match, |query vocab|-bounded
+ * rollup) picks each query's minimum-df ordinal; candidates are the
+ * postings of the RAREST term only — for a stopword-heavy phrase like
+ * "of the district court" the candidates are the "district" postings,
+ * not the "of"/"the" flood a uniform-ordinal join would shuffle.
+ * Verification never touches postings again: each candidate carries
+ * its phrase array to its document and is confirmed by ONE array-slice
+ * equality against the document's token run (all remaining ordinals
+ * checked in place — no per-ordinal expansion, no corpus shuffle
+ * anywhere; the final rollup input is the candidate set, not Σ df).
+ * The corpus is never exchanged: two scans (df, candidates) plus a
+ * tokenize-only pass for verification. For an ALL-stopword phrase the
+ * rarest term is still corpus-frequent and the candidate broadcast is
+ * the binding constraint — the degenerate probe is documented in
+ * `tools/probe_r13_phrase.scala`.
  */
 object Search {
 
@@ -41,27 +47,49 @@ object Search {
    *
    * Output: `(query_id, doc_id, n_occ, first_pos)` — one row per
    * matching (query, document), `first_pos` the 0-based token offset
-   * of the earliest occurrence.
+   * of the earliest occurrence. The result is position-set-determined,
+   * so it is independent of WHICH ordinal anchors — rarest-term
+   * anchoring changes the plan, never the answer.
    */
   def phraseOccurrences(queries: DataFrame, docs: DataFrame): DataFrame = {
+    import CheckpointScope.Scoped
+    // the query side (query-log scale) is materialized once so the
+    // df/rarest/verification subplans don't re-derive it per broadcast
+    val qarr = queries.select(col("query_id"),
+      TextAnalysis.tokens(col("phrase")).as("qs")).scopedCheckpoint()
+    val qtok = qarr.select(col("query_id"),
+      posexplode(col("qs")).as(Seq("i", "term")))
     val toks = docs.select(col("doc_id"),
       posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "term")))
-    val qtok = queries.select(col("query_id"),
-      posexplode(TextAnalysis.tokens(col("phrase"))).as(Seq("i", "term")))
-    val qlen = queries.select(col("query_id"),
-      size(TextAnalysis.tokens(col("phrase"))).as("len"))
-    val anchors = toks.join(broadcast(qtok), "term")
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("term"))
+    // pass 1: posting counts for the query vocabulary (map-side semi-
+    // match via broadcast; the rollup is |query vocab|-bounded)
+    val dfs = toks.join(broadcast(qtok.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // the anchoring ordinal: minimum df, ties to the lowest ordinal; a
+    // term absent from the corpus ranks first (df 0) and correctly
+    // produces zero candidates. Metadata-scale (one row per query).
+    val rarest = qtok.join(dfs, Seq("term"), "left")
+      .select(col("query_id"), col("i"), col("term"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("query_id")
+      .agg(min_by(struct(col("i"), col("term")),
+        struct(col("df"), col("i"))).as("m"))
+      .select(col("query_id"), col("m.i").as("i0"), col("m.term").as("t0"))
+    // pass 2: candidates — one per posting of each query's rarest term;
+    // anchor is the phrase's would-be start (< 0 can never verify)
+    val cand = toks.join(broadcast(rarest), toks("term") === col("t0"))
       .select(col("query_id"), col("doc_id"),
-        (col("p").cast("long") - col("i")).as("anchor"), col("i"))
-    // plain count == distinct-ordinal count here: for a fixed
-    // (query, doc, anchor), ordinal i can only match at position
-    // anchor + i, and document positions are unique — so no
-    // distinct-expansion pass is needed in the rollup
-    anchors
-      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
-      .agg(count(lit(1)).as("n_ordinals"))
-      .join(broadcast(qlen), "query_id")
-      .filter(col("n_ordinals") === col("len"))
+        (col("p") - col("i0")).as("anchor"))
+      .filter(col("anchor") >= 0)
+    // verification: no positional re-join — each candidate carries its
+    // phrase token array to its document and is confirmed by ONE
+    // array-slice equality against the document's token run (the
+    // remaining ordinals checked in-place, no per-ordinal expansion)
+    val withPhrase = cand.join(qarr.hint("broadcast"), "query_id")
+    val darr = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+    darr.join(withPhrase.hint("broadcast"), "doc_id")
+      .filter(expr("slice(ws, cast(anchor + 1 as int), size(qs)) = qs"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"), min(col("anchor")).as("first_pos"))
   }
