@@ -36,6 +36,17 @@ object HtmlQueries {
         (col("doc_id") % 25).as("dst")))
   }
 
+  /** The [[LinkGraph.components]] fixture: a deliberately DISCONNECTED
+    * graph — per-50-block affine-permutation cycles plus a short chain
+    * (see the `cc_components` gate comment). */
+  private def ccEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id").as("src"),
+        expr("div(doc_id, 50) * 50 + (7 * (doc_id % 50) + 3) % 50").as("dst"))
+      .unionByName(d.filter(expr("doc_id % 50 BETWEEN 1 AND 9"))
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst")))
+  }
+
   /** [[fixtureEdges]] densified on its EVEN half by two intra-block-of-25
     * maps — gives the k-core gate a genuine dense-kernel-vs-tendril
     * split (the uniform base graph peels all-or-nothing). */
@@ -146,6 +157,14 @@ object HtmlQueries {
     // iterates to the TRUE fixpoint; the oracle unrolls 9 peel rounds
     // (fixture converges in 7 at every sf — extra rounds are no-ops)
     "kcore" -> ((s, dir) => LinkGraph.kCore(kcoreEdges(s, dir), k = 5)),
+    // first-class connected components over a DISCONNECTED fixture:
+    // affine-permutation cycles per 50-block (x → 7x+3 mod 50, cycle
+    // lengths 4/4/2) plus a 9-edge chain merging the first ten
+    // vertices' cycles — 7 components per block (70 at sf0.01, 700 at
+    // sf0.1). Min-label relaxation floods each component in ≤ 7
+    // rounds at every sf; the oracle unrolls 10 (extras are no-ops)
+    // while the engine pointer-jumps to the same fixpoint
+    "cc_components" -> ((s, dir) => LinkGraph.components(ccEdges(s, dir))),
     // TrustRank: teleport only to the 25 nav pages (the curated trust
     // seeds) — rank flows outward from them; pages far from the hub
     // neighborhood decay geometrically. Integer-exact per iteration,
@@ -291,6 +310,14 @@ SELECT v, CAST(d AS BIGINT) AS deg FROM
   (SELECT v, count(*) AS d FROM
     (SELECT a AS v FROM ke9 UNION ALL SELECT b AS v FROM ke9) GROUP BY v)
 WHERE d >= 5""",
+
+    "cc_components" ->
+      s"""WITH edges AS (
+  SELECT doc_id AS src, (doc_id // 50) * 50 + (7 * (doc_id % 50) + 3) % 50 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 50 BETWEEN 1 AND 9),
+${LinkGraph.ccOracleCore(rounds = 10)}
+SELECT v, label AS component FROM cc10""",
 
     "trustrank" ->
       s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),

@@ -590,6 +590,49 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
    * to the true fixpoint). CTE chain ends in `ke$rounds(a, b)`; append
    * a degree aggregate filtered to ≥ k.
    */
+  /**
+   * First-class connected components over a DIRECTED edge list
+   * `(src, dst)`, treated as undirected: `(v, component)` for every
+   * vertex, `component` = minimum vertex id reachable in its
+   * component (the deterministic canonical label). This is the same
+   * min-label hooking + pointer jumping engine [[Dedup
+   * .connectedComponents]] runs under every near-dup cluster
+   * resolution — exposed directly because users reach for CC as a
+   * graph primitive (site clusters, link farms, crawl partitions),
+   * not only through the dedup API. O(log d) rounds for a diameter-d
+   * component, two vertex-keyed shuffles per round, lineage one
+   * round deep — the [[pageRank]] hygiene.
+   */
+  def components(edges: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+      edges.select(col("src").cast("long").as("id_a"),
+        col("dst").cast("long").as("id_b")))
+      .select(col("doc_id").as("v"), col("cluster_id").as("component"))
+
+  /**
+   * DuckDB twin of [[components]] over an edge CTE `edges(src, dst)`:
+   * `rounds` unrolled min-label relaxations over the SYMMETRIZED edge
+   * set (the oracle floods the minimum one hop per round where the
+   * engine pointer-jumps in O(log d); a gate's fixture must converge
+   * within `rounds`). Chain ends in `cc$rounds(v, label)`.
+   */
+  def ccOracleCore(rounds: Int): String = {
+    val head =
+      """cverts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+cc0 AS (SELECT v, v AS label FROM cverts)"""
+    val steps = (1 to rounds).map { t =>
+      s"""cc$t AS MATERIALIZED (SELECT v, min(label) AS label FROM (
+  SELECT v, label FROM cc${t - 1}
+  UNION ALL
+  SELECT e.dst AS v, l.label FROM cc${t - 1} l JOIN ce e ON e.src = l.v
+) GROUP BY v)"""
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   def kCoreOracleCore(k: Int, rounds: Int): String = {
     // MATERIALIZED: each round's edge table is referenced four times
     // (twice in its degree rollup, twice in the next round's filter) —

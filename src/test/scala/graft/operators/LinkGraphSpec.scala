@@ -239,4 +239,19 @@ class LinkGraphSpec extends SparkSpec {
     assert(CheckpointScope.liveCount === 1, CheckpointScope.liveCount.toString)
     CheckpointScope.releaseAll()
   }
+
+  test("components labels every vertex with its component minimum, " +
+    "treating edges as undirected") {
+    import spark.implicits._
+    // two components: a 4-cycle {1,2,3,4} (directed one way — the
+    // symmetrization is the operator's job) and a path {10,11,12};
+    // vertex 20 appears only as a dst and must still be labeled
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (11L, 10L), (11L, 12L), (12L, 20L)).toDF("src", "dst")
+    val got = LinkGraph.components(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L))
+    CheckpointScope.releaseAll()
+  }
 }
