@@ -182,10 +182,19 @@ object Analytics {
    * strictly-earlier buckets (a window over the TINY bucket table);
    * (3) only points with `y` BELOW every earlier bucket's minimum
    * survive (any other point is provably dominated by an earlier
-   * bucket's witness: strictly smaller x, ≤ y); (4) the exact
-   * running-min skyline scan runs over the SURVIVORS only — skyline-
-   * scale, not corpus-scale. Candidate ⊇ skyline and dominance is
-   * transitive, so filtering within the candidates is exact.
+   * bucket's witness: strictly smaller x, ≤ y); (4) each bucket is
+   * reduced to its LOCAL skyline with a PARTITIONED window — a point
+   * dominated inside its own bucket can never be on the global front,
+   * and a globally non-dominated point is locally non-dominated, so
+   * the reduction is exact and parallel; (5) the exact running-min
+   * skyline scan runs over the union of local fronts only — its
+   * single-partition window sees Σ per-bucket fronts (O(front +
+   * buckets·log bucket) on benign data), never the corpus. On the
+   * true adversarial input — EVERY point on the front — the output
+   * itself is corpus-sized and any exact algorithm's totally-ordered
+   * emit is output-bound; the local pass guarantees the global window
+   * is bounded by that output, not by the pre-filter's looseness
+   * (measured in `tools/probe_r13_skyline.scala`).
    *
    * Output: `(id, x, y)` — the non-dominated points.
    */
@@ -203,9 +212,17 @@ object Analytics {
       .select(col("bk"), col("prevmin"))
     val cand = pts.join(broadcast(run), "bk")
       .filter(col("prevmin").isNull || col("y") < col("prevmin"))
+    // per-bucket local skyline (partitioned window — parallel): caps
+    // the final single-partition scan at Σ per-bucket fronts
+    val wl = Window.partitionBy(col("bk"))
+      .orderBy(col("x"), col("y"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = cand.withColumn("lm", min(col("y")).over(wl))
+      .filter(col("lm").isNull || col("y") < col("lm"))
+      .drop("lm")
     val ws = Window.orderBy(col("x"), col("y"), col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    cand.withColumn("pm", min(col("y")).over(ws))
+    local.withColumn("pm", min(col("y")).over(ws))
       .filter(col("pm").isNull || col("y") < col("pm"))
       .select(col("id"), col("x"), col("y"))
   }
