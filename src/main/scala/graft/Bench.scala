@@ -55,7 +55,8 @@ object Bench {
   // builds a whole store / replays the state machine) — measured once
   // under their own keys so the query inventory stays comparable
   private val streamKeys =
-    Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup", "stream_hourly",
+    Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup",
+      "stream_dedup_wm", "stream_hourly",
       "stream_curate", "stream_semantic", "stream_classify", "stream_hll",
       "stream_dq", "stream_sliding", "stream_topk")
   private val storeKeys = Seq("store_build", "store_range", "store_knn")

@@ -78,7 +78,22 @@ FROM (SELECT doc_id,
             array_join(slice(split(lower(trim(text)), '\\s+'), 1, 5), ' '),
             '"}'),
           'meta STRUCT<src: STRING, id: BIGINT>, body STRING') AS js
-      FROM documents)"""))
+      FROM documents)""")),
+
+    // the ts_ntz timestamp surface: the catalog's canonical events view
+    // carries ts as BIGINT nanos, and ts_ntz (same instant, TIMESTAMP_NTZ)
+    // exists precisely so user SQL can apply timestamp functions with
+    // oracle parity — this gate pins that parity: date_trunc bucketing,
+    // hour/minute/second extraction, zone-independent on both engines
+    "sql_ts_functions" -> ((s, dir) => sql(s, dir,
+      """SELECT event_type,
+       CAST(date_trunc('DAY', ts_ntz) AS DATE) AS d,
+       count(*) AS cnt,
+       CAST(sum(hour(ts_ntz)) AS BIGINT) AS hour_sum,
+       CAST(max(minute(ts_ntz)) AS BIGINT) AS max_min,
+       CAST(min(second(ts_ntz)) AS BIGINT) AS min_sec
+FROM events
+GROUP BY event_type, CAST(date_trunc('DAY', ts_ntz) AS DATE)"""))
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +123,18 @@ SELECT doc_id,
   CAST(json_extract(js, '$.meta.id') AS BIGINT) AS id,
   CAST(len(string_split(json_extract_string(js, '$.body'), ' ')) AS BIGINT) AS n_body,
   CAST(json_extract(js, '$.meta.id') AS BIGINT) = doc_id AS id_ok
-FROM j"""
+FROM j""",
+
+    // DuckDB's raw events.ts is the same wall-clock instant ts_ntz
+    // carries — the parity the catalog column exists for
+    "sql_ts_functions" ->
+      """SELECT event_type,
+  CAST(date_trunc('day', ts) AS DATE) AS d,
+  count(*) AS cnt,
+  CAST(sum(extract(hour FROM ts)) AS BIGINT) AS hour_sum,
+  CAST(max(extract(minute FROM ts)) AS BIGINT) AS max_min,
+  CAST(min(extract(second FROM ts)) AS BIGINT) AS min_sec
+FROM events
+GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)"""
   )
 }

@@ -286,6 +286,72 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Streaming dedup through dropDuplicatesWithinWatermark — the
+    // PRODUCTION dedup shape whose state store is BOUNDED by the
+    // watermark delay (plain dropDuplicates grows state forever). The
+    // harness stages four time-ordered slices and re-injects a third
+    // of each slice's keys into the NEXT slice with their ORIGINAL
+    // event times: genuinely late rows, but inside the delay (delay =
+    // span/2 > slice span), so the state store — not an intra-batch
+    // distinct — must drop them. Emitted keys = first arrivals only;
+    // a duplicate beyond the delay would be cut by the watermark
+    // late-filter instead (same key set either way — carrying the
+    // original event time makes re-emission impossible), so the gate
+    // pins exactly the batch distinct over the source. Double-emission
+    // from lost/evicted state inflates n_users and fails the oracle.
+    "stream_dedup_wm" -> ((s, dir) => {
+      val (tmp, schema, delaySec) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-dedupwm").toString
+        val ev = graft.sources.EventTime.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("timestamp_micros(div(ts, 1000))").as("event_time"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_time"))
+        val sliced = ev.withColumn("slice", ntile(4).over(w)).cache()
+        val Row2 = sliced.agg(
+          (unix_timestamp(max(col("event_time"))) -
+            unix_timestamp(min(col("event_time")))).as("span")).collect()(0)
+        val delaySec = math.max(1L, Row2.getLong(0) / 2)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        (1 to 4).foreach { k =>
+          val own = sliced.filter(col("slice") === k)
+          val lateDups = sliced.filter(col("slice") === k - 1 &&
+            col("user_id") % 3 === 0)
+          own.unionByName(lateDups).drop("slice")
+            .coalesce(1).write.parquet(s"$tmp/stage$k")
+          // one file per batch, arrival order = slice order
+          val part = new java.io.File(s"$tmp/stage$k").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(part.toPath,
+            java.nio.file.Paths.get(f"$tmp/in/slice$k%04d.parquet"))
+        }
+        sliced.unpersist()
+        (tmp, s.read.parquet(s"$tmp/in").schema, delaySec)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(s"$tmp/in")
+      val q = stream
+        .withWatermark("event_time", s"$delaySec seconds")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val agg = s.read.parquet(s"$tmp/out")
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Streaming corpus curation: the documents table arrives as four
     // microbatches; each batch passes the per-row quality gate (pure
     // projection — stateless, same predicate as quality_filter) and the
@@ -524,6 +590,12 @@ sc AS (SELECT xt.doc_id,
 SELECT doc_id, margin FROM sc WHERE margin > 0""",
 
     "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type""",
+
+    // the deduped union IS the source's distinct key set: the injected
+    // within-watermark duplicates must all be dropped by state
+    "stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
 
