@@ -65,7 +65,24 @@ object SketchQueries {
     // merged by node-count sum + re-compression, probed against the
     // FULL corpus's exact quantiles under the compounded bound
     "quantile_merge" -> ((s, dir) =>
-      QuantileSketch.mergeProbe(ev(s, dir), "cents", "event_id"))
+      QuantileSketch.mergeProbe(ev(s, dir), "cents", "event_id")),
+    // the bottom-k (KMV) sketch of the token vocabulary — the third
+    // mergeable axis (distinct AND intersection), k smallest 60-bit
+    // hashes, rank-ordered; deterministic by construction
+    "kmv_sketch" -> ((s, dir) => Sketches.kmvSketch(docs(s, dir))),
+    // (k−1)·2^60/h_(k) distinct estimate vs exact, DECIMAL-widened —
+    // the KMV twin of hll_distinct (independent seed, independent
+    // estimator family, same standing-accuracy-probe shape)
+    "kmv_distinct" -> ((s, dir) => Sketches.kmvDistinct(docs(s, dir))),
+    // union-merge law + Jaccard: two overlapping doc subsets
+    // (doc_id%3 ∈ {0,1} vs {1,2} — true vocab overlap ≈ 1/3), sketches
+    // merged bottom-k, |merged ∩ A ∩ B|/k vs the exact Jaccard
+    "kmv_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sketches.kmvJaccard(
+        d.filter(expr("doc_id % 3 IN (0, 1)")),
+        d.filter(expr("doc_id % 3 IN (1, 2)")))
+    })
   )
 
   /** Event cents — the [[QuantileSketch]] leaf universe ([0, 2^16)). */
@@ -178,6 +195,16 @@ SELECT CAST(phi AS INT) AS phi_pct, (SELECT n FROM nn) AS n, v_exact, v_est, ran
   CAST($boundExpr AS BIGINT) AS bound, rank_err <= ($boundExpr) AS within
 FROM errs"""
 
+  // ---- KMV oracle spelling -----------------------------------------
+
+  import Sketches.{KmvK, KmvSeed}
+
+  /** Bottom-k CTE over a distinct-words CTE `$wcte`: `$name(h)`,
+    * plus the rank view `${name}r(rank, h)`. */
+  private def kmvCte(name: String, wcte: String): String =
+    s"""${name}0 AS (SELECT DISTINCT ${oh60("w", KmvSeed)} AS h FROM $wcte),
+$name AS MATERIALIZED (SELECT h FROM ${name}0 ORDER BY h LIMIT $KmvK)"""
+
   /** Shared base: event cents → leaf histogram, n, τ, level-0 state. */
   private val qdBase =
     s"""ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
@@ -186,7 +213,46 @@ nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM lf),
 tc AS (SELECT greatest(1, (SELECT n FROM nn) // $QK) AS tau),
 q0 AS (SELECT 0 AS lvl, leaf AS idx, cnt FROM lf)"""
 
+  /** Distinct-words CTE body over `sdocs`, optionally subset. */
+  private def wCte(pred: String = "TRUE"): String =
+    s"""(SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM sdocs WHERE $pred)"""
+
   val oracle: Map[String, String] = Map(
+    "kmv_sketch" ->
+      s"""WITH $sdocsCte,
+w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM sdocs),
+${kmvCte("kmv", "w")}
+SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS rank, h FROM kmv""",
+
+    "kmv_distinct" ->
+      s"""WITH $sdocsCte,
+w AS MATERIALIZED (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM sdocs),
+${kmvCte("kmv", "w")},
+hk AS (SELECT max(h) AS hk, count(*) AS kk FROM kmv),
+ex AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM w),
+est AS (SELECT CAST((CAST(kk - 1 AS HUGEINT) * ${1L << 60}) // CAST(hk AS HUGEINT) AS BIGINT) AS n_est FROM hk)
+SELECT ex.n_exact, est.n_est,
+  abs(est.n_est - ex.n_exact) * 10000 // ex.n_exact AS err_bp
+FROM ex, est""",
+
+    "kmv_jaccard" ->
+      s"""WITH $sdocsCte,
+wa AS MATERIALIZED ${wCte("doc_id % 3 IN (0, 1)")},
+wb AS MATERIALIZED ${wCte("doc_id % 3 IN (1, 2)")},
+${kmvCte("ka", "wa")},
+${kmvCte("kb", "wb")},
+mg AS MATERIALIZED (SELECT DISTINCT h FROM
+  (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT $KmvK),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM mg
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+ku AS (SELECT count(*) AS k_used FROM mg),
+ex AS (SELECT CAST(
+    (SELECT count(*) FROM (SELECT w FROM wa INTERSECT SELECT w FROM wb)) * 10000
+    // (SELECT count(*) FROM (SELECT w FROM wa UNION SELECT w FROM wb))
+  AS BIGINT) AS j_exact_e4)
+SELECT ex.j_exact_e4, CAST(n_inter * 10000 // k_used AS BIGINT) AS j_est_e4, n_inter
+FROM ex, ni, ku""",
+
     "quantile_digest" ->
       s"""WITH $qdBase,
 ${qdBuildRounds("q", "SELECT tau FROM tc")}

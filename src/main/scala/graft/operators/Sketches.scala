@@ -196,4 +196,94 @@ object Sketches {
       .agg(min(col("cnt")).as("n_est"))
       .select(col("word"), col("n_exact"), col("n_est"))
   }
+
+  // ---- KMV (k-minimum-values / bottom-k) ---------------------------
+  // The third mergeable-sketch axis: HLL answers |A|, Count-Min
+  // answers freq(x), KMV answers both |A| AND |A∩B|/|A∪B| — the
+  // corpus-overlap question (train/eval contamination audits, shard
+  // vocabulary drift) that register sketches cannot, because the
+  // sketch IS a uniform sample of the hash space (Bar-Yossef et al.
+  // 2002; Beyer et al., SIGMOD 2007). Deterministic by construction:
+  // the k smallest 60-bit hashes of the value set — no randomness, no
+  // order dependence — and union-mergeable (merge = k smallest of the
+  // concatenation), so shard sketches combine exactly like HLL's
+  // register max / CMS's counter sum.
+
+  /** KMV size k. */
+  val KmvK = 256
+
+  /** KMV hash seed (distinct from the HLL seed so the two sketches
+    * sample independently). */
+  val KmvSeed = 131
+
+  /** The bottom-k sketch of the token vocabulary of `docs`:
+    * `(rank, h)` — the k smallest distinct hashes, rank 1-based.
+    * Scale shape: the distinct is a partial-agg-bounded vocabulary
+    * rollup; the bottom-k is a TakeOrdered (per-partition k, then a
+    * k-sized merge) — never a global sort. */
+  def kmvSketch(docs: DataFrame): DataFrame =
+    kmvOf(docs.select(words.as("w")))
+
+  /** Bottom-k over an arbitrary one-column value frame. */
+  private def kmvOf(values: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    values.select(h60(col(values.columns.head), KmvSeed).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(KmvK)
+      // the window runs over k rows, not the corpus
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("h"))
+  }
+
+  /**
+   * Distinct-count through the sketch next to the exact answer:
+   * `(n_exact, n_est, err_bp)`. Estimator: `(k−1) · 2^60 / h_(k)`
+   * (the classic unbiased KMV form), widened to DECIMAL(38,0) —
+   * `(k−1)·2^60` exceeds a Long — so DuckDB's HUGEINT replay matches
+   * to the last digit.
+   */
+  def kmvDistinct(docs: DataFrame): DataFrame = {
+    val hk = kmvSketch(docs).agg(max(col("h")).as("hk"), count(lit(1)).as("kk"))
+    val exact = docs.select(words.as("w"))
+      .agg(count_distinct(col("w")).as("n_exact"))
+    exact.crossJoin(broadcast(hk))
+      .select(col("n_exact"),
+        expr(s"cast(cast(kk - 1 as decimal(38,0)) * ${1L << 60} div cast(hk as decimal(38,0)) as bigint)")
+          .as("n_est"))
+      .select(col("n_exact"), col("n_est"),
+        expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"))
+  }
+
+  /**
+   * The KMV merge law + Jaccard estimation, in one probe: sketch two
+   * overlapping document subsets, merge by "k smallest of the union"
+   * (what two shards of a corpus would ship), and estimate the token-
+   * vocabulary Jaccard as |merged-k ∩ A ∩ B| / k — next to the exact
+   * Jaccard. `(j_exact_e4, j_est_e4, n_inter)`; both sides exact
+   * integer arithmetic in 1e-4 fixed point.
+   */
+  def kmvJaccard(docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    val a = kmvSketch(docsA).select(col("h").as("ha"))
+    val b = kmvSketch(docsB).select(col("h").as("hb"))
+    val merged = a.select(col("ha").as("h"))
+      .union(b.select(col("hb").as("h"))).distinct()
+      .orderBy(col("h")).limit(KmvK)
+    val nInter = merged
+      .join(broadcast(a), col("h") === col("ha"), "left_semi")
+      .join(broadcast(b), col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    val kUsed = merged.agg(count(lit(1)).as("k_used"))
+    val va = docsA.select(words.as("w")).distinct()
+    val vb = docsB.select(words.as("w")).distinct()
+    val exact = va.join(vb.withColumnRenamed("w", "w2"),
+        col("w") === col("w2"), "full")
+      .agg(sum(when(col("w").isNotNull && col("w2").isNotNull, 1L)
+          .otherwise(0L)).as("ni"),
+        count(lit(1)).as("nu"))
+      .select(expr("ni * 10000 div nu").as("j_exact_e4"))
+    exact.crossJoin(broadcast(nInter)).crossJoin(broadcast(kUsed))
+      .select(col("j_exact_e4"),
+        expr("n_inter * 10000 div k_used").as("j_est_e4"),
+        col("n_inter"))
+  }
 }

@@ -76,4 +76,36 @@ class SketchesSpec extends SparkSpec {
     // the universally-present token is the top hitter
     assert(hh.maxBy(_._2)._1 === "t0")
   }
+
+  test("KMV sketch: k strictly-increasing hashes with dense 1-based ranks") {
+    val s = Sketches.kmvSketch(corpus(600)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(s.length === Sketches.KmvK)
+    assert(s.map(_._1).toSeq === (1 to Sketches.KmvK))
+    assert(s.map(_._2).toSeq === s.map(_._2).toSeq.sorted)
+    assert(s.map(_._2).distinct.length === s.length)
+  }
+
+  test("KMV distinct estimate lands within a few standard errors") {
+    val r = Sketches.kmvDistinct(corpus(600)).collect()(0)
+    val (exact, est, errBp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(est > 0 && exact > 0)
+    // std error ~ 1/sqrt(k) = 6.25%; 4σ cap
+    assert(errBp < 2500L, s"exact=$exact est=$est errBp=$errBp")
+  }
+
+  test("KMV Jaccard: identical inputs estimate 1, disjoint inputs estimate 0") {
+    val d = corpus(400)
+    val same = Sketches.kmvJaccard(d, d).collect()(0)
+    assert(same.getLong(0) === 10000L)
+    assert(same.getLong(1) === 10000L)
+    // disjoint vocabularies: tokens share no terms across the split
+    val a = d.filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(lit("xa_"), col("doc_id")).as("text"))
+    val b = d.filter(col("doc_id") >= 200)
+      .select(col("doc_id"), concat(lit("xb_"), col("doc_id")).as("text"))
+    val dis = Sketches.kmvJaccard(a, b).collect()(0)
+    assert(dis.getLong(0) === 0L)
+    assert(dis.getLong(1) === 0L)
+  }
 }
