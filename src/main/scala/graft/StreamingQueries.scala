@@ -503,6 +503,47 @@ object StreamingQueries {
     // over the whole corpus in one pass: merge-then-estimate must equal
     // estimate-over-union (the HLL merge law, also pinned in
     // SketchesSpec).
+    // Streaming quantile-sketch maintenance: the events corpus arrives
+    // as four microbatches; each batch writes its PARTIAL leaf
+    // histogram (the q-digest's additive pre-compression state) under
+    // its batch id — overwrite per batch id, so a replayed batch
+    // lands idempotently — and the read side SUMS the log and
+    // compresses once. Leaf counts are additive, so the merged-then-
+    // compressed digest is BIT-IDENTICAL to the one-pass batch build:
+    // the oracle is exactly the batch quantile_sketch replay, and
+    // equality IS the merge law.
+    "stream_quantiles" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-quant").toString
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), expr("cast(round(value*100) as bigint)").as("cents"))
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.QuantileSketch.leafCounts(batch, "cents")
+            .write.mode("overwrite").parquet(s"$tmp/sketch/b$batchId")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(s"$tmp/sketch/b*")
+        .groupBy("leaf").agg(sum(col("cnt")).as("cnt"))
+      val probed = graft.operators.QuantileSketch.probeLeafCounts(merged)
+      val rows = probed.collect().toSeq
+      val outSchema = probed.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     "stream_hll" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-hll").toString
@@ -613,6 +654,10 @@ WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
 
     // the one-pass batch sketch probe — equality IS the CM merge law
     "stream_topk" -> SketchQueries.oracle("cms_heavy_hitters"),
+
+    // the one-pass batch digest probe — summed leaf partials compress
+    // to the identical digest, so equality IS the quantile merge law
+    "stream_quantiles" -> SketchQueries.oracle("quantile_sketch"),
 
     // batch replay of the 1h/15m sliding assignment: each event
     // explodes into its four window starts

@@ -186,9 +186,19 @@ object QuantileSketch {
    * realized rank error and the Levels·τ contract — the standing
    * accuracy probe the HLL/CMS gates also carry.
    */
-  def quantileProbe(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val leaves = collectLeaves(leafCounts(df, valueCol))
+  def quantileProbe(df: DataFrame, valueCol: String): DataFrame =
+    probeLeafCounts(leafCounts(df, valueCol))
+
+  /** Build-and-probe from an already-aggregated `(leaf, cnt)` table —
+    * the read side of any leaf-histogram log (one [[leafCounts]]
+    * output, or the element-wise SUM of several: leaf counts are the
+    * sketch's additive partial state, so a streaming maintenance loop
+    * sums its per-batch partials and probes the merged histogram —
+    * and the result is IDENTICAL to the one-pass batch build, which
+    * is the gated merge law). */
+  def probeLeafCounts(lc: DataFrame): DataFrame = {
+    val spark = lc.sparkSession
+    val leaves = collectLeaves(lc)
     val n = leaves.map(_.cnt).sum
     val tau = tauFor(n)
     val dg = compress(leaves, tau)
