@@ -82,7 +82,16 @@ object SketchQueries {
       Sketches.kmvJaccard(
         d.filter(expr("doc_id % 3 IN (0, 1)")),
         d.filter(expr("doc_id % 3 IN (1, 2)")))
-    })
+    }),
+    // the GROUP BY sketch shape: an independent q-digest per
+    // event_type (its own n, τ, bound) from ONE (group, leaf)-keyed
+    // shuffle — per-type percentiles, the hllDistinctBy of ranks
+    "quantile_by_type" -> ((s, dir) =>
+      QuantileSketch.quantilesByGroup(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"),
+            expr("cast(round(value*100) as bigint)").as("cents")),
+        "event_type", "cents"))
   )
 
   /** Event cents — the [[QuantileSketch]] leaf universe ([0, 2^16)). */
@@ -176,6 +185,24 @@ $p${l + 1} AS MATERIALIZED (
   SELECT lvl, idx, cnt FROM $p$l WHERE lvl > ${l + 1})"""
     }.mkString(",\n")
 
+  /** GROUPED build rounds: like [[qdBuildRounds]] with a `g` column
+    * threaded through state, sibling rollup, and the per-group τ
+    * (`gtau(g, tau)` must exist). */
+  private def qdBuildRoundsGrouped(p: String): String =
+    (0 until QL).map { l =>
+      s"""g$p$l AS MATERIALIZED (SELECT g, idx // 2 AS pidx, sum(cnt) AS s FROM $p$l WHERE lvl = $l GROUP BY 1, 2),
+$p${l + 1} AS MATERIALIZED (
+  SELECT g, lvl, idx, cnt FROM $p$l WHERE lvl < $l
+  UNION ALL
+  SELECT c.g, c.lvl, c.idx, c.cnt FROM $p$l c
+    JOIN g$p$l gg ON gg.g = c.g AND c.idx // 2 = gg.pidx
+    JOIN gtau t ON t.g = c.g
+    WHERE c.lvl = $l AND gg.s > t.tau
+  UNION ALL
+  SELECT gg.g, ${l + 1} AS lvl, pidx AS idx, s AS cnt FROM g$p$l gg
+    JOIN gtau t ON t.g = gg.g WHERE gg.s <= t.tau)"""
+    }.mkString(",\n")
+
   /** Post-order rank probe over digest CTE `$dg` and leaf CTE `lf`,
     * reporting each φ's estimate next to the exact rank selection. */
   private def qdProbeTail(dg: String, boundExpr: String): String =
@@ -252,6 +279,29 @@ ex AS (SELECT CAST(
   AS BIGINT) AS j_exact_e4)
 SELECT ex.j_exact_e4, CAST(n_inter * 10000 // k_used AS BIGINT) AS j_est_e4, n_inter
 FROM ex, ni, ku""",
+
+    "quantile_by_type" ->
+      s"""WITH ev AS (SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+lf AS MATERIALIZED (SELECT g, cents AS leaf, count(*) AS cnt FROM ev GROUP BY 1, 2),
+gn AS MATERIALIZED (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM lf GROUP BY g),
+gtau AS MATERIALIZED (SELECT g, greatest(1, n // $QK) AS tau FROM gn),
+q0 AS (SELECT g, 0 AS lvl, leaf AS idx, cnt FROM lf),
+${qdBuildRoundsGrouped("q")},
+ordn AS (SELECT g, (idx + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS ub, lvl, cnt FROM q$QL),
+cum AS MATERIALIZED (SELECT g, ub, lvl, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY ub, lvl ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM ordn),
+lcum AS MATERIALIZED (SELECT g, leaf, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY leaf ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM lf),
+phis(phi) AS (VALUES (1), (5), (25), (50), (75), (95), (99)),
+tgt AS (SELECT gn.g, phi, gn.n, (phi * gn.n + 99) // 100 AS r FROM gn, phis),
+sel AS (SELECT t.g, t.phi, t.n, t.r,
+    (SELECT min(leaf) FROM lcum WHERE lcum.g = t.g AND c >= t.r) AS v_exact,
+    (SELECT min(ub) FROM cum WHERE cum.g = t.g AND cum.cm >= t.r) AS v_est
+  FROM tgt t),
+errs AS (SELECT s.g, s.phi, s.n, s.v_exact, s.v_est, s.r,
+    abs((SELECT coalesce(max(c), 0) FROM lcum WHERE lcum.g = s.g AND leaf <= s.v_est) - s.r) AS rank_err
+  FROM sel s)
+SELECT e.g, CAST(e.phi AS INT) AS phi_pct, e.n, e.v_exact, e.v_est, e.rank_err,
+  CAST($QL * t.tau AS BIGINT) AS bound, e.rank_err <= $QL * t.tau AS within
+FROM errs e JOIN gtau t ON t.g = e.g""",
 
     "quantile_digest" ->
       s"""WITH $qdBase,

@@ -206,6 +206,39 @@ object QuantileSketch {
   }
 
   /**
+   * Per-group build-and-probe — the GROUP BY sketch shape (per-type
+   * latency percentiles, per-source length distributions): one
+   * `(group, leaf)`-keyed corpus shuffle (≤ |groups|·Universe cells
+   * after partial agg), then each group's digest compresses and
+   * probes independently under its own τ = n_g/k. Output adds the
+   * group column ahead of the [[quantileProbe]] columns.
+   */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val lc = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("leaf"))
+      .groupBy("g", "leaf").agg(count(lit(1)).as("cnt"))
+      .collect().toSeq.groupBy(_.getString(0))
+    val rows = lc.toSeq.sortBy(_._1).flatMap { case (g, rs) =>
+      val leaves = rs.map(r => Node(0, r.getLong(1), r.getLong(2)))
+      val n = leaves.map(_.cnt).sum
+      val tau = tauFor(n)
+      val dg = compress(leaves, tau)
+      val bound = Levels.toLong * tau
+      val (valueAtRank, countLe) = exactFromLeaves(leaves)
+      Phis.map { phi =>
+        val r = targetRank(phi, n)
+        val vEst = quantileAt(dg, r)
+        val err = math.abs(countLe(vEst) - r)
+        Row(g, phi, n, valueAtRank(r), vEst, err, bound, err <= bound)
+      }
+    }
+    val schema = StructType(
+      StructField("g", StringType, nullable = false) +: probeSchema.fields.toSeq)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * The merge law, gated: split the corpus by `splitCol % 2`, digest
    * each half independently (what two shards of a 100 TB corpus would
    * ship), merge by summing node counts and re-compressing under the

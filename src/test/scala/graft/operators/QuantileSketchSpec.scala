@@ -75,6 +75,20 @@ class QuantileSketchSpec extends SparkSpec {
     assert(probe.head.getLong(1) === ev.count())
   }
 
+  test("quantilesByGroup: independent per-group digests, all within bound") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
+    val rows = quantilesByGroup(ev, "event_type", "cents").collect()
+    val groups = ev.select("event_type").distinct().count()
+    assert(rows.length === groups * Phis.length)
+    assert(rows.forall(_.getBoolean(7)), "every (group, φ) within its own Levels·τ")
+    // per-group n must be the group's row count, not the corpus's
+    val ns = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val expected = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ns === expected)
+  }
+
   test("compression is deterministic: same multiset, same digest") {
     val leaves = (0 until 500).map(i => Node(0, (i * 31) % Universe, (i % 7 + 1).toLong))
       .groupBy(_.idx).map { case (idx, ns) => Node(0, idx, ns.map(_.cnt).sum) }.toSeq
