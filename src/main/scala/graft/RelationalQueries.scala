@@ -83,6 +83,40 @@ object RelationalQueries {
           sum(expr("cast(round(o_totalprice*100) as bigint)")).as("rev_cents"))
     }),
 
+    // the TPC-H Q5 shape — the deepest classic join chain: ONE fact
+    // shuffle (lineitem⋈orders⋈customer on their keys), every
+    // dimension side broadcast (region-filtered nation, supplier with
+    // the local-supplier n_nationkey condition folded into the
+    // broadcast join), revenue in exact 1e-4 fixed point
+    // (cents × (100 − discount%)). Vintage-robust dates: o_orderdate
+    // normalized to canonical BIGINT nanos on both engines
+    "q5_local_revenue" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = graft.sources.EventTime.normalize(
+          t(s, dir, "orders"), "o_orderdate")
+        .filter(col("o_orderdate") >= 820454400000000000L &&
+          col("o_orderdate") < 852076800000000000L)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("cast(round(l_extendedprice*100) as bigint)").as("price_c"),
+          expr("cast(round(l_discount*100) as bigint)").as("disc_p"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("price_c * (100 - disc_p)")).as("rev_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // window functions: rank + running sum per customer
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -280,6 +314,21 @@ ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""",
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+
+    "q5_local_revenue" ->
+      """SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_e4,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_ns(o_orderdate) >= 820454400000000000
+  AND epoch_ns(o_orderdate) < 852076800000000000
 GROUP BY n_name""",
 
     "window_running" ->

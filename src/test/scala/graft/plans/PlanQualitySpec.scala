@@ -415,4 +415,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan) // codegen stage marker
     assert(plan.contains("zorder"), plan)
   }
+
+  test("round-13 additions: partial-agg leaf histogram, TakeOrdered KMV, " +
+    "equi-join-only components") {
+    // the q-digest's ONLY corpus-scale stage: the leaf histogram must
+    // partial-aggregate map-side (the exchange carries ≤ Universe
+    // cells per partition, never the corpus)
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select(expr("cast(round(value*100) as bigint)").as("cents"))
+    val lc = graft.operators.QuantileSketch.leafCounts(ev, "cents")
+      .queryExecution.executedPlan.toString
+    assert(lc.contains("partial_count"), lc)
+    // KMV bottom-k: per-partition top-k merge, not a global sort of
+    // the vocabulary (the only SortExec allowed is the k-row rank
+    // window AFTER the TakeOrdered)
+    val km = graft.SparkEntry.queries("kmv_sketch")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(km.contains("TakeOrderedAndProject"), km)
+    // the distinct dedups map-side BEFORE its exchange (a HashAggregate
+    // on each side — keyed dedup has no partial_ function marker)
+    assert(km.linesIterator.count(_.contains("HashAggregate(keys=[h")) >= 2, km)
+    // first-class CC: every round is an equi-join on vertex ids — a
+    // cartesian/nested-loop would be the all-pairs trap
+    val cc = graft.SparkEntry.queries("cc_components")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!cc.contains("CartesianProduct") && !cc.contains("NestedLoop"), cc)
+    // rewritten phrase search: candidate and verification sides
+    // broadcast; the corpus is never exchanged (no corpus-keyed
+    // sort-merge join anywhere)
+    val ps = graft.SparkEntry.queries("phrase_search")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"), ps)
+    // Q5 join chain: region/nation/supplier sides broadcast; no
+    // cartesian; the only shuffles belong to the fact-key joins + agg
+    val q5 = graft.SparkEntry.queries("q5_local_revenue")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    assert(!q5.contains("CartesianProduct"), q5)
+  }
 }
