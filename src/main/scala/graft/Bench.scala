@@ -58,7 +58,8 @@ object Bench {
     Seq("stream_ingest_range", "stream_ingest_box3", "stream_dedup",
       "stream_dedup_wm", "stream_hourly",
       "stream_curate", "stream_semantic", "stream_classify", "stream_hll",
-      "stream_dq", "stream_sliding", "stream_topk", "stream_quantiles")
+      "stream_dq", "stream_sliding", "stream_topk", "stream_quantiles",
+      "stream_sessionize")
   private val storeKeys = Seq("store_build", "store_range", "store_knn")
   private val store3Keys = Seq("store3_build", "store3_range", "store3_knn")
 

@@ -503,6 +503,62 @@ object StreamingQueries {
     // over the whole corpus in one pass: merge-then-estimate must equal
     // estimate-over-union (the HLL merge law, also pinned in
     // SketchesSpec).
+    // Custom streaming STATE MACHINE (flatMapGroupsWithState): gap-
+    // based sessionization with one OpenSession per user as explicit
+    // state, arriving as four time-ordered microbatch slices. A
+    // sentinel batch (one far-future event per user, 2 gaps past the
+    // corpus max) closes every real session so append mode emits them
+    // all; the sentinels' own sessions stay open in state and never
+    // reach the sink. Emitted sessions must therefore equal the batch
+    // gap-and-islands oracle exactly — lost state splits sessions,
+    // leaked state merges them, and either fails the hash.
+    "stream_sessionize" -> ((s, dir) => {
+      val gap = 86400L * 1000000000L
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-sess").toString
+        val ev = graft.sources.EventTime.events(s, dir)
+          .select(col("user_id"), col("ts"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+        val sliced = ev.withColumn("slice", ntile(4).over(w)).cache()
+        val maxTs = sliced.agg(max(col("ts"))).collect()(0).getLong(0)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        (1 to 5).foreach { k =>
+          val part =
+            if (k <= 4) sliced.filter(col("slice") === k).drop("slice")
+            else ev.select(col("user_id")).distinct()
+              .withColumn("ts", lit(maxTs + 2 * gap + 1))
+          part.coalesce(1).write.parquet(s"$tmp/stage$k")
+          val f = new java.io.File(s"$tmp/stage$k").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(f.toPath,
+            java.nio.file.Paths.get(f"$tmp/in/slice$k%04d.parquet"))
+        }
+        sliced.unpersist()
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      import s.implicits._
+      val sessions = graft.streaming.Sessionize.streaming(
+        stream.as[graft.streaming.Sessionize.Event], gap)
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(s"$tmp/out")
+        .select("user_id", "session_start", "n_events", "duration_s")
+      val rows = res.collect().toSeq
+      val outSchema = res.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Streaming quantile-sketch maintenance: the events corpus arrives
     // as four microbatches; each batch writes its PARTIAL leaf
     // histogram (the q-digest's additive pre-compression state) under
@@ -658,6 +714,10 @@ WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
     // the one-pass batch digest probe — summed leaf partials compress
     // to the identical digest, so equality IS the quantile merge law
     "stream_quantiles" -> SketchQueries.oracle("quantile_sketch"),
+
+    // the batch gap-and-islands twin: the state machine must emit
+    // every real session exactly once (sentinels close the open tails)
+    "stream_sessionize" -> RelationalQueries.oracle("sessionize"),
 
     // batch replay of the 1h/15m sliding assignment: each event
     // explodes into its four window starts
