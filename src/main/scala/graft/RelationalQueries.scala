@@ -243,6 +243,31 @@ object RelationalQueries {
         .select(col("e_id"), col("p_id"))
     }),
 
+    // forward as-of: for each error event, the EARLIEST following
+    // (or simultaneous) purchase of the same user
+    "asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("e_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      graft.operators.AsOfJoin.asofForward(errors, purchases, "user_id", "ts", "p_id")
+        .select(col("e_id"), col("p_id"))
+    }),
+
+    // tolerance as-of: latest preceding purchase, but only within 1h
+    // of the error (the pandas merge_asof(tolerance=...) contract)
+    "asof_tolerance" -> ((s, dir) => {
+      val ev = graft.sources.EventTime.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("e_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      graft.operators.AsOfJoin.asofTolerance(errors, purchases,
+          "user_id", "ts", "p_id", tol = 3600L * 1000000000L)
+        .select(col("e_id"), col("p_id"))
+    }),
+
     // band join: error/purchase pairs of the same user within 30 min
     "band_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -408,6 +433,19 @@ GROUP BY user_id, n_events""",
       """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
 e AS (SELECT user_id, ts, event_id AS e_id FROM events WHERE event_type = 'error')
 SELECT e.e_id, p.p_id
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    "asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+e AS (SELECT user_id, ts, event_id AS e_id FROM events WHERE event_type = 'error')
+SELECT e.e_id, p.p_id
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts""",
+
+    "asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+e AS (SELECT user_id, ts, event_id AS e_id FROM events WHERE event_type = 'error')
+SELECT e.e_id,
+  CASE WHEN epoch_ns(e.ts) - epoch_ns(p.ts) <= 3600000000000 THEN p.p_id END AS p_id
 FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
     "band_join" ->

@@ -83,6 +83,13 @@ object SketchQueries {
         d.filter(expr("doc_id % 3 IN (0, 1)")),
         d.filter(expr("doc_id % 3 IN (1, 2)")))
     }),
+    // the reference's range-count capability answered from SKETCH
+    // state: est[lo,hi] = estLe(hi) − estLe(lo−1) over the digest,
+    // ≤ 2·Levels·τ endpoint error pinned as a column, four mixed-width
+    // rectangles including the canonical [10000, 30000] range-gate box
+    "quantile_range_count" -> ((s, dir) =>
+      QuantileSketch.rangeCountProbe(ev(s, dir), "cents",
+        Seq((10000L, 30000L), (0L, 500L), (25000L, 26000L), (50000L, 60000L)))),
     // the GROUP BY sketch shape: an independent q-digest per
     // event_type (its own n, τ, bound) from ONE (group, leaf)-keyed
     // shuffle — per-type percentiles, the hllDistinctBy of ranks
@@ -279,6 +286,23 @@ ex AS (SELECT CAST(
   AS BIGINT) AS j_exact_e4)
 SELECT ex.j_exact_e4, CAST(n_inter * 10000 // k_used AS BIGINT) AS j_est_e4, n_inter
 FROM ex, ni, ku""",
+
+    "quantile_range_count" ->
+      s"""WITH $qdBase,
+${qdBuildRounds("q", "SELECT tau FROM tc")},
+ordn AS MATERIALIZED (SELECT (idx + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS ub, cnt FROM q$QL),
+lcum AS MATERIALIZED (SELECT leaf, CAST(sum(cnt) OVER (ORDER BY leaf ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM lf),
+rng(lo, hi) AS (VALUES (10000, 30000), (0, 500), (25000, 26000), (50000, 60000)),
+est AS (SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+    CAST((SELECT coalesce(sum(cnt), 0) FROM ordn WHERE ub <= rng.hi) -
+         (SELECT coalesce(sum(cnt), 0) FROM ordn WHERE ub <= rng.lo - 1) AS BIGINT) AS n_est,
+    CAST((SELECT coalesce(max(c), 0) FROM lcum WHERE leaf <= rng.hi) -
+         (SELECT coalesce(max(c), 0) FROM lcum WHERE leaf <= rng.lo - 1) AS BIGINT) AS n_exact
+  FROM rng)
+SELECT lo, hi, n_exact, n_est, abs(n_est - n_exact) AS rank_err,
+  CAST(2 * $QL * (SELECT tau FROM tc) AS BIGINT) AS bound,
+  abs(n_est - n_exact) <= 2 * $QL * (SELECT tau FROM tc) AS within
+FROM est""",
 
     "quantile_by_type" ->
       s"""WITH ev AS (SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS cents FROM events),

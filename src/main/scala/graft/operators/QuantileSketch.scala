@@ -206,6 +206,42 @@ object QuantileSketch {
   }
 
   /**
+   * Range-count estimation through the digest — the reference's
+   * `count(rect)` (`Index.java:144-164` capability) answered from
+   * fixed-size sketch state instead of a scan: est|{x ∈ [lo, hi]}| =
+   * estLe(hi) − estLe(lo−1), where estLe assigns each digest node's
+   * mass to its upper bound. Each endpoint contributes ≤ Levels·τ
+   * straddle error, so the gate pins |est − exact| ≤ 2·Levels·τ.
+   * Output: `(lo, hi, n_exact, n_est, rank_err, bound, within)`.
+   */
+  def rangeCountProbe(df: DataFrame, valueCol: String,
+      ranges: Seq[(Long, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    val leaves = collectLeaves(leafCounts(df, valueCol))
+    val n = leaves.map(_.cnt).sum
+    val tau = tauFor(n)
+    val dg = compress(leaves, tau)
+    val (_, countLe) = exactFromLeaves(leaves)
+    def estLe(v: Long): Long = dg.filter(_.upper <= v).map(_.cnt).sum
+    val bound = 2L * Levels * tau
+    val rows = ranges.map { case (lo, hi) =>
+      val est = estLe(hi) - estLe(lo - 1)
+      val exact = countLe(hi) - countLe(lo - 1)
+      val err = math.abs(est - exact)
+      Row(lo, hi, exact, est, err, bound, err <= bound)
+    }
+    val schema = StructType(Seq(
+      StructField("lo", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false),
+      StructField("n_exact", LongType, nullable = false),
+      StructField("n_est", LongType, nullable = false),
+      StructField("rank_err", LongType, nullable = false),
+      StructField("bound", LongType, nullable = false),
+      StructField("within", BooleanType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * Per-group build-and-probe — the GROUP BY sketch shape (per-type
    * latency percentiles, per-source length distributions): one
    * `(group, leaf)`-keyed corpus shuffle (≤ |groups|·Universe cells

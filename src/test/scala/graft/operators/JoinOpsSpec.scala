@@ -30,6 +30,36 @@ class JoinOpsSpec extends SparkSpec {
     assert(got === 9L)
   }
 
+  test("asofForward: earliest right at-or-after, inclusive; equal-ts ties take the greatest") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 70L, 12L), (3L, 10L, 13L))
+      .toDF("k", "ts", "l_id")
+    val right = Seq((1L, 100L, 500L), (1L, 100L, 499L), (1L, 300L, 502L), (2L, 60L, 503L))
+      .toDF("k", "ts", "r_id")
+    val got = AsOfJoin.asofForward(left, right, "k", "ts", "r_id")
+      .select("l_id", "r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(
+      10L -> 500L, // simultaneous matches (inclusive), max value on the tie
+      11L -> 502L, // earliest at-or-after 205
+      12L -> -1L,  // right exists only earlier
+      13L -> -1L)) // no right rows for key 3
+  }
+
+  test("asofTolerance: nearest-behind match nulled beyond the tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 500L, 11L), (1L, 130L, 12L))
+      .toDF("k", "ts", "l_id")
+    val right = Seq((1L, 90L, 7L), (1L, 120L, 8L)).toDF("k", "ts", "r_id")
+    val got = AsOfJoin.asofTolerance(left, right, "k", "ts", "r_id", tol = 50L)
+      .select("l_id", "r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(
+      10L -> 7L,  // 100-90=10 within 50
+      11L -> -1L, // nearest behind is 120, but 380 > 50 → null
+      12L -> 8L)) // 130-120=10 within 50
+  }
+
   test("asofLookup past the literal cap takes the chunked broadcast path, same results") {
     import spark.implicits._
     val stats = (0 until 100).map(i => i.toLong * 10).toDF("bucket_key")
