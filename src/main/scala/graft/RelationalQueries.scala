@@ -268,6 +268,25 @@ object RelationalQueries {
         .select(col("e_id"), col("p_id"))
     }),
 
+    // variable-length interval OVERLAP join: each event spans
+    // [ts, ts + cents·4s] (value-dependent length, up to ~62 h);
+    // view × click interval intersections per user through the grid
+    // decomposition — the general form of band_join
+    "interval_join" -> ((s, dir) => {
+      val ev = graft.sources.EventTime.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(round(value*100) as bigint)").as("cents"), col("event_type"))
+      val err = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("e_id"),
+          col("ts").as("e_s"), (col("ts") + col("cents") * 4000000000L).as("e_e"))
+      val pur = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_s"), (col("ts") + col("cents") * 4000000000L).as("p_e"))
+      graft.operators.RangeJoin.intervalJoin(err, pur, "user_id",
+          "e_s", "e_e", "p_s", "p_e", cellWidth = 86400L * 1000000000L)
+        .select("e_id", "p_id")
+    }),
+
     // band join: error/purchase pairs of the same user within 30 min
     "band_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -447,6 +466,14 @@ e AS (SELECT user_id, ts, event_id AS e_id FROM events WHERE event_type = 'error
 SELECT e.e_id,
   CASE WHEN epoch_ns(e.ts) - epoch_ns(p.ts) <= 3600000000000 THEN p.p_id END AS p_id
 FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    "interval_join" ->
+      """WITH iv AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS s,
+    epoch_ns(ts) + CAST(round(value*100) AS BIGINT) * 4000000000 AS e FROM events),
+er AS (SELECT user_id, event_id, s, e FROM iv WHERE event_type = 'view'),
+pu AS (SELECT user_id, event_id, s, e FROM iv WHERE event_type = 'click')
+SELECT er.event_id AS e_id, pu.event_id AS p_id
+FROM er JOIN pu ON er.user_id = pu.user_id AND er.s <= pu.e AND pu.s <= er.e""",
 
     "band_join" ->
       """SELECT e.event_id AS e_id, p.event_id AS p_id

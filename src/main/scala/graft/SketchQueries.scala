@@ -83,6 +83,11 @@ object SketchQueries {
         d.filter(expr("doc_id % 3 IN (0, 1)")),
         d.filter(expr("doc_id % 3 IN (1, 2)")))
     }),
+    // one-call corpus profiler: the whole sketch family (HLL + KMV +
+    // Count-Min + q-digest) composed into a long-format (metric,
+    // value) report next to the exact answers — the "describe this
+    // table" dashboard a 100 TB pipeline would publish per snapshot
+    "profile_docs" -> ((s, dir) => Sketches.profileDocs(docs(s, dir))),
     // the reference's range-count capability answered from SKETCH
     // state: est[lo,hi] = estLe(hi) − estLe(lo−1) over the digest,
     // ≤ 2·Levels·τ endpoint error pinned as a column, four mixed-width
@@ -286,6 +291,41 @@ ex AS (SELECT CAST(
   AS BIGINT) AS j_exact_e4)
 SELECT ex.j_exact_e4, CAST(n_inter * 10000 // k_used AS BIGINT) AS j_est_e4, n_inter
 FROM ex, ni, ku""",
+
+    "profile_docs" ->
+      s"""WITH $regCte,
+sm AS (SELECT sum(CAST(1 AS BIGINT) << (53 - rho)) AS s FROM regs),
+${kmvCte("kmv", "w")},
+hk AS (SELECT max(h) AS hk, count(*) AS kk FROM kmv),
+tf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY w),
+cells AS MATERIALIZED (SELECT t.range AS depth,
+    xor(${oh60("w", CmSeedBase)}, ${oh60("w", CmSeedBase + 1)} * t.range) % $CmWidth AS bucket,
+    sum(cnt) AS cnt
+  FROM tf, range(0, $CmDepth) t GROUP BY 1, 2),
+top1 AS (SELECT w, cnt AS n_exact FROM tf ORDER BY cnt DESC, w LIMIT 1),
+probes AS (SELECT w, n_exact, t.range AS depth,
+    xor(${oh60("w", CmSeedBase)}, ${oh60("w", CmSeedBase + 1)} * t.range) % $CmWidth AS bucket
+  FROM top1, range(0, $CmDepth) t),
+cmest AS (SELECT min(c.cnt) AS n_est, max(p.n_exact) AS n_exact
+  FROM probes p JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket),
+pllf AS MATERIALIZED (SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS leaf, count(*) AS cnt FROM sdocs GROUP BY 1),
+pln AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pllf),
+plt AS (SELECT greatest(1, (SELECT n FROM pln) // $QK) AS tau),
+pl0 AS (SELECT 0 AS lvl, leaf AS idx, cnt FROM pllf),
+${qdBuildRounds("pl", "SELECT tau FROM plt")},
+plord AS (SELECT (idx + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS ub, lvl, cnt FROM pl$QL),
+plcum AS MATERIALIZED (SELECT ub, lvl, CAST(sum(cnt) OVER (ORDER BY ub, lvl ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM plord),
+pllcum AS MATERIALIZED (SELECT leaf, CAST(sum(cnt) OVER (ORDER BY leaf ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM pllf),
+plr AS (SELECT (50 * (SELECT n FROM pln) + 99) // 100 AS r)
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM sdocs
+UNION ALL SELECT 'n_tokens', CAST(count(*) AS BIGINT) FROM w
+UNION ALL SELECT 'distinct_tokens_exact', CAST(count(DISTINCT w) AS BIGINT) FROM w
+UNION ALL SELECT 'distinct_tokens_hll', $estExpr FROM sm
+UNION ALL SELECT 'distinct_tokens_kmv', CAST((CAST(kk - 1 AS HUGEINT) * ${1L << 60}) // CAST(hk AS HUGEINT) AS BIGINT) FROM hk
+UNION ALL SELECT 'top_token_cnt_exact', CAST(n_exact AS BIGINT) FROM cmest
+UNION ALL SELECT 'top_token_cnt_est', CAST(n_est AS BIGINT) FROM cmest
+UNION ALL SELECT 'doclen_p50_exact', (SELECT min(leaf) FROM pllcum WHERE c >= (SELECT r FROM plr))
+UNION ALL SELECT 'doclen_p50_est', (SELECT min(ub) FROM plcum WHERE cm >= (SELECT r FROM plr))""",
 
     "quantile_range_count" ->
       s"""WITH $qdBase,

@@ -34,4 +34,36 @@ object RangeJoin {
       .filter(abs(col(lts) - col(rts)) <= tol)
       .drop("__bin")
   }
+
+  /**
+   * Interval OVERLAP join — pairs of VARIABLE-LENGTH intervals with
+   * equal key that intersect (`l.s <= r.e AND r.s <= l.e`, closed
+   * ends). The general form of [[bandJoin]] (which is the equal-
+   * length special case): campaign windows × user sessions, outage
+   * windows × requests.
+   *
+   * Grid decomposition on cells of width `cellWidth`: each interval
+   * emits its covered cell range, candidates meet on `(key, cell)`,
+   * the exact predicate verifies, and each qualifying pair is counted
+   * EXACTLY ONCE — only in the cell containing `greatest(l.s, r.s)`
+   * (the overlap's left edge), the [[SpatialJoin]] accounting trick,
+   * so no distinct pass. One shuffle per side on `(key, cell)`; cell
+   * volume is interval-length/cellWidth-bounded (size the width to
+   * the typical interval, exactly like the distance join's radius).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   ls: String, le: String, rs: String, re: String,
+                   cellWidth: Long): DataFrame = {
+    require(cellWidth > 0)
+    val l = left
+      .withColumn("__cell",
+        explode(expr(s"sequence(div($ls, $cellWidth), div($le, $cellWidth))")))
+    val r = right
+      .withColumn("__cell",
+        explode(expr(s"sequence(div($rs, $cellWidth), div($re, $cellWidth))")))
+    l.join(r, Seq(key, "__cell"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("__cell") === expr(s"div(greatest($ls, $rs), $cellWidth)"))
+      .drop("__cell")
+  }
 }

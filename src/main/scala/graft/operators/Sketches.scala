@@ -255,6 +255,42 @@ object Sketches {
   }
 
   /**
+   * One-call corpus profiler — the pandas-profiling/Deequ "describe
+   * this table" shape as a single long-format `(metric, value)`
+   * report, composing the whole sketch family next to its exact
+   * answers: row/token counts, vocabulary size (exact, HLL, KMV —
+   * two independent estimator families as a standing cross-check),
+   * the heaviest token through Count-Min, and the median document
+   * length through the q-digest. Every value is an exact BIGINT the
+   * oracle replays. Gate-scale composition (each part re-scans);
+   * a production profiler would fuse the token passes over one
+   * explode and memoize the leaf histogram — the parts themselves
+   * are the already-scale-shaped operators above.
+   */
+  def profileDocs(docs: DataFrame): DataFrame = {
+    def row1(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+    val w = docs.select(words.as("w"))
+    val hh = cmHeavyHitters(docs, 1)
+    val dl = QuantileSketch.quantileProbe(
+      docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("len")), "len")
+      .filter(col("phi_pct") === 50)
+    Seq(
+      row1("n_docs", docs.agg(count(lit(1)).as("value"))),
+      row1("n_tokens", w.agg(count(lit(1)).as("value"))),
+      row1("distinct_tokens_exact", w.agg(count_distinct(col("w")).as("value"))),
+      row1("distinct_tokens_hll",
+        hllEstimate(hllRegisters(docs)).select(col("n_est").as("value"))),
+      row1("distinct_tokens_kmv",
+        kmvDistinct(docs).select(col("n_est").as("value"))),
+      row1("top_token_cnt_exact", hh.select(col("n_exact").as("value"))),
+      row1("top_token_cnt_est", hh.select(col("n_est").as("value"))),
+      row1("doclen_p50_exact", dl.select(col("v_exact").as("value"))),
+      row1("doclen_p50_est", dl.select(col("v_est").as("value")))
+    ).reduce(_.unionByName(_))
+  }
+
+  /**
    * The KMV merge law + Jaccard estimation, in one probe: sketch two
    * overlapping document subsets, merge by "k smallest of the union"
    * (what two shards of a corpus would ship), and estimate the token-

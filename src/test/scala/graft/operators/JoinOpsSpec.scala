@@ -83,6 +83,32 @@ class JoinOpsSpec extends SparkSpec {
     assert(plan.contains("sorted_floor"), plan)
   }
 
+  test("intervalJoin equals the naive overlap join, each pair exactly once") {
+    import spark.implicits._
+    // deterministic variable-length intervals, many sharing grid cells
+    val mk = (n: Int, tag: Long) => (0 until n).map { i =>
+      val s = (i * 37L + tag * 11L) % 500L
+      (i.toLong % 5L, tag * 1000L + i, s, s + (i * 13L + tag) % 90L)
+    }
+    val left = mk(60, 1).toDF("k", "id", "s", "e")
+    val right = mk(60, 2).toDF("k", "id", "s", "e")
+    val got = RangeJoin.intervalJoin(
+        left.withColumnRenamed("id", "l_id")
+          .withColumnRenamed("s", "ls").withColumnRenamed("e", "le"),
+        right.withColumnRenamed("id", "r_id")
+          .withColumnRenamed("s", "rs").withColumnRenamed("e", "re"),
+        "k", "ls", "le", "rs", "re", cellWidth = 64L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.as("a").join(right.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === naive.length, "no duplicate pair from multi-cell overlap")
+    assert(got.toSet === naive.toSet)
+    assert(naive.nonEmpty)
+  }
+
   test("band join equals the naive quadratic definition on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
