@@ -600,6 +600,46 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Streaming KMV maintenance: per-batch bottom-k partials appended
+    // to a sketch log; the read side dedups hash values and re-takes
+    // the bottom-k. Exact merge law: every one of the global k
+    // smallest hashes is among its own batch's k smallest, so the
+    // merged sketch EQUALS the one-pass batch sketch — and appending
+    // is replay-safe because the union dedups by value (the KMV
+    // analog of HLL's max-idempotence). Oracle = the batch kmv_sketch
+    // replay itself.
+    "stream_kmv" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-kmv").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", expr(SketchQueries.AugSql))
+          .select("doc_id", "text")
+          .repartition(4).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Sketches.kmvSketch(batch)
+            .write.mode("append").parquet(s"$tmp/sketch")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = graft.operators.Sketches.kmvMerge(
+        s.read.parquet(s"$tmp/sketch"))
+      val rows = merged.collect().toSeq
+      val outSchema = merged.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     "stream_hll" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-hll").toString
@@ -714,6 +754,9 @@ WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
     // the one-pass batch digest probe — summed leaf partials compress
     // to the identical digest, so equality IS the quantile merge law
     "stream_quantiles" -> SketchQueries.oracle("quantile_sketch"),
+
+    // the batch bottom-k itself — merged per-batch partials equal it
+    "stream_kmv" -> SketchQueries.oracle("kmv_sketch"),
 
     // the batch gap-and-islands twin: the state machine must emit
     // every real session exactly once (sentinels close the open tails)

@@ -235,6 +235,18 @@ object Sketches {
       .select(col("rank"), col("h"))
   }
 
+  /** Merge any number of `(rank, h)` sketch partials (a sketch log):
+    * dedup by value, re-take the bottom-k, re-rank — exactly equals
+    * the one-pass sketch of the union (every global bottom-k value is
+    * in its own shard's bottom-k). */
+  def kmvMerge(partials: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    partials.select(col("h")).distinct()
+      .orderBy(col("h")).limit(KmvK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("h"))
+  }
+
   /**
    * Distinct-count through the sketch next to the exact answer:
    * `(n_exact, n_est, err_bp)`. Estimator: `(k−1) · 2^60 / h_(k)`
