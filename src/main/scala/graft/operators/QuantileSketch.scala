@@ -216,6 +216,8 @@ object QuantileSketch {
    */
   def rangeCountProbe(df: DataFrame, valueCol: String,
       ranges: Seq[(Long, Long)]): DataFrame = {
+    ranges.foreach { case (lo, hi) =>
+      require(lo <= hi, s"inverted range [$lo, $hi]") }
     val spark = df.sparkSession
     val leaves = collectLeaves(leafCounts(df, valueCol))
     val n = leaves.map(_.cnt).sum

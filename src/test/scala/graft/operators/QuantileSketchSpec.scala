@@ -75,6 +75,23 @@ class QuantileSketchSpec extends SparkSpec {
     assert(probe.head.getLong(1) === ev.count())
   }
 
+  test("rangeCountProbe: estimates within 2·Levels·τ, exact on leaf-aligned data") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id"), expr("cast(round(value*100) as bigint)").as("cents"))
+    val rows = rangeCountProbe(ev, "cents",
+      Seq((0L, 65535L), (10000L, 30000L), (60000L, 65000L))).collect()
+    // full-universe range: estimate == exact == n (no straddle at all)
+    assert(rows(0).getLong(2) === ev.count())
+    assert(rows(0).getLong(3) === rows(0).getLong(2))
+    assert(rows.forall(_.getBoolean(6)))
+    // range past the data max: exact 0, estimate within bound
+    assert(rows(2).getLong(2) === 0L)
+    // inverted ranges are a loud contract violation, not a silent -n
+    assertThrows[IllegalArgumentException] {
+      rangeCountProbe(ev, "cents", Seq((200L, 100L)))
+    }
+  }
+
   test("quantilesByGroup: independent per-group digests, all within bound") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
       .select(col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))

@@ -94,6 +94,36 @@ class SketchesSpec extends SparkSpec {
     assert(errBp < 2500L, s"exact=$exact est=$est errBp=$errBp")
   }
 
+  test("KMV merge of shard partials equals the one-pass sketch of the union") {
+    val d = corpus(600)
+    val parts = Seq(
+      Sketches.kmvSketch(d.filter(col("doc_id") % 3 === 0)),
+      Sketches.kmvSketch(d.filter(col("doc_id") % 3 === 1)),
+      Sketches.kmvSketch(d.filter(col("doc_id") % 3 === 2)))
+    val merged = Sketches.kmvMerge(parts.reduce(_.unionByName(_))).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val onePass = Sketches.kmvSketch(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(merged === onePass)
+  }
+
+  test("profileDocs: exact metrics correct, estimates present for each family") {
+    val d = corpus(500)
+    val m = Sketches.profileDocs(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_docs") === 500L)
+    assert(m("n_tokens") ===
+      d.select(explode(split(lower(trim(col("text"))), "\\s+"))).count())
+    assert(m.keySet === Set("n_docs", "n_tokens", "distinct_tokens_exact",
+      "distinct_tokens_hll", "distinct_tokens_kmv",
+      "top_token_cnt_exact", "top_token_cnt_est",
+      "doclen_p50_exact", "doclen_p50_est"))
+    // CMS never underestimates; the digest's p50 stays within bound of
+    // exact (same-leaf equality is typical on narrow doclen domains)
+    assert(m("top_token_cnt_est") >= m("top_token_cnt_exact"))
+    assert(m("distinct_tokens_exact") > 0)
+  }
+
   test("KMV Jaccard: identical inputs estimate 1, disjoint inputs estimate 0") {
     val d = corpus(400)
     val same = Sketches.kmvJaccard(d, d).collect()(0)
