@@ -148,12 +148,17 @@ object Sketches {
     val spark = docs.sparkSession
     val tf = docs.select(words.as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // hoist both md5-derived hashes ABOVE the depth explode: computed
+    // once per distinct token instead of once per (token, depth) row —
+    // 4× less hashing for identical values (the md5 is the dominant
+    // cost of the build on a wide vocabulary)
     val cells = tf
-      .select(col("w"), col("cnt"),
+      .select(col("cnt"), h60(col("w"), CmSeedBase).as("h1"),
+        h60(col("w"), CmSeedBase + 1).as("h2"))
+      .select(col("cnt"), col("h1"), col("h2"),
         explode(expr(s"sequence(0, ${CmDepth - 1})")).as("depth"))
       .select(col("depth"),
-        (h60(col("w"), CmSeedBase).bitwiseXOR(h60(col("w"), CmSeedBase + 1) * col("depth"))
-          % CmWidth).as("bucket"),
+        (col("h1").bitwiseXOR(col("h2") * col("depth")) % CmWidth).as("bucket"),
         col("cnt"))
       .groupBy("depth", "bucket").agg(sum(col("cnt")).as("cnt"))
     spark.range(0, CmDepth).select(col("id").as("depth"))
