@@ -232,7 +232,14 @@ object Sketches {
   /** Bottom-k over an arbitrary one-column value frame. */
   private def kmvOf(values: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
-    values.select(h60(col(values.columns.head), KmvSeed).as("h"))
+    values
+      // dedup the raw values FIRST (map-side partial distinct, so the
+      // md5 runs once per distinct value, not once per occurrence)…
+      .distinct()
+      .select(h60(col(values.columns.head), KmvSeed).as("h"))
+      // …then dedup hashes too, mirroring the oracle's
+      // DISTINCT-of-hashes exactly (a hash collision between distinct
+      // values must collapse to ONE sketch slot on both engines)
       .distinct()
       .orderBy(col("h")).limit(KmvK)
       // the window runs over k rows, not the corpus
