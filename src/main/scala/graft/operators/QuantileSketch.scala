@@ -169,6 +169,11 @@ object QuantileSketch {
 
   private def probeRows(spark: SparkSession, dg: Seq[Node], leaves: Seq[Node],
       n: Long, bound: Long): DataFrame = {
+    // empty corpus → empty report (no rank targets exist), not a crash
+    // on the exact side's last-element access
+    if (leaves.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], probeSchema)
     val (valueAtRank, countLe) = exactFromLeaves(leaves)
     val rows = Phis.map { phi =>
       val r = targetRank(phi, n)

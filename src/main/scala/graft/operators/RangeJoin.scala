@@ -50,6 +50,9 @@ object RangeJoin {
    * so no distinct pass. One shuffle per side on `(key, cell)`; cell
    * volume is interval-length/cellWidth-bounded (size the width to
    * the typical interval, exactly like the distance join's radius).
+   * Contract: every interval must satisfy `s <= e` — an inverted
+   * interval would emit a DESCENDING `sequence` cell range and match
+   * under a predicate that has no meaning for it.
    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    ls: String, le: String, rs: String, re: String,

@@ -106,6 +106,16 @@ class QuantileSketchSpec extends SparkSpec {
     assert(ns === expected)
   }
 
+  test("probes of an empty corpus return an empty report, not a crash") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("cents", LongType))))
+    assert(quantileProbe(empty, "cents").count() === 0L)
+    assert(rangeCountProbe(empty, "cents", Seq((0L, 100L))).count() === 1L)
+    assert(digestTable(empty, "cents").count() === 0L)
+  }
+
   test("compression is deterministic: same multiset, same digest") {
     val leaves = (0 until 500).map(i => Node(0, (i * 31) % Universe, (i % 7 + 1).toLong))
       .groupBy(_.idx).map { case (idx, ns) => Node(0, idx, ns.map(_.cnt).sum) }.toSeq
