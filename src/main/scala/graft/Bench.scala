@@ -59,7 +59,7 @@ object Bench {
       "stream_dedup_wm", "stream_hourly",
       "stream_curate", "stream_semantic", "stream_classify", "stream_hll",
       "stream_dq", "stream_sliding", "stream_topk", "stream_quantiles",
-      "stream_sessionize", "stream_kmv")
+      "stream_sessionize", "stream_kmv", "stream_join")
   private val storeKeys = Seq("store_build", "store_range", "store_knn")
   private val store3Keys = Seq("store3_build", "store3_range", "store3_knn")
 
@@ -359,11 +359,20 @@ object Bench {
       .mkString("{", ",", "}")
     val fb = fallbacks.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
+    // explicit setup-vs-steady split per stream key: the headline
+    // queries.{key} number is already steady-state (harness staging
+    // subtracted), but round-over-round comparisons shouldn't have to
+    // reconstruct the split from two maps
+    val streamSplit = results.filter(kv => streamKeys.contains(kv._1))
+      .map { case (k, m) =>
+        "\"" + k + "\":{\"setup_sec\":" + num(m.setupSec) +
+          ",\"steady_sec\":" + num(m.sec) + "}"
+      }.mkString("{", ",", "}")
     // the full single-line maps land in a FILE (no size window there);
     // stdout can be polluted by build-tool log prefixes, and the file
     // is unambiguous for any reader
     val meta =
-      s"""{"metric":"bench_meta","fork":$fork,"concurrency":$benchConcurrency,"fallback":$fb,"gc_sec":$gcs,"leaked_rdds":$leaks,"setup_sec":$setups}"""
+      s"""{"metric":"bench_meta","fork":$fork,"concurrency":$benchConcurrency,"fallback":$fb,"gc_sec":$gcs,"leaked_rdds":$leaks,"setup_sec":$setups,"stream_split":$streamSplit}"""
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),

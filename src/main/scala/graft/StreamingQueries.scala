@@ -352,6 +352,109 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // Watermarked STREAM-STREAM inner join — the attribution shape
+    // (impressions × conversions within a bounded lag) with BOTH sides
+    // live, the one production streaming surface the other gates leave
+    // untouched (every other stream gate joins stream-vs-static or
+    // self). Impressions are the 'view' events; conversions are
+    // 'click'/'purchase'; a pair matches when the conversion lands in
+    // [imp_time, imp_time + 6h] for the same user — the online spelling
+    // of the batch interval join (the reference's index→data two-phase
+    // lookup made continuous, SURVEY §2.4).
+    //
+    // Harness: each side is staged as four time-ordered slices (the
+    // stream_dedup_wm ntile trick), and a third of each slice's rows
+    // (user_id % 3 == 0) are DEMOTED one arrival slot with their
+    // ORIGINAL event times — genuinely late rows, inside the watermark
+    // delay (delay = span/2 > slice span), so the join STATE — not
+    // intra-batch matching — must pair them with counterparts that
+    // arrived batches earlier, in both directions (late impression
+    // meeting stored conversion and vice versa). Both sides carry
+    // watermarks so join state is DELAY-BOUNDED: an impression is
+    // evictable once the watermark passes imp_time + 6h (no not-yet-
+    // late conversion can still match it), a conversion once the
+    // watermark passes conv_time — state is O(rows in the last
+    // delay + 6h of event time), not O(stream). Inner join emits on
+    // match (no watermark-gated finalization), so no sentinel is
+    // needed; the batch read side aggregates the emitted pairs. Oracle
+    // = the batch interval join over the full union: a lost pair
+    // (over-eager eviction), duplicate pair (replayed emission), or
+    // late-filtered row (delay bookkeeping) each breaks the hash.
+    "stream_join" -> ((s, dir) => {
+      val (tmp, schema, delaySec) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-join").toString
+        val ev = graft.sources.EventTime.events(s, dir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            expr("timestamp_micros(div(ts, 1000))").as("event_time"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_time"))
+        val sliced = ev.withColumn("slice", ntile(4).over(w))
+          // demotion: late-by-one-slot arrival, original event time
+          .withColumn("arrival",
+            when(col("user_id") % 3 === 0, col("slice") + 1).otherwise(col("slice")))
+          .cache()
+        val span = sliced.agg(
+          (unix_timestamp(max(col("event_time"))) -
+            unix_timestamp(min(col("event_time")))).as("span")).collect()(0).getLong(0)
+        val delaySec = math.max(1L, span / 2)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/imp"))
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/conv"))
+        (1 to 5).foreach { k =>
+          // one file per arrival slot per side, empty slots included, so
+          // the two maxFilesPerTrigger=1 sources advance in lockstep
+          Seq("imp" -> (col("event_type") === "view"),
+              "conv" -> (col("event_type") =!= "view")).foreach { case (side, p) =>
+            sliced.filter(col("arrival") === k && p)
+              .select("user_id", "event_type", "event_time")
+              .coalesce(1).write.parquet(s"$tmp/stage-$side$k")
+            val part = new java.io.File(s"$tmp/stage-$side$k").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            Files.copy(part.toPath,
+              java.nio.file.Paths.get(f"$tmp/$side/slice$k%04d.parquet"))
+          }
+        }
+        sliced.unpersist()
+        (tmp, s.read.parquet(s"$tmp/imp").schema, delaySec)
+      }
+      val imp = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(s"$tmp/imp")
+        .withWatermark("event_time", s"$delaySec seconds")
+        .select(col("user_id").as("imp_user"), col("event_time").as("imp_time"))
+      val conv = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(s"$tmp/conv")
+        .withWatermark("event_time", s"$delaySec seconds")
+        .select(col("user_id").as("conv_user"),
+          col("event_type").as("conv_type"), col("event_time").as("conv_time"))
+      val joined = imp.join(conv,
+        col("imp_user") === col("conv_user") &&
+          col("conv_time") >= col("imp_time") &&
+          col("conv_time") <= col("imp_time") + expr("INTERVAL 6 HOURS"))
+        .select(col("conv_type"), col("conv_user").as("user_id"),
+          ((unix_micros(col("conv_time")) - unix_micros(col("imp_time"))) * 1000L)
+            .as("lag_ns"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val agg = s.read.parquet(s"$tmp/out")
+        .groupBy("conv_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("lag_ns div 1000000000")).as("lag_s_sum"))
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // Streaming corpus curation: the documents table arrives as four
     // microbatches; each batch passes the per-row quality gate (pure
     // projection — stateless, same predicate as quality_filter) and the
@@ -744,6 +847,26 @@ FROM documents
 WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
   AND (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) * 1000)
       // len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 500""",
+
+    // the batch interval join over the full union: every within-window
+    // (impression, conversion) pair exactly once — late arrivals, state
+    // retention, and watermark bookkeeping all collapse into multiset
+    // equality with this one-shot join
+    "stream_join" ->
+      """WITH e AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+imp AS (SELECT user_id, tns AS imp_tns FROM e WHERE event_type = 'view'),
+conv AS (SELECT user_id, event_type, tns AS conv_tns FROM e
+  WHERE event_type <> 'view')
+SELECT conv.event_type AS conv_type,
+  count(*) AS n_pairs,
+  CAST(count(DISTINCT conv.user_id) AS BIGINT) AS n_users,
+  CAST(sum((conv.conv_tns - imp.imp_tns) // 1000000000) AS BIGINT) AS lag_s_sum
+FROM imp JOIN conv ON imp.user_id = conv.user_id
+  AND conv.conv_tns >= imp.imp_tns
+  AND conv.conv_tns <= imp.imp_tns + 21600000000000
+GROUP BY conv_type""",
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly"),

@@ -48,12 +48,14 @@ object Cooccur {
       .filter(col("n_ab") >= minPairCount)
     // widen the numerator to DECIMAL(38,0): n_ab·n_docs·10^4 overflows
     // Long near 10^7-doc corpora (Spark would wrap silently in non-ANSI
-    // mode while the oracle errors); floor(/) on positives == integer
-    // division, and the quotient itself fits BIGINT (n_ab ≤ min(n_a,n_b)
-    // bounds it by n_docs·10^4)
+    // mode while the oracle errors); `div` is exact integral division on
+    // decimals (no HALF_UP-rounded intermediate quotient, so no round-up
+    // past the integer boundary when the true fraction nears 1), and the
+    // quotient itself fits BIGINT (n_ab ≤ min(n_a,n_b) bounds it by
+    // n_docs·10^4)
     pairs.crossJoin(broadcast(nDocs))
       .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("cast(floor(cast(n_ab as decimal(38,0)) * n_docs * 10000 / (cast(n_a as decimal(38,0)) * n_b)) as bigint)")
+        expr("cast(cast(n_ab as decimal(38,0)) * n_docs * 10000 div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
           .as("ratio_e4"))
   }
 }

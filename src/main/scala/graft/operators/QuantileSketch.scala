@@ -65,9 +65,21 @@ object QuantileSketch {
       .groupBy("leaf").agg(count(lit(1)).as("cnt"))
 
   /** Collect a leaf histogram (≤ Universe rows — universe-bounded,
-    * never data-bounded) into driver-side nodes at level 0. */
+    * never data-bounded) into driver-side nodes at level 0. Enforces
+    * the documented universe contract LOUDLY: a null leaf (null value
+    * or non-castable input) or a leaf outside [0, Universe) fails with
+    * a diagnostic instead of an NPE / silent wrong digest. */
   private def collectLeaves(lc: DataFrame): Seq[Node] =
-    lc.collect().toSeq.map(r => Node(0, r.getLong(0), r.getLong(1)))
+    lc.collect().toSeq.map { r =>
+      require(!r.isNullAt(0),
+        "q-digest input contains a null leaf (null or non-castable value column); " +
+          "filter or impute nulls before sketching")
+      val leaf = r.getLong(0)
+      require(leaf >= 0L && leaf < Universe,
+        s"q-digest leaf $leaf outside universe [0, $Universe) — " +
+          "rescale the value column into the sketch universe first")
+      Node(0, leaf, r.getLong(1))
+    }
 
   /**
    * Deterministic level-synchronous q-digest compression. Sweep
@@ -292,8 +304,11 @@ object QuantileSketch {
    */
   def mergeProbe(df: DataFrame, valueCol: String, splitCol: String): DataFrame = {
     val spark = df.sparkSession
+    // pmod, not %: Spark's % preserves sign, so a negative split key
+    // would land in "half" -1 and silently vanish from both the merged
+    // digest and the exact baseline
     val withHalf = df.select(col(valueCol).cast("long").as("leaf"),
-      (col(splitCol) % 2).cast("int").as("half"))
+      pmod(col(splitCol), lit(2)).cast("int").as("half"))
     val halves = withHalf.groupBy("half", "leaf").agg(count(lit(1)).as("cnt"))
       .collect().toSeq
       .groupBy(_.getInt(0))

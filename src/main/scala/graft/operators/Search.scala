@@ -68,29 +68,49 @@ object Search {
       .groupBy("term").agg(count(lit(1)).as("df"))
     // the anchoring ordinal: minimum df, ties to the lowest ordinal; a
     // term absent from the corpus ranks first (df 0) and correctly
-    // produces zero candidates. Metadata-scale (one row per query).
+    // produces zero candidates. Metadata-scale (one row per query);
+    // checkpointed so the candidate-count probe below doesn't re-run
+    // the df scan the final plan needs anyway.
     val rarest = qtok.join(dfs, Seq("term"), "left")
       .select(col("query_id"), col("i"), col("term"),
         coalesce(col("df"), lit(0L)).as("df"))
       .groupBy("query_id")
-      .agg(min_by(struct(col("i"), col("term")),
+      .agg(min_by(struct(col("i"), col("term"), col("df")),
         struct(col("df"), col("i"))).as("m"))
-      .select(col("query_id"), col("m.i").as("i0"), col("m.term").as("t0"))
+      .select(col("query_id"), col("m.i").as("i0"), col("m.term").as("t0"),
+        col("m.df").as("df0"))
+      .scopedCheckpoint()
     // pass 2: candidates — one per posting of each query's rarest term;
     // anchor is the phrase's would-be start (< 0 can never verify)
-    val cand = toks.join(broadcast(rarest), toks("term") === col("t0"))
+    val cand = toks.join(broadcast(rarest.select("query_id", "i0", "t0")),
+        toks("term") === col("t0"))
       .select(col("query_id"), col("doc_id"),
         (col("p") - col("i0")).as("anchor"))
       .filter(col("anchor") >= 0)
     // verification: no positional re-join — each candidate carries its
     // phrase token array to its document and is confirmed by ONE
     // array-slice equality against the document's token run (the
-    // remaining ordinals checked in-place, no per-ordinal expansion)
+    // remaining ordinals checked in-place, no per-ordinal expansion).
+    // The candidate set is EXACTLY Σ df(rarest term) rows — known ahead
+    // of time from the (checkpointed, metadata-scale) rarest table — so
+    // the broadcast hint is gated: an all-stopword phrase whose rarest
+    // term is still corpus-frequent degrades to a shuffle join on
+    // doc_id instead of OOMing the driver.
+    val estCand = rarest.agg(coalesce(sum(col("df0")), lit(0L))).first().getLong(0)
     val withPhrase = cand.join(qarr.hint("broadcast"), "query_id")
     val darr = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
-    darr.join(withPhrase.hint("broadcast"), "doc_id")
+    val joined =
+      if (estCand <= MaxBroadcastCandidates) darr.join(withPhrase.hint("broadcast"), "doc_id")
+      else darr.join(withPhrase, "doc_id")
+    joined
       .filter(expr("slice(ws, cast(anchor + 1 as int), size(qs)) = qs"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"), min(col("anchor")).as("first_pos"))
   }
+
+  /** Candidate-row ceiling for the broadcast verification path: below
+    * it the candidate set (~40 B/row plus the phrase arrays) fits a
+    * driver-built broadcast comfortably; above it (a stopword-anchored
+    * query flood) the verify join degrades to a doc_id shuffle. */
+  private val MaxBroadcastCandidates = 2000000L
 }
