@@ -352,6 +352,81 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // COMPACTION EQUIVALENCE — the property the reference's
+    // non-transactional split famously lacks (SURVEY §3.1): a file-
+    // layout rewrite must be RESULT-INVISIBLE. The online ingest loop
+    // builds the z-clustered store (large splitThreshold, so the
+    // explicit compactions below have real work left); ONE query then
+    // returns the same snapshot aggregates TWICE — phase 'pre'
+    // straight after ingest, phase 'post' after a minor compaction
+    // sweep (file-local oversized splits, footer-probed) AND a major
+    // recluster (global zkey re-cluster through the crash-recoverable
+    // scratch/_READY swap). The oracle emits the aggregates once per
+    // phase from the SOURCE table, so a compaction that loses,
+    // duplicates, or corrupts one row breaks the post row's hash while
+    // the pre row still matches — the diff pins the rewrite itself.
+    // Aggregates pin the row multiset (range rectangle count/sums,
+    // whole-store count/sum, kNN id+dist2 sums), not just counts.
+    "compact_equiv" -> ((s, dir) => {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val (tmp, fs, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-compact-equiv").toString
+        val conf = s.sparkContext.hadoopConfiguration
+        val src = new Path(s"$dir/events.parquet")
+        val fs = src.getFileSystem(conf)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        FileUtil.copy(fs, src, fs, new Path(s"$tmp/in/events.parquet"), false, conf)
+        (tmp, fs, s.read.parquet(s"$dir/events.parquet").schema)
+      }
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+      val q = StreamingIngest.start(stream, s"$tmp/store", s"$tmp/stats",
+        s"$tmp/ckpt", splitThreshold = 1000000L)
+      try q.processAllAvailable() finally q.stop()
+      def snapshot(phase: String): org.apache.spark.sql.Row = {
+        val pts = s.read.parquet(s"$tmp/store")
+        val r = PointStore.rangeQuery(pts, RX, RY)
+          .agg(count(lit(1)), sum(col("id")),
+            sum(col("x").cast("long")), sum(col("y").cast("long"))).head()
+        val tot = pts.agg(count(lit(1)), sum(col("id"))).head()
+        val kn = PointStore.knn(pts, 25000, 75, 10)
+          .agg(sum(col("id")), sum(col("dist2"))).head()
+        org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
+          kn.getLong(0), kn.getLong(1))
+      }
+      val pre = snapshot("pre")
+      // minor: every oversized file splits in place (threshold far
+      // below the batch file size, so the sweep genuinely rewrites);
+      // major: global re-cluster into ~rows/threshold z-runs
+      StreamingIngest.compactOversizedFiles(s, s"$tmp/store", 2000L)
+      StreamingIngest.recluster(s, s"$tmp/store", 2000L)
+      val post = snapshot("post")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("range_cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("range_id_sum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("range_x_sum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("range_y_sum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("total_cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("total_id_sum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("knn_id_sum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("knn_d2_sum",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      StreamMeter.setup { fs.delete(new Path(tmp), true) }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(Seq(pre, post)).asJava),
+        outSchema)
+    }),
+
     // Watermarked STREAM-STREAM inner join — the attribution shape
     // (impressions × conversions within a bounded lag) with BOTH sides
     // live, the one production streaming surface the other gates leave
@@ -847,6 +922,30 @@ FROM documents
 WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
   AND (CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) * 1000)
       // len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 500""",
+
+    // compaction is result-invisible: the SOURCE-table aggregates hold
+    // for BOTH phases — a lost/duplicated/corrupted row after the
+    // rewrite breaks only the post row, pinning the rewrite itself
+    "compact_equiv" ->
+      s"""WITH pts AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events),
+r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
+    CAST(sum(id) AS BIGINT) AS range_id_sum,
+    CAST(sum(x) AS BIGINT) AS range_x_sum,
+    CAST(sum(y) AS BIGINT) AS range_y_sum
+  FROM pts WHERE x BETWEEN ${RX.min} AND ${RX.max}
+    AND y BETWEEN ${RY.min} AND ${RY.max}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt,
+    CAST(sum(id) AS BIGINT) AS total_id_sum FROM pts),
+k AS (SELECT CAST(sum(id) AS BIGINT) AS knn_id_sum,
+    CAST(sum(d2) AS BIGINT) AS knn_d2_sum
+  FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
+        FROM pts ORDER BY d2, id LIMIT 10)),
+phases(phase) AS (VALUES ('pre'), ('post'))
+SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
+  total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
+FROM phases, r, t, k""",
 
     // the batch interval join over the full union: every within-window
     // (impression, conversion) pair exactly once — late arrivals, state

@@ -50,6 +50,13 @@ object TextQueries {
   // Spark queries AND the DuckDB oracle CTE
   private val BpeSpecial = "<|sep|>"
   private val MixedSuffixes = Seq("данные", "δεδομένα", "データ", "résumé")
+  // unigram-LM tokenizer config: seed vocabulary size, max piece
+  // length, and the per-round multi-piece keep sizes (2 Viterbi-EM
+  // prune rounds; the oracle unrolls one dp+path recursion pair per
+  // round, so keep the round count small like BpeRounds)
+  private val UniSeedN = 40
+  private val UniMaxLen = 4
+  private val UniKeep = Seq(24, 16)
 
   /** The documents table with the mixed-script + special-token
     * augmentation the byte-level BPE gates run on. */
@@ -191,6 +198,20 @@ object TextQueries {
       val merges = TextAnalysis.bpeMerges(aug, BpeRounds, Seq(BpeSpecial),
         byteMode = true)
       TextAnalysis.bpeEncodeBytes(aug, merges, Seq(BpeSpecial))
+    }),
+    // unigram-LM (SentencePiece-style) tokenizer TRAINING on the
+    // mixed-script fixture: alphabet + top-N substring seeds, two
+    // Viterbi-EM prune rounds — all exact-integer (fewest pieces,
+    // ties to the largest count sum), so the final vocabulary
+    // hash-matches the oracle's recursive-CTE replay
+    "unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(augDocs(s, dir), UniSeedN, UniMaxLen, UniKeep)),
+    // tokenizer APPLICATION: optimal Viterbi piece counts per document
+    // under the trained vocabulary (fused codegen DP, zero shuffle)
+    "unigram_encode" -> ((s, dir) => {
+      val aug = augDocs(s, dir)
+      val vocab = TextAnalysis.unigramVocabulary(aug, UniSeedN, UniMaxLen, UniKeep)
+      TextAnalysis.unigramEncode(aug, vocab, UniMaxLen)
     }),
     // train/val split-leakage audit: deterministic hash split, then
     // every LSH-verified near-dup pair that CROSSES the split boundary
@@ -381,6 +402,133 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
 
   private def bpeTrainOracle(rounds: Int): String =
     bpeTrainOracleCore(bpeCharHead, rounds)
+
+  // ---- unigram-LM tokenizer oracle (validated in tools/proto_unigram.py) --
+
+  /** One Viterbi-dp candidate struct for piece length `lp` at 1-based
+    * substr start `pos` of the dp-state row: lp=1 carries the UNK
+    * fallback (count 0 for an out-of-vocabulary character), lp>=2 is a
+    * candidate only when the substring is in the vocabulary map; an
+    * out-of-range `nps[lp]` is NULL and the filter drops it. */
+  private def uniDpCand(lp: Int): String = {
+    val look = s"m[substr(w, pos, $lp)][1]"
+    if (lp == 1)
+      s"{'np': nps[1] + 1, 'negsc': -(coalesce($look, 0) + scs[1])}"
+    else
+      s"""{'np': CASE WHEN $look IS NOT NULL THEN nps[$lp] + 1 END,
+         'negsc': -($look + scs[$lp])}"""
+  }
+
+  /** Backward Viterbi dp as a recursive CTE: each word's state row
+    * carries the dp (np, sc) lists for positions already computed;
+    * one position per iteration, best candidate by struct sort
+    * (np asc, sc desc). `nps[1]` of the pos=0 row is the word's
+    * optimal piece count. */
+  private def uniDpCte(name: String, vm: String, maxLen: Int): String = {
+    val cands = (1 to maxLen).map(uniDpCand).mkString(",\n        ")
+    s"""$name AS (
+  SELECT w, length(w) AS pos, [CAST(0 AS BIGINT)] AS nps, [CAST(0 AS BIGINT)] AS scs FROM wf
+  UNION ALL
+  SELECT w, pos - 1, list_prepend(b.np, nps), list_prepend(-b.negsc, scs)
+  FROM (
+    SELECT w, pos, nps, scs,
+      (list_sort(list_filter([
+        $cands
+      ], x -> x.np IS NOT NULL)))[1] AS b
+    FROM $name, $vm WHERE pos > 0
+  )
+)"""
+  }
+
+  /** Forward reconstruction as a second recursion over the dp table:
+    * at each position take the candidate minimizing
+    * (np, -sc, -len) — ties between optimal pieces go to the LONGEST,
+    * which is unique (one piece per length matches at a position).
+    * Emits each word's optimal piece sequence. */
+  private def uniPathCte(name: String, dname: String, vm: String,
+                         maxLen: Int): String = {
+    val cands = (1 to maxLen).map { lp =>
+      if (lp == 1)
+        s"""{'np': a.nparr[q.pos+2] + 1,
+         'negsc': -(coalesce(m[substr(q.w, q.pos+1, 1)][1], 0) + a.scarr[q.pos+2]),
+         'neglp': -1, 'p': substr(q.w, q.pos+1, 1), 'lp': 1}"""
+      else
+        s"""{'np': CASE WHEN m[substr(q.w, q.pos+1, $lp)][1] IS NOT NULL THEN a.nparr[q.pos+${lp + 1}] + 1 END,
+         'negsc': -(m[substr(q.w, q.pos+1, $lp)][1] + a.scarr[q.pos+${lp + 1}]),
+         'neglp': -$lp, 'p': substr(q.w, q.pos+1, $lp), 'lp': $lp}"""
+    }.mkString(",\n        ")
+    s"""${dname}arr AS (SELECT w, list(nps[1] ORDER BY pos) AS nparr, list(scs[1] ORDER BY pos) AS scarr FROM $dname GROUP BY w),
+$name AS (
+  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wf
+  UNION ALL
+  SELECT w, pos + b.lp, list_append(pieces, b.p)
+  FROM (
+    SELECT q.w, q.pos, q.pieces,
+      (list_sort(list_filter([
+        $cands
+      ], x -> x.np IS NOT NULL)))[1] AS b
+    FROM $name q JOIN ${dname}arr a USING (w), $vm WHERE q.pos < length(q.w)
+  )
+)"""
+  }
+
+  /** One E/M round: vocabulary map → dp → path → frequency-weighted
+    * usage → prune (chars always survive with count max(usage, 1);
+    * multi-char pieces keep the top `keep` by usage desc, piece asc). */
+  private def uniRoundCtes(t: Int, prevV: String, keep: Int, maxLen: Int): String =
+    s"""vm$t AS (SELECT map(list(p ORDER BY p), list(cnt ORDER BY p)) AS m FROM $prevV),
+${uniDpCte(s"d$t", s"vm$t", maxLen)},
+${uniPathCte(s"p$t", s"d$t", s"vm$t", maxLen)},
+u$t AS MATERIALIZED (SELECT p, CAST(sum(wc) AS BIGINT) AS u FROM
+  (SELECT f.wc, unnest(q.pieces) AS p FROM p$t q JOIN wf f USING (w) WHERE q.pos = length(q.w))
+  GROUP BY p),
+v$t AS MATERIALIZED (
+  SELECT v.p, CAST(greatest(coalesce(u.u, 0), 1) AS BIGINT) AS cnt
+  FROM $prevV v LEFT JOIN u$t u USING (p) WHERE length(v.p) = 1
+  UNION ALL
+  SELECT p, cnt FROM (
+    SELECT v.p, CAST(coalesce(u.u, 0) AS BIGINT) AS cnt
+    FROM $prevV v LEFT JOIN u$t u USING (p) WHERE length(v.p) >= 2
+    ORDER BY cnt DESC, v.p LIMIT $keep))"""
+
+  /** Shared head: augmented corpus → distinct words → alphabet +
+    * substring seeds → v0. The WITH is RECURSIVE for the dp/path CTEs
+    * downstream. */
+  private def uniHead(seedN: Int, maxLen: Int): String =
+    s"""WITH RECURSIVE $augDocsCte,
+wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM adocs),
+wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wds GROUP BY w),
+alpha AS MATERIALIZED (SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM
+  (SELECT wc, unnest(list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1))) AS p FROM wf)
+  GROUP BY p),
+seeds AS MATERIALIZED (SELECT p, cnt FROM (
+  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc, unnest(flatten(list_transform(range(2, ${maxLen + 1}), l ->
+      CASE WHEN length(w) >= l THEN list_transform(range(1, length(w) - CAST(l AS INT) + 2),
+        st -> substr(w, CAST(st AS INT), CAST(l AS INT))) ELSE [] END))) AS p
+    FROM wf) GROUP BY p
+  ORDER BY cnt DESC, p LIMIT $seedN)),
+v0 AS MATERIALIZED (SELECT p, cnt FROM alpha UNION ALL SELECT p, cnt FROM seeds)"""
+
+  private def uniTrainChain(seedN: Int, maxLen: Int, keeps: Seq[Int]): String =
+    (uniHead(seedN, maxLen) +:
+      keeps.zipWithIndex.map { case (k, i) =>
+        uniRoundCtes(i + 1, s"v$i", k, maxLen) }).mkString(",\n")
+
+  private def uniTrainOracle(seedN: Int, maxLen: Int, keeps: Seq[Int]): String =
+    s"""${uniTrainChain(seedN, maxLen, keeps)}
+SELECT p AS piece, cnt FROM v${keeps.length} ORDER BY piece"""
+
+  private def uniEncodeOracle(seedN: Int, maxLen: Int, keeps: Seq[Int]): String = {
+    val last = keeps.length
+    s"""${uniTrainChain(seedN, maxLen, keeps)},
+vm${last + 1} AS (SELECT map(list(p ORDER BY p), list(cnt ORDER BY p)) AS m FROM v$last),
+${uniDpCte(s"d${last + 1}", s"vm${last + 1}", maxLen)},
+wnp AS MATERIALIZED (SELECT w, nps[1] AS np FROM d${last + 1} WHERE pos = 0),
+docw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM adocs)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces
+FROM docw JOIN wnp USING (w) GROUP BY doc_id"""
+  }
 
   private def bpeTrainOracleCore(head: String, rounds: Int): String = {
     val sep = BpeSep
@@ -995,6 +1143,15 @@ ORDER BY total DESC, pair LIMIT 20""",
     // byte-fallback encoding: special tokens one piece each, everything
     // else replays the byte merge chain — nothing can drop
     "bpe_encode_bytes" -> bpeByteEncodeOracle(BpeRounds),
+
+    // unigram-LM training replayed as recursive-CTE Viterbi dp + path
+    // per E/M round (validated against an independent python reference
+    // in tools/proto_unigram.py before wiring)
+    "unigram_train" -> uniTrainOracle(UniSeedN, UniMaxLen, UniKeep),
+
+    // encode: the same chain to the final vocabulary, one more dp, and
+    // the per-doc rollup of optimal piece counts
+    "unigram_encode" -> uniEncodeOracle(UniSeedN, UniMaxLen, UniKeep),
 
     "split_leakage" ->
       s"""$sigCte,

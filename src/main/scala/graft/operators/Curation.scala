@@ -619,6 +619,15 @@ object Curation {
    * full 63-bit id space at the default 1024; only the terminal slice
    * (≤ windowRows rows, or a single doc_id value) pays the
    * single-partition ranking window.
+   *
+   * TERMINATION (structural): at every recursive call lo < hi, so
+   * width ≥ 1 and the boundary bucket's id range is a strict subset of
+   * the parent's — the range cannot stop shrinking, and the lo == hi
+   * terminal catches the degenerate floor. The depth bound is pinned by
+   * the windowRows=1 probe in CurationSpec ("orderedDocIdPrefix
+   * recursion matches the window at every budget"), which forces every
+   * level to recurse to single-id leaves and still agree with the
+   * running-sum oracle.
    */
   private[graft] def orderedDocIdPrefix(s: DataFrame, remaining: Long,
                                         windowRows: Long,

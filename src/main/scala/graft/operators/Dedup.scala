@@ -894,10 +894,14 @@ object Dedup {
       .groupBy("gh")
       .agg(sum(col("m")).as("df"), min(col("min_doc")).as("keeper_doc"))
       .filter(col("df") >= minDf)
-    val dupStarts = active.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
-      .toDF("tkey", "min_doc", "i", "gh")
+    // gram rows carry min_doc (8 B, bijective with tkey — doc_ids
+    // belong to exactly one text group) instead of the 33-B md5 tkey:
+    // the explode→join→groupBy exchanges move the narrowest possible
+    // payload; tkey rejoins from `active` after the rollup
+    val dupStarts = active.select(col("min_doc"), posexplode(col("ghs")))
+      .toDF("min_doc", "i", "gh")
       .join(dup, "gh")
-      .groupBy("tkey")
+      .groupBy("min_doc")
       .agg(
         sort_array(collect_list(col("i").cast("long"))).as("ss_all"),
         sort_array(collect_list(
@@ -908,7 +912,7 @@ object Dedup {
             p -> coalesce(sorted_floor($ss, cast(p as bigint)), cast(${-k} as bigint))
                    < cast(p - ${k - 1} as bigint)),
           p -> ws[p])"""
-    val perText = active.join(dupStarts, Seq("tkey"), "left")
+    val perText = active.join(dupStarts, Seq("min_doc"), "left")
       .withColumn("ss_all",
         coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
       .withColumn("ss_keep",
@@ -1125,11 +1129,13 @@ object Dedup {
       .filter(col("df") >= minDf)
     // per TEXT: sorted duplicated starts for non-keeper members (all
     // duplicated grams) and for the group's min-doc member (grams it
-    // does not keep)
-    val starts = active.select(col("tkey"), col("min_doc"), posexplode(col("ghs")))
-      .toDF("tkey", "min_doc", "i", "gh")
+    // does not keep). Gram rows carry min_doc (8 B, bijective with
+    // tkey) instead of the 33-B md5 string — narrowest payload through
+    // the explode→join→groupBy exchanges; tkey rejoins from `active`.
+    val starts = active.select(col("min_doc"), posexplode(col("ghs")))
+      .toDF("min_doc", "i", "gh")
       .join(dup, "gh")
-      .groupBy("tkey")
+      .groupBy("min_doc")
       .agg(
         sort_array(collect_list(col("i").cast("long"))).as("ss_all"),
         sort_array(collect_list(
@@ -1143,7 +1149,7 @@ object Dedup {
                         (a, b) -> least(b - a, cast($k as bigint))),
               cast($k as bigint), (acc, x) -> acc + x)
           end as bigint)"""
-    active.join(starts, Seq("tkey"), "left")
+    active.join(starts, Seq("min_doc"), "left")
       .withColumn("ss_all",
         coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
       .withColumn("ss_keep",
@@ -1202,6 +1208,37 @@ object Dedup {
       charFanOut(txt, allText)
     }
   }
+
+  // stage-level probe hooks for tools/probe_r14_spanchars.scala —
+  // expose the private char-machinery stages so the probe can time
+  // each exchange in isolation (not part of the public surface)
+  private[graft] def probeCharTxt(df: DataFrame): DataFrame = charTxt(df)
+  private[graft] def probeCharReps(txt: DataFrame, k: Int): DataFrame =
+    charReps(txt, k).scopedCheckpoint()
+  private[graft] def probeCharDup(active: DataFrame, minDf: Int): DataFrame =
+    active.select(col("min_doc"), col("m"), explode(expr("array_distinct(ghs)")).as("gh"))
+      .groupBy("gh")
+      .agg(sum(col("m")).as("df"), min(col("min_doc")).as("keeper_doc"))
+      .filter(col("df") >= minDf)
+  private[graft] def probeCharStarts(active: DataFrame, dup: DataFrame): DataFrame =
+    active.select(col("min_doc"), posexplode(col("ghs")))
+      .toDF("min_doc", "i", "gh")
+      .join(dup, "gh")
+      .groupBy("min_doc")
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("ss_all"),
+        sort_array(collect_list(
+          when(col("keeper_doc") =!= col("min_doc"), col("i").cast("long"))))
+          .as("ss_keep"))
+  private[graft] def probeCharPerText(active: DataFrame, starts: DataFrame): DataFrame =
+    active.join(starts, Seq("min_doc"), "left")
+      .withColumn("ss_all",
+        coalesce(col("ss_all"), expr("cast(array() as array<bigint>)")))
+      .withColumn("ss_keep",
+        coalesce(col("ss_keep"), expr("cast(array() as array<bigint>)")))
+      .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"))
+  private[graft] def probeCharFan(txt: DataFrame, reps: DataFrame,
+      k: Int, minDf: Int): DataFrame =
+    charFanOut(txt, charMachinery(reps, k, minDf))
 
   /**
    * 60-bit SimHash over the distinct word set: per bit position, words

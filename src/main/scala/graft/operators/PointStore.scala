@@ -91,6 +91,15 @@ object PointStore {
    * Distance ties are KEPT up to k results (the reference's TreeSet
    * silently drops equidistant points, `Client.java:94-101` — documented
    * divergence, SURVEY §2.1).
+   *
+   * TERMINATION (structural, not fixpoint-asserted): the probe radius
+   * grows ×8 per round until it clamps at Int.MaxValue, where the
+   * window is the whole domain — ≤ ⌈log8 2^31⌉ + 1 = 12 probes from
+   * initialRadius 1, each collecting k scalars. At the clamp either
+   * the window holds ≥ k points (kth bound found) or the store itself
+   * has < k points and the exhaustion branch scans it whole; no exit
+   * can return a partial window (spec: "knn widening loop is
+   * probe-bounded").
    */
   def knn(pts: DataFrame, qx: Int, qy: Int, k: Int, initialRadius: Int = 64): DataFrame = {
     def window(r: Long): DataFrame = {

@@ -495,13 +495,52 @@ object Similarity {
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vecs"))
   }
 
-  def ivfCentroids(emb: DataFrame, nCentroids: Int): Seq[(Int, Array[Long])] =
-    emb.select(col("vec_id"), col("v"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCentroids).collect()
+  /**
+   * The `nCentroids` hash-order seed rows — the bottom-`nCentroids` of
+   * the corpus by `(md5(vec_id), vec_id)`, a deterministic uniform
+   * sample.
+   *
+   * TRILLION-SCALE SHAPE: a bare `orderBy(md5).limit(nc)` runs as
+   * TakeOrderedAndProject — no global sort, but every partition ships
+   * its own top-`nc` rows (vectors included) to the driver merge:
+   * `partitions × nc` vectors of driver traffic at fleet scale. The
+   * HASH-THRESHOLD PREFILTER here cuts that to the survivors alone:
+   * md5 prefixes are uniform, so `h < T` with `T ≈ 4·nc/n` keeps
+   * ~`4·nc` rows corpus-wide (the auto rule's `nc = √n` needs only
+   * `T = 4/nc` — no count job), and the top-k then runs over that
+   * sliver. Selection is EXACT, not approximate: if ≥ `nc` rows
+   * survive the filter, the global bottom-`nc` all hash below `T` and
+   * are among the survivors — the same set the unfiltered top-k picks;
+   * when a caller-supplied `nc` far above `√n` undershoots the ladder
+   * widens `T` ×16 and rescans (≤ 8 map-side passes to the full-range
+   * sentinel, which degrades to the original plan). DRIVER BUDGET:
+   * `nc` vectors collected, `min(partitions, survivors) × nc` rows
+   * merged — model scale, never corpus scale.
+   */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int): Seq[(Int, Array[Long])] = {
+    val sel = emb.select(col("vec_id"), col("v"),
+      md5(col("vec_id").cast("string")).as("h"))
+    // lexicographic 8-hex-char prefix threshold; "g" sorts above every
+    // hex digest = keep-everything sentinel
+    def thresholdHex(frac: Double): String =
+      if (frac >= 1.0) "g"
+      else f"${math.min(4294967295L, math.max(1L, math.ceil(frac * 4294967296.0).toLong))}%08x"
+    var frac = math.min(1.0, 4.0 / math.max(1, nCentroids))
+    var picked: Array[org.apache.spark.sql.Row] = null
+    while (picked == null) {
+      val t = thresholdHex(frac)
+      val got = sel.filter(col("h") < lit(t))
+        .orderBy(col("h"), col("vec_id")).limit(nCentroids).collect()
+      // full rows returned, or the keep-everything pass proved the
+      // corpus itself has < nc rows — either way the set is final
+      if (got.length >= nCentroids || t == "g") picked = got
+      else frac = math.min(1.0, frac * 16)
+    }
+    picked
       .map(r => (r.getLong(0), r.getSeq[Long](r.fieldIndex("v")).toArray))
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i, v) }.toSeq
+  }
 
   /**
    * Deterministic integer Lloyd refinement of IVF centroids: assign

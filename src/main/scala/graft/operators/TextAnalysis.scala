@@ -906,6 +906,128 @@ object TextAnalysis {
           .cast("long").as("n_pieces"))
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer ---------------------
+
+  /**
+   * Deterministic unigram-LM tokenizer training (Kudo 2018's
+   * SentencePiece algorithm in its Viterbi-EM / hard-EM form, made
+   * EXACT-INTEGER so a SQL oracle replays it bit-for-bit — the same
+   * determinism trade the BPE chain and the q-digest make):
+   *
+   *  1. SEED: vocabulary = the full character alphabet (never pruned —
+   *     closure guarantees every word stays segmentable) plus the
+   *     `seedN` heaviest substrings of length 2..`maxPieceLen`,
+   *     frequency-weighted over the DISTINCT-word table, ties by
+   *     (total desc, piece asc).
+   *  2. E-step (one per round): segment every distinct word with the
+   *     integer Viterbi ([[graft.functions.UnigramViterbiPieces]] —
+   *     fewest pieces, ties to the largest count sum; the exact-integer
+   *     surrogate of max-likelihood, see the expression's scaladoc) and
+   *     count frequency-weighted piece USAGE — the Viterbi-EM "expected"
+   *     counts, deterministic where true EM's fractional expectations
+   *     are not.
+   *  3. M-step + PRUNE: multi-char pieces keep the top `keepSizes(t)`
+   *     by (usage desc, piece asc) with usage as their new count;
+   *     characters always survive with count max(usage, 1).
+   *
+   * Scale shape — the [[bpeTrainLoop]] discipline exactly: the corpus
+   * is exchanged ONCE (the word-frequency groupBy, map-side combinable,
+   * vocabulary-scale after combine); seeding and every E-step run over
+   * distinct words only (a 100 TB corpus has ~10⁸ distinct words
+   * regardless of token count); the driver holds the vocabulary alone
+   * (seedN + alphabet entries — tokenizer-config scale). Returns the
+   * final `(piece, cnt)` vocabulary.
+   */
+  def unigramTrain(df: DataFrame, seedN: Int = 40, maxPieceLen: Int = 4,
+                   keepSizes: Seq[Int] = Seq(24, 16)): DataFrame = {
+    val spark = df.sparkSession
+    val vocab = unigramVocabulary(df, seedN, maxPieceLen, keepSizes)
+    import spark.implicits._
+    vocab.sortBy(_._1).toDF("piece", "cnt")
+  }
+
+  /** The trained unigram vocabulary as a driver list, memoized per
+    * content fingerprint like [[bpeMerges]] (train once, encode
+    * everywhere; un-fingerprintable in-memory inputs retrain). */
+  def unigramVocabulary(df: DataFrame, seedN: Int = 40, maxPieceLen: Int = 4,
+                        keepSizes: Seq[Int] = Seq(24, 16)): Seq[(String, Long)] = {
+    def train(): Seq[(String, Long)] = unigramTrainLoop(df, seedN, maxPieceLen, keepSizes)
+    TableMemo.contentKey(df) match {
+      case Some(fp) =>
+        unigramCache.computeIfAbsent(
+          s"$fp|$seedN|$maxPieceLen|${keepSizes.mkString(",")}", _ => train())
+      case None => train()
+    }
+  }
+
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def unigramTrainLoop(df: DataFrame, seedN: Int, maxPieceLen: Int,
+                               keepSizes: Seq[Int]): Seq[(String, Long)] = {
+    val words = spread(df).select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc")).scopedCheckpoint()
+    // alphabet: weighted per-character totals (always kept — closure)
+    val alpha = words
+      .select(col("wc"), explode(expr("filter(split(w, ''), c -> c != '')")).as("p"))
+      .groupBy("p").agg(sum("wc").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // seeds: every substring occurrence of length 2..maxPieceLen over
+    // distinct words, weighted by word frequency; guard the inner
+    // sequence against short words (sequence(1, 0) counts DOWN)
+    val subExpr =
+      s"""flatten(transform(sequence(2, $maxPieceLen), l ->
+            if(length(w) >= l,
+               transform(sequence(1, length(w) - l + 1), st -> substr(w, st, l)),
+               cast(array() as array<string>))))"""
+    val seeds = words.select(col("wc"), explode(expr(subExpr)).as("p"))
+      .groupBy("p").agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("p")).limit(seedN)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var vocab: Seq[(String, Long)] = (alpha ++ seeds).sortBy(_._1)
+    for (keepK <- keepSizes) {
+      val usage = words.select(col("wc"),
+          explode(org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.UnigramViterbiPieces(
+              org.apache.spark.sql.graftbridge.Bridge.expression(col("w")),
+              vocab, maxPieceLen))).as("p"))
+        .groupBy("p").agg(sum("wc").as("u"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val (chars, multi) = vocab.partition { case (p, _) =>
+        p.codePointCount(0, p.length) == 1 }
+      val keptMulti = multi
+        .map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+        .sortBy { case (p, u) => (-u, p) }.take(keepK)
+      val newChars = chars.map { case (p, _) =>
+        (p, math.max(1L, usage.getOrElse(p, 0L))) }
+      vocab = (newChars ++ keptMulti).sortBy(_._1)
+    }
+    Dedup.unpersistCheckpointed(words)
+    vocab
+  }
+
+  /**
+   * Apply a trained unigram vocabulary to the corpus — per document
+   * `(doc_id, n_words, n_pieces)` under the optimal integer-Viterbi
+   * segmentation. Same zero-shuffle shape as [[bpeEncode]]: the
+   * vocabulary bakes into one fused codegen expression
+   * ([[graft.functions.UnigramPieceCount]]), encoding is a pure
+   * per-row projection — O(len · maxPieceLen) int work per word.
+   */
+  def unigramEncode(df: DataFrame, vocab: Seq[(String, Long)],
+                    maxPieceLen: Int = 4): DataFrame = {
+    def pc(w: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.UnigramPieceCount(
+          org.apache.spark.sql.graftbridge.Bridge.expression(w),
+          vocab, maxPieceLen))
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        org.apache.spark.sql.functions.aggregate(col("ws"), lit(0),
+          (acc, w) => acc + pc(w)).cast("long").as("n_pieces"))
+  }
+
   /** Distinct word-k-shingles per document: `(doc_id, sh)`. Documents
     * shorter than k tokens are dropped (no k-shingle exists).
     *

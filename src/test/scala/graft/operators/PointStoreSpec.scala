@@ -90,6 +90,26 @@ class PointStoreSpec extends SparkSpec {
     assert(store.knn(0, 0, 10).count() === 2)
   }
 
+  test("knn widening loop is probe-bounded: far query walks the full radius ladder and stays exact") {
+    // every point sits near the origin; the query sits at the far
+    // corner with initialRadius=1, so the ×8 ladder must climb all the
+    // way (1, 8, 64, … clamped at Int.MaxValue — ≤ ⌈log8 2^31⌉+1 = 12
+    // probes by construction, each a k-scalar collect) before the
+    // window finally covers the cluster. Termination is structural
+    // (the radius strictly grows to the clamp, where the window is the
+    // whole domain), and the answer must still be the exact brute-force
+    // top-k — the loop can never exit with a partial window.
+    val pts = Seq((1L, 0, 0), (2L, 5, 3), (3L, 2, 8), (4L, 7, 7), (5L, 1, 1))
+    val store = mkStore(pts, 2)
+    val got = store.knn(Int.MaxValue, Int.MaxValue, 3, initialRadius = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val brute = pts.map { case (id, x, y) =>
+      val dx = Int.MaxValue.toLong - x; val dy = Int.MaxValue.toLong - y
+      (dx * dx + dy * dy, id)
+    }.sorted.take(3).map(_._2)
+    assert(got === brute)
+  }
+
   test("edge coordinates: 0 and Int.MaxValue round-trip the store") {
     val pts = Seq((1L, 0, 0), (2L, Int.MaxValue, Int.MaxValue),
       (3L, 0, Int.MaxValue), (4L, Int.MaxValue, 0))
