@@ -51,6 +51,10 @@ object Bench {
     * serial behavior); recorded in `bench_meta` for adjudication. */
   private var benchConcurrency: Int = 1
 
+  /** Whether forked children were pinned to disjoint cpu slices this
+    * run (round-14; recorded in `bench_meta`). */
+  private var benchPinned: Boolean = false
+
   // the stream_* gates are end-to-end STREAMING-loop gates (each run
   // builds a whole store / replays the state machine) — measured once
   // under their own keys so the query inventory stays comparable
@@ -109,10 +113,20 @@ object Bench {
     * bootstrap each blew past the driver's bench window (BENCH_r12 rc=124),
     * so children now run 4-wide with `local[8]` each (32-cpu host fully
     * subscribed, per-JVM isolation preserved — the property the fork exists
-    * for). Startup overlaps; measured sections of co-scheduled children can
-    * contend for cpu, which is the accepted trade for an artifact that
-    * actually lands; `SPARK_GRAFT_BENCH_CONCURRENCY=1` restores the serial
-    * solo-child numbers for adjudication. */
+    * for). `SPARK_GRAFT_BENCH_CONCURRENCY=1` restores the serial
+    * solo-child numbers for adjudication.
+    *
+    * CPU PINNING (round-14): co-scheduled children used to contend for
+    * the whole cpu set, inflating RANDOM keys up to ~7× run-to-run
+    * (round-13 artifact: span_dedup_chars 19.3 s / trustrank 8.1 s
+    * vs 2.6 s / 2.5 s solo — pure scheduler noise, zero GC). Each
+    * child is now bound to a DISJOINT cpu slice via `taskset -c`
+    * (slot k of N gets cpus [k·C/N, (k+1)·C/N)), so concurrent
+    * children cannot steal each other's measured cycles — conc-4
+    * numbers track solo-child numbers instead of the co-schedule
+    * lottery. Falls back to unpinned spawning where taskset is
+    * missing; `bench_meta.pinned` records which mode produced the
+    * artifact. */
   private def runForked(sfDir: String, keys: Seq[String])
       : (Seq[(String, Meas)], Seq[String]) = {
     import scala.jdk.CollectionConverters._
@@ -130,10 +144,27 @@ object Bench {
       math.max(2, hostCpus / concurrency).toString)
     val measured = new java.util.concurrent.ConcurrentHashMap[String, Meas]()
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // disjoint cpu slots, one per concurrent child; a child leases a
+    // slot for its lifetime and returns it
+    val pinningOn = concurrency > 1 &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PIN", "1") != "0" &&
+      java.nio.file.Files.isExecutable(java.nio.file.Paths.get("/usr/bin/taskset"))
+    benchPinned = pinningOn
+    val slotQueue = new java.util.concurrent.LinkedBlockingQueue[Int]()
+    (0 until concurrency).foreach(slotQueue.put)
+    def slotCpus(slot: Int): String = {
+      val per = math.max(1, hostCpus / concurrency)
+      val lo = slot * per
+      val hi = math.min(hostCpus, lo + per) - 1
+      s"$lo-$hi"
+    }
     def runGroup(group: Seq[String]): Unit = {
       val outFile = java.nio.file.Files.createTempFile("graft-bench-", ".tsv")
       val log = java.nio.file.Files.createTempFile("graft-bench-", ".log").toFile
-      val cmd = (Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench") ++ group).asJava
+      val slot = if (pinningOn) slotQueue.take() else -1
+      val base = Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench") ++ group
+      val cmd = (if (pinningOn) Seq("/usr/bin/taskset", "-c", slotCpus(slot)) ++ base
+                 else base).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
       pb.environment().put("SPARK_GRAFT_CPUS", childCpus)
@@ -147,6 +178,7 @@ object Bench {
           done && p.exitValue() == 0
         } catch { case e: Throwable =>
           System.err.println(s"[bench] fork failed for $group: ${e.getMessage}"); false }
+        finally { if (slot >= 0) slotQueue.put(slot) }
       val lines =
         try java.nio.file.Files.readAllLines(outFile).asScala.toSeq
         catch { case _: Throwable => Seq.empty }
@@ -372,7 +404,7 @@ object Bench {
     // stdout can be polluted by build-tool log prefixes, and the file
     // is unambiguous for any reader
     val meta =
-      s"""{"metric":"bench_meta","fork":$fork,"concurrency":$benchConcurrency,"fallback":$fb,"gc_sec":$gcs,"leaked_rdds":$leaks,"setup_sec":$setups,"stream_split":$streamSplit}"""
+      s"""{"metric":"bench_meta","fork":$fork,"concurrency":$benchConcurrency,"pinned":$benchPinned,"fallback":$fb,"gc_sec":$gcs,"leaked_rdds":$leaks,"setup_sec":$setups,"stream_split":$streamSplit}"""
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),

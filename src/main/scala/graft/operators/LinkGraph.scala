@@ -310,22 +310,25 @@ p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
       .scopedCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .scopedCheckpoint()
-    // seeds absent from the graph contribute no mass (the left join
-    // below drops them) — intersect BEFORE counting so the per-seed
-    // quotient n·Scale/|S| conserves total mass exactly as the oracle
-    // (which defines seeds as a subset of verts) does
+    // seeds absent from the graph contribute no mass: the left join
+    // marks in-graph seeds (sv non-null), so the per-seed quotient
+    // n·Scale/|S| conserves total mass exactly as the oracle (which
+    // defines seeds as a subset of verts) does. ONE checkpoint job
+    // materializes the flagged vertex table; |V| and |S∩V| then come
+    // from ONE aggregate over it (round-14: the separate sd.count +
+    // verts.count actions were two extra full jobs before the loop)
     val sd = seeds.select(col("v").cast("long").as("sv")).distinct()
-      .join(verts, col("sv") === verts("v"), "left_semi")
-    val nS = sd.count()
+    val flagged = verts.join(sd, verts("v") === sd("sv"), "left")
+      .select(verts("v"), col("sv"))
+      .scopedCheckpoint()
+    val cnt = flagged.agg(count(lit(1)).as("nv"), count(col("sv")).as("ns")).head()
+    val (nV, nS) = (cnt.getLong(0), cnt.getLong(1))
     require(nS >= 1, "personalizedPageRank needs a non-empty in-graph seed set")
-    val nV = verts.count()
     val seedMass = Scale * nV / nS
     val seedBase = (dampDen - dampNum) * seedMass / dampDen
-    val init = verts.join(sd, verts("v") === sd("sv"), "left")
-      .select(verts("v"),
-        when(col("sv").isNotNull, lit(seedMass)).otherwise(lit(0L)).as("rank"),
-        when(col("sv").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("base"))
-      .scopedCheckpoint()
+    val init = flagged.select(col("v"),
+      when(col("sv").isNotNull, lit(seedMass)).otherwise(lit(0L)).as("rank"),
+      when(col("sv").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("base"))
     var p = init.select(col("v"), col("rank"))
     var pCk: DataFrame = null
     var t = 0
@@ -347,7 +350,7 @@ p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
     CheckpointScope.release(e)
     CheckpointScope.release(outdeg)
     CheckpointScope.release(verts)
-    CheckpointScope.release(init)
+    CheckpointScope.release(flagged)
     p
   }
 
