@@ -383,13 +383,17 @@ object StreamingQueries {
         s"$tmp/ckpt", splitThreshold = 1000000L)
       try q.processAllAvailable() finally q.stop()
       def snapshot(phase: String): org.apache.spark.sql.Row = {
+        // coalesce: an empty rectangle (possible at tiny sf) sums to 0,
+        // not NULL — mirrored in the oracle
         val pts = s.read.parquet(s"$tmp/store")
         val r = PointStore.rangeQuery(pts, RX, RY)
-          .agg(count(lit(1)), sum(col("id")),
-            sum(col("x").cast("long")), sum(col("y").cast("long"))).head()
-        val tot = pts.agg(count(lit(1)), sum(col("id"))).head()
+          .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("x").cast("long")), lit(0L)),
+            coalesce(sum(col("y").cast("long")), lit(0L))).head()
+        val tot = pts.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
         val kn = PointStore.knn(pts, 25000, 75, 10)
-          .agg(sum(col("id")), sum(col("dist2"))).head()
+          .agg(coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("dist2")), lit(0L))).head()
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))
@@ -519,6 +523,112 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("user_id")).as("n_users"),
           sum(expr("lag_ns div 1000000000")).as("lag_s_sum"))
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
+    // LEFT-OUTER watermarked stream-stream join — the semantics the
+    // inner gate cannot reach: an impression with NO conversion inside
+    // its 6 h window must still emit (conv_type null), and Spark may
+    // do so ONLY once the watermark proves no not-yet-late conversion
+    // can ever match it (imp_time + 6 h + delay below the watermark) —
+    // null rows are watermark-GATED, not immediate. Same two-sided
+    // staged-slice harness as stream_join (late demotions inside the
+    // delay), plus one far-future sentinel row PER SIDE in a final
+    // batch: the sentinels push the watermark past every real
+    // impression's window so ALL unmatched impressions emit their null
+    // rows before the stream stops (the stream_hourly finalization
+    // trick); the sentinel impression's own window never closes (it
+    // dies in state), and the sentinel conversion matches nothing. The
+    // oracle is then the plain batch LEFT join over the real rows —
+    // premature null emission (a null row for an impression whose
+    // window could still match) or a swallowed unmatched impression
+    // both break the hash.
+    "stream_join_outer" -> ((s, dir) => {
+      val (tmp, schema, delaySec) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-joinout").toString
+        val ev = graft.sources.EventTime.events(s, dir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            expr("timestamp_micros(div(ts, 1000))").as("event_time"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_time"))
+        val sliced = ev.withColumn("slice", ntile(4).over(w))
+          .withColumn("arrival",
+            when(col("user_id") % 3 === 0, col("slice") + 1).otherwise(col("slice")))
+          .cache()
+        val mm = sliced.agg(
+          unix_timestamp(max(col("event_time"))).as("mx"),
+          (unix_timestamp(max(col("event_time"))) -
+            unix_timestamp(min(col("event_time")))).as("span")).collect()(0)
+        val delaySec = math.max(1L, mm.getLong(1) / 2)
+        // sentinel epoch: far enough that real windows + delay all
+        // close under watermark = sentinel - delay
+        val sentinelTs = new java.sql.Timestamp(
+          (mm.getLong(0) + 4 * delaySec + 12 * 3600) * 1000L)
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/imp"))
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/conv"))
+        import s.implicits._
+        (1 to 6).foreach { k =>
+          // DISTINCT sentinel users per side (-1 impressions, -2
+          // conversions): the two sentinels land at the same instant
+          // and must not match each other — they exist only to advance
+          // both sources' watermarks (min policy) past every real
+          // impression's window
+          Seq("imp" -> -1L, "conv" -> -2L).foreach { case (side, sentUser) =>
+            val p = if (side == "imp") col("event_type") === "view"
+                    else col("event_type") =!= "view"
+            val part =
+              if (k <= 5) sliced.filter(col("arrival") === k && p)
+                .select("user_id", "event_type", "event_time")
+              else Seq((sentUser, "__sentinel", sentinelTs))
+                .toDF("user_id", "event_type", "event_time")
+            part.coalesce(1).write.parquet(s"$tmp/stage-$side$k")
+            val f = new java.io.File(s"$tmp/stage-$side$k").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            Files.copy(f.toPath,
+              java.nio.file.Paths.get(f"$tmp/$side/slice$k%04d.parquet"))
+          }
+        }
+        sliced.unpersist()
+        (tmp, s.read.parquet(s"$tmp/imp").schema, delaySec)
+      }
+      val imp = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(s"$tmp/imp")
+        .withWatermark("event_time", s"$delaySec seconds")
+        .select(col("user_id").as("imp_user"), col("event_time").as("imp_time"))
+      val conv = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(s"$tmp/conv")
+        .withWatermark("event_time", s"$delaySec seconds")
+        .select(col("user_id").as("conv_user"),
+          col("event_type").as("conv_type"), col("event_time").as("conv_time"))
+      val joined = imp.join(conv,
+        col("imp_user") === col("conv_user") &&
+          col("conv_time") >= col("imp_time") &&
+          col("conv_time") <= col("imp_time") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+        .select(col("imp_user"), col("imp_time"), col("conv_type"),
+          ((unix_micros(col("conv_time")) - unix_micros(col("imp_time"))) * 1000L)
+            .as("lag_ns"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val agg = s.read.parquet(s"$tmp/out")
+        .filter(col("imp_user") =!= -1L) // the sentinel impression never emits, but guard anyway
+        .groupBy(coalesce(col("conv_type"), lit("__none")).as("conv_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("imp_user")).as("n_users"),
+          coalesce(sum(expr("lag_ns div 1000000000")), lit(0L)).as("lag_s_sum"))
       val rows = agg.collect().toSeq
       val outSchema = agg.schema
       StreamMeter.setup {
@@ -931,15 +1041,15 @@ WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 30
   SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
     CAST(user_id AS BIGINT) AS y FROM events),
 r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
-    CAST(sum(id) AS BIGINT) AS range_id_sum,
-    CAST(sum(x) AS BIGINT) AS range_x_sum,
-    CAST(sum(y) AS BIGINT) AS range_y_sum
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
+    CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS range_y_sum
   FROM pts WHERE x BETWEEN ${RX.min} AND ${RX.max}
     AND y BETWEEN ${RY.min} AND ${RY.max}),
 t AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt,
-    CAST(sum(id) AS BIGINT) AS total_id_sum FROM pts),
-k AS (SELECT CAST(sum(id) AS BIGINT) AS knn_id_sum,
-    CAST(sum(d2) AS BIGINT) AS knn_d2_sum
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS total_id_sum FROM pts),
+k AS (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
+    CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
   FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
         FROM pts ORDER BY d2, id LIMIT 10)),
 phases(phase) AS (VALUES ('pre'), ('post'))
@@ -966,6 +1076,27 @@ FROM imp JOIN conv ON imp.user_id = conv.user_id
   AND conv.conv_tns >= imp.imp_tns
   AND conv.conv_tns <= imp.imp_tns + 21600000000000
 GROUP BY conv_type""",
+
+    // the batch LEFT join over the real rows: sentinels forced every
+    // unmatched impression's null row out before the stream stopped,
+    // so the emitted multiset equals the one-shot outer join exactly
+    "stream_join_outer" ->
+      """WITH e AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+imp AS (SELECT user_id, tns AS imp_tns FROM e WHERE event_type = 'view'),
+conv AS (SELECT user_id, event_type, tns AS conv_tns FROM e
+  WHERE event_type <> 'view'),
+lj AS (SELECT imp.user_id, conv.event_type AS conv_type,
+    conv.conv_tns - imp.imp_tns AS lag_ns
+  FROM imp LEFT JOIN conv ON imp.user_id = conv.user_id
+    AND conv.conv_tns >= imp.imp_tns
+    AND conv.conv_tns <= imp.imp_tns + 21600000000000)
+SELECT coalesce(conv_type, '__none') AS conv_type,
+  count(*) AS n_pairs,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(coalesce(sum(lag_ns // 1000000000), 0) AS BIGINT) AS lag_s_sum
+FROM lj GROUP BY 1""",
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly"),
