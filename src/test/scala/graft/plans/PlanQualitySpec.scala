@@ -202,6 +202,14 @@ class PlanQualitySpec extends SparkSpec {
       Seq(("a", "b"), ("ab", "c")))
       .queryExecution.executedPlan.toString
     assert(keyedExchanges(enc).isEmpty, s"bpe_encode keyed shuffle:\n$enc")
+    // unigram encode has the same contract: the vocabulary bakes into
+    // the fused Viterbi DP expression, so application is a pure
+    // projection — no keyed exchange anywhere
+    val uenc = graft.operators.TextAnalysis.unigramEncode(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"),
+      Seq(("a", 3L), ("b", 2L), ("ab", 5L)))
+      .queryExecution.executedPlan.toString
+    assert(keyedExchanges(uenc).isEmpty, s"unigram_encode keyed shuffle:\n$uenc")
   }
 
   test("bm25 document retrieval: corpus joins are broadcast-hash, never sort-merge") {
