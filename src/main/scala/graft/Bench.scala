@@ -147,7 +147,12 @@ object Bench {
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // disjoint cpu slots, one per concurrent child; a child leases a
     // slot for its lifetime and returns it
-    val pinningOn = concurrency > 1 &&
+    // pinning needs at least one whole cpu per slot: with
+    // concurrency > hostCpus, slot*per can pass hostCpus and the
+    // range string degenerates ("2-1"), taskset exits nonzero, and
+    // every child would silently fall back in-process — run unpinned
+    // (co-scheduled) instead, which is slow but correct
+    val pinningOn = concurrency > 1 && concurrency <= hostCpus &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PIN", "1") != "0" &&
       java.nio.file.Files.isExecutable(java.nio.file.Paths.get("/usr/bin/taskset"))
     benchPinned = pinningOn

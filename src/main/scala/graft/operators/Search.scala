@@ -50,6 +50,13 @@ object Search {
    * of the earliest occurrence. The result is position-set-determined,
    * so it is independent of WHICH ordinal anchors — rarest-term
    * anchoring changes the plan, never the answer.
+   *
+   * NOT lazy: the broadcast-vs-shuffle decision for the verification
+   * join needs the candidate-count estimate, so constructing the
+   * returned DataFrame runs two eager Spark jobs (the query-side
+   * checkpoint and the Σ df(rarest) aggregate) — both query-log-scale,
+   * never corpus-scale. Callers that only want the plan should not
+   * call this.
    */
   def phraseOccurrences(queries: DataFrame, docs: DataFrame): DataFrame = {
     import CheckpointScope.Scoped

@@ -963,6 +963,22 @@ object TextAnalysis {
   private val unigramCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
 
+  /** Binary UTF-8 lexicographic `<` — the collation Spark's UTF8String
+    * and DuckDB both use; Java `String.compareTo` (UTF-16 code units)
+    * disagrees for supplementary-plane characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def unigramTrainLoop(df: DataFrame, seedN: Int, maxPieceLen: Int,
                                keepSizes: Seq[Int]): Seq[(String, Long)] = {
     val words = spread(df).select(explode(tokens(col("text"))).as("w"))
@@ -995,9 +1011,15 @@ object TextAnalysis {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val (chars, multi) = vocab.partition { case (p, _) =>
         p.codePointCount(0, p.length) == 1 }
+      // tie-break in UTF-8 BYTE order, not Java's UTF-16 code-unit
+      // order: the engine's orderBy and the DuckDB oracle both compare
+      // strings as binary UTF-8, and the two orders diverge for
+      // supplementary-plane pieces (astral emoji sort after U+FFFF in
+      // UTF-8 but between surrogates in UTF-16)
       val keptMulti = multi
         .map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
-        .sortBy { case (p, u) => (-u, p) }.take(keepK)
+        .sortWith { case ((p1, u1), (p2, u2)) =>
+          if (u1 != u2) u1 > u2 else utf8Lt(p1, p2) }.take(keepK)
       val newChars = chars.map { case (p, _) =>
         (p, math.max(1L, usage.getOrElse(p, 0L))) }
       vocab = (newChars ++ keptMulti).sortBy(_._1)
