@@ -50,6 +50,11 @@ object CurationQueries {
   // plays the held-out benchmark role, picked by md5 permille so both
   // engines (and every run) agree on the split
   private val EvalPermille = 20
+  // k-anonymity operating point: k=8 over 2000-wide acctbal bands puts
+  // rows on ladder levels 0/1/2 at sf0.01 and 2/3 at sf0.001 — every
+  // generalization branch is exercised across the gate scales
+  private val KAnonK = 8L
+  private val KAnonBand = 2000
   private val evalPred =
     expr("cast(conv(substr(md5(concat('eval:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000")
       .<(EvalPermille)
@@ -161,6 +166,10 @@ object CurationQueries {
     // deterministic stratified sample → per-source cap (ranked over the
     // post-filter survivors) → transitive dedup-loser removal. One
     // gated query proving the stages compose without semantic drift.
+    "k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymize(s.read.parquet(s"$dir/customer.parquet"),
+        KAnonK, KAnonBand)),
+
     "pipeline_curate" -> (curated _),
 
     // the full RELEASE build on top of the curated set: drop the eval
@@ -278,6 +287,26 @@ FROM b""",
   CAST(len(regexp_extract_all(regexp_replace(text, '$Em', '<EMAIL>', 'g'), '$Dg')) AS BIGINT) AS n_digit_runs,
   regexp_replace(regexp_replace(text, '$Em', '<EMAIL>', 'g'), '$Dg', '<NUM>', 'g') AS redacted
 FROM documents""",
+
+    // the generalization-ladder spelling is identical on both sides:
+    // cohort sizes at each lattice level, first level reaching k wins
+    "k_anonymity" ->
+      s"""WITH r AS MATERIALIZED (SELECT c_custkey AS id, c_nationkey AS nat,
+    c_mktsegment AS seg,
+    CAST(floor(c_acctbal / $KAnonBand.0) AS BIGINT) AS band FROM customer),
+l0 AS (SELECT nat, seg, band, count(*) AS c FROM r GROUP BY 1, 2, 3),
+l1 AS (SELECT nat, seg, count(*) AS c FROM r GROUP BY 1, 2),
+l2 AS (SELECT nat, count(*) AS c FROM r GROUP BY 1),
+ch AS (SELECT r.id, r.nat, r.seg, r.band,
+    CASE WHEN l0.c >= $KAnonK THEN 0 WHEN l1.c >= $KAnonK THEN 1
+         WHEN l2.c >= $KAnonK THEN 2 ELSE 3 END AS lvl
+  FROM r JOIN l0 USING (nat, seg, band) JOIN l1 USING (nat, seg)
+    JOIN l2 USING (nat))
+SELECT lvl, CASE WHEN lvl <= 2 THEN nat END AS p_nat,
+  CASE WHEN lvl <= 1 THEN seg END AS p_seg,
+  CASE WHEN lvl = 0 THEN band END AS p_band,
+  count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+FROM ch GROUP BY 1, 2, 3, 4""",
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

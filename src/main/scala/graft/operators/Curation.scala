@@ -718,4 +718,55 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }
+
+  /**
+   * Hierarchical k-anonymity generalization over a quasi-identifier
+   * ladder — the privacy gate a training-data release pipeline runs
+   * before shipping user-derived records (k-anonymity per Sweeney 2002;
+   * the generalization-lattice framing per Samarati 1998, both public).
+   *
+   * Quasi-identifiers, most→least specific: `(nat, seg, band)` where
+   * `band` buckets `c_acctbal` into `bandWidth`-wide bins. Each row is
+   * published at the FIRST ladder level whose cohort reaches `k`
+   * occupants — level 0 keeps the full tuple, level 1 drops the band,
+   * level 2 drops the segment, level 3 suppresses every quasi attribute
+   * (always k-anonymous). Generalized-away attributes surface as NULL.
+   *
+   * Scale shape: the entire generalization lattice comes from ONE
+   * `rollup` pass over the data (map-side partial aggregation; the
+   * grouping-id distinguishes ladder levels from genuine NULLs), and
+   * the per-row level choice is three BROADCAST joins — the lattice is
+   * cohort-scale (bounded by the quasi-attribute cross cardinality,
+   * never by row count), so nothing but the one rollup shuffle touches
+   * data scale. Output is the anonymized cohort table
+   * `(lvl, p_nat, p_seg, p_band, n, id_sum)` — `id_sum` pins the exact
+   * row multiset behind each published cohort.
+   */
+  def kAnonymize(customers: DataFrame, k: Long, bandWidth: Int): DataFrame = {
+    val rows = customers.select(
+      col("c_custkey").cast("long").as("id"),
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / lit(bandWidth.toDouble)).cast("long").as("band"))
+    val lattice = rows.rollup(col("nat"), col("seg"), col("band"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("csize"))
+    val l0 = lattice.filter(col("gid") === 0)
+      .select(col("nat"), col("seg"), col("band"), col("csize").as("c0"))
+    val l1 = lattice.filter(col("gid") === 1)
+      .select(col("nat"), col("seg"), col("csize").as("c1"))
+    val l2 = lattice.filter(col("gid") === 3)
+      .select(col("nat"), col("csize").as("c2"))
+    rows
+      .join(broadcast(l0), Seq("nat", "seg", "band"))
+      .join(broadcast(l1), Seq("nat", "seg"))
+      .join(broadcast(l2), Seq("nat"))
+      .withColumn("lvl",
+        when(col("c0") >= k, 0).when(col("c1") >= k, 1)
+          .when(col("c2") >= k, 2).otherwise(3))
+      .groupBy(col("lvl"),
+        when(col("lvl") <= 2, col("nat")).as("p_nat"),
+        when(col("lvl") <= 1, col("seg")).as("p_seg"),
+        when(col("lvl") === 0, col("band")).as("p_band"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+  }
 }

@@ -485,4 +485,31 @@ class CurationSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getString(1))).toSet
     assert(rev === Set((2L, "changed"), (4L, "removed"), (3L, "added")))
   }
+
+  test("kAnonymize publishes each row at its first k-reaching ladder level") {
+    // hand-built lattice, k=3, band width 1000:
+    //   nation 1 / seg A / band 0 : 3 rows  -> level 0 (full tuple)
+    //   nation 1 / seg A / band 1 : 1 row   -> level 1 (1/A cohort = 4)
+    //   nation 1 / seg B          : 2 rows  -> level 2 (nation 1 = 6)
+    //   nation 2                  : 2 rows  -> level 3 (suppressed)
+    val rows = Seq(
+      (1L, 1, "A", 100.0), (2L, 1, "A", 200.0), (3L, 1, "A", 900.0),
+      (4L, 1, "A", 1500.0),
+      (5L, 1, "B", 100.0), (6L, 1, "B", 100.0),
+      (7L, 2, "A", 100.0), (8L, 2, "B", 100.0)
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Curation.kAnonymize(rows, k = 3, bandWidth = 1000).collect()
+      .map(r => (r.getInt(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      (0, Some(1), Some("A"), Some(0L), 3L, 6L),   // ids 1+2+3
+      (1, Some(1), Some("A"), None, 1L, 4L),       // id 4
+      (2, Some(1), None, None, 2L, 11L),           // ids 5+6
+      (3, None, None, None, 2L, 15L)))             // ids 7+8
+    // every published cohort is k-anonymous OR fully suppressed: the
+    // level-0..2 cohorts each reach k within their own generalization
+    val l0 = got.filter(_._1 == 0)
+    assert(l0.forall(_._5 >= 3L))
+  }
 }
