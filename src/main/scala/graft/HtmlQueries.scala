@@ -91,6 +91,28 @@ object HtmlQueries {
       """ CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/?utm_source=feed&q=' || doc_id""" +
       """ WHEN 1 THEN '?fbclid=xyz&p=2' WHEN 2 THEN '/#sec' || doc_id ELSE '/' END"""
 
+  /** The [[LinkGraph.labelPropagation]] fixture: dense 25-blocks (three
+    * intra-block affine maps, degree ≈ 6) bridged into one connected
+    * ring by each block's first vertex — community structure CC cannot
+    * see (one component) and LPA recovers (one community per block,
+    * ± the handful of bridge vertices). */
+  private def lpaEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"))
+      .crossJoin(d.agg((max(col("doc_id")) + 1).as("n")))
+    d.select(col("doc_id").as("src"),
+        expr("div(doc_id, 25) * 25 + (doc_id * 7 + 3) % 25").as("dst"))
+      .unionByName(d.select(col("doc_id").as("src"),
+        expr("div(doc_id, 25) * 25 + (doc_id * 11 + 5) % 25").as("dst")))
+      .unionByName(d.select(col("doc_id").as("src"),
+        expr("div(doc_id, 25) * 25 + (doc_id * 13 + 1) % 25").as("dst")))
+      .unionByName(base.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % col("n")).as("dst")))
+  }
+
+  private val LpaRounds = 6
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // markup → visible text: title, cleaned body, outbound-link count.
     // The entity round trip is load-bearing: the fixture injects
@@ -165,6 +187,11 @@ object HtmlQueries {
     // rounds at every sf; the oracle unrolls 10 (extras are no-ops)
     // while the engine pointer-jumps to the same fixpoint
     "cc_components" -> ((s, dir) => LinkGraph.components(ccEdges(s, dir))),
+    // synchronous label-propagation communities (6 fixed rounds) over
+    // the bridged-block fixture — the graph is ONE component, so the
+    // ~n/25 recovered communities are structure CC cannot express
+    "lpa_communities" -> ((s, dir) =>
+      LinkGraph.labelPropagation(lpaEdges(s, dir), LpaRounds)),
     // TrustRank: teleport only to the 25 nav pages (the curated trust
     // seeds) — rank flows outward from them; pages far from the hub
     // neighborhood decay geometrically. Integer-exact per iteration,
@@ -318,6 +345,18 @@ WHERE d >= 5""",
   SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 50 BETWEEN 1 AND 9),
 ${LinkGraph.ccOracleCore(rounds = 10)}
 SELECT v, label AS component FROM cc10""",
+
+    "lpa_communities" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 7 + 3) % 25 AS dst FROM documents
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 11 + 5) % 25 AS dst FROM documents
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 13 + 1) % 25 AS dst FROM documents
+  UNION ALL SELECT doc_id AS src, (doc_id + 25) % sz.n AS dst FROM documents, sz WHERE doc_id % 25 = 0),
+${LinkGraph.lpaOracleCore(rounds = LpaRounds)}
+SELECT label AS community, count(*) AS n_members, min(v) AS min_v,
+  CAST(sum(v) AS BIGINT) AS v_sum
+FROM lp$LpaRounds GROUP BY 1""",
 
     "trustrank" ->
       s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),

@@ -613,6 +613,88 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
       .select(col("doc_id").as("v"), col("cluster_id").as("component"))
 
   /**
+   * Synchronous label-propagation communities (Raghavan–Albert–Kumara
+   * 2007) — the near-linear community detector web curation uses to
+   * group pages into topical/site clusters where [[components]] is too
+   * coarse (everything reachable collapses) and modularity solvers too
+   * expensive. Runs EXACTLY `rounds` synchronous rounds: every vertex
+   * simultaneously adopts the label with the highest incidence among
+   * its neighbors' PREVIOUS-round labels (self-label excluded), ties
+   * broken to the smallest label. The fixed round count is part of the
+   * operator contract, like [[pageRank]]'s — synchronous LPA can
+   * 2-cycle on bipartite structure, so a fixpoint test would be
+   * unsound; callers pick `rounds` ≈ expected community diameter.
+   *
+   * Determinism: labels are vertex ids, counts exact integers, and the
+   * per-vertex argmax is `max(struct(count, −label))` — one aggregate
+   * with map-side partials, no window, no float, so the result
+   * hash-matches the oracle's unrolled replay at any partitioning.
+   *
+   * Scale shape: per round, ONE shuffle joining the previous labels
+   * along the symmetrized edge list (keyed on the neighbor end) and a
+   * two-level same-key aggregation on the vertex key; the edge list is
+   * checkpointed once and reused, labels localCheckpoint per round
+   * with the superseded round released immediately (the [[iterate]]
+   * convention — ≤ 2 label tables resident at any time). Output is the
+   * community roster `(community, n_members, min_v, v_sum)` — `v_sum`
+   * pins the exact member multiset.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().scopedCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).scopedCheckpoint()
+    var prevCk = labels
+    var r = 0
+    while (r < rounds) {
+      val counts = sym.join(labels, sym("dst") === labels("v"))
+        .groupBy(sym("src").as("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = counts.groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("u").as("v"), (-col("m.neg")).as("label"))
+        .scopedCheckpoint() // eager: prevCk is safe to drop now
+      CheckpointScope.release(prevCk)
+      prevCk = next
+      labels = next
+      r += 1
+    }
+    CheckpointScope.release(sym)
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_v"),
+        sum(col("v")).as("v_sum"))
+  }
+
+  /**
+   * DuckDB twin of [[labelPropagation]] over an edge CTE
+   * `edges(src, dst)`: `rounds` unrolled synchronous updates, each a
+   * grouped neighbor-label count with a `QUALIFY` argmax (count DESC,
+   * label ASC — the engine's `max(struct(c, −label))` spelled as a
+   * window). Chain ends in `lp$rounds(v, label)`.
+   */
+  def lpaOracleCore(rounds: Int): String = {
+    val head =
+      """le AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION ALL SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+lverts AS (SELECT DISTINCT src AS v FROM le),
+lp0 AS (SELECT v, v AS label FROM lverts)"""
+    val steps = (1 to rounds).map { t =>
+      s"""lp$t AS MATERIALIZED (
+  SELECT e.src AS v, l.label AS label, count(*) AS c
+  FROM le e JOIN lp${t - 1} l ON e.dst = l.v
+  GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.label) = 1)"""
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /**
    * DuckDB twin of [[components]] over an edge CTE `edges(src, dst)`:
    * `rounds` unrolled min-label relaxations over the SYMMETRIZED edge
    * set (the oracle floods the minimum one hop per round where the

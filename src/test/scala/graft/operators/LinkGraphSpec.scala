@@ -254,4 +254,26 @@ class LinkGraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L))
     CheckpointScope.releaseAll()
   }
+
+  test("labelPropagation runs synchronous rounds with min-label ties") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {3,4,5} bridged by 2–3; hand replay:
+    //   r1: [1,0,0,2,3,3]  (v0's {1,2} tie -> 1; v3 sees {0,3,3} later)
+    //   r2: [0,0,0,3,2,2]
+    //   r3: [0,0,0,2,2,2]  -> stable from r4 on
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    // one round pins the SYNCHRONOUS update (an async sweep would
+    // already have collapsed a triangle) and the smallest-label tie
+    val r1 = LinkGraph.labelPropagation(e, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(r1 === Set((1L, 1L, 0L, 0L), (0L, 2L, 1L, 3L),
+      (2L, 1L, 3L, 3L), (3L, 2L, 4L, 9L)))
+    CheckpointScope.releaseAll()
+    // four rounds: converged — one community per triangle
+    val r4 = LinkGraph.labelPropagation(e, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(r4 === Set((0L, 3L, 0L, 3L), (2L, 3L, 3L, 12L)))
+    CheckpointScope.releaseAll()
+  }
 }
