@@ -185,6 +185,20 @@ object TextQueries {
       val merges = TextAnalysis.bpeMerges(docs(s, dir), BpeRounds)
       TextAnalysis.bpeEncode(docs(s, dir), merges)
     }),
+    // WordPiece TRAINING (likelihood-scored merges): same merge
+    // machinery as bpe_train but the winner maximizes the quantized
+    // score floor(n·1e12/(c(l)·c(r))) — already-rare symbol pairs can
+    // beat ubiquitous ones (the BERT-tokenizer selection rule)
+    "wordpiece_train" -> ((s, dir) =>
+      TextAnalysis.wordpieceTrain(docs(s, dir), BpeRounds)),
+    // WordPiece ENCODE: greedy longest-match-first walk under the
+    // trained vocabulary (alphabet + merges, digits excluded) over the
+    // corpus augmented with one digit-bearing word per document — the
+    // [UNK] whole-word fallback fires exactly once per doc
+    "wordpiece_encode" -> ((s, dir) => {
+      val vocab = TextAnalysis.wordpieceVocab(docs(s, dir), BpeRounds)
+      TextAnalysis.wordpieceEncode(wpAugDocs(s, dir), vocab)
+    }),
     // BYTE-level BPE training over the mixed-script fixture (each doc
     // gains a non-ASCII suffix and a reserved separator): merges are
     // two-hex-char byte symbols, the special token contributes nothing
@@ -402,6 +416,86 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
 
   private def bpeTrainOracle(rounds: Int): String =
     bpeTrainOracleCore(bpeCharHead, rounds)
+
+  // ---- WordPiece oracle (validated in tools/proto_wordpiece.py) ----
+
+  /** The digit-word augmentation both wordpiece_encode sides share. */
+  private def wpAugDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"), lit(" ref"), (col("doc_id") % 50).cast("string")))
+
+  /** Train CTE chain for the likelihood-scored merge replay: per round,
+    * symbol tallies `s$r`, pair tallies `p$r`, the quantized-score
+    * argmax `b$r` (HUGEINT floor-division — the engine's BigInt), and
+    * the rewritten symbol corpus `v${r+1}`. Everything multi-referenced
+    * is MATERIALIZED (v$r feeds three CTEs; default inlining is
+    * exponential in rounds and re-opens the parquet per reference). */
+  private def wpTrainCtes(rounds: Int): String = {
+    val sep = BpeSep
+    val head =
+      s"""wds AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wds GROUP BY w),
+v1 AS MATERIALIZED (SELECT $sep || array_to_string(list_transform(range(1, length(w)+1),
+    i -> substr(w, CAST(i AS INT), 1)), $sep || $sep) || $sep AS vstr, wc FROM wf)"""
+    val stages = (1 to rounds).map { r =>
+      s""",
+s$r AS MATERIALIZED (SELECT sym, CAST(sum(wc) AS BIGINT) AS c FROM (
+    SELECT wc, unnest(string_split(trim(vstr, $sep), $sep || $sep)) AS sym FROM v$r)
+  GROUP BY 1),
+p$r AS MATERIALIZED (SELECT s.lhs AS lhs, s.rhs AS rhs, CAST(sum(wc) AS BIGINT) AS total FROM (
+    SELECT wc, unnest(list_transform(range(1, len(syms)), j -> {'lhs': syms[j], 'rhs': syms[j+1]})) AS s
+    FROM (SELECT wc, string_split(trim(vstr, $sep), $sep || $sep) AS syms FROM v$r))
+  GROUP BY 1, 2),
+b$r AS MATERIALIZED (SELECT lhs, rhs, total,
+    CAST(total::HUGEINT * ${TextAnalysis.WpScale} // (cl.c::HUGEINT * cr.c) AS BIGINT) AS score_q
+  FROM p$r JOIN s$r cl ON p$r.lhs = cl.sym JOIN s$r cr ON p$r.rhs = cr.sym
+  ORDER BY score_q DESC, lhs, rhs LIMIT 1),
+v${r + 1} AS MATERIALIZED (SELECT replace(vstr, $sep || lhs || $sep || $sep || rhs || $sep,
+    $sep || lhs || rhs || $sep) AS vstr, wc FROM v$r, b$r)"""
+    }.mkString
+    head + stages
+  }
+
+  private def wordpieceTrainOracle(rounds: Int): String = {
+    val rows = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, lhs || rhs AS merged, score_q, total FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${wpTrainCtes(rounds)}\n$rows"
+  }
+
+  /** Greedy longest-match replay: the per-(word, position) longest
+    * vocabulary match is precomputed non-recursively (`mt`), then a
+    * recursive walk advances one piece per step — an unmatched position
+    * resets the word to one `[UNK]` piece and jumps past the end. */
+  private def wordpieceEncodeOracle(rounds: Int): String = {
+    val merged = (1 to rounds)
+      .map(r => s"SELECT lhs || rhs AS p FROM b$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${wpTrainCtes(rounds)},
+alpha AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS p
+  FROM wf, unnest(range(1, length(w)+1)) AS t(i)),
+vocab AS MATERIALIZED (SELECT p FROM (SELECT p FROM alpha UNION $merged)
+  WHERE NOT regexp_matches(p, '[0-9]')),
+adocs AS (SELECT doc_id, text || ' ref' || CAST(doc_id % 50 AS VARCHAR) AS text FROM documents),
+adw AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM adocs),
+dwords AS MATERIALIZED (SELECT DISTINCT w FROM adw),
+mt AS MATERIALIZED (SELECT d.w AS w, CAST(t.pos AS INT) AS pos, CAST(max(len(v.p)) AS INT) AS l
+  FROM dwords d, unnest(range(1, length(d.w)+1)) AS t(pos), vocab v
+  WHERE substr(d.w, CAST(t.pos AS INT), len(v.p)) = v.p GROUP BY 1, 2),
+walk AS (
+  SELECT w, 1 AS pos, 0 AS np, FALSE AS unk FROM dwords
+  UNION ALL
+  SELECT k.w,
+    CASE WHEN m.l IS NULL THEN length(k.w) + 1 ELSE k.pos + m.l END,
+    CASE WHEN m.l IS NULL THEN 1 ELSE k.np + 1 END,
+    m.l IS NULL
+  FROM walk k LEFT JOIN mt m ON m.w = k.w AND m.pos = k.pos
+  WHERE k.pos <= length(k.w)),
+res AS (SELECT w, np, unk FROM walk WHERE pos > length(w))
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(r.np) AS BIGINT) AS n_pieces,
+  CAST(sum(CASE WHEN r.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+FROM adw a JOIN res r ON a.w = r.w GROUP BY 1"""
+  }
 
   // ---- unigram-LM tokenizer oracle (validated in tools/proto_unigram.py) --
 
@@ -1130,6 +1224,9 @@ ORDER BY total DESC, pair LIMIT 20""",
     // replace() scans left-to-right non-overlapping — the textbook BPE
     // walk the engine's fold implements on arrays.
     "bpe_train" -> bpeTrainOracle(BpeRounds),
+
+    "wordpiece_train" -> wordpieceTrainOracle(BpeRounds),
+    "wordpiece_encode" -> wordpieceEncodeOracle(BpeRounds),
 
     // tokenizer application: the SAME unrolled training stages derive
     // b1..bR, then every (doc, word) replays the replace chain and the

@@ -1084,4 +1084,133 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr(s"array_distinct(transform(sequence(0, size(ws)-$k), i -> $body))").as("shs"))
   }
+
+  // ---- WordPiece: likelihood-scored merges + greedy longest match ----
+
+  /** Quantization scale of the WordPiece merge score (see
+    * [[wordpieceTrain]]): selection maximizes
+    * `floor(n·Scale / (c(l)·c(r)))` — an exact-integer total order both
+    * engines replay bit-identically. */
+  val WpScale: Long = 1000000000000L
+
+  /**
+   * WordPiece training (Schuster & Nakajima 2012; the merge-based
+   * spelling popularized by BERT's tokenizer and HuggingFace
+   * `tokenizers`): identical merge machinery to [[bpeTrain]] — char
+   * symbols, greedy left-to-right merge application — but the round's
+   * winning pair maximizes the LIKELIHOOD score `n(l,r) / (c(l)·c(r))`
+   * (pair count over the product of its parts' counts) instead of the
+   * raw pair count, so a pair of already-rare symbols can beat a pair
+   * of ubiquitous ones. The score is quantized to
+   * `floor(n·WpScale / (c(l)·c(r)))` with ties broken by `(lhs, rhs)`
+   * in binary UTF-8 order — a fully specified integer selection rule
+   * the DuckDB oracle replays exactly (floats would tie-break
+   * differently at equal ratios). `n ≤ min(c(l), c(r))` so the
+   * quantized score never exceeds `WpScale`.
+   *
+   * Output: `(round, lhs, rhs, merged, score_q, total)` — the merge
+   * list plus the selection evidence.
+   *
+   * Scale shape: per round, TWO alphabet-bounded aggregates (pair
+   * tallies and symbol tallies — both have at most
+   * `(alphabet+rounds)²` groups regardless of corpus size) collect to
+   * the driver, where the argmax runs in exact BigInt; the corpus-side
+   * symbol table rewrites once per round through the same checkpointed
+   * fold as BPE. Driver state is merge-list-scale — the
+   * [[bpeTrainLoop]] budget argument verbatim.
+   */
+  def wordpieceTrain(df: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    var vocab = spread(df).select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("wc"))
+      .scopedCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Long)]()
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] as l, syms[i] as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("wc").as("n")).collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val symCount = vocab.select(col("wc"), explode(col("syms")).as("s"))
+          .groupBy("s").agg(sum("wc").as("c")).collect()
+          .map(row => row.getString(0) -> row.getLong(1)).toMap
+        val scored = pairs.map { row =>
+          val l = row.getString(0); val rr = row.getString(1); val n = row.getLong(2)
+          val sq = (BigInt(n) * WpScale / (BigInt(symCount(l)) * BigInt(symCount(rr)))).toLong
+          (sq, l, rr, n)
+        }
+        val best = scored.reduceLeft { (a, b) =>
+          if (a._1 != b._1) { if (a._1 > b._1) a else b }
+          else if (a._2 != b._2) { if (utf8Lt(a._2, b._2)) a else b }
+          else if (utf8Lt(a._3, b._3)) a else b
+        }
+        val (sq, l, rr, n) = best
+        merges += ((r, l, rr, l + rr, sq, n))
+        val prev = vocab
+        vocab = vocab.select(applyMergeCol(col("syms"), l, rr).as("syms"),
+          col("wc")).scopedCheckpoint() // eager: prev is safe to drop now
+        Dedup.unpersistCheckpointed(prev)
+      }
+    }
+    Dedup.unpersistCheckpointed(vocab)
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "score_q", "total")
+  }
+
+  /** The encode vocabulary [[wordpieceTrain]]'s artifact induces:
+    * training-corpus alphabet plus merged pieces, MINUS any piece
+    * containing an ASCII digit (numbers route to `[UNK]`, the
+    * BERT-style closed-alphabet convention — and the hook that makes
+    * the UNK path testable on a digit-free prose corpus). Both the
+    * alphabet and the merge list are model-scale collects. */
+  def wordpieceVocab(df: DataFrame, rounds: Int = 8): Seq[String] = {
+    def build(): Seq[String] = {
+      val merged = wordpieceTrain(df, rounds).collect()
+        .map(_.getString(3)).toSeq
+      val alpha = spread(df).select(explode(tokens(col("text"))).as("w"))
+        .select(explode(expr("filter(split(w, ''), c -> c != '')")).as("ch"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      (alpha ++ merged).distinct
+        .filterNot(_.exists(ch => ch >= '0' && ch <= '9'))
+    }
+    TableMemo.contentKey(df) match {
+      case Some(fp) =>
+        wordpieceCache.computeIfAbsent(s"$fp|$rounds", _ => build())
+      case None => build()
+    }
+  }
+
+  private val wordpieceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /**
+   * Apply a WordPiece vocabulary to the corpus — greedy
+   * longest-match-first segmentation per word
+   * ([[graft.functions.WordPieceStats]]), per document
+   * `(doc_id, n_words, n_pieces, n_unk)` where an unmatchable word
+   * counts one `[UNK]` piece. Same zero-shuffle shape as [[bpeEncode]]:
+   * the vocabulary bakes into one fused codegen expression, encoding is
+   * a pure per-row projection, and the only exchange is the final
+   * per-document rollup.
+   */
+  def wordpieceEncode(df: DataFrame, vocab: Seq[String]): DataFrame = {
+    val maxLen = if (vocab.isEmpty) 1
+      else vocab.map(p => p.codePointCount(0, p.length)).max
+    def st(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.WordPieceStats(
+          org.apache.spark.sql.graftbridge.Bridge.expression(w), vocab, maxLen))
+    spread(df).select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), st(col("w")).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("s.np").cast("long")).as("n_pieces"),
+        sum(when(col("s.unk"), lit(1L)).otherwise(lit(0L))).as("n_unk"))
+  }
 }
