@@ -117,6 +117,14 @@ object TextQueries {
     // exact 3-shingle Jaccard >= 1/2 — isolates the planted near-dups
     "dedup_near_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), 1, 2, maxDf = MaxShingleDf)),
+    // asymmetric containment >= 9/10 of the SMALLER side over the
+    // quote-augmented corpus: every 40th document gains a 12-word
+    // quote twin (doc_id + 1e6) whose shingles are a strict subset of
+    // its source's — high containment, low Jaccard, invisible to
+    // dedup_near_pairs
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(quoteAugDocs(s, dir), 9, 10,
+        maxDf = MaxShingleDf)),
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), NumHashes)),
     "lsh_candidates" -> ((s, dir) =>
@@ -702,6 +710,26 @@ FROM w$rounds GROUP BY doc_id"""
   }
 
   /** Shared oracle CTEs: normalized words and distinct 3-shingles. */
+  /** The quote-augmentation both dedup_containment sides share: every
+    * 40th document's first 12 tokens become a standalone "quote" doc
+    * at doc_id + 1e6 (its 3-shingle set is a strict subset of the
+    * source's, so containment is 1000 permille while Jaccard is low). */
+  private def quoteAugDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12)).as("text")))
+  }
+
+  private val quoteAugCte =
+    """qdocs AS (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[1:12], ' ') AS text
+  FROM documents WHERE doc_id % 40 = 0),
+dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM qdocs),
+dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh FROM dwords WHERE len(ws) >= 3)"""
+
   private val shingleCte =
     """dwords AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
 dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh FROM dwords WHERE len(ws) >= 3)"""
@@ -988,6 +1016,24 @@ FROM inter
 JOIN cnt ca ON id_a = ca.doc_id
 JOIN cnt cb ON id_b = cb.doc_id
 WHERE 3 * inter >= 1 * (ca.n + cb.n)""",
+
+    // same shared-shingle skeleton over the quote-augmented corpus,
+    // containment predicate on the smaller side + permille evidence
+    "dedup_containment" ->
+      s"""WITH $quoteAugCte,
+cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+keep AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+dshc AS (SELECT d.doc_id, d.sh FROM dsh d JOIN keep USING (sh)),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dshc a JOIN dshc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter, ca.n AS na, cb.n AS nb,
+  (inter * 1000) // ca.n AS cont_a_permille,
+  (inter * 1000) // cb.n AS cont_b_permille
+FROM inter
+JOIN cnt ca ON id_a = ca.doc_id
+JOIN cnt cb ON id_b = cb.doc_id
+WHERE 10 * inter >= 9 * least(ca.n, cb.n)""",
 
     "chunk_docs" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -99,6 +99,44 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT near-dup pairs — the quote/superset detector
+   * symmetric Jaccard misses (Broder 1997 defines both resemblance and
+   * containment; production dedup uses the containment direction to
+   * drop a document subsumed by a larger one even though their Jaccard
+   * is tiny because `|B| >> |A|`). A pair fires when the smaller side's
+   * shingle set is `num/den`-contained in the intersection:
+   * `den·inter ≥ num·min(na, nb)` — exact integers, no ratio ever
+   * materialized. Output carries both directions' evidence:
+   * `(id_a, id_b, inter, na, nb, cont_a_permille, cont_b_permille)`
+   * with `cont_x_permille = ⌊inter·1000 / nx⌋`.
+   *
+   * Scale shape: identical to [[jaccardPairs]] — the df-capped
+   * shared-shingle self-join (singleton shingles pruned losslessly,
+   * ubiquitous ones capped) keeps the candidate generator banded; the
+   * containment filter is a post-aggregation predicate on counts.
+   */
+  def containmentPairs(df: DataFrame, num: Int = 9, den: Int = 10,
+                       k: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val sh = TextAnalysis.shingles(df, k)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
+        .select("sh"), "sh")
+    val inter = shared.as("a").join(shared.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .filter(lit(den) * col("inter") >= lit(num) * least(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        expr("div(inter * 1000, na)").as("cont_a_permille"),
+        expr("div(inter * 1000, nb)").as("cont_b_permille"))
+  }
+
+  /**
    * Universal-hash family for MinHash: `h_i(s) = A_i * base32(s) + B_i`
    * where `base32` is a 32-bit md5-derived hash and A_i/B_i are fixed
    * odd/offset constants. One md5 per shingle (instead of one per

@@ -975,4 +975,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalKeepersAtScale(
       newBatch.limit(0), prior).collect().isEmpty)
   }
+
+  test("containmentPairs fires on quotes symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1: 10 words -> 8 shingles; doc 2 quotes its first 4 words
+    // (2 shingles, BOTH inside doc 1): containment of the smaller side
+    // = 2/2 = 1000 permille, but Jaccard = 2/8... wait 2/(8+2-2) = 1/4
+    // -> jaccardPairs at 1/2 must miss it. Doc 3 shares one shingle
+    // with doc 1 (1 < 9/10 of its 4) -> no pair.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d"),
+      (3L, "a b c x y z")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 9, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === Set((1L, 2L, 2L, 8L, 2L, 250L, 1000L)))
+    assert(Dedup.jaccardPairs(docs, 1, 2).collect().isEmpty)
+  }
 }
