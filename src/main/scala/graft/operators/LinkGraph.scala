@@ -652,12 +652,7 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
     var prevCk = labels
     var r = 0
     while (r < rounds) {
-      val counts = sym.join(labels, sym("dst") === labels("v"))
-        .groupBy(sym("src").as("u"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val next = counts.groupBy(col("u"))
-        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
-        .select(col("u").as("v"), (-col("m.neg")).as("label"))
+      val next = lpaRound(sym, labels)
         .scopedCheckpoint() // eager: prevCk is safe to drop now
       CheckpointScope.release(prevCk)
       prevCk = next
@@ -669,6 +664,18 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
       .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_v"),
         sum(col("v")).as("v_sum"))
   }
+
+  /** One synchronous LPA round: neighbor-label tallies along the
+    * symmetrized edges, then the per-vertex `max(struct(c, −label))`
+    * argmax — exposed for the plan-quality pin (the loop checkpoints
+    * each round, so the round's shape is invisible in the final plan). */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels, sym("dst") === labels("v"))
+      .groupBy(sym("src").as("u"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+      .select(col("u").as("v"), (-col("m.neg")).as("label"))
 
   /**
    * DuckDB twin of [[labelPropagation]] over an edge CTE

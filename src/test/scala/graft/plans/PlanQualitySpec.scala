@@ -462,4 +462,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(q5.contains("BroadcastHashJoin"), q5)
     assert(!q5.contains("CartesianProduct"), q5)
   }
+
+  test("round-15 additions: broadcast k-anon lattice, rollup in one pass, " +
+    "equi-join LPA, codegen wordpiece encode, blocked containment") {
+    // k-anonymity: the generalization lattice is cohort-scale and must
+    // BROADCAST to the rows (three BroadcastHashJoins, no sort-merge),
+    // and the whole lattice comes from ONE Expand+rollup aggregation
+    val ka = graft.SparkEntry.queries("k_anonymity")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(ka.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, ka)
+    assert(!ka.contains("SortMergeJoin"), ka)
+    assert(ka.contains("Expand"), ka)
+    // LPA: a round's neighbor-label join is an equi-join and the
+    // argmax an aggregate with map-side partials (partial_max), never
+    // a window sort; the full query plans cartesian-free
+    val sym = spark.range(0, 10).select(col("id").as("src"),
+      ((col("id") + 1) % 10).as("dst"))
+    val lbl = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    val round = graft.operators.LinkGraph.lpaRound(sym, lbl)
+      .queryExecution.executedPlan.toString
+    assert(round.contains("partial_max"), round)
+    assert(!round.contains("Window") && !round.contains("CartesianProduct"), round)
+    val lpa = graft.SparkEntry.queries("lpa_communities")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!lpa.contains("CartesianProduct") && !lpa.contains("NestedLoop"), lpa)
+    // wordpiece encode: the greedy walk is one fused expression inside
+    // WholeStageCodegen; the only exchange is the per-doc rollup
+    val wpDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val encDf = graft.operators.TextAnalysis.wordpieceEncode(wpDocs,
+      Seq("a", "b", "ab"))
+    encDf.collect() // materialize so AQE finalizes the codegen stages
+    val encS = encDf.queryExecution.executedPlan.toString
+    // the greedy walk runs inside a codegen stage (the *(n) marker on
+    // the projection line carrying the fused expression)
+    assert(encS.linesIterator.exists(l =>
+      l.contains("wordpiece_stats") && l.contains("*(")), encS)
+    // the only exchanges are the deliberate round-robin spread and the
+    // per-doc rollup — no key-shuffle sneaks into the walk itself
+    assert(encS.linesIterator.filter(_.contains("Exchange")).forall(l =>
+      l.contains("RoundRobinPartitioning") || l.contains("hashpartitioning(doc_id")), encS)
+    // containment pairs: same blocked equality-join shape as the
+    // Jaccard twin — no cartesian, no nested loop
+    val cp = graft.SparkEntry.queries("dedup_containment")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct") && !cp.contains("NestedLoop"), cp)
+  }
 }
