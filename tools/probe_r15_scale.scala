@@ -1,7 +1,12 @@
 // Round-15 scale probes: LPA communities at 2M vertices and WordPiece
 // encode at 5M synthetic docs. Run on a QUIET host (no concurrent
-// Spark), single-line statements only:
-//   /opt/spark/bin/spark-shell --master 'local[8]' --jars target/scala-2.13/tinymdhbasespark_2.13-0.1.0.jar -I tools/probe_r15_scale.scala
+// Spark), single-line statements only; --driver-memory is required —
+// the shell's 1g default OOMs on the localCheckpointed edge tables:
+//   /opt/spark/bin/spark-shell --master 'local[8]' --driver-memory 16g --jars target/scala-2.13/tinymdhbasespark_2.13-0.1.0.jar -I tools/probe_r15_scale.scala
+// Measured (this host): lpa 2M vertices / 6.1M edges / 6 rounds 52.4 s
+// (160,001 communities — each 25-block splits in two under the three
+// affine maps); wordpiece encode 5M docs × 19 words 12.5 s (fused
+// greedy walk, one digit word per doc -> 5M UNKs pinned).
 import org.apache.spark.sql.functions._
 spark.sparkContext.setLogLevel("ERROR")
 def time[T](label: String)(body: => T): T = { val t0 = System.nanoTime(); val r = body; println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
