@@ -113,6 +113,24 @@ object HtmlQueries {
 
   private val LpaRounds = 6
 
+  /** The [[LinkGraph.cheapestPaths]] fixture: the two affine maps of
+    * [[fixtureEdges]] carrying deterministic 1..9 / 1..5 weights, plus
+    * w=3 hub edges into the first 25 vertices (short weighted detours
+    * around expensive direct edges — the paths hop-BFS cannot rank). */
+  private def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"))
+      .crossJoin(d.agg((max(col("doc_id")) + 1).as("n")))
+    base.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") + 7) % col("n")).as("dst"),
+        (col("doc_id") % 9 + 1).as("w"))
+      .unionByName(base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("dst"),
+        (col("doc_id") % 5 + 1).as("w")))
+      .unionByName(base.select(col("doc_id").as("src"),
+        (col("doc_id") % 25).as("dst"), lit(3L).as("w")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // markup → visible text: title, cleaned body, outbound-link count.
     // The entity round trip is load-bearing: the fixture injects
@@ -209,6 +227,14 @@ object HtmlQueries {
       LinkGraph.seedDistance(fixtureEdges(s, dir),
         docs(s, dir).filter(col("doc_id") < 25).select(col("doc_id").as("v")),
         maxHops = 8)),
+    // bounded Bellman-Ford: cheapest cost over paths of <= 8 edges
+    // from the seed set, exact integer weights — the WEIGHTED
+    // companion to seed_distance (a longer-hop cheaper path can
+    // improve a label after insertion, which hop-BFS forbids)
+    "cheapest_path" -> ((s, dir) =>
+      LinkGraph.cheapestPaths(weightedEdges(s, dir),
+        docs(s, dir).filter(col("doc_id") < 5).select(col("doc_id").as("v")),
+        rounds = 8)),
     // CAPSTONE composition — the whole web-ingest chain as ONE query:
     // markup → href extraction → messy-URL canonicalization →
     // registered-domain edge list → dense id assignment (domain-
@@ -375,6 +401,15 @@ edges AS (
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.seedDistanceOracleCore(rounds = 8, seedPred = "v < 25")}
 SELECT v, dist FROM sd8""",
+
+    "cheapest_path" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst, doc_id % 9 + 1 AS w FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst, doc_id % 5 + 1 AS w FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst, 3 AS w FROM documents, sz),
+${LinkGraph.cheapestPathsOracleCore(rounds = 8, seedPred = "v < 5")}
+SELECT v, cost FROM cp8""",
 
     "pipeline_webgraph" ->
       s"""WITH h AS (SELECT doc_id, $FixtureHtmlSql AS html FROM documents),

@@ -453,6 +453,71 @@ sd0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM dverts WHERE $seedPred)"""
   }
 
   /**
+   * Weighted cheapest paths from a seed set — BOUNDED Bellman–Ford
+   * (Bellman 1958): after exactly `rounds` relaxations, the label of
+   * `v` is the cheapest total weight among seed→v paths of at most
+   * `rounds` edges — the classic Bellman–Ford loop invariant promoted
+   * to the operator contract, so the result is well-defined on ANY
+   * graph with no fixpoint requirement (compare [[seedDistance]]'s
+   * unit-weight fixpoint + `maxHops` cap: there a label is final on
+   * insertion; here a longer-hop but cheaper path CAN improve an
+   * existing label, so row-count stability is NOT convergence and the
+   * loop deliberately runs all `rounds` rounds). Weights are
+   * non-negative integers; costs exact Longs — hash-replayable.
+   *
+   * Parallel edges are reduced to their minimum weight BEFORE the
+   * rounds (one aggregation; provably result-identical, and it keeps
+   * the per-round join fan-out at one row per simple edge).
+   * Scale shape: per round, one equi-join shuffle (labels × edges on
+   * the source key) and a min aggregation on the vertex key;
+   * per-round checkpoints released as superseded — the [[iterate]]
+   * budget.
+   */
+  def cheapestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .scopedCheckpoint()
+    var dist = seeds.select(col("v").cast("long").as("v")).distinct()
+      .select(col("v"), lit(0L).as("cost")).scopedCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, dist("v") === e("src"))
+        .select(e("dst").as("v"), (col("cost") + col("w")).as("cost"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("cost")).as("cost"))
+        .scopedCheckpoint()
+      CheckpointScope.release(dist)
+      dist = next
+      r += 1
+    }
+    CheckpointScope.release(e)
+    dist
+  }
+
+  /**
+   * DuckDB twin of [[cheapestPaths]] over an edge CTE
+   * `edges(src, dst, w)`: `rounds` unrolled weighted relaxations over
+   * the min-reduced edge set, ending in `cp$rounds(v, cost)`.
+   */
+  def cheapestPathsOracleCore(rounds: Int, seedPred: String): String = {
+    val head =
+      s"""cpverts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+cpe AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM edges GROUP BY 1, 2),
+cp0 AS (SELECT v, CAST(0 AS BIGINT) AS cost FROM cpverts WHERE $seedPred)"""
+    val steps = (1 to rounds).map { t =>
+      s"""cp$t AS MATERIALIZED (SELECT v, CAST(min(cost) AS BIGINT) AS cost FROM (
+  SELECT v, cost FROM cp${t - 1}
+  UNION ALL
+  SELECT e.dst AS v, d.cost + e.w AS cost FROM cp${t - 1} d JOIN cpe e ON e.src = d.v
+) GROUP BY v)"""
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /**
    * Per-vertex triangle counts over the UNDIRECTED simple graph
    * underlying `(src, dst)` — the local-clustering signal of link-spam
    * and community detection (triangles are what separates an organic

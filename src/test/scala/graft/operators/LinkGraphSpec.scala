@@ -255,6 +255,27 @@ class LinkGraphSpec extends SparkSpec {
     CheckpointScope.releaseAll()
   }
 
+  test("cheapestPaths is bounded Bellman-Ford: a longer-hop cheaper " +
+    "path improves a label after insertion") {
+    import spark.implicits._
+    // 0→1 w10 (direct); 0→2 w1, 2→3 w1, 3→1 w1 (3-hop detour cost 3);
+    // plus a parallel 0→2 edge w5 that the min-reduction must drop
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (0L, 2L, 5L),
+      (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("v")
+    def run(r: Int) = LinkGraph.cheapestPaths(e, seeds, r).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 1 round: only direct edges — vertex 1 carries the expensive 10
+    assert(run(1) === Map(0L -> 0L, 1L -> 10L, 2L -> 1L))
+    CheckpointScope.releaseAll()
+    // 2 rounds: the ≤2-edge paths — 1 still at 10 (detour needs 3 edges)
+    assert(run(2) === Map(0L -> 0L, 1L -> 10L, 2L -> 1L, 3L -> 2L))
+    CheckpointScope.releaseAll()
+    // 3 rounds: the detour lands — 1 improves to 3 (BFS could never)
+    assert(run(3) === Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 2L))
+    CheckpointScope.releaseAll()
+  }
+
   test("labelPropagation runs synchronous rounds with min-label ties") {
     import spark.implicits._
     // two triangles {0,1,2} and {3,4,5} bridged by 2–3; hand replay:

@@ -507,5 +507,10 @@ class PlanQualitySpec extends SparkSpec {
     val cp = graft.SparkEntry.queries("dedup_containment")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(!cp.contains("CartesianProduct") && !cp.contains("NestedLoop"), cp)
+    // bounded Bellman-Ford: relaxation joins are equi-joins with the
+    // min-relabel as a partial-agg aggregate (same discipline as LPA)
+    val bf = graft.SparkEntry.queries("cheapest_path")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!bf.contains("CartesianProduct") && !bf.contains("NestedLoop"), bf)
   }
 }
