@@ -113,6 +113,27 @@ object HtmlQueries {
 
   private val LpaRounds = 6
 
+  /** The [[LinkGraph.temporalReach]] fixture: the same three maps as
+    * [[weightedEdges]] but carrying TIMESTAMPS — the two affine maps
+    * fire early-to-mid (per-source deterministic), the hub edges run
+    * on a REVERSED clock (late for low ids, early for high), so many
+    * static paths are time-blocked and the earliest-arrival labels
+    * genuinely differ from hop reachability. */
+  private def temporalEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"))
+      .crossJoin(d.agg((max(col("doc_id")) + 1).as("n")))
+    base.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") + 7) % col("n")).as("dst"),
+        (col("doc_id") % 40 * 10).as("t"))
+      .unionByName(base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("dst"),
+        (col("doc_id") % 25 * 16 + 5).as("t")))
+      .unionByName(base.select(col("doc_id").as("src"),
+        (col("doc_id") % 25).as("dst"),
+        (lit(400) - col("doc_id") % 40 * 10).as("t")))
+  }
+
   /** The [[LinkGraph.cheapestPaths]] fixture: the two affine maps of
     * [[fixtureEdges]] carrying deterministic 1..9 / 1..5 weights, plus
     * w=3 hub edges into the first 25 vertices (short weighted detours
@@ -227,6 +248,14 @@ object HtmlQueries {
       LinkGraph.seedDistance(fixtureEdges(s, dir),
         docs(s, dir).filter(col("doc_id") < 25).select(col("doc_id").as("v")),
         maxHops = 8)),
+    // earliest-arrival reachability over TEMPORAL edges: an edge is
+    // traversable only at-or-after arrival at its source, so chains
+    // through late-then-early edges are blocked — the semantics static
+    // reachability (seed_distance's fixture) cannot express
+    "temporal_reach" -> ((s, dir) =>
+      LinkGraph.temporalReach(temporalEdges(s, dir),
+        docs(s, dir).filter(col("doc_id") < 5).select(col("doc_id").as("v")),
+        t0 = 0L, rounds = 6)),
     // bounded Bellman-Ford: cheapest cost over paths of <= 8 edges
     // from the seed set, exact integer weights — the WEIGHTED
     // companion to seed_distance (a longer-hop cheaper path can
@@ -401,6 +430,15 @@ edges AS (
   UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz),
 ${LinkGraph.seedDistanceOracleCore(rounds = 8, seedPred = "v < 25")}
 SELECT v, dist FROM sd8""",
+
+    "temporal_reach" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst, doc_id % 40 * 10 AS t FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst, doc_id % 25 * 16 + 5 AS t FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst, 400 - doc_id % 40 * 10 AS t FROM documents, sz),
+${LinkGraph.temporalReachOracleCore(rounds = 6, seedPred = "v < 5", t0 = 0L)}
+SELECT v, arr FROM tr6""",
 
     "cheapest_path" ->
       s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),

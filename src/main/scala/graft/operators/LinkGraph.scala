@@ -518,6 +518,75 @@ cp0 AS (SELECT v, CAST(0 AS BIGINT) AS cost FROM cpverts WHERE $seedPred)"""
   }
 
   /**
+   * Time-respecting reachability over a TEMPORAL edge list
+   * `(src, dst, t)` — earliest-arrival relaxation (Holme & Saramäki's
+   * temporal-network reachability; the influence/contact-tracing
+   * primitive): a temporal edge is traversable only if its timestamp
+   * is at or after the traverser's arrival at its source, so
+   * `arrival(v)` = the earliest time any seed can reach `v` along a
+   * TIME-INCREASING edge sequence — static reachability over the same
+   * edges overcounts (it happily walks backward in time). Seeds start
+   * at `t0`. Bounded to `rounds` relaxations, the [[cheapestPaths]]
+   * contract: after round R, labels are exact over sequences of ≤ R
+   * edges (earliest arrival is monotone non-increasing per round, and
+   * an inserted label CAN improve via a later-start but
+   * earlier-arriving route). Exact integer timestamps.
+   *
+   * Scale shape: per round one equi-join shuffle (labels × temporal
+   * edges on the source key) with the time-respect predicate applied
+   * BEFORE the min aggregation on the vertex key — the join fans out
+   * per temporal edge, so multi-edge (u,v) pairs stay unreduced (each
+   * timestamp is a distinct traversal opportunity; reducing them,
+   * unlike [[cheapestPaths]]' min-weight reduction, would be WRONG
+   * when a smaller t precedes the arrival at u).
+   */
+  def temporalReach(edges: DataFrame, seeds: DataFrame, t0: Long,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("t").cast("long"))
+      .distinct().scopedCheckpoint()
+    var arr = seeds.select(col("v").cast("long").as("v")).distinct()
+      .select(col("v"), lit(t0).as("arr")).scopedCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val relaxed = arr.join(e, arr("v") === e("src") && e("t") >= col("arr"))
+        .select(e("dst").as("v"), e("t").as("arr"))
+      val next = arr.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("arr")).as("arr"))
+        .scopedCheckpoint()
+      CheckpointScope.release(arr)
+      arr = next
+      r += 1
+    }
+    CheckpointScope.release(e)
+    arr
+  }
+
+  /**
+   * DuckDB twin of [[temporalReach]] over an edge CTE
+   * `edges(src, dst, t)`: `rounds` unrolled earliest-arrival
+   * relaxations, ending in `tr$rounds(v, arr)`.
+   */
+  def temporalReachOracleCore(rounds: Int, seedPred: String,
+                              t0: Long): String = {
+    val head =
+      s"""trverts AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+tre AS MATERIALIZED (SELECT DISTINCT src, dst, t FROM edges),
+tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
+    val steps = (1 to rounds).map { r =>
+      s"""tr$r AS MATERIALIZED (SELECT v, CAST(min(arr) AS BIGINT) AS arr FROM (
+  SELECT v, arr FROM tr${r - 1}
+  UNION ALL
+  SELECT e.dst AS v, e.t AS arr FROM tr${r - 1} d JOIN tre e
+    ON e.src = d.v AND e.t >= d.arr
+) GROUP BY v)"""
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /**
    * Per-vertex triangle counts over the UNDIRECTED simple graph
    * underlying `(src, dst)` — the local-clustering signal of link-spam
    * and community detection (triangles are what separates an organic

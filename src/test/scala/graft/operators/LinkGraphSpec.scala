@@ -276,6 +276,32 @@ class LinkGraphSpec extends SparkSpec {
     CheckpointScope.releaseAll()
   }
 
+  test("temporalReach only walks time-increasing edge sequences") {
+    import spark.implicits._
+    // seeds {0}, t0=0. (1,2,t=3) is time-BLOCKED (arrival at 1 is 5);
+    // 2 is only reachable via 4 at arr=10; (3,5,t=8) improves 5's
+    // direct arr=20 to 8 on the third round — later-start route,
+    // earlier arrival (the label-improves-after-insertion case)
+    val e = Seq((0L, 1L, 5L), (1L, 2L, 3L), (1L, 3L, 7L),
+      (0L, 4L, 2L), (4L, 2L, 10L), (0L, 5L, 20L), (3L, 5L, 8L))
+      .toDF("src", "dst", "t")
+    val seeds = Seq(0L).toDF("v")
+    def run(r: Int) = LinkGraph.temporalReach(e, seeds, 0L, r).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) === Map(0L -> 0L, 1L -> 5L, 4L -> 2L, 5L -> 20L))
+    CheckpointScope.releaseAll()
+    assert(run(2) === Map(0L -> 0L, 1L -> 5L, 4L -> 2L, 5L -> 20L,
+      3L -> 7L, 2L -> 10L))
+    CheckpointScope.releaseAll()
+    assert(run(3) === Map(0L -> 0L, 1L -> 5L, 4L -> 2L, 5L -> 8L,
+      3L -> 7L, 2L -> 10L))
+    CheckpointScope.releaseAll()
+    // static BFS over the same edges would reach 2 through 1 — the
+    // temporal walk never does at any round count
+    assert(run(6).get(2L) === Some(10L))
+    CheckpointScope.releaseAll()
+  }
+
   test("labelPropagation runs synchronous rounds with min-label ties") {
     import spark.implicits._
     // two triangles {0,1,2} and {3,4,5} bridged by 2–3; hand replay:

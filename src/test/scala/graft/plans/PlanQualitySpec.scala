@@ -512,5 +512,11 @@ class PlanQualitySpec extends SparkSpec {
     val bf = graft.SparkEntry.queries("cheapest_path")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(!bf.contains("CartesianProduct") && !bf.contains("NestedLoop"), bf)
+    // temporal reachability: the time-respect predicate must ride the
+    // src equi-join (post-join filter), never degrade it to a
+    // cartesian/nested-loop theta join
+    val tr = graft.SparkEntry.queries("temporal_reach")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!tr.contains("CartesianProduct") && !tr.contains("NestedLoop"), tr)
   }
 }
