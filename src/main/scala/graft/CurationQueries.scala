@@ -161,15 +161,18 @@ object CurationQueries {
       TextAnalysis.importanceWeights(docs(s, dir), qualityTargetPred, IwBuckets)
         .orderBy(col("weight_e6").desc, col("doc_id")).limit(IwSampleN)),
 
+    // k-anonymity release gate: hierarchical quasi-identifier
+    // generalization, each row published at its first k-reaching
+    // ladder level (see Curation.kAnonymize)
+    "k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymize(s.read.parquet(s"$dir/customer.parquet"),
+        KAnonK, KAnonBand)),
+
     // the END-TO-END curation pipeline, composed in the order a real
     // corpus build runs it: content gates (quality + repetition) →
     // deterministic stratified sample → per-source cap (ranked over the
     // post-filter survivors) → transitive dedup-loser removal. One
     // gated query proving the stages compose without semantic drift.
-    "k_anonymity" -> ((s, dir) =>
-      Curation.kAnonymize(s.read.parquet(s"$dir/customer.parquet"),
-        KAnonK, KAnonBand)),
-
     "pipeline_curate" -> (curated _),
 
     // the full RELEASE build on top of the curated set: drop the eval
@@ -300,8 +303,12 @@ l2 AS (SELECT nat, count(*) AS c FROM r GROUP BY 1),
 ch AS (SELECT r.id, r.nat, r.seg, r.band,
     CASE WHEN l0.c >= $KAnonK THEN 0 WHEN l1.c >= $KAnonK THEN 1
          WHEN l2.c >= $KAnonK THEN 2 ELSE 3 END AS lvl
-  FROM r JOIN l0 USING (nat, seg, band) JOIN l1 USING (nat, seg)
-    JOIN l2 USING (nat))
+  FROM r JOIN l0 ON r.nat IS NOT DISTINCT FROM l0.nat
+      AND r.seg IS NOT DISTINCT FROM l0.seg
+      AND r.band IS NOT DISTINCT FROM l0.band
+    JOIN l1 ON r.nat IS NOT DISTINCT FROM l1.nat
+      AND r.seg IS NOT DISTINCT FROM l1.seg
+    JOIN l2 ON r.nat IS NOT DISTINCT FROM l2.nat)
 SELECT lvl, CASE WHEN lvl <= 2 THEN nat END AS p_nat,
   CASE WHEN lvl <= 1 THEN seg END AS p_seg,
   CASE WHEN lvl = 0 THEN band END AS p_band,

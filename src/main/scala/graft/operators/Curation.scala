@@ -751,15 +751,22 @@ object Curation {
     val lattice = rows.rollup(col("nat"), col("seg"), col("band"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("csize"))
     val l0 = lattice.filter(col("gid") === 0)
-      .select(col("nat"), col("seg"), col("band"), col("csize").as("c0"))
+      .select(col("nat").as("n0"), col("seg").as("s0"), col("band").as("b0"),
+        col("csize").as("c0"))
     val l1 = lattice.filter(col("gid") === 1)
-      .select(col("nat"), col("seg"), col("csize").as("c1"))
+      .select(col("nat").as("n1"), col("seg").as("s1"), col("csize").as("c1"))
     val l2 = lattice.filter(col("gid") === 3)
-      .select(col("nat"), col("csize").as("c2"))
+      .select(col("nat").as("n2"), col("csize").as("c2"))
+    // NULL-SAFE joins: a genuinely-NULL quasi attribute is a cohort
+    // value like any other (the rollup already counts it; gid keeps it
+    // distinct from generalized-away levels) — a plain equi-join would
+    // silently DROP null-keyed rows from the release, under-reporting
+    // records instead of publishing them at their k-reaching level
     rows
-      .join(broadcast(l0), Seq("nat", "seg", "band"))
-      .join(broadcast(l1), Seq("nat", "seg"))
-      .join(broadcast(l2), Seq("nat"))
+      .join(broadcast(l0), col("nat") <=> col("n0") &&
+        col("seg") <=> col("s0") && col("band") <=> col("b0"))
+      .join(broadcast(l1), col("nat") <=> col("n1") && col("seg") <=> col("s1"))
+      .join(broadcast(l2), col("nat") <=> col("n2"))
       .withColumn("lvl",
         when(col("c0") >= k, 0).when(col("c1") >= k, 1)
           .when(col("c2") >= k, 2).otherwise(3))

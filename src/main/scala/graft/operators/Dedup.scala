@@ -74,8 +74,13 @@ object Dedup {
    * identical documents share plenty of rare shingles and are
    * unaffected. Join work is thus bounded by maxDf² per capped shingle.
    */
-  def jaccardPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
-                   maxDf: Int = 1000): DataFrame = {
+  /** The shared candidate skeleton of [[jaccardPairs]] and
+    * [[containmentPairs]]: df-capped shared-shingle inverted-index
+    * self-join → `(id_a, id_b, inter, na, nb)` for every ordered pair
+    * with at least one surviving shared shingle. The thresholds are the
+    * callers' post-aggregation predicates, so both similarity notions
+    * ride ONE join shape (and one PlanQualitySpec pin). */
+  private def sharedShinglePairs(df: DataFrame, k: Int, maxDf: Int): DataFrame = {
     // no .cache(): a cached plan would leak across repeated builds of
     // this query (cache manager holds it until an explicit unpersist);
     // recomputing the shingle projection is cheap next to the join
@@ -94,9 +99,13 @@ object Dedup {
     inter
       .join(cnt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+  }
+
+  def jaccardPairs(df: DataFrame, num: Int = 1, den: Int = 2, k: Int = 3,
+                   maxDf: Int = 1000): DataFrame =
+    sharedShinglePairs(df, k, maxDf)
       .filter(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
-  }
 
   /**
    * Asymmetric CONTAINMENT near-dup pairs — the quote/superset detector
@@ -116,25 +125,12 @@ object Dedup {
    * containment filter is a post-aggregation predicate on counts.
    */
   def containmentPairs(df: DataFrame, num: Int = 9, den: Int = 10,
-                       k: Int = 3, maxDf: Int = 1000): DataFrame = {
-    val sh = TextAnalysis.shingles(df, k)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= maxDf)
-        .select("sh"), "sh")
-    val inter = shared.as("a").join(shared.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+                       k: Int = 3, maxDf: Int = 1000): DataFrame =
+    sharedShinglePairs(df, k, maxDf)
       .filter(lit(den) * col("inter") >= lit(num) * least(col("na"), col("nb")))
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
         expr("div(inter * 1000, na)").as("cont_a_permille"),
         expr("div(inter * 1000, nb)").as("cont_b_permille"))
-  }
 
   /**
    * Universal-hash family for MinHash: `h_i(s) = A_i * base32(s) + B_i`

@@ -963,21 +963,14 @@ object TextAnalysis {
   private val unigramCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
 
-  /** Binary UTF-8 lexicographic `<` — the collation Spark's UTF8String
-    * and DuckDB both use; Java `String.compareTo` (UTF-16 code units)
-    * disagrees for supplementary-plane characters. */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  /** Binary UTF-8 lexicographic `<` — the collation Spark's `orderBy`
+    * and DuckDB both use (Java `String.compareTo` compares UTF-16 code
+    * units and disagrees for supplementary-plane characters). Delegates
+    * to the engine's own `UTF8String.binaryCompare`, so driver-side
+    * tie-breaks match plan-side ordering BY CONSTRUCTION. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 
   private def unigramTrainLoop(df: DataFrame, seedN: Int, maxPieceLen: Int,
                                keepSizes: Seq[Int]): Seq[(String, Long)] = {

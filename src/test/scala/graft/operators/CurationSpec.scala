@@ -512,4 +512,19 @@ class CurationSpec extends SparkSpec {
     val l0 = got.filter(_._1 == 0)
     assert(l0.forall(_._5 >= 3L))
   }
+
+  test("kAnonymize publishes genuinely-NULL quasi attributes instead of dropping them") {
+    // a NULL segment is a cohort value, not a missing join key: the
+    // row must land at its k-reaching level (here level 2 — nation 1
+    // has 3 rows), not vanish from the release accounting
+    val rows = Seq[(Long, Integer, String, Double)](
+      (1L, 1, "A", 100.0), (2L, 1, "A", 200.0), (3L, 1, null, 100.0)
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Curation.kAnonymize(rows, k = 3, bandWidth = 1000).collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4), r.getLong(5))).toSet
+    // all three rows published (none dropped), pooled at level 2
+    assert(got === Set((2, Some(1), None, None, 3L, 6L)))
+    assert(got.toSeq.map(_._5).sum === 3L)
+  }
 }
