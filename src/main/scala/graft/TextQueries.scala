@@ -142,14 +142,35 @@ object TextQueries {
     // the topic-augmented corpus; each query is every 29th document's
     // own two topic terms plus one near-universal word (which the
     // zero-idf filter must drop)
-    "bm25_doc_topk" -> ((s, dir) => {
+    "bm25_doc_topk" -> ((s, dir) =>
+      TextAnalysis.bm25DocTopK(retQueries(s, dir), retDocs(s, dir), 10)),
+    // inverted-index STORE lifecycle (the reference's index-build idea
+    // on the text surface): build the term-range-clustered postings
+    // store, serve the same retrieval from it, and emit the direct and
+    // served aggregates as two phases — the oracle's one-shot replay
+    // must equal BOTH, proving the materialization result-invisible
+    "postings_equiv" -> ((s, dir) => {
       val d = retDocs(s, dir)
-      val qs = d
-        .select(col("doc_id").as("query_id"),
-          format_string("ta%d tb%d %s", col("doc_id") % 61, col("doc_id") % 13,
-            element_at(TextAnalysis.tokens(col("text")), 1)).as("qtext"))
-        .filter(col("query_id") % 29 === 0)
-      TextAnalysis.bm25DocTopK(qs, d, 10)
+      val qs = retQueries(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings").toString
+      graft.operators.PostingsStore.build(d, tmp)
+      def summarize(r: org.apache.spark.sql.DataFrame, phase: String) =
+        r.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+            coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+            coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+            col("dr_sum"), col("terms_sum"))
+      val out = summarize(TextAnalysis.bm25DocTopK(qs, d, 10), "direct")
+        .unionByName(summarize(
+          graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), "served"))
+      // eager: the store tree must be deletable before returning
+      val rows = out.collect().toSeq
+      val outSchema = out.schema
+      graft.operators.PostingsStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
     // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
@@ -424,6 +445,41 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
 
   private def bpeTrainOracle(rounds: Int): String =
     bpeTrainOracleCore(bpeCharHead, rounds)
+
+  /** The retrieval query fixture bm25_doc_topk and postings_equiv
+    * share: every 29th document's two topic terms + its first word. */
+  private def retQueries(s: SparkSession, dir: String): DataFrame =
+    retDocs(s, dir)
+      .select(col("doc_id").as("query_id"),
+        format_string("ta%d tb%d %s", col("doc_id") % 61, col("doc_id") % 13,
+          element_at(TextAnalysis.tokens(col("text")), 1)).as("qtext"))
+      .filter(col("query_id") % 29 === 0)
+
+  /** The bm25_doc_topk replay — shared by the direct gate and the
+    * postings_equiv wrapper (which aggregates it per phase). */
+  private def bm25DocOracleSql: String = {
+    import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
+    s"""WITH $retDocsCte,
+w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),
+d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
+p0 AS (SELECT doc_id, dl, unnest(list_distinct(ws)) AS term, ws FROM d),
+p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+qt AS (SELECT doc_id AS query_id,
+    unnest(list_distinct(['ta' || (doc_id % 61), 'tb' || (doc_id % 13), ws[1]])) AS term
+  FROM w WHERE doc_id % 29 = 0),
+sc AS (SELECT qt.query_id, p.doc_id,
+    CAST((length(bin(st.n_docs // d.df)) - 1) *
+      ((p.tf * $K1P1 * 1000000) //
+       (p.tf * 10000 + ($K1 * ((10000 - $B) + ($B * p.dl) // st.avgdl)) // 10000)) AS BIGINT) AS score_e6
+  FROM p JOIN dfreq d USING (term) JOIN qt USING (term), st),
+agg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(score_e6) AS BIGINT) AS score_e6
+  FROM sc WHERE score_e6 > 0 GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rn FROM agg)
+SELECT query_id, doc_id, n_terms, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10"""
+  }
 
   // ---- WordPiece oracle (validated in tools/proto_wordpiece.py) ----
 
@@ -1171,29 +1227,19 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, t
 SELECT doc_id, term, tf, df, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5"""
     },
 
-    "bm25_doc_topk" -> {
-      import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
-      s"""WITH $retDocsCte,
-w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),
-d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
-st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
-p0 AS (SELECT doc_id, dl, unnest(list_distinct(ws)) AS term, ws FROM d),
-p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
-dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
-qt AS (SELECT doc_id AS query_id,
-    unnest(list_distinct(['ta' || (doc_id % 61), 'tb' || (doc_id % 13), ws[1]])) AS term
-  FROM w WHERE doc_id % 29 = 0),
-sc AS (SELECT qt.query_id, p.doc_id,
-    CAST((length(bin(st.n_docs // d.df)) - 1) *
-      ((p.tf * $K1P1 * 1000000) //
-       (p.tf * 10000 + ($K1 * ((10000 - $B) + ($B * p.dl) // st.avgdl)) // 10000)) AS BIGINT) AS score_e6
-  FROM p JOIN dfreq d USING (term) JOIN qt USING (term), st),
-agg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-    CAST(sum(score_e6) AS BIGINT) AS score_e6
-  FROM sc WHERE score_e6 > 0 GROUP BY query_id, doc_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rn FROM agg)
-SELECT query_id, doc_id, n_terms, score_e6, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10"""
-    },
+    "bm25_doc_topk" -> bm25DocOracleSql,
+
+    // the one-shot retrieval aggregate, cross-joined with the two
+    // phases: the engine's direct and store-served runs must BOTH
+    // equal it — materialization is result-invisible or the hash breaks
+    "postings_equiv" ->
+      s"""WITH phases(phase) AS (VALUES ('direct'), ('served')),
+base AS MATERIALIZED ($bm25DocOracleSql),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+  CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+  CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum FROM base)
+SELECT phase, n_rows, score_sum, dr_sum, terms_sum FROM phases, a""",
 
     "token_pieces" ->
       """SELECT doc_id,

@@ -370,13 +370,22 @@ object TextAnalysis {
    * vocabulary-scale df aggregate broadcast back, one corpus-scale
    * (2-number) stats broadcast, bounded CollectTopK per document.
    */
-  def bm25TopK(df: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
+  /** The BM25 corpus projection both rankers share and the postings
+    * store ([[PostingsStore]]) materializes: the per-(term, doc)
+    * posting rows `(term, doc_id, dl, tf)` plus the 1-row corpus
+    * stats `(n_docs, avgdl)`. Tokenization runs exactly once here —
+    * a served ranker consumes the SAME rows from parquet instead. */
+  private[operators] def bm25Corpus(df: DataFrame): (DataFrame, DataFrame) = {
     val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       expr("div(sum(dl), count(1))").as("avgdl"))
-    val pairs = tfExplode(docs, "ws", Seq("doc_id", "dl"), "term")
+    (tfExplode(docs, "ws", Seq("doc_id", "dl"), "term"), stats)
+  }
+
+  def bm25TopK(df: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val (pairs, stats) = bm25Corpus(df)
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = pairs.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -426,12 +435,19 @@ object TextAnalysis {
    */
   def bm25DocTopK(queries: DataFrame, df: DataFrame, k: Int = 10,
                   broadcastQueries: Boolean = true): DataFrame = {
+    val (pairs, stats) = bm25Corpus(df)
+    bm25DocTopKFrom(queries, pairs, stats, k, broadcastQueries)
+  }
+
+  /** [[bm25DocTopK]] over an ALREADY-MATERIALIZED corpus projection —
+    * the serve path of [[PostingsStore]]: `pairs`/`stats` come from
+    * parquet instead of a tokenize pass, everything downstream is the
+    * identical scoring plan (so store-served results are bit-equal to
+    * from-scratch by construction — gated end-to-end anyway by
+    * `postings_equiv`). */
+  private[operators] def bm25DocTopKFrom(queries: DataFrame, pairs: DataFrame,
+      stats: DataFrame, k: Int, broadcastQueries: Boolean): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
-      .withColumn("dl", size(col("ws")).cast("long"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      expr("div(sum(dl), count(1))").as("avgdl"))
-    val pairs = tfExplode(docs, "ws", Seq("doc_id", "dl"), "term")
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms0 = queries.select(col("query_id"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PostingsStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("served retrieval equals from-scratch; drop removes the store") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-spec").toString
+    PostingsStore.build(docs, tmp)
+    // the stored projection IS the corpus projection
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (4L, 4L))
+    val direct = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === direct)
+    assert(direct.nonEmpty)
+    PostingsStore.drop(spark, tmp)
+    assert(!new java.io.File(tmp).exists())
+  }
+
+  test("a term-equality probe prunes by parquet min/max on the clustered layout") {
+    // 200 docs, each a single distinct word -> term-range files carry
+    // disjoint term ranges; probing one term must push the filter to
+    // the scan (file skipping then follows from footer stats)
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"), concat(lit("w"), format_string("%03d", col("id"))).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-spec2").toString
+    PostingsStore.build(docs, tmp)
+    val probe = PostingsStore.postings(spark, tmp).filter(col("term") === "w042")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,w042)]"), plan)
+    assert(probe.collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(42L))
+    PostingsStore.drop(spark, tmp)
+  }
+}
