@@ -928,6 +928,59 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // ONLINE inverted-index maintenance — the reference's raison
+    // d'être (continuous index updates) on the text surface: the
+    // retrieval corpus arrives as four micro-batches, each appended to
+    // the postings store under a BATCH-ID-keyed subtree (replay
+    // overwrites the same subtree — idempotent, the StreamingIngest
+    // two-phase discipline's cheap sibling) with a MERGEABLE corpus-
+    // stats partial per batch. Serving the full BM25 retrieval from
+    // the streamed store must equal the one-shot batch oracle exactly:
+    // a lost batch, doubled replay, or stats drift (avgdl is derived
+    // by ONE truncating division over the summed partials — per-batch
+    // truncation would diverge) each breaks the hash.
+    "stream_postings" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-postings").toString
+        val d = TextQueries.retDocs(s, dir).select("doc_id", "text")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        val sliced = d.withColumn("slice", ntile(4).over(w))
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        (1 to 4).foreach { k =>
+          sliced.filter(col("slice") === k).select("doc_id", "text")
+            .coalesce(1).write.parquet(s"$tmp/stage$k")
+          val part = new java.io.File(s"$tmp/stage$k").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(part.toPath,
+            java.nio.file.Paths.get(f"$tmp/in/slice$k%04d.parquet"))
+        }
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.PostingsStore.appendBatch(b.toDF(), s"$tmp/store", id)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val served = graft.operators.PostingsStore.bm25DocTopK(
+        s, s"$tmp/store", TextQueries.retQueries(s, dir), 10)
+      val agg = served.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+        coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+        coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+      val rows = agg.collect().toSeq
+      val outSchema = agg.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     "stream_hll" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-hll").toString
@@ -1140,6 +1193,16 @@ SELECT coalesce(conv_type, '__none') AS conv_type,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
   CAST(coalesce(sum(lag_ns // 1000000000), 0) AS BIGINT) AS lag_s_sum
 FROM lj GROUP BY 1""",
+
+    // the one-shot retrieval replay, aggregated: the streamed store's
+    // served answer must collapse to the same row
+    "stream_postings" ->
+      s"""WITH base AS MATERIALIZED (${TextQueries.bm25DocOracleSql})
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+  CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+  CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum
+FROM base""",
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly"),

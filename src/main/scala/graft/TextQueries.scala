@@ -448,7 +448,7 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
 
   /** The retrieval query fixture bm25_doc_topk and postings_equiv
     * share: every 29th document's two topic terms + its first word. */
-  private def retQueries(s: SparkSession, dir: String): DataFrame =
+  private[graft] def retQueries(s: SparkSession, dir: String): DataFrame =
     retDocs(s, dir)
       .select(col("doc_id").as("query_id"),
         format_string("ta%d tb%d %s", col("doc_id") % 61, col("doc_id") % 13,
@@ -457,7 +457,7 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
 
   /** The bm25_doc_topk replay — shared by the direct gate and the
     * postings_equiv wrapper (which aggregates it per phase). */
-  private def bm25DocOracleSql: String = {
+  private[graft] def bm25DocOracleSql: String = {
     import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
     s"""WITH $retDocsCte,
 w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),

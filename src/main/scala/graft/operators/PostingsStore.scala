@@ -32,18 +32,46 @@ object PostingsStore {
 
   /** Build the store at `path` (overwrites). */
   def build(df: DataFrame, path: String): Unit = {
-    val (pairs, stats) = TextAnalysis.bm25Corpus(df)
+    val (pairs, partial) = TextAnalysis.bm25Corpus(df)
     pairs.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** APPEND one batch's postings + stats partial under a BATCH-ID-keyed
+    * subtree — the online-maintenance write ([[StreamingQueries]]'
+    * `stream_postings` gate): overwriting `b$batchId` makes a
+    * foreachBatch REPLAY idempotent (the at-least-once machinery's
+    * exactly-once net effect, the `StreamingIngest` discipline), and
+    * the mergeable stats partial sums to the offline build's numbers.
+    * Per-batch files are term-clustered only within the batch — a
+    * compaction (re-running [[build]] over the accumulated corpus)
+    * restores the global clustering, result-invisibly. */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Unit = {
+    val (pairs, partial) = TextAnalysis.bm25Corpus(df)
+    pairs.repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings/b$batchId")
+    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
+  }
+
+  /** Whether [[appendBatch]] (batch-subdir layout) wrote this store. */
+  private def batched(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("b"))
   }
 
   def postings(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/postings")
+    if (batched(s, path)) s.read.parquet(s"$path/postings/b*")
+    else s.read.parquet(s"$path/postings")
 
   def stats(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/stats")
+    TextAnalysis.bm25Stats(
+      if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
+      else s.read.parquet(s"$path/stats"))
 
   /** [[TextAnalysis.bm25DocTopK]] served from the store. */
   def bm25DocTopK(s: SparkSession, path: String, queries: DataFrame,

@@ -372,20 +372,31 @@ object TextAnalysis {
    */
   /** The BM25 corpus projection both rankers share and the postings
     * store ([[PostingsStore]]) materializes: the per-(term, doc)
-    * posting rows `(term, doc_id, dl, tf)` plus the 1-row corpus
-    * stats `(n_docs, avgdl)`. Tokenization runs exactly once here —
-    * a served ranker consumes the SAME rows from parquet instead. */
+    * posting rows `(term, doc_id, dl, tf)` plus the 1-row corpus-stats
+    * PARTIAL `(n_docs, dl_sum)`. The partial is MERGEABLE — streamed
+    * per-batch partials sum to exactly the batch build's numbers, and
+    * [[bm25Stats]] derives `avgdl` with ONE truncating division over
+    * the summed totals, so online and offline stores serve identical
+    * scores. Tokenization runs exactly once here — a served ranker
+    * consumes the SAME rows from parquet instead. */
   private[operators] def bm25Corpus(df: DataFrame): (DataFrame, DataFrame) = {
     val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      expr("div(sum(dl), count(1))").as("avgdl"))
-    (tfExplode(docs, "ws", Seq("doc_id", "dl"), "term"), stats)
+    val partial = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+    (tfExplode(docs, "ws", Seq("doc_id", "dl"), "term"), partial)
   }
+
+  /** Fold corpus-stats partials into the `(n_docs, avgdl)` row the
+    * scorers consume — the single place the truncating avgdl division
+    * happens (so N merged partials replay the one-shot number). */
+  private[operators] def bm25Stats(partials: DataFrame): DataFrame =
+    partials.agg(sum("n_docs").as("n_docs"),
+      expr("div(sum(dl_sum), sum(n_docs))").as("avgdl"))
 
   def bm25TopK(df: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val (pairs, stats) = bm25Corpus(df)
+    val (pairs, partial) = bm25Corpus(df)
+    val stats = bm25Stats(partial)
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = pairs.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -435,8 +446,8 @@ object TextAnalysis {
    */
   def bm25DocTopK(queries: DataFrame, df: DataFrame, k: Int = 10,
                   broadcastQueries: Boolean = true): DataFrame = {
-    val (pairs, stats) = bm25Corpus(df)
-    bm25DocTopKFrom(queries, pairs, stats, k, broadcastQueries)
+    val (pairs, partial) = bm25Corpus(df)
+    bm25DocTopKFrom(queries, pairs, bm25Stats(partial), k, broadcastQueries)
   }
 
   /** [[bm25DocTopK]] over an ALREADY-MATERIALIZED corpus projection —

@@ -28,6 +28,29 @@ class PostingsStoreSpec extends SparkSpec {
     assert(!new java.io.File(tmp).exists())
   }
 
+  test("batch-appended store serves identically; replaying a batch is idempotent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-spec3").toString
+    PostingsStore.appendBatch(docs.filter(col("doc_id") <= 2), tmp, 0L)
+    PostingsStore.appendBatch(docs.filter(col("doc_id") > 2), tmp, 1L)
+    // at-least-once replay of batch 1: overwrites its own subtree
+    PostingsStore.appendBatch(docs.filter(col("doc_id") > 2), tmp, 1L)
+    // merged stats partials equal the one-shot numbers
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (4L, 4L))
+    val direct = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === direct)
+    PostingsStore.drop(spark, tmp)
+  }
+
   test("a term-equality probe prunes by parquet min/max on the clustered layout") {
     // 200 docs, each a single distinct word -> term-range files carry
     // disjoint term ranges; probing one term must push the filter to
