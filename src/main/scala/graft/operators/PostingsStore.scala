@@ -56,6 +56,33 @@ object PostingsStore {
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
   }
 
+  /** Compact a batch-appended store back to the offline layout: one
+    * globally term-range-clustered postings tree + a single folded
+    * stats partial (the point store's minor+major compaction analog,
+    * and like it RESULT-INVISIBLE — serving before and after compaction
+    * is bit-identical, spec-pinned). The folded partial sums the RAW
+    * `(n_docs, dl_sum)` partials — never the derived (truncated) avgdl,
+    * which would drift under appends AFTER a compaction. Two-phase:
+    * write to a sibling tree, then swap — a reader never observes a
+    * half-compacted store. */
+  def compact(s: SparkSession, path: String): Unit = {
+    val pairs = postings(s, path)
+    val partial = rawPartials(s, path)
+      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+    pairs.repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings.next")
+    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings.next"),
+      new org.apache.hadoop.fs.Path(s"$path/postings"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/stats.next"),
+      new org.apache.hadoop.fs.Path(s"$path/stats"))
+  }
+
   /** Whether [[appendBatch]] (batch-subdir layout) wrote this store. */
   private def batched(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/postings")
@@ -68,10 +95,15 @@ object PostingsStore {
     if (batched(s, path)) s.read.parquet(s"$path/postings/b*")
     else s.read.parquet(s"$path/postings")
 
+  /** The store's raw `(n_docs, dl_sum)` stats partials (1 row offline,
+    * 1 per batch online) — the mergeable representation every derived
+    * number folds from. */
+  private def rawPartials(s: SparkSession, path: String): DataFrame =
+    if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
+    else s.read.parquet(s"$path/stats")
+
   def stats(s: SparkSession, path: String): DataFrame =
-    TextAnalysis.bm25Stats(
-      if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
-      else s.read.parquet(s"$path/stats"))
+    TextAnalysis.bm25Stats(rawPartials(s, path))
 
   /** [[TextAnalysis.bm25DocTopK]] served from the store. */
   def bm25DocTopK(s: SparkSession, path: String, queries: DataFrame,

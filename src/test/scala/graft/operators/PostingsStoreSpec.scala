@@ -48,6 +48,15 @@ class PostingsStoreSpec extends SparkSpec {
     val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(served === direct)
+    // compaction (batched -> global clustering) is result-invisible,
+    // and an append AFTER compaction still merges exactly (the folded
+    // partial carries raw sums, not the truncated avgdl)
+    PostingsStore.compact(spark, tmp)
+    val compacted = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(compacted === direct)
+    val st2 = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st2.getLong(0), st2.getLong(1)) === (4L, 4L))
     PostingsStore.drop(spark, tmp)
   }
 
