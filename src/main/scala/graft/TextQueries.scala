@@ -130,6 +130,14 @@ object TextQueries {
     "lsh_candidates" -> ((s, dir) =>
       Dedup.lshCandidates(Dedup.minhashSignatures(docs(s, dir), NumHashes),
         Bands, RowsPerBand)),
+    // APPROXIMATION QUALITY, oracle-gated like the ann_*_recall gates:
+    // recall of the banded-LSH candidate generator against the exact
+    // Jaccard>=1/2 ground truth (both already gated individually) —
+    // the number a pipeline tunes bands/rows against before trusting
+    // LSH at a scale where exact pairing is unaffordable
+    "lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(docs(s, dir), 1, 2, NumHashes, Bands, RowsPerBand,
+        maxDf = MaxShingleDf)),
     "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "simhash_near_pairs" -> ((s, dir) => Dedup.simhashNearPairs(docs(s, dir), 8)),
     // per-document top-5 distinctive terms (integer tf-idf surrogate)
@@ -1198,6 +1206,32 @@ bandsigs AS ($bandSelects)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bandsigs a JOIN bandsigs b
   ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+
+    // exact truth and LSH candidates replayed from their own gated
+    // CTEs, folded to the three counts + floor-permille recall
+    "lsh_recall" ->
+      s"""$sigCte,
+bandsigs AS ($bandSelects),
+cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsigs a JOIN bandsigs b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+keep AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+dshc AS (SELECT d.doc_id, d.sh FROM dsh d JOIN keep USING (sh)),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dshc a JOIN dshc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS MATERIALIZED (SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+  WHERE 3 * inter >= 1 * (ca.n + cb.n)),
+tc AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+hc AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth JOIN cand USING (id_a, id_b))
+SELECT n_true, n_cand, n_hit,
+  CAST(CASE WHEN n_true = 0 THEN 1000 ELSE (n_hit * 1000) // n_true END AS BIGINT)
+    AS recall_permille
+FROM tc, cc, hc""",
 
     "tfidf_topk" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -133,6 +133,32 @@ object Dedup {
         expr("div(inter * 1000, nb)").as("cont_b_permille"))
 
   /**
+   * Recall of the banded-LSH candidate generator against the exact
+   * Jaccard ground truth, as one row
+   * `(n_true, n_cand, n_hit, recall_permille)` — the approximation-
+   * quality probe a pipeline tunes `bands × rowsPerBand` against
+   * before trusting LSH at a scale where exact pairing is unaffordable
+   * (the `ann_*_recall` discipline applied to text dedup). Exact
+   * integers; an empty truth set reports the 1000 sentinel. Both
+   * inputs are the already-gated operators ([[jaccardPairs]],
+   * [[lshCandidates]]); the hit join runs on the pair key.
+   */
+  def lshRecall(df: DataFrame, num: Int = 1, den: Int = 2,
+                numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+                maxDf: Int = 1000): DataFrame = {
+    val truth = jaccardPairs(df, num, den, maxDf = maxDf)
+      .select("id_a", "id_b")
+    val cand = lshCandidates(minhashSignatures(df, numHashes), bands, rowsPerBand)
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val h = truth.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+    t.crossJoin(c).crossJoin(h)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") === 0, lit(1000L))
+          .otherwise(expr("div(n_hit * 1000, n_true)")).as("recall_permille"))
+  }
+
+  /**
    * Universal-hash family for MinHash: `h_i(s) = A_i * base32(s) + B_i`
    * where `base32` is a 32-bit md5-derived hash and A_i/B_i are fixed
    * odd/offset constants. One md5 per shingle (instead of one per

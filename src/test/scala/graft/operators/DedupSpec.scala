@@ -976,6 +976,26 @@ class DedupSpec extends SparkSpec {
       newBatch.limit(0), prior).collect().isEmpty)
   }
 
+  test("lshRecall: identical documents are always candidates (recall 1000); " +
+    "empty truth reports the sentinel") {
+    import spark.implicits._
+    // 10 duplicate pairs of distinct 5-word texts: every pair is a
+    // true Jaccard-1 near-dup AND — identical shingle sets, identical
+    // signatures — collides in EVERY band, so recall is exactly 1000
+    val dups = (0 until 10).flatMap { i =>
+      val txt = s"alpha$i beta$i gamma$i delta$i epsilon$i"
+      Seq((i * 2L, txt), (i * 2L + 1, txt))
+    }.toDF("doc_id", "text")
+    val r = Dedup.lshRecall(dups).collect()(0)
+    assert((r.getLong(0), r.getLong(2), r.getLong(3)) === (10L, 10L, 1000L))
+    // all-distinct corpus: no true pairs -> the 1000 sentinel, not a
+    // division by zero
+    val uniq = (0 until 8).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    val r2 = Dedup.lshRecall(uniq).collect()(0)
+    assert((r2.getLong(0), r2.getLong(3)) === (0L, 1000L))
+  }
+
   test("containmentPairs fires on quotes symmetric Jaccard misses") {
     import spark.implicits._
     // doc 1: 10 words -> 8 shingles; doc 2 quotes its first 4 words
