@@ -39,13 +39,21 @@ object HtmlQueries {
   /** The [[LinkGraph.components]] fixture: a deliberately DISCONNECTED
     * graph — per-50-block affine-permutation cycles plus a short chain
     * (see the `cc_components` gate comment). */
-  private def ccEdges(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    d.select(col("doc_id").as("src"),
-        expr("div(doc_id, 50) * 50 + (7 * (doc_id % 50) + 3) % 50").as("dst"))
-      .unionByName(d.filter(expr("doc_id % 50 BETWEEN 1 AND 9"))
-        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst")))
-  }
+  private def ccEdges(s: SparkSession, dir: String): DataFrame =
+    ccPriorEdges(s, dir).unionByName(ccChainEdges(s, dir))
+
+  /** The cc fixture split for the INCREMENTAL gate: the per-50-block
+    * affine cycles are the PRIOR graph (7 components per block)… */
+  private def ccPriorEdges(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id").as("src"),
+      expr("div(doc_id, 50) * 50 + (7 * (doc_id % 50) + 3) % 50").as("dst"))
+
+  /** …and the short chains are the NEW batch — each merges several of
+    * a block's prior components, so the incremental fold must both
+    * merge across supernodes and relabel untouched members. */
+  private def ccChainEdges(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(expr("doc_id % 50 BETWEEN 1 AND 9"))
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
 
   /** [[fixtureEdges]] densified on its EVEN half by two intra-block-of-25
     * maps — gives the k-core gate a genuine dense-kernel-vs-tendril
@@ -226,6 +234,13 @@ object HtmlQueries {
     // rounds at every sf; the oracle unrolls 10 (extras are no-ops)
     // while the engine pointer-jumps to the same fixpoint
     "cc_components" -> ((s, dir) => LinkGraph.components(ccEdges(s, dir))),
+    // INCREMENTAL fold: prior labels from the block cycles alone, then
+    // the chain batch merges components via supernode contraction —
+    // the oracle is the FULL-UNION recompute, so equality proves the
+    // incremental path exact (and it never re-floods the prior edges)
+    "cc_incremental" -> ((s, dir) =>
+      LinkGraph.incrementalComponents(ccChainEdges(s, dir),
+        LinkGraph.components(ccPriorEdges(s, dir)))),
     // synchronous label-propagation communities (6 fixed rounds) over
     // the bridged-block fixture — the graph is ONE component, so the
     // ~n/25 recovered communities are structure CC cannot express
@@ -394,6 +409,16 @@ SELECT v, CAST(d AS BIGINT) AS deg FROM
 WHERE d >= 5""",
 
     "cc_components" ->
+      s"""WITH edges AS (
+  SELECT doc_id AS src, (doc_id // 50) * 50 + (7 * (doc_id % 50) + 3) % 50 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 50 BETWEEN 1 AND 9),
+${LinkGraph.ccOracleCore(rounds = 10)}
+SELECT v, label AS component FROM cc10""",
+
+    // the FULL-UNION recompute — the incremental fold must equal it
+    // exactly (same edges CTE as cc_components: prior cycles + chains)
+    "cc_incremental" ->
       s"""WITH edges AS (
   SELECT doc_id AS src, (doc_id // 50) * 50 + (7 * (doc_id % 50) + 3) % 50 AS dst FROM documents
   UNION ALL

@@ -747,6 +747,61 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
       .select(col("doc_id").as("v"), col("cluster_id").as("component"))
 
   /**
+   * INCREMENTAL connected components — fold a batch of NEW edges into
+   * PRIOR component labels without touching the full historical edge
+   * set (the nightly-graph analog of `dedup_incremental`: at 100 TB
+   * the accumulated link graph is re-derivable but re-flooding it
+   * nightly is not affordable; the merge information lives entirely in
+   * the new edges).
+   *
+   * Supernode contraction: each new edge projects its endpoints onto
+   * their prior component labels (an unseen vertex maps to itself),
+   * intra-component edges drop as self-loops, and [[Dedup.connectedComponents]]
+   * runs on the CONTRACTED graph — whose size is bounded by the new
+   * batch, never the corpus. The result maps old labels to merged
+   * labels; composition relabels prior vertices in one join.
+   *
+   * Exactness: labels are component-minimum vertex ids, so the merged
+   * supernode minimum = min over member supernodes' labels = min over
+   * all member VERTEX ids — precisely the full-recompute label
+   * (the `cc_incremental` gate checks against the full-union oracle).
+   *
+   * Scale shape: two broadcast-or-shuffle lookups of the new edges
+   * against the prior label table (at 100 TB: the label table is
+   * vertex-scale — bucket it by `v` and the lookups co-locate), the
+   * O(log d) flood on the batch-bounded contracted graph, then ONE
+   * label-keyed join to relabel. The prior×prior quadrant is never
+   * read, let alone flooded.
+   */
+  def incrementalComponents(newEdges: DataFrame, prior: DataFrame): DataFrame = {
+    val lab = prior.select(col("v").cast("long").as("v"),
+      col("component").cast("long").as("component")).scopedCheckpoint()
+    val e = newEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val projected = e
+      .join(lab.select(col("v").as("src"), col("component").as("ca")),
+        Seq("src"), "left")
+      .join(lab.select(col("v").as("dst"), col("component").as("cb")),
+        Seq("dst"), "left")
+      .select(coalesce(col("ca"), col("src")).as("id_a"),
+        coalesce(col("cb"), col("dst")).as("id_b"))
+    val merged = Dedup.connectedComponents(
+        projected.filter(col("id_a") =!= col("id_b")))
+      .select(col("doc_id").as("c_old"), col("cluster_id").as("c_new"))
+    // coverage = prior vertices + every new-edge endpoint (new vertices
+    // start as their own components, exactly like a fresh flood)
+    val newVerts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .join(lab.select("v"), Seq("v"), "left_anti")
+      .withColumn("component", col("v"))
+    // lab stays registered (3 readers in this lineage) — the caller's
+    // CheckpointScope release point frees it with the result
+    lab.unionByName(newVerts)
+      .join(merged, col("component") === col("c_old"), "left")
+      .select(col("v"), coalesce(col("c_new"), col("component")).as("component"))
+  }
+
+  /**
    * Synchronous label-propagation communities (Raghavan–Albert–Kumara
    * 2007) — the near-linear community detector web curation uses to
    * group pages into topical/site clusters where [[components]] is too

@@ -276,6 +276,29 @@ class LinkGraphSpec extends SparkSpec {
     CheckpointScope.releaseAll()
   }
 
+  test("incrementalComponents equals a full recompute without the prior edges") {
+    import spark.implicits._
+    val priorEdges = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val prior = LinkGraph.components(priorEdges)
+    // (2,3) merges two prior components; (5,6) is a brand-new pair;
+    // (1,2) is intra-component and must be a no-op after contraction
+    val newEdges = Seq((2L, 3L), (5L, 6L), (1L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.incrementalComponents(newEdges, prior).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L))
+    // the load-bearing bit: vertex 4 touches NO new edge, yet its
+    // label moved 3 -> 1 through the supernode relabel join
+    CheckpointScope.releaseAll()
+    // no cross-component new edges: prior labels pass through untouched
+    val got2 = LinkGraph.incrementalComponents(
+      Seq((1L, 2L)).toDF("src", "dst"), LinkGraph.components(priorEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L))
+    CheckpointScope.releaseAll()
+  }
+
   test("temporalReach only walks time-increasing edge sequences") {
     import spark.implicits._
     // seeds {0}, t0=0. (1,2,t=3) is time-BLOCKED (arrival at 1 is 5);
