@@ -44,14 +44,14 @@ object HtmlQueries {
 
   /** The cc fixture split for the INCREMENTAL gate: the per-50-block
     * affine cycles are the PRIOR graph (7 components per block)… */
-  private def ccPriorEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ccPriorEdges(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id").as("src"),
       expr("div(doc_id, 50) * 50 + (7 * (doc_id % 50) + 3) % 50").as("dst"))
 
   /** …and the short chains are the NEW batch — each merges several of
     * a block's prior components, so the incremental fold must both
     * merge across supernodes and relabel untouched members. */
-  private def ccChainEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ccChainEdges(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).filter(expr("doc_id % 50 BETWEEN 1 AND 9"))
       .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
 

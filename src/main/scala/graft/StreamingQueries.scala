@@ -928,6 +928,62 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // ONLINE graph maintenance: connected-component labels kept
+    // current as edge batches stream in. State is a PARQUET label
+    // table versioned per batch (batch k reads labels b<k>, folds the
+    // batch's edges via the supernode contraction of
+    // LinkGraph.incrementalComponents — never re-flooding prior
+    // edges — and writes labels b<k+1>; a foreachBatch replay
+    // re-derives b<k+1> from the untouched b<k>, so at-least-once
+    // delivery nets exactly-once state). The final label table must
+    // equal the one-shot full-union flood: a dropped batch, doubled
+    // fold, or contraction error each breaks the hash.
+    "stream_cc" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-cc").toString
+        // prior graph = the block cycles; its labels seed state b0
+        graft.operators.LinkGraph.components(HtmlQueries.ccPriorEdges(s, dir))
+          .write.parquet(s"$tmp/labels/b0")
+        graft.operators.CheckpointScope.releaseAll()
+        // the chain batch arrives as three time-ordered slices
+        val chain = HtmlQueries.ccChainEdges(s, dir)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("src"))
+        val sliced = chain.withColumn("slice", ntile(3).over(w))
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        (1 to 3).foreach { k =>
+          sliced.filter(col("slice") === k).select("src", "dst")
+            .coalesce(1).write.parquet(s"$tmp/stage$k")
+          val part = new java.io.File(s"$tmp/stage$k").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(part.toPath,
+            java.nio.file.Paths.get(f"$tmp/in/slice$k%04d.parquet"))
+        }
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val ss = b.sparkSession
+          val priorLabels = ss.read.parquet(s"$tmp/labels/b$id")
+          graft.operators.LinkGraph.incrementalComponents(b.toDF(), priorLabels)
+            .write.mode("overwrite").parquet(s"$tmp/labels/b${id + 1}")
+          graft.operators.CheckpointScope.releaseAll()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val fin = s.read.parquet(s"$tmp/labels/b3")
+      val rows = fin.collect().toSeq
+      val outSchema = fin.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // ONLINE inverted-index maintenance — the reference's raison
     // d'être (continuous index updates) on the text surface: the
     // retrieval corpus arrives as four micro-batches, each appended to
@@ -1203,6 +1259,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
   CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum
 FROM base""",
+
+    // the one-shot full-union flood — the streamed label state's final
+    // version must equal it exactly (cc_incremental's oracle verbatim)
+    "stream_cc" -> HtmlQueries.oracle("cc_incremental"),
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly"),
