@@ -53,6 +53,22 @@ WHERE x BETWEEN 10000 AND 30000 AND y BETWEEN 40 AND 110 AND t BETWEEN 500 AND 3
   AND z3 BETWEEN zorder3(10000, 40, 500) AND zorder3(30000, 110, 300000)
 GROUP BY event_type""")),
 
+    // CORRELATED scalar subqueries through the SQL surface — the
+    // decorrelation path (Catalyst rewrites each correlated aggregate
+    // to a grouped join) that no Column-API gate exercises: orders
+    // beating their own customer's average price, with the average
+    // compared in exact integer cents via cross-multiplication
+    // (cents·n > Σcents — a float avg would tie-break differently)
+    "sql_correlated" -> ((s, dir) => sql(s, dir,
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above,
+       CAST(sum(cents) AS BIGINT) AS cents_above
+FROM o o1
+WHERE cents * (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
+      > (SELECT sum(cents) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
+GROUP BY o_custkey""")),
+
     // the SimHash sketch through the SQL parser path: exercises the
     // registered simhash_agg aggregate — must hash-match the Column-API
     // twin (`simhash`) against the same relational oracle.
@@ -97,6 +113,17 @@ GROUP BY event_type, CAST(date_trunc('DAY', ts_ntz) AS DATE)"""))
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB runs the SAME correlated text — two independent
+    // decorrelators must agree on the exact-integer comparison
+    "sql_correlated" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above,
+       CAST(sum(cents) AS BIGINT) AS cents_above
+FROM o o1
+WHERE cents * (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
+      > (SELECT sum(cents) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
+GROUP BY o_custkey""",
     "sql_range_count" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
 FROM events

@@ -518,5 +518,14 @@ class PlanQualitySpec extends SparkSpec {
     val tr = graft.SparkEntry.queries("temporal_reach")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(!tr.contains("CartesianProduct") && !tr.contains("NestedLoop"), tr)
+    // correlated scalar subqueries must DECORRELATE to grouped joins on
+    // the correlation key — a per-row subquery re-execution (or a
+    // cartesian) would be the O(n²) trap at scale
+    val cs = graft.SparkEntry.queries("sql_correlated")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!cs.contains("CartesianProduct") && !cs.contains("NestedLoop"), cs)
+    assert(cs.contains("HashAggregate"), cs)
+    assert(cs.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("o_custkey")), cs)
   }
 }
