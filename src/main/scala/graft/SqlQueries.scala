@@ -69,6 +69,21 @@ WHERE cents * (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
       > (SELECT sum(cents) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
 GROUP BY o_custkey""")),
 
+    // interval RANGE window frames — the time-windowed running
+    // aggregate surface (30-day trailing spend per customer) that ROWS
+    // frames get WRONG under date ties (RANGE includes all peers, so
+    // the result is tie-order-independent and hash-gateable); cents
+    // are exact integers so the running sums replay bit-for-bit
+    "sql_window_range" -> ((s, dir) => sql(s, dir,
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_orderkey, o_custkey,
+  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d,
+  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+FROM o""")),
+
     // the SimHash sketch through the SQL parser path: exercises the
     // registered simhash_agg aggregate — must hash-match the Column-API
     // twin (`simhash`) against the same relational oracle.
@@ -124,6 +139,15 @@ FROM o o1
 WHERE cents * (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
       > (SELECT sum(cents) FROM o o2 WHERE o2.o_custkey = o1.o_custkey)
 GROUP BY o_custkey""",
+    "sql_window_range" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_orderkey, o_custkey,
+  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d,
+  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+FROM o""",
     "sql_range_count" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
 FROM events
