@@ -972,9 +972,35 @@ object StreamingQueries {
         }
         .option("checkpointLocation", s"$tmp/ckpt").start()
       try q.processAllAvailable() finally q.stop()
-      val fin = s.read.parquet(s"$tmp/labels/b3")
-      val rows = fin.collect().toSeq
-      val outSchema = fin.schema
+      // the current label version is the HIGHEST b* subtree — derived,
+      // not hard-coded, so a file-source coalescing batches differently
+      // (option change, checkpoint replay variation) still reads the
+      // true final state instead of a stale literal version
+      val labelsRoot = new org.apache.hadoop.fs.Path(s"$tmp/labels")
+      val lfs = labelsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vTop = lfs.listStatus(labelsRoot).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("b\\d+") => n.drop(1).toLong }.max
+      // fold the label table to its component ROSTER before anything
+      // reaches the driver — the labelPropagation output shape: driver
+      // state is O(components), never O(vertices), the collect shape
+      // that survives a 100-TB graph
+      def roster(phase: String) =
+        s.read.parquet(s"$tmp/labels/b$vTop")
+          .groupBy("component").agg(count(lit(1)).as("n_members"),
+            min(col("v")).as("min_v"), sum(col("v")).as("v_sum"))
+          .select(lit(phase).as("phase"), col("component"), col("n_members"),
+            col("min_v"), col("v_sum"))
+      val pre = roster("pre")
+      val rowsPre = pre.collect().toSeq
+      // label-state compaction: superseded b<k> versions are dead once
+      // b<vTop> is committed (each batch reads only its predecessor) —
+      // dropping them must be result-invisible, which the 'post' phase
+      // proves against the same oracle replay
+      (0L until vTop).foreach { k =>
+        lfs.delete(new org.apache.hadoop.fs.Path(s"$tmp/labels/b$k"), true)
+      }
+      val rows = rowsPre ++ roster("post").collect().toSeq
+      val outSchema = pre.schema
       StreamMeter.setup {
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -1020,14 +1046,26 @@ object StreamingQueries {
         }
         .option("checkpointLocation", s"$tmp/ckpt").start()
       try q.processAllAvailable() finally q.stop()
-      val served = graft.operators.PostingsStore.bm25DocTopK(
-        s, s"$tmp/store", TextQueries.retQueries(s, dir), 10)
-      val agg = served.agg(count(lit(1)).as("n_rows"),
-        coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
-        coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
-        coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
-      val rows = agg.collect().toSeq
-      val outSchema = agg.schema
+      // phase 1: serve straight off the batch-subtree layout; phase 2:
+      // compact (crash-atomic _READY swap back to the globally term-
+      // clustered layout) and serve again — BOTH phases must collapse
+      // to the same one-shot oracle row, so a compaction that loses or
+      // doubles a posting, or re-truncates avgdl, breaks only the
+      // 'compacted' row while 'streamed' still matches
+      def phaseAgg(phase: String) =
+        graft.operators.PostingsStore.bm25DocTopK(
+            s, s"$tmp/store", TextQueries.retQueries(s, dir), 10)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+            coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+            coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+            col("dr_sum"), col("terms_sum"))
+      val streamed = phaseAgg("streamed")
+      val rowsPre = streamed.collect().toSeq
+      graft.operators.PostingsStore.compact(s, s"$tmp/store")
+      val rows = rowsPre ++ phaseAgg("compacted").collect().toSeq
+      val outSchema = streamed.schema
       StreamMeter.setup {
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -1250,19 +1288,30 @@ SELECT coalesce(conv_type, '__none') AS conv_type,
   CAST(coalesce(sum(lag_ns // 1000000000), 0) AS BIGINT) AS lag_s_sum
 FROM lj GROUP BY 1""",
 
-    // the one-shot retrieval replay, aggregated: the streamed store's
-    // served answer must collapse to the same row
+    // the one-shot retrieval replay, aggregated and emitted once per
+    // serving phase: the streamed store's answer must collapse to the
+    // same row BOTH before and after compaction (the compact_equiv
+    // discipline on the text index)
     "stream_postings" ->
-      s"""WITH base AS MATERIALIZED (${TextQueries.bm25DocOracleSql})
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
-  CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
-  CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum
-FROM base""",
+      s"""WITH base AS MATERIALIZED (${TextQueries.bm25DocOracleSql}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+    CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+    CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum
+  FROM base),
+phases(phase) AS (VALUES ('streamed'), ('compacted'))
+SELECT phase, n_rows, score_sum, dr_sum, terms_sum FROM phases, agg""",
 
-    // the one-shot full-union flood — the streamed label state's final
-    // version must equal it exactly (cc_incremental's oracle verbatim)
-    "stream_cc" -> HtmlQueries.oracle("cc_incremental"),
+    // the one-shot full-union flood folded to its component roster —
+    // the streamed label state's final version must equal it exactly,
+    // both before and after superseded-version compaction
+    "stream_cc" ->
+      s"""WITH base AS MATERIALIZED (${HtmlQueries.oracle("cc_incremental")}),
+agg AS (SELECT component, count(*) AS n_members,
+    CAST(min(v) AS BIGINT) AS min_v, CAST(sum(v) AS BIGINT) AS v_sum
+  FROM base GROUP BY 1),
+phases(phase) AS (VALUES ('pre'), ('post'))
+SELECT phase, component, n_members, min_v, v_sum FROM phases, agg""",
 
     // the batch hourly rollup — identical to events_hourly's oracle
     "stream_hourly" -> RelationalQueries.oracle("events_hourly"),

@@ -62,10 +62,33 @@ object PostingsStore {
     * and like it RESULT-INVISIBLE — serving before and after compaction
     * is bit-identical, spec-pinned). The folded partial sums the RAW
     * `(n_docs, dl_sum)` partials — never the derived (truncated) avgdl,
-    * which would drift under appends AFTER a compaction. Two-phase:
-    * write to a sibling tree, then swap — a reader never observes a
-    * half-compacted store. */
+    * which would drift under appends AFTER a compaction.
+    *
+    * CRASH-ATOMIC via the `_READY`-marker swap (the StreamingIngest
+    * recluster discipline): both `.next` trees are fully written BEFORE
+    * the marker is created; only then does the swap move each live tree
+    * aside (`.old`), promote its `.next`, and delete the `.old`. Every
+    * crash state converges — no marker means the `.next` debris is an
+    * unfinished build (discarded by the next compact), marker means the
+    * build finished (any reader or the next compact completes the swap,
+    * [[resolve]]); at no point is the store's data unrecoverable, and a
+    * completed-swap store is servable between every pair of filesystem
+    * ops (spec-pinned by killing the swap at each step). Single
+    * compactor assumed (the gate/stream harness guarantee); the claim
+    * here is crash recovery, not multi-writer coordination. */
   def compact(s: SparkSession, path: String): Unit = {
+    compactBuild(s, path)
+    completeSwap(fsOf(s, path), path)
+  }
+
+  /** [[compact]]'s build half: write both `.next` trees, then announce
+    * them complete with the `_READY` marker. Split out so the crash
+    * spec can stop the world at the marker and prove every subsequent
+    * state self-heals. */
+  private[operators] def compactBuild(s: SparkSession, path: String): Unit = {
+    val fs = fsOf(s, path)
+    resolve(fs, path)                       // converge an interrupted prior swap
+    Trees.foreach(t => fs.delete(nextPath(path, t), true)) // unfinished-build debris
     val pairs = postings(s, path)
     val partial = rawPartials(s, path)
       .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
@@ -73,15 +96,54 @@ object PostingsStore {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings.next")
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings.next"),
-      new org.apache.hadoop.fs.Path(s"$path/postings"))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/stats.next"),
-      new org.apache.hadoop.fs.Path(s"$path/stats"))
+    fs.create(markerPath(path)).close()
   }
+
+  private val CompactReady = "_GRAFT_COMPACT_READY"
+  private val Trees = Seq("postings", "stats")
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$CompactReady")
+  private def livePath(path: String, t: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$t")
+  private def nextPath(path: String, t: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$t.next")
+  private def oldPath(path: String, t: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$t.old")
+
+  private def fsOf(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Complete a marker-announced swap, per tree and idempotently:
+    * move live aside, promote `.next`, drop the `.old`. Each step only
+    * fires from the state the previous one leaves, so re-running after
+    * a crash at ANY point finishes exactly the remaining steps. */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    Trees.foreach { t =>
+      val (live, next, old) = (livePath(path, t), nextPath(path, t), oldPath(path, t))
+      if (fs.exists(next)) {
+        if (fs.exists(live)) {
+          fs.delete(old, true)              // stale .old from a doubly-crashed swap
+          if (!fs.rename(live, old))
+            throw new java.io.IOException(s"compact swap: $live -> $old failed")
+        }
+        if (!fs.rename(next, live))
+          throw new java.io.IOException(s"compact swap: $next -> $live failed")
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(markerPath(path), false)
+    ()
+  }
+
+  /** Converge a crash-interrupted [[compact]]: with the `_READY` marker
+    * present the `.next` trees are complete, so finish the swap; without
+    * it any `.next` debris is an unfinished build and the live trees are
+    * authoritative (left untouched — [[compact]] itself discards the
+    * debris before rebuilding). Called by every read path, so a store
+    * headless from a mid-swap crash self-heals on first access. */
+  private def resolve(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    if (fs.exists(markerPath(path))) completeSwap(fs, path)
 
   /** Whether [[appendBatch]] (batch-subdir layout) wrote this store. */
   private def batched(s: SparkSession, path: String): Boolean = {
@@ -91,16 +153,20 @@ object PostingsStore {
       st.isDirectory && st.getPath.getName.startsWith("b"))
   }
 
-  def postings(s: SparkSession, path: String): DataFrame =
+  def postings(s: SparkSession, path: String): DataFrame = {
+    resolve(fsOf(s, path), path)
     if (batched(s, path)) s.read.parquet(s"$path/postings/b*")
     else s.read.parquet(s"$path/postings")
+  }
 
   /** The store's raw `(n_docs, dl_sum)` stats partials (1 row offline,
     * 1 per batch online) — the mergeable representation every derived
     * number folds from. */
-  private def rawPartials(s: SparkSession, path: String): DataFrame =
+  private def rawPartials(s: SparkSession, path: String): DataFrame = {
+    resolve(fsOf(s, path), path)
     if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
     else s.read.parquet(s"$path/stats")
+  }
 
   def stats(s: SparkSession, path: String): DataFrame =
     TextAnalysis.bm25Stats(rawPartials(s, path))

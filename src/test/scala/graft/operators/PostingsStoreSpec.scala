@@ -60,6 +60,69 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, tmp)
   }
 
+  test("compact swap is crash-recoverable at every filesystem step") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-crash").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new Path(s"$tmp/$n")
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    PostingsStore.appendBatch(docs.filter(col("doc_id") <= 2), tmp, 0L)
+    PostingsStore.appendBatch(docs.filter(col("doc_id") > 2), tmp, 1L)
+    val direct = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    // crash A — after the _READY marker, before any rename: the next
+    // read completes the swap itself and serves the compacted store
+    PostingsStore.compactBuild(spark, tmp)
+    assert(fs.exists(p("_GRAFT_COMPACT_READY")))
+    assert(served === direct)
+    assert(!fs.exists(p("_GRAFT_COMPACT_READY")) && !fs.exists(p("postings.next")))
+    assert(fs.exists(p("postings")) && fs.exists(p("stats")))
+
+    // crash B — live tree moved aside, promotion not reached: the store
+    // is momentarily headless on disk, the read self-heals
+    PostingsStore.compactBuild(spark, tmp)
+    assert(fs.rename(p("postings"), p("postings.old")))
+    assert(!fs.exists(p("postings")))
+    assert(served === direct)
+    assert(!fs.exists(p("postings.old")) && !fs.exists(p("_GRAFT_COMPACT_READY")))
+
+    // crash C — postings promoted but .old not yet deleted, stats
+    // untouched: remaining steps (drop .old, swap stats) finish on read
+    PostingsStore.compactBuild(spark, tmp)
+    assert(fs.rename(p("postings"), p("postings.old")))
+    assert(fs.rename(p("postings.next"), p("postings")))
+    assert(served === direct)
+    assert(!fs.exists(p("postings.old")) && !fs.exists(p("stats.next")))
+
+    // crash D — postings tree fully swapped, stats mid-swap (moved
+    // aside): the stats half completes independently
+    PostingsStore.compactBuild(spark, tmp)
+    assert(fs.rename(p("postings"), p("postings.old")))
+    assert(fs.rename(p("postings.next"), p("postings")))
+    fs.delete(p("postings.old"), true)
+    assert(fs.rename(p("stats"), p("stats.old")))
+    assert(served === direct)
+    assert(!fs.exists(p("stats.old")) && !fs.exists(p("_GRAFT_COMPACT_READY")))
+
+    // crash E — build died BEFORE the marker: .next debris is ignored
+    // (live trees authoritative) and the next compact discards it
+    fs.mkdirs(p("postings.next"))
+    fs.create(new Path(s"$tmp/postings.next/garbage")).close()
+    assert(served === direct)
+    PostingsStore.compact(spark, tmp)
+    assert(served === direct)
+    assert(!fs.exists(p("postings.next")) && !fs.exists(p("_GRAFT_COMPACT_READY")))
+    PostingsStore.drop(spark, tmp)
+  }
+
   test("a term-equality probe prunes by parquet min/max on the clustered layout") {
     // 200 docs, each a single distinct word -> term-range files carry
     // disjoint term ranges; probing one term must push the filter to
