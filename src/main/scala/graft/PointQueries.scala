@@ -245,7 +245,63 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
     "skyline" -> ((s, dir) =>
       graft.operators.Analytics.skyline(
         partPoints(s, dir).select(col("id"), col("x"), col("y")),
-        bucketWidth = 4L))
+        bucketWidth = 4L)),
+
+    // TOMBSTONE DELETE EQUIVALENCE — the takedown/GDPR verb neither the
+    // reference nor a naive 100-TB store has (SURVEY §2.1; Client.java:
+    // 217-224 only drops whole stores). The gate builds the z-clustered
+    // store, logically deletes every fifth key via equality-delete
+    // markers (an O(markers) sidecar append — the store is untouched),
+    // re-puts HALF the deleted keys with a later sequence (they must
+    // RESURRECT through the marker), then snapshots range/total/kNN
+    // aggregates TWICE: phase 'logical' through the broadcast anti-join
+    // read path, phase 'folded' after compactDeletes physically rewrote
+    // the store (crash-atomic _READY scratch swap) and retired the
+    // markers. The oracle emits the aggregates once per phase from the
+    // filtered source rows, so a lost/resurrection-failed/duplicated row
+    // breaks the phase that introduced it while the other still matches.
+    "delete_equiv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delete-equiv").toString
+      val base = eventsPoints(s, dir).withColumn("put_seq", lit(0L))
+      PointStore.write(base, s"$tmp/store")
+      val store = PointStore.open(s, s"$tmp/store")
+      store.delete(base.filter(col("id") % 5 === 0)
+        .select(col("id"), col("x"), col("y"), lit(1L).as("put_seq")))
+      PointStore.append(
+        base.filter(col("id") % 10 === 0).withColumn("put_seq", lit(2L)),
+        s"$tmp/store")
+      def snapshot(phase: String): org.apache.spark.sql.Row = {
+        val pts = store.live(Seq("put_seq"))
+        val r = PointStore.rangeQuery(pts, RX, RY)
+          .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("x").cast("long")), lit(0L)),
+            coalesce(sum(col("y").cast("long")), lit(0L))).head()
+        val tot = pts.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val kn = PointStore.knn(pts, 25000, 75, 10)
+          .agg(coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("dist2")), lit(0L))).head()
+        org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
+          kn.getLong(0), kn.getLong(1))
+      }
+      val logical = snapshot("logical")
+      store.compactDeletes(Seq("put_seq"))
+      val folded = snapshot("folded")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        Seq("range_cnt", "range_id_sum", "range_x_sum", "range_y_sum",
+          "total_cnt", "total_id_sum", "knn_id_sum", "knn_d2_sum").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(Seq(logical, folded)).asJava),
+        outSchema)
+    })
   )
 
   private def maskLit(pl: Int): String = ZOrder.makeMask(pl).toString
@@ -468,6 +524,32 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM p a JOIN p b ON a.id < b.id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
     + (a.t - b.t) * (a.t - b.t) <= 22500""",
+
+    // the live multiset after delete + resurrect, aggregated once per
+    // phase: keys id%5=0 are deleted, the id%10=0 half re-put later
+    // (they must survive the marker) — identical rows for both phases
+    // pins logical-read exactness AND fold result-invisibility
+    "delete_equiv" ->
+      s"""WITH pts AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events
+  WHERE event_id % 5 <> 0 OR event_id % 10 = 0),
+r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
+    CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS range_y_sum
+  FROM pts WHERE x BETWEEN ${RX.min} AND ${RX.max}
+    AND y BETWEEN ${RY.min} AND ${RY.max}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS total_id_sum FROM pts),
+k AS (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
+    CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
+  FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
+        FROM pts ORDER BY d2, id LIMIT 10)),
+phases(phase) AS (VALUES ('logical'), ('folded'))
+SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
+  total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
+FROM phases, r, t, k""",
 
     "skyline" ->
       """WITH p0 AS (SELECT CAST(p_size AS BIGINT) AS x,

@@ -210,6 +210,35 @@ object PointStore {
         " repeat('*', 64 - prefix_len))"))
   }
 
+  /**
+   * Logical-delete view: the rows of `pts` NOT superseded by a tombstone
+   * marker — the single-entity DELETE verb both the reference
+   * (`Client.java:217-224` offers only whole-store drop; SURVEY §2.1
+   * documents the upsert-only consequence of `Bucket.java:76-81`) and a
+   * naive 100-TB store lack, yet a takedown/GDPR workflow cannot live
+   * without.
+   *
+   * Markers are an Iceberg-style equality-delete side table
+   * `(id, x, y, seq...)`: a marker kills every version of its key with
+   * sequence ≤ the marker's (delete wins a seq tie), so a put appended
+   * AFTER the delete — higher seq — RESURRECTS the key (spec-pinned).
+   * The read is one left_anti equi-join on the key plus the lexicographic
+   * seq comparison; takedown sets are tiny relative to the store, so the
+   * marker side broadcasts and the 100-TB side never shuffles. The
+   * logical view is exact immediately; [[PointStore.compactDeletes]]
+   * folds it physically (and result-invisibly — the `delete_equiv` gate)
+   * without ever rewriting the store on the read path.
+   */
+  def applyTombstones(pts: DataFrame, markers: DataFrame,
+                      seqCols: Seq[String]): DataFrame = {
+    val keyCols = Seq("id", "x", "y")
+    val m = markers.select((keyCols ++ seqCols).map(c => col(c).as(s"__t_$c")): _*)
+    val keyEq = keyCols.map(c => col(c) === col(s"__t_$c")).reduce(_ && _)
+    val killed = struct(seqCols.map(col): _*) <=
+      struct(seqCols.map(c => col(s"__t_$c")): _*)
+    pts.join(broadcast(m), keyEq && killed, "left_anti")
+  }
+
   /** Upsert-on-read: reference `Put` overwrite semantics per (x, y, id)
     * (`Bucket.java:76-81`) over an append-only put log — keep the row
     * with the greatest sequence columns per key. */
@@ -248,9 +277,82 @@ object PointStore {
 /** A Z-clustered Parquet point store at a fixed path. */
 class PointStore(spark: SparkSession, path: String) {
   import PointStore._
+  import org.apache.hadoop.fs.Path
 
-  /** The full store as a DataFrame `(id, x, y, zkey [, payload...])`. */
-  def df: DataFrame = spark.read.parquet(path)
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def tombPath = new Path(path + ".tombstones")
+  private def foldScratch = new Path(path + ".folding")
+  private val FoldReady = "_GRAFT_FOLD_READY"
+
+  /** The full store as a DataFrame `(id, x, y, zkey [, payload...])`.
+    * Converges a crash-interrupted [[compactDeletes]] first, so a
+    * mid-fold crash self-heals on the next read. */
+  def df: DataFrame = { resolveFold(); spark.read.parquet(path) }
+
+  /** Logical single-entity DELETE (`delete_equiv` gate): append
+    * equality-delete markers `(id, x, y, seq...)` to the store's
+    * tombstone side table. O(markers) write — the store itself is
+    * untouched; reads through [[live]] are exact immediately. */
+  def delete(markers: DataFrame): Unit =
+    markers.write.mode("append").parquet(tombPath.toString)
+
+  /** The store's pending tombstone markers (empty after a fold). */
+  def tombstones: Option[DataFrame] = {
+    resolveFold()
+    if (fs.exists(tombPath)) Some(spark.read.parquet(tombPath.toString)) else None
+  }
+
+  /** The live view: store rows not superseded by a tombstone marker —
+    * see [[PointStore.applyTombstones]]. Compose with [[latest]] when
+    * the store is an upsert log. */
+  def live(seqCols: Seq[String]): DataFrame = {
+    val base = df
+    tombstones.map(PointStore.applyTombstones(base, _, seqCols)).getOrElse(base)
+  }
+
+  /**
+   * Physically fold pending tombstones: rewrite the store z-clustered
+   * with the markers applied, then retire the marker table — the
+   * point-store analog of [[PostingsStore.compact]], and like it
+   * CRASH-ATOMIC via the `_READY`-marker scratch swap: the clustered
+   * live rows are fully written to a scratch sibling before the marker
+   * announces them, and every crash state converges on the next read
+   * ([[resolveFold]]). Leftover markers after a crash are HARMLESS even
+   * before recovery runs: a marker only kills rows with seq ≤ its own,
+   * and the folded store no longer holds any such row — the anti-join
+   * is a no-op, so correctness never depends on the cleanup step.
+   *
+   * Single fold-writer assumed, and no concurrent [[delete]] during the
+   * fold (a marker appended between the scratch write and the cleanup
+   * would be retired unapplied) — the crash-recovery guarantee, not
+   * multi-writer coordination, is the claim here.
+   */
+  def compactDeletes(seqCols: Seq[String], numPartitions: Int = 0): Unit = {
+    resolveFold()
+    fs.delete(foldScratch, true)            // unfinished-build debris
+    clustered(live(seqCols), numPartitions).write.parquet(foldScratch.toString)
+    fs.create(new Path(foldScratch, FoldReady)).close()
+    completeFold()
+  }
+
+  private def completeFold(): Unit = {
+    fs.delete(new Path(path), true)
+    if (!fs.rename(foldScratch, new Path(path)))
+      throw new java.io.IOException(s"fold swap $foldScratch -> $path failed")
+    fs.delete(new Path(path, FoldReady), false)
+    fs.delete(tombPath, true)
+    ()
+  }
+
+  private def resolveFold(): Unit = {
+    if (fs.exists(new Path(foldScratch, FoldReady))) completeFold()
+    else if (fs.exists(new Path(path, FoldReady))) {
+      // crashed between the swap rename and the cleanup: finish it
+      fs.delete(new Path(path, FoldReady), false)
+      fs.delete(tombPath, true)
+      ()
+    }
+  }
 
   def get(x: Int, y: Int): DataFrame = PointStore.get(df, x, y)
   def rangeQuery(rx: IntRange, ry: IntRange): DataFrame = PointStore.rangeQuery(df, rx, ry)
@@ -266,11 +368,12 @@ class PointStore(spark: SparkSession, path: String) {
   def adaptiveStats(threshold: Long, statsDepth: Int = 24, baseDepth: Int = 2): DataFrame =
     PointStore.adaptiveStats(df, threshold, statsDepth, baseDepth)
 
-  /** Drop the store (`Client.java:217-224`). */
+  /** Drop the store (`Client.java:217-224`), including its tombstone
+    * side table and any fold scratch. */
   def drop(): Unit = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hadoopPath, true)
+    fs.delete(new Path(path), true)
+    fs.delete(tombPath, true)
+    fs.delete(foldScratch, true)
     ()
   }
 }

@@ -192,4 +192,88 @@ class PointStoreSpec extends SparkSpec {
     store.drop()
     intercept[Exception] { store.df.count() }
   }
+
+  private def mkSeqStore(rows: Seq[(Long, Int, Int, Long)]): (PointStore, String) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pstore-del").toString + "/store"
+    val df = PointStore.points(rows.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq")))
+    PointStore.write(df, dir, 2)
+    (PointStore.open(spark, dir), dir)
+  }
+
+  test("tombstone delete hides keys; a later re-put resurrects; fold is result-invisible") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, (i % 10).toInt, (i / 10).toInt, 0L))
+    val (store, dir) = mkSeqStore(rows)
+    // delete every fourth id at seq 1
+    store.delete(rows.filter(_._1 % 4 == 0)
+      .map(r => (r._1, r._2, r._3, 1L)).toDF("id", "x", "y", "put_seq"))
+    val afterDelete = rows.filter(_._1 % 4 != 0).map(t => (t._1, t._2, t._3)).toSet
+    assert(collectPts(store.live(Seq("put_seq"))) === afterDelete)
+    // the store itself is untouched by logical deletes
+    assert(store.df.count() === 100L)
+    // re-put half the deleted ids at seq 2: they must resurrect
+    val back = rows.filter(_._1 % 8 == 0).map(r => (r._1, r._2, r._3, 2L))
+    PointStore.append(PointStore.points(back.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq"))), dir)
+    val expect = (0L until 100L).filter(i => i % 4 != 0 || i % 8 == 0)
+      .map(i => (i, (i % 10).toInt, (i / 10).toInt)).toSet
+    assert(collectPts(store.live(Seq("put_seq"))) === expect)
+    // physical fold: same live multiset, markers retired, dead rows gone
+    store.compactDeletes(Seq("put_seq"), numPartitions = 2)
+    assert(store.tombstones.isEmpty)
+    assert(store.df.count().toInt === expect.size)
+    assert(collectPts(store.live(Seq("put_seq"))) === expect)
+    // a delete AFTER the fold keeps working (fresh marker table), and a
+    // marker at the SAME seq as the put kills it — delete wins seq ties
+    store.delete(Seq((1L, 1, 0, 3L), (8L, 8, 0, 2L)).toDF("id", "x", "y", "put_seq"))
+    assert(collectPts(store.live(Seq("put_seq"))) ===
+      (expect - ((1L, 1, 0)) - ((8L, 8, 0))))
+    store.drop()
+  }
+
+  test("compactDeletes fold swap is crash-recoverable at every step") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (i, i.toInt, (2 * i).toInt, 0L))
+    val (store, dir) = mkSeqStore(rows)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    store.delete(rows.filter(_._1 < 10)
+      .map(r => (r._1, r._2, r._3, 1L)).toDF("id", "x", "y", "put_seq"))
+    val expect = rows.filter(_._1 >= 10).map(t => (t._1, t._2, t._3)).toSet
+
+    // crash A — scratch fully written + _READY marker, swap not started:
+    // the next read completes the fold itself
+    PointStore.write(store.live(Seq("put_seq")), dir + ".folding", 2)
+    fs.create(new Path(dir + ".folding/_GRAFT_FOLD_READY")).close()
+    assert(collectPts(store.df) === expect)        // df resolves the fold
+    assert(!fs.exists(new Path(dir + ".folding")))
+    assert(!fs.exists(new Path(dir + ".tombstones")))
+
+    // crash B — swap renamed in, cleanup not reached (marker inside the
+    // live store + the already-applied tombstones still on disk): the
+    // read self-heals, and the stale markers were harmless even before
+    // cleanup (the folded store holds no row their seq can kill)
+    store.delete(Seq((10L, 10, 20, 2L)).toDF("id", "x", "y", "put_seq"))
+    val expectB = expect - ((10L, 10, 20))
+    PointStore.write(store.live(Seq("put_seq")), dir + ".folding", 2)
+    fs.create(new Path(dir + ".folding/_GRAFT_FOLD_READY")).close()
+    fs.delete(new Path(dir), true)
+    assert(fs.rename(new Path(dir + ".folding"), new Path(dir)))
+    assert(fs.exists(new Path(dir + "/_GRAFT_FOLD_READY")))
+    assert(collectPts(store.df) === expectB)
+    assert(!fs.exists(new Path(dir + "/_GRAFT_FOLD_READY")))
+    assert(store.tombstones.isEmpty)               // cleanup retired them
+
+    // crash C — scratch without marker is an unfinished build: ignored
+    // by reads, discarded by the next compactDeletes
+    fs.mkdirs(new Path(dir + ".folding"))
+    fs.create(new Path(dir + ".folding/garbage")).close()
+    assert(collectPts(store.df) === expectB)
+    store.compactDeletes(Seq("put_seq"), numPartitions = 2)
+    assert(collectPts(store.live(Seq("put_seq"))) === expectB)
+    assert(!fs.exists(new Path(dir + ".folding")))
+    store.drop()
+  }
 }

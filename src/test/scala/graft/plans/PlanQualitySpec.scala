@@ -528,4 +528,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(cs.linesIterator.exists(l =>
       l.contains("Join") && l.contains("o_custkey")), cs)
   }
+
+  test("round-16 additions: tombstone read is a broadcast anti-join on the store side") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // takedown sets are tiny relative to the store: the logical-delete
+    // read must BROADCAST the marker side into a LeftAnti hash join —
+    // a sort-merge (or worse, a shuffle of the 100-TB store on the
+    // marker key) would make every read pay the takedown's cost
+    val dir = Files.createTempDirectory("graft-plan-del").toString + "/store"
+    val rows = (0L until 1000L).map(i => (i, (i % 32).toInt, (i / 32).toInt, 0L))
+    val df = PointStore.points(rows.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq")))
+    PointStore.write(df, dir, 2)
+    val store = PointStore.open(spark, dir)
+    store.delete(Seq((5L, 5, 0, 1L)).toDF("id", "x", "y", "put_seq"))
+    val plan = store.live(Seq("put_seq")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // and the seq comparison rides the hash join as its non-equi
+    // condition — it must not demote the join to nested-loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    store.drop()
+  }
 }
