@@ -84,6 +84,15 @@ SELECT o_orderkey, o_custkey,
     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
 FROM o""")),
 
+    // EXISTS / NOT EXISTS correlated subqueries — the OTHER Catalyst
+    // decorrelation path (RewritePredicateSubquery → left-semi/anti
+    // join), disjoint from sql_correlated's scalar-aggregate rewrite:
+    // the EXISTS branch carries a NON-EQUI correlated predicate
+    // (cents > 20·bal_cents) that must ride the semi join's condition,
+    // and the NOT EXISTS branch is the takedown shape (customers with
+    // no orders at all). Row-level output, exact integer comparisons.
+    "sql_exists" -> ((s, dir) => sql(s, dir, ExistsSql)),
+
     // the SimHash sketch through the SQL parser path: exercises the
     // registered simhash_agg aggregate — must hash-match the Column-API
     // twin (`simhash`) against the same relational oracle.
@@ -127,7 +136,21 @@ FROM events
 GROUP BY event_type, CAST(date_trunc('DAY', ts_ntz) AS DATE)"""))
   )
 
+  /** SAME-TEXT through both engines (the sql_correlated discipline):
+    * Spark rewrites EXISTS/NOT EXISTS to semi/anti joins, DuckDB
+    * decorrelates independently — the gate is their exact agreement. */
+  private val ExistsSql =
+    """WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+c AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)
+SELECT c_custkey, 'big_spender' AS grp FROM c
+WHERE EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey
+              AND o.cents > 20 * c.bal_cents)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS grp FROM c
+WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)"""
+
   val oracle: Map[String, String] = Map(
+    "sql_exists" -> ExistsSql,
     // DuckDB runs the SAME correlated text — two independent
     // decorrelators must agree on the exact-integer comparison
     "sql_correlated" ->

@@ -550,5 +550,13 @@ class PlanQualitySpec extends SparkSpec {
     // condition — it must not demote the join to nested-loop
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     store.drop()
+
+    // EXISTS / NOT EXISTS must decorrelate to semi/anti joins — a
+    // per-row subquery (cartesian / nested-loop) is the O(n²) trap;
+    // the non-equi correlated predicate rides the semi join's condition
+    val ex = graft.SparkEntry.queries("sql_exists")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(ex.contains("LeftSemi") && ex.contains("LeftAnti"), ex)
+    assert(!ex.contains("CartesianProduct") && !ex.contains("BroadcastNestedLoopJoin"), ex)
   }
 }
