@@ -462,6 +462,88 @@ case class AsciiPolyGrams(child: Expression, k: Int)
 }
 
 /**
+ * `window_minima(ghs)`: the DISTINCT sliding-window minima of `w`
+ * consecutive entries of a BIGINT array — winnowing's fingerprint
+ * selection (Schleimer et al. 2003, MOSS) fused into one pass.
+ * Value-identical (ordering included: first occurrence wins, like
+ * `array_distinct`) to the relational spelling the DuckDB oracles keep,
+ * `array_distinct(transform(sequence(0, size(ghs)-w), j ->
+ * least(ghs[j], …, ghs[j+w-1])))`, but computed with a monotonic deque
+ * (O(n) total instead of O(n·w) ladder evaluations) and an
+ * open-addressed long set for the dedup — no n-length minima array, no
+ * interpreted per-element lambda (Catalyst higher-order functions don't
+ * codegen; the `transform` ladder was the measured cost center of the
+ * winnow prefilter at the r15 bench), no second `array_distinct` pass.
+ * Empty output when the input holds fewer than `w` entries.
+ */
+case class WindowMinima(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(w >= 1)
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "window_minima"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WindowMinima.compute(a.asInstanceOf[ArrayData], w)
+
+  // one static-kernel call per row — the loop itself is branchy (deque
+  // + probe table), so inlining it into the generated source would only
+  // bloat the method past the JIT budget; the kernel stays shared with
+  // the interpreted path and the row never leaves WholeStageCodegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WindowMinima.compute($arr, $w);")
+
+  override protected def withNewChildInternal(c: Expression): WindowMinima =
+    copy(child = c)
+}
+
+object WindowMinima {
+  /** Distinct window-of-`w` minima of `arr`, first-occurrence order.
+    * Monotonic deque over indices (each index enters and leaves once);
+    * dedup via open addressing at load factor ≤ 0.5 (capacity is the
+    * next power of two ≥ 2·windows, so probes terminate). */
+  def compute(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val windows = n - w + 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // live indices in [head, tail)
+    val cap = java.lang.Integer.highestOneBit(math.max(4, 2 * windows - 1)) << 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](windows)
+    var outN = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val mn = arr.getLong(deque(head))
+        var slot = (java.lang.Long.hashCode(mn) * -1640531527) & mask
+        var fresh = false
+        var probing = true
+        while (probing) {
+          if (!used(slot)) { used(slot) = true; keys(slot) = mn; fresh = true; probing = false }
+          else if (keys(slot) == mn) probing = false
+          else slot = (slot + 1) & mask
+        }
+        if (fresh) { out(outN) = mn; outN += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+}
+
+/**
  * `pq_assign(v)`: product-quantization encoding fused into ONE codegen
  * expression — for each of `m` contiguous subspaces of `dim` components
  * the L2-nearest codebook entry (argmax `2·dot − |c|²` over `nCodes`

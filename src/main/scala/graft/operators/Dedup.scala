@@ -913,13 +913,19 @@ object Dedup {
     * .PolyGrams]] rolling gram hash, as chained aliases so each
     * evaluates once (CollapseProject won't inline a non-cheap alias
     * referenced twice). */
-  private def withGramHashes(keyed: DataFrame, k: Int): DataFrame = {
+  private def withGramHashes(keyed: DataFrame, k: Int): DataFrame =
+    gramHashesFromWs(
+      keyed.withColumn("ws", TextAnalysis.tokens(col("text")))
+        .filter(size(col("ws")) >= 1), k)
+
+  /** Token hashes + fused O(n) rolling gram hash over an existing `ws`
+    * column (short docs hash to empty inside) — the seam that lets the
+    * approx path REBUILD gram hashes from a signal table's pass-through
+    * token stream instead of re-shuffling the corpus. */
+  private def gramHashesFromWs(withWs: DataFrame, k: Int): DataFrame = {
     val th = "cast(conv(substr(md5(concat('sp:', t)), 1, 15), 16, 10) as bigint)"
-    keyed
-      .withColumn("ws", TextAnalysis.tokens(col("text")))
-      .filter(size(col("ws")) >= 1)
+    withWs
       .withColumn("hs", expr(s"transform(ws, t -> $th)"))
-      // fused O(n) rolling gram hash (short docs hash to empty inside)
       .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.PolyGrams(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("hs")), k)))
@@ -1022,13 +1028,18 @@ object Dedup {
    * 2 regardless of `minDf`; `minDf` still governs the dup inventory
    * itself. Same output schema as [[spanDedup]].
    *
-   * Scale shape: ONE tokenize+hash pass over distinct texts
-   * (checkpointing scalars + ~2n/(w+1) fingerprints instead of the
-   * ~2n-entry token+gram arrays), one fingerprint-vocabulary
-   * aggregate (map-side combinable, tiny build side broadcast back),
-   * then the exact machinery sized to the candidate fraction — the
-   * corpus-linear positioned exchange becomes candidates-linear, and
-   * only candidate texts are ever re-tokenized.
+   * Scale shape: ONE corpus shuffle total — the distinct-text groupBy
+   * that tokenizes, hashes, and selects fingerprints in a single fused
+   * projection ([[graft.functions.WindowMinima]]: monotonic-deque
+   * window minima with built-in dedup, replacing the interpreted
+   * `transform`+`least`-ladder+`array_distinct` chain that dominated
+   * the r15 bench at high candidacy). The checkpoint holds scalars +
+   * ~2n/(w+1) fingerprints, never the token/gram arrays; candidates
+   * are REHYDRATED from the pass-through string (splitting reverses
+   * the `array_join` exactly) by linear expressions — a projection
+   * over the signal checkpoint, not a second corpus groupBy. One
+   * fingerprint-vocabulary aggregate (map-side combinable) then sizes
+   * the exact machinery to the candidate fraction.
    *
    * ADAPTIVE BAIL-OUT: when the measured candidate fraction exceeds
    * `maxCandidateFrac` (two scalar counts over already-materialized
@@ -1046,18 +1057,17 @@ object Dedup {
                       w: Int = 4, maxCandidateFrac: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val txt = spanTxt(df)
-    val fpLadder = (0 until w).map(j => s"ghs[j+$j]").mkString("least(", ", ", ")")
-    // compact per-distinct-text signal: pass-through scalars + winnow
-    // fingerprints; the heavy ws/hs/ghs arrays die before the
-    // checkpoint (consumers: fp inventory, candidacy join, pass-through)
+    // compact per-distinct-text signal: pass-through scalars + fused
+    // winnow fingerprints; the heavy ws/hs/ghs arrays die before the
+    // checkpoint (consumers: fp inventory, candidacy join, pass-through,
+    // and the rehydration below — cleaned_pass IS the rebuild source)
     val sig = withGramHashes(
       txt.groupBy("tkey")
         .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
           first(col("text")).as("text")), k)
-      .withColumn("fps",
-        when(size(col("ghs")) >= w, expr(
-          s"array_distinct(transform(sequence(0, size(ghs)-$w), j -> $fpLadder))"))
-          .otherwise(expr("cast(array() as array<bigint>)")))
+      .withColumn("fps", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.WindowMinima(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("ghs")), w)))
       .select(col("tkey"), col("min_doc"), col("m"),
         size(col("ws")).cast("long").as("n_tokens"),
         array_join(col("ws"), " ").as("cleaned_pass"),
@@ -1070,18 +1080,23 @@ object Dedup {
       .join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
-      .scopedCheckpoint() // consumed by the rebuild semi-join + anti-join
+      .scopedCheckpoint() // consumed by the rehydration semi-join + anti-join
+    // gram-machinery input rebuilt from the SIGNAL table, not the
+    // corpus: splitting cleaned_pass reverses the array_join exactly
+    // (tokens are whitespace-free and nonempty by construction), and
+    // the hashes are linear fused expressions — a projection over the
+    // materialized checkpoint, no second corpus shuffle. Checkpointed
+    // for the machinery's three consumers.
+    def rehydrated(sigRows: DataFrame): DataFrame =
+      gramHashesFromWs(
+        sigRows.withColumn("ws", split(col("cleaned_pass"), " ")), k)
+        .select(col("tkey"), col("min_doc"), col("m"), col("ws"), col("ghs"))
+        .scopedCheckpoint()
     // adaptive bail-out: both counts read materialized checkpoints
     if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
-      val reps = spanReps(txt, k).scopedCheckpoint()
-      spanFanOut(txt, spanMachinery(reps, k, minDf))
+      spanFanOut(txt, spanMachinery(rehydrated(sig), k, minDf))
     } else {
-      // full gram machinery rebuilt for candidate texts only (txt rows
-      // are small strings; the big arrays now exist only at candidate
-      // scale, checkpointed for the machinery's three consumers)
-      val activeReps =
-        spanReps(txt.join(candKeys, Seq("tkey"), "left_semi"), k)
-          .scopedCheckpoint()
+      val activeReps = rehydrated(sig.join(candKeys, Seq("tkey"), "left_semi"))
       val allText = spanMachinery(activeReps, k, minDf).unionByName(
         sig.join(candKeys, Seq("tkey"), "left_anti")
           .select(col("tkey"), col("min_doc"), col("n_tokens"),
@@ -1223,10 +1238,15 @@ object Dedup {
    * APPROXIMATE char-level duplicate-coverage — [[spanDedupChars]]
    * with the same fused winnow prefilter [[spanDedupApprox]] applies
    * at word granularity: a compact signal table (scalars + window-
-   * minimum fingerprints over the already-needed char-gram polynomial
-   * hashes, the `least` ladder) nominates candidate texts (shared
-   * fingerprint with doc-weighted df ≥ 2, or exact-duplicated cleaned
-   * text `m > 1`); the gram machinery is rebuilt at candidate scale;
+   * minimum fingerprints, computed straight off the cleaned string by
+   * the [[graft.functions.AsciiPolyGrams]] →
+   * [[graft.functions.WindowMinima]] composition — the gram-hash array
+   * exists only inside each row's evaluation, never in the checkpoint)
+   * nominates candidate texts (shared fingerprint with doc-weighted
+   * df ≥ 2, or exact-duplicated cleaned text `m > 1`); the gram
+   * machinery's input is REHYDRATED from the signal table's `clean`
+   * string at candidate scale by the linear fused hash — a projection
+   * over the materialized checkpoint, not a second corpus groupBy;
    * non-candidates pass through with `n_dup_chars = 0`. Exact for
    * duplicated char spans ≥ `k + w - 1` cleaned characters; shorter
    * duplicated spans may be under-counted (coverage only ever drops,
@@ -1238,13 +1258,19 @@ object Dedup {
                            w: Int = 4, maxCandidateFrac: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val txt = charTxt(df)
-    val fpLadder = (0 until w).map(j => s"ghs[j+$j]").mkString("least(", ", ", ")")
-    val sig = charReps(txt, k)
-      .withColumn("fps",
-        when(size(col("ghs")) >= w, expr(
-          s"array_distinct(transform(sequence(0, size(ghs)-$w), j -> $fpLadder))"))
-          .otherwise(expr("cast(array() as array<bigint>)")))
-      .select(col("tkey"), col("min_doc"), col("m"), col("n"), col("fps"))
+    // signal pass: ONE corpus groupBy; fingerprints come straight off
+    // the cleaned string through the fused AsciiPolyGrams→WindowMinima
+    // composition (no gram array in the row, no interpreted ladder);
+    // `clean` rides along (1 B/char vs ghs's 8) as the rebuild source
+    val sig = txt.groupBy("tkey")
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
+        first(col("clean")).as("clean"))
+      .withColumn("fps", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.WindowMinima(
+          graft.functions.AsciiPolyGrams(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("clean")), k), w)))
+      .select(col("tkey"), col("min_doc"), col("m"), col("clean"),
+        length(col("clean")).as("n"), col("fps"))
       .scopedCheckpoint()
     val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
       .groupBy("fp").agg(sum(col("m")).as("fdf"))
@@ -1254,13 +1280,18 @@ object Dedup {
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
       .scopedCheckpoint()
+    // machinery input rebuilt from the signal checkpoint by the linear
+    // fused hash — a projection, not a second corpus groupBy
+    def rehydrated(sigRows: DataFrame): DataFrame = sigRows
+      .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.AsciiPolyGrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("clean")), k)))
+      .select(col("tkey"), col("min_doc"), col("m"), col("n"), col("ghs"))
+      .scopedCheckpoint()
     if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
-      val reps = charReps(txt, k).scopedCheckpoint()
-      charFanOut(txt, charMachinery(reps, k, minDf))
+      charFanOut(txt, charMachinery(rehydrated(sig), k, minDf))
     } else {
-      val activeReps =
-        charReps(txt.join(candKeys, Seq("tkey"), "left_semi"), k)
-          .scopedCheckpoint()
+      val activeReps = rehydrated(sig.join(candKeys, Seq("tkey"), "left_semi"))
       val allText = charMachinery(activeReps, k, minDf).unionByName(
         sig.join(candKeys, Seq("tkey"), "left_anti")
           .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"),

@@ -465,6 +465,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("WindowMinima equals the ladder+array_distinct spelling, codegen and interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rnd = new scala.util.Random(23)
+    // small value range forces duplicate minima (the dedup path); edge
+    // sizes cover n < w, n == w, and repeated-value plateaus
+    val rows = (Seq(0, 1, 3, 4, 5) ++ Seq.fill(30)(rnd.nextInt(80) + 2)).zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)(rnd.nextInt(12).toLong)) }
+    for (w <- Seq(1, 2, 4, 7)) {
+      val df = rows.toDF("id", "ghs")
+      val fused = df.select(col("id"), Bridge.column(
+          graft.functions.WindowMinima(Bridge.expression(col("ghs")), w)).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ladder =
+        if (w == 1) "ghs[j]"
+        else (0 until w).map(j => s"ghs[j+$j]").mkString("least(", ", ", ")")
+      val oracle = df.select(col("id"), expr(
+          s"""if(size(ghs) >= $w,
+                array_distinct(transform(sequence(0, size(ghs)-$w), j -> $ladder)),
+                cast(array() as array<bigint>))""").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // ordering included: both keep first occurrence
+      assert(fused == oracle, s"w=$w")
+      for ((id, ghs) <- rows) {
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(ghs.toArray)
+        val got = graft.functions.WindowMinima(
+            org.apache.spark.sql.catalyst.expressions.Literal(arr,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), w)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(got.toLongArray().toSeq == fused(id.toLong), s"w=$w id=$id interpreted")
+      }
+    }
+  }
+
   test("spanDedup matches a brute-force reference on random high-duplication corpora") {
     import spark.implicits._
     val k = 3
