@@ -180,6 +180,42 @@ object TextQueries {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
+    // document takedown through the text index: serve after logical
+    // delete and again after the physical fold, both against the
+    // filtered-corpus replay — a deleted doc must vanish from ranks AND
+    // stop counting in df/n_docs/avgdl at every phase
+    "postings_delete_equiv" -> ((s, dir) => {
+      val d = retDocs(s, dir)
+      val qs = retQueries(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings-del").toString
+      graft.operators.PostingsStore.build(d, tmp)
+      def summarize(r: org.apache.spark.sql.DataFrame, phase: String) =
+        r.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+            coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+            coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+            col("dr_sum"), col("terms_sum"))
+      // each phase collects EAGERLY before the next store mutation —
+      // a lazy plan would read trees the following delete/compact
+      // replaces (stale FileIndex -> missing-file read failure)
+      def phase(name: String) = {
+        val out = summarize(
+          graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), name)
+        (out.collect().toSeq, out.schema)
+      }
+      val (pre, outSchema) = phase("pre")
+      graft.operators.PostingsStore.deleteDocs(s, tmp,
+        d.filter(col("doc_id") % 5 === 0).select("doc_id"), 0L)
+      val (deleted, _) = phase("deleted")
+      graft.operators.PostingsStore.compact(s, tmp)
+      val (compacted, _) = phase("compacted")
+      val rows = pre ++ deleted ++ compacted
+      graft.operators.PostingsStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
     // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
     // winnowing (rolling-hash) local fingerprints, k=5 w=4
@@ -465,11 +501,21 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
 
   /** The bm25_doc_topk replay — shared by the direct gate and the
     * postings_equiv wrapper (which aggregates it per phase). */
-  private[graft] def bm25DocOracleSql: String = {
+  private[graft] def bm25DocOracleSql: String = bm25DocOracleSqlOver("TRUE")
+
+  /** [[bm25DocOracleSql]] parameterized by the LIVE-corpus predicate:
+    * scoring (dl, n_docs, avgdl, df — everything takedown shifts) runs
+    * over `w WHERE $livePred`, while the query fixture `qt` stays over
+    * the FULL corpus — the engine's queries don't vanish when their
+    * source doc is deleted from the store. `TRUE` is the undeleted
+    * corpus; `postings_delete_equiv` replays the takedown with
+    * `doc_id % 5 <> 0`. */
+  private[graft] def bm25DocOracleSqlOver(livePred: String): String = {
     import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
     s"""WITH $retDocsCte,
 w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),
-d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+live AS (SELECT * FROM w WHERE $livePred),
+d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM live),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
 p0 AS (SELECT doc_id, dl, unnest(list_distinct(ws)) AS term, ws FROM d),
 p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
@@ -1274,6 +1320,24 @@ a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
   CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum FROM base)
 SELECT phase, n_rows, score_sum, dr_sum, terms_sum FROM phases, a""",
+
+    // takedown replay: the pre phase equals the full-corpus one-shot,
+    // the deleted AND compacted phases both equal the filtered-corpus
+    // one-shot — logical delete and physical fold are result-identical
+    "postings_delete_equiv" ->
+      s"""WITH full_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE")}),
+del_base AS MATERIALIZED (${bm25DocOracleSqlOver("doc_id % 5 <> 0")}),
+fa AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+  CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+  CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum FROM full_base),
+da AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+  CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+  CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum FROM del_base)
+SELECT 'pre' AS phase, * FROM fa
+UNION ALL SELECT 'deleted' AS phase, * FROM da
+UNION ALL SELECT 'compacted' AS phase, * FROM da""",
 
     "token_pieces" ->
       """SELECT doc_id,

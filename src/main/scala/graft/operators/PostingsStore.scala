@@ -99,8 +99,83 @@ object PostingsStore {
     fs.create(markerPath(path)).close()
   }
 
+  /**
+   * Logical document DELETE (takedown) for the text index — the
+   * [[PointStore.delete]] discipline applied to the postings store: a
+   * 100-TB takedown workflow must remove a document from retrieval
+   * without rewriting the index, and the point-store tombstone alone
+   * doesn't do it (the doc would still be SERVED by every BM25 query
+   * through the postings projection).
+   *
+   * Marker side table `deletes/d$deleteId` holds the deleted doc ids;
+   * every postings read anti-joins it (broadcast — takedown sets are
+   * tiny), so df/tf/ranks adjust immediately. Corpus stats adjust
+   * through a NEGATIVE mergeable partial `deletestats/d$deleteId` —
+   * `(-n, -Σdl)` over the deleted docs, summed into the same raw
+   * `(n_docs, dl_sum)` fold as the positive build/batch partials (the
+   * raw-partials rule: negation composes, truncated avgdl wouldn't).
+   * Computing the partial reads the deleted docs' lengths from the
+   * postings tree — term-clustered, so a doc-id probe cannot prune:
+   * ONE full postings scan per takedown batch, O(markers) writes.
+   * Batch takedowns accordingly.
+   *
+   * Both trees are keyed by the caller's `deleteId` and written with
+   * overwrite, so replaying a delete batch is idempotent (the
+   * [[appendBatch]] discipline); ids already subtracted by a DIFFERENT
+   * delete batch are excluded, so overlapping takedown lists never
+   * double-subtract, and ids absent from the store are no-ops.
+   * Contract: a deleted doc id is never re-indexed ([[appendBatch]]
+   * after its takedown would be shadowed by the marker while its
+   * positive stats partial still counted — takedown is permanent,
+   * which is what takedown means). [[compact]] folds markers and
+   * negative partials physically and retires both trees, crash-atomic
+   * under the same `_READY` swap.
+   */
+  def deleteDocs(s: SparkSession, path: String, docIds: DataFrame,
+                 deleteId: Long): Unit = {
+    resolve(fsOf(s, path), path)
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val fresh = deletesExcept(s, path, deleteId) match {
+      case Some(prior) => ids.join(prior, Seq("doc_id"), "left_anti")
+      case None => ids
+    }
+    val hit = rawPostings(s, path).join(broadcast(fresh), Seq("doc_id"))
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .localCheckpoint() // one scan feeds both trees
+    hit.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).as("dl_sum"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/deletestats/d$deleteId")
+    hit.select("doc_id").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/deletes/d$deleteId")
+  }
+
+  /** Pending takedown markers (all delete batches), if any. */
+  private def deleteMarkers(s: SparkSession, path: String): Option[DataFrame] =
+    deletesExcept(s, path, -1L)
+
+  private def deletesExcept(s: SparkSession, path: String,
+                            skipId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val dirs = fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("d") && n != s"d$skipId")
+      if (dirs.isEmpty) None
+      else Some(dirs.map(d => s.read.parquet(s"$path/deletes/$d"))
+        .reduce(_ unionByName _))
+    }
+  }
+
   private val CompactReady = "_GRAFT_COMPACT_READY"
   private val Trees = Seq("postings", "stats")
+  /** Marker/delta trees a completed compaction retires: their content
+    * is folded into the promoted `.next` trees, so they must not
+    * survive the swap (a leftover negative partial would
+    * double-subtract). Retired under the same `_READY` marker, so a
+    * crash at any step still converges without double-counting. */
+  private val RetireTrees = Seq("deletes", "deletestats")
   private def markerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/$CompactReady")
   private def livePath(path: String, t: String) =
@@ -132,6 +207,7 @@ object PostingsStore {
       }
       fs.delete(old, true)
     }
+    RetireTrees.foreach(t => fs.delete(livePath(path, t), true))
     fs.delete(markerPath(path), false)
     ()
   }
@@ -153,7 +229,19 @@ object PostingsStore {
       st.isDirectory && st.getPath.getName.startsWith("b"))
   }
 
+  /** The LIVE postings view: the stored rows minus any pending
+    * takedown markers ([[deleteDocs]]) — what every serve path and
+    * [[compact]] consume, so deletion is invisible to all downstream
+    * plans except as absent rows. */
   def postings(s: SparkSession, path: String): DataFrame = {
+    val raw = rawPostings(s, path)
+    deleteMarkers(s, path) match {
+      case Some(m) => raw.join(broadcast(m), Seq("doc_id"), "left_anti")
+      case None => raw
+    }
+  }
+
+  private def rawPostings(s: SparkSession, path: String): DataFrame = {
     resolve(fsOf(s, path), path)
     if (batched(s, path)) s.read.parquet(s"$path/postings/b*")
     else s.read.parquet(s"$path/postings")
@@ -164,8 +252,13 @@ object PostingsStore {
     * number folds from. */
   private def rawPartials(s: SparkSession, path: String): DataFrame = {
     resolve(fsOf(s, path), path)
-    if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
-    else s.read.parquet(s"$path/stats")
+    val base =
+      if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
+      else s.read.parquet(s"$path/stats")
+    val dstats = new org.apache.hadoop.fs.Path(s"$path/deletestats")
+    if (dstats.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dstats))
+      base.unionByName(s.read.parquet(s"$path/deletestats/d*"))
+    else base
   }
 
   def stats(s: SparkSession, path: String): DataFrame =

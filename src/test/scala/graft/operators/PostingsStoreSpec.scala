@@ -123,6 +123,94 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, tmp)
   }
 
+  test("deleteDocs: takedown is immediate, overlap-safe, replay-idempotent, compacts away") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val kept = docs.filter(!col("doc_id").isin(2L, 4L))
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta"), (12L, "alpha epsilon"))
+      .toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-del").toString
+    PostingsStore.build(docs, tmp)
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val full = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val filtered = TextAnalysis.bm25DocTopK(qs, kept, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === full)
+    assert(filtered != full)
+    // overlapping batches (doc 2 twice) + an absent id (99): the second
+    // batch must not re-subtract doc 2, and 99 is a no-op
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 0L)
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L, 4L, 99L).toDF("doc_id"), 1L)
+    // at-least-once replay of batch 1 overwrites its own subtrees
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L, 4L, 99L).toDF("doc_id"), 1L)
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (2L, 4L)) // == build(kept) stats
+    assert(served === filtered) // df/tf/scores replay the filtered corpus
+    // compaction folds markers + negative partials physically
+    PostingsStore.compact(spark, tmp)
+    assert(!new java.io.File(s"$tmp/deletes").exists())
+    assert(!new java.io.File(s"$tmp/deletestats").exists())
+    assert(served === filtered)
+    val st2 = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st2.getLong(0), st2.getLong(1)) === (2L, 4L))
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("delete fold is crash-recoverable: marker trees retire without double subtraction") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-delcrash").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new Path(s"$tmp/$n")
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val filtered = TextAnalysis.bm25DocTopK(qs, docs.filter(col("doc_id") =!= 2L), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    PostingsStore.build(docs, tmp)
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 0L)
+
+    // crash A — marker written, swap not started: the read completes
+    // the swap INCLUDING retiring the delta trees, and the folded
+    // stats are not double-subtracted by leftover negatives
+    PostingsStore.compactBuild(spark, tmp)
+    assert(fs.exists(p("_GRAFT_COMPACT_READY")) && fs.exists(p("deletestats")))
+    assert(served === filtered)
+    assert(!fs.exists(p("deletes")) && !fs.exists(p("deletestats")))
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (3L, 4L))
+
+    // crash B — data trees promoted but delta trees not yet retired
+    // (the double-subtraction window): the marker is still present, so
+    // the next read finishes retirement before serving
+    PostingsStore.deleteDocs(spark, tmp, Seq(3L).toDF("doc_id"), 1L)
+    val filtered2 = TextAnalysis.bm25DocTopK(qs,
+        docs.filter(!col("doc_id").isin(2L, 3L)), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    PostingsStore.compactBuild(spark, tmp)
+    for (t <- Seq("postings", "stats")) {
+      assert(fs.rename(p(t), p(s"$t.old")))
+      assert(fs.rename(p(s"$t.next"), p(t)))
+      fs.delete(p(s"$t.old"), true)
+    }
+    assert(fs.exists(p("_GRAFT_COMPACT_READY")) && fs.exists(p("deletestats")))
+    assert(served === filtered2)
+    assert(!fs.exists(p("deletestats")) && !fs.exists(p("_GRAFT_COMPACT_READY")))
+    val st2 = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st2.getLong(0), st2.getLong(1)) === (2L, 4L))
+    PostingsStore.drop(spark, tmp)
+  }
+
   test("a term-equality probe prunes by parquet min/max on the clustered layout") {
     // 200 docs, each a single distinct word -> term-range files carry
     // disjoint term ranges; probing one term must push the filter to
