@@ -301,6 +301,55 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(Seq(logical, folded)).asJava),
         outSchema)
+    }),
+
+    // SNAPSHOT (time-travel) READS — the same put/delete/re-put history
+    // as delete_equiv, read back AS OF each sequence bound: asof0 must
+    // see the pre-delete store, asof1 the post-delete store (marker
+    // applied, re-put not yet visible), asof2 the final live view.
+    // Both side tables are append-only with monotone sequences, so a
+    // snapshot is two predicates over data already on disk — history
+    // costs zero rewrites (PointStore.snapshotAsOf scaladoc).
+    "snapshot_asof" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snapshot").toString
+      val base = eventsPoints(s, dir).withColumn("put_seq", lit(0L))
+      PointStore.write(base, s"$tmp/store")
+      val store = PointStore.open(s, s"$tmp/store")
+      store.delete(base.filter(col("id") % 5 === 0)
+        .select(col("id"), col("x"), col("y"), lit(1L).as("put_seq")))
+      PointStore.append(
+        base.filter(col("id") % 10 === 0).withColumn("put_seq", lit(2L)),
+        s"$tmp/store")
+      def snapshot(phase: String, bound: Long): org.apache.spark.sql.Row = {
+        val pts = store.snapshotAsOf(Seq("put_seq"), Seq(lit(bound)))
+        val r = PointStore.rangeQuery(pts, RX, RY)
+          .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("x").cast("long")), lit(0L)),
+            coalesce(sum(col("y").cast("long")), lit(0L))).head()
+        val tot = pts.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val kn = PointStore.knn(pts, 25000, 75, 10)
+          .agg(coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("dist2")), lit(0L))).head()
+        org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
+          kn.getLong(0), kn.getLong(1))
+      }
+      val rows = Seq(snapshot("asof0", 0L), snapshot("asof1", 1L),
+        snapshot("asof2", 2L))
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        Seq("range_cnt", "range_id_sum", "range_x_sum", "range_y_sum",
+          "total_cnt", "total_id_sum", "knn_id_sum", "knn_d2_sum").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        outSchema)
     })
   )
 
@@ -550,6 +599,33 @@ phases(phase) AS (VALUES ('logical'), ('folded'))
 SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
   total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
 FROM phases, r, t, k""",
+
+    // each AS OF bound replays the multiset the history presented at
+    // that sequence: all rows (asof0), deleted keys gone (asof1),
+    // re-put half resurrected (asof2 == the live view)
+    "snapshot_asof" -> {
+      def phaseSql(name: String, pred: String) =
+        s"""SELECT '$name' AS phase, r.*, t.*, k.* FROM
+(SELECT CAST(count(*) AS BIGINT) AS range_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
+    CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS range_y_sum
+  FROM src WHERE ($pred) AND x BETWEEN ${RX.min} AND ${RX.max}
+    AND y BETWEEN ${RY.min} AND ${RY.max}) r,
+(SELECT CAST(count(*) AS BIGINT) AS total_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS total_id_sum
+  FROM src WHERE $pred) t,
+(SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
+    CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
+  FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
+        FROM src WHERE $pred ORDER BY d2, id LIMIT 10)) k"""
+      s"""WITH src AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events)
+${phaseSql("asof0", "TRUE")}
+UNION ALL ${phaseSql("asof1", "id % 5 <> 0")}
+UNION ALL ${phaseSql("asof2", "id % 5 <> 0 OR id % 10 = 0")}"""
+    },
 
     "skyline" ->
       """WITH p0 AS (SELECT CAST(p_size AS BIGINT) AS x,

@@ -311,6 +311,34 @@ class PointStore(spark: SparkSession, path: String) {
   }
 
   /**
+   * Snapshot (time-travel) read AS OF a sequence bound — the view the
+   * store presented when the last operation with sequence ≤ `bound`
+   * landed: puts with a later sequence don't exist yet, and only
+   * markers already appended by then kill rows (so a key deleted AFTER
+   * the bound is still alive in the snapshot, and one deleted BEFORE a
+   * re-put is correctly absent). Because the put log and the marker
+   * table are both APPEND-ONLY with monotone sequences, a snapshot is
+   * two predicates over data already on disk — no version manifests,
+   * no copy-on-write, and the 100-TB store is never rewritten to serve
+   * history. Compose with [[PointStore.latest]] for upsert-log
+   * semantics, exactly like [[live]].
+   *
+   * History horizon: [[compactDeletes]] folds markers into the data
+   * and retires them — snapshots are exact for bounds SINCE the last
+   * fold; a bound older than the fold replays against the folded rows
+   * (the Iceberg snapshot-expiry trade: physical cleanup forgets
+   * history, by design — schedule folds at your retention boundary).
+   */
+  def snapshotAsOf(seqCols: Seq[String], bound: Seq[Column]): DataFrame = {
+    val cut = struct(seqCols.map(col): _*) <= struct(bound: _*)
+    val base = df.filter(cut)
+    tombstones match {
+      case Some(t) => PointStore.applyTombstones(base, t.filter(cut), seqCols)
+      case None => base
+    }
+  }
+
+  /**
    * Physically fold pending tombstones: rewrite the store z-clustered
    * with the markers applied, then retire the marker table — the
    * point-store analog of [[PostingsStore.compact]], and like it

@@ -233,6 +233,31 @@ class PointStoreSpec extends SparkSpec {
     store.drop()
   }
 
+  test("snapshotAsOf replays each point of the put/delete/re-put history") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, (i % 10).toInt, (i / 10).toInt, 0L))
+    val (store, dir) = mkSeqStore(rows)
+    store.delete(rows.filter(_._1 % 4 == 0)
+      .map(r => (r._1, r._2, r._3, 1L)).toDF("id", "x", "y", "put_seq"))
+    val back = rows.filter(_._1 % 8 == 0).map(r => (r._1, r._2, r._3, 2L))
+    PointStore.append(PointStore.points(back.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq"))), dir)
+    def snap(bound: Long) =
+      collectPts(store.snapshotAsOf(Seq("put_seq"), Seq(lit(bound))))
+    val all = rows.map(t => (t._1, t._2, t._3)).toSet
+    // asof 0: before the delete — everything visible
+    assert(snap(0L) === all)
+    // asof 1: delete applied, re-put not yet visible
+    assert(snap(1L) === all.filter(_._1 % 4 != 0))
+    // asof 2 (and beyond): the final live view, resurrections included
+    val fin = (0L until 100L).filter(i => i % 4 != 0 || i % 8 == 0)
+      .map(i => (i, (i % 10).toInt, (i / 10).toInt)).toSet
+    assert(snap(2L) === fin)
+    assert(snap(99L) === fin)
+    assert(snap(2L) === collectPts(store.live(Seq("put_seq"))))
+    store.drop()
+  }
+
   test("compactDeletes fold swap is crash-recoverable at every step") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
