@@ -695,6 +695,79 @@ object StreamingQueries {
     // batch-id-keyed log directory, so an at-least-once replay rewrites
     // identical counts instead of double-counting (the additive merge
     // stays exactly-once in net effect).
+    // STREAMING TAKEDOWN — the tombstone DELETE path driven online: the
+    // store holds the base puts (seq 0) plus a seq-2 re-put of the %10
+    // keys; the file stream delivers two marker batches (%5 at seq 1,
+    // %3 at seq 3) that foreachBatch appends to the tombstone table.
+    // Marker application is an append of an anti-join side — it
+    // COMMUTES and duplicate markers are invisible, so file-arrival
+    // order doesn't matter and at-least-once redelivery is exactly-once
+    // in net effect WITHOUT batch-id keying: the gate redelivers an
+    // entire marker batch after the stream and pins that the live view
+    // doesn't move ('replayed' phase). The %10 keys resurrect through
+    // the seq-1 marker, then the %30 subset dies again at seq 3 —
+    // the full marker/put sequence interplay, online.
+    "stream_takedown" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      val (tmp, fs, mSchema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-takedown").toString
+        val base = PointStore.points(
+            s.read.parquet(s"$dir/events.parquet"),
+            col("event_id"), expr("cast(floor(value*100) as int)"),
+            col("user_id"))
+          .withColumn("put_seq", lit(0L))
+        PointStore.write(base, s"$tmp/store")
+        PointStore.append(base.filter(col("id") % 10 === 0)
+          .withColumn("put_seq", lit(2L)), s"$tmp/store")
+        base.filter(col("id") % 5 === 0)
+          .select(col("id"), col("x"), col("y"), lit(1L).as("put_seq"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        base.filter(col("id") % 3 === 0)
+          .select(col("id"), col("x"), col("y"), lit(3L).as("put_seq"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+        (tmp, fs, s.read.parquet(s"$tmp/in").schema)
+      }
+      val store = PointStore.open(s, s"$tmp/store")
+      val stream = s.readStream.schema(mSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => store.delete(batch) }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      def snapshot(phase: String): org.apache.spark.sql.Row = {
+        val pts = store.live(Seq("put_seq"))
+        val r = PointStore.rangeQuery(pts, RX, RY)
+          .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("x").cast("long")), lit(0L)),
+            coalesce(sum(col("y").cast("long")), lit(0L))).head()
+        val tot = pts.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val kn = PointStore.knn(pts, 25000, 75, 10)
+          .agg(coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("dist2")), lit(0L))).head()
+        org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
+          kn.getLong(0), kn.getLong(1))
+      }
+      val streamed = snapshot("streamed")
+      // at-least-once redelivery of the whole seq-1 marker batch
+      store.delete(s.read.parquet(s"$tmp/in").filter(col("put_seq") === 1L))
+      val replayed = snapshot("replayed")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        Seq("range_cnt", "range_id_sum", "range_x_sum", "range_y_sum",
+          "total_cnt", "total_id_sum", "knn_id_sum", "knn_d2_sum").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      StreamMeter.setup { fs.delete(new Path(tmp), true) }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            Seq(streamed, replayed)).asJava), outSchema)
+    }),
+
     "stream_dq" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-dq").toString
@@ -1174,6 +1247,33 @@ UNION ALL SELECT 'events.error_events',
 FROM events
 WHERE CAST(floor(value*100) AS INT) BETWEEN ${RX.min} AND ${RX.max}
   AND user_id BETWEEN ${RY.min} AND ${RY.max}""",
+
+    // the live multiset after the streamed marker history: base rows
+    // survive %5 (seq 1) and %3 (seq 3); the %10 re-puts (seq 2)
+    // resurrect through seq 1 but die under seq 3 where id % 3 = 0 —
+    // one row per phase, and redelivered markers must not move it
+    "stream_takedown" ->
+      s"""WITH pts AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events
+  WHERE (event_id % 5 <> 0 AND event_id % 3 <> 0)
+     OR (event_id % 10 = 0 AND event_id % 3 <> 0)),
+r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
+    CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS range_y_sum
+  FROM pts WHERE x BETWEEN ${RX.min} AND ${RX.max}
+    AND y BETWEEN ${RY.min} AND ${RY.max}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS total_id_sum FROM pts),
+k AS (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
+    CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
+  FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
+        FROM pts ORDER BY d2, id LIMIT 10)),
+phases(phase) AS (VALUES ('streamed'), ('replayed'))
+SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
+  total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
+FROM phases, r, t, k""",
 
     "stream_ingest_box3" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
