@@ -93,6 +93,15 @@ FROM o""")),
     // no orders at all). Row-level output, exact integer comparisons.
     "sql_exists" -> ((s, dir) => sql(s, dir, ExistsSql)),
 
+    // LATERAL correlated subquery with per-key ORDER BY + LIMIT — the
+    // top-k-per-group shape through the THIRD decorrelation path
+    // (Catalyst's DecorrelateInnerQuery must hoist the correlated
+    // predicate through the sort+limit and plan a lateral join; DuckDB
+    // runs its own lateral unnesting on the SAME text): each
+    // customer's two most expensive orders, exact integer cents with
+    // a full (cents, o_orderkey) tie order so the row set is unique
+    "sql_lateral" -> ((s, dir) => sql(s, dir, LateralSql)),
+
     // the SimHash sketch through the SQL parser path: exercises the
     // registered simhash_agg aggregate — must hash-match the Column-API
     // twin (`simhash`) against the same relational oracle.
@@ -139,6 +148,13 @@ GROUP BY event_type, CAST(date_trunc('DAY', ts_ntz) AS DATE)"""))
   /** SAME-TEXT through both engines (the sql_correlated discipline):
     * Spark rewrites EXISTS/NOT EXISTS to semi/anti joins, DuckDB
     * decorrelates independently — the gate is their exact agreement. */
+  private val LateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.cents
+FROM customer c,
+LATERAL (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+         FROM orders WHERE o_custkey = c.c_custkey
+         ORDER BY cents DESC, o_orderkey LIMIT 2) t"""
+
   private val ExistsSql =
     """WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
 c AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)
@@ -151,6 +167,9 @@ WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)"""
 
   val oracle: Map[String, String] = Map(
     "sql_exists" -> ExistsSql,
+    // DuckDB's lateral unnesting runs the SAME text — two engines'
+    // independent lateral planners must agree on the per-key top-2
+    "sql_lateral" -> LateralSql,
     // DuckDB runs the SAME correlated text — two independent
     // decorrelators must agree on the exact-integer comparison
     "sql_correlated" ->
