@@ -39,9 +39,15 @@ object CheckpointScope {
     }
 
   /** Eagerly `localCheckpoint` `df` and register the resulting blocks
-    * for the next [[releaseAll]]. */
+    * for the next [[releaseAll]]. The inherited stats are clamped
+    * ([[org.apache.spark.sql.graftbridge.Bridge.clampCheckpointStats]])
+    * so iterative self-join loops can't compound the size estimate
+    * into a driver-melting BigInt — without the clamp, round ~17 of a
+    * deep component flood spends minutes in BigInteger multiplication
+    * computing stats for a megabyte-sized table. */
   def checkpoint(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck = org.apache.spark.sql.graftbridge.Bridge
+      .clampCheckpointStats(df.localCheckpoint())
     ckRdd(ck).foreach(live.add)
     ck
   }

@@ -37,6 +37,48 @@ object Bridge {
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
 
+  /**
+   * Clamp the inherited stats of a just-`localCheckpoint`ed DataFrame.
+   *
+   * Spark 4's `Dataset.checkpoint` propagates the CHILD PLAN's
+   * estimated `Statistics` into the new `LogicalRDD`
+   * (`LogicalRDD.rewriteStatsAndConstraints`). In an iterative
+   * self-join loop (connected-components rounds, bounded relaxations)
+   * each round's plan references the previous checkpoint twice, and
+   * `SizeInBytesOnlyStatsPlanVisitor.visitJoin` MULTIPLIES children
+   * sizes — so the estimated `sizeInBytes` roughly SQUARES every
+   * round. The BigInt's digit count then doubles per round: by round
+   * ~17 (an 80k-vertex supernode chain, measured) the driver spends
+   * minutes inside `BigInteger.multiplyToomCook3` computing stats for
+   * a plan whose true size is megabytes, and deeper graphs never
+   * finish. Clamping at `Long.MaxValue` after every checkpoint keeps
+   * the estimate's magnitude bounded — one round's plan then multiplies
+   * a handful of ≤2^63 numbers (hundreds of digits, microseconds) and
+   * the next clamp resets — while leaving small-table estimates (and so
+   * broadcast-join decisions) untouched.
+   */
+  def clampCheckpointStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cap = BigInt(Long.MaxValue)
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val st = lr.computeStats()
+        if (st.sizeInBytes <= cap && st.rowCount.forall(_ <= cap)) df
+        else {
+          val clamped = st.copy(sizeInBytes = st.sizeInBytes.min(cap),
+            rowCount = st.rowCount.map(_.min(cap)))
+          val session = df.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val plan = new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            session, Some(clamped), Some(lr.constraints))
+          org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
+        }
+      case _ => df
+    }
+  }
+
   /** Membership probe against a serialized bloom filter (codegen'd; the
     * probe side of Spark's runtime filters). `value` must be the SAME
     * hash expression family used to build (`xxhash64`). NO false

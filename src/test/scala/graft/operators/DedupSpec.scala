@@ -955,6 +955,29 @@ class DedupSpec extends SparkSpec {
     assert(viaStars === viaPairs)
   }
 
+  test("scopedCheckpoint clamps inherited stats: no compounding across self-join rounds") {
+    // Spark 4's localCheckpoint rewrites the child plan's estimated
+    // Statistics into the LogicalRDD; a self-join plan MULTIPLIES its
+    // children's sizes, so without the clamp the estimate squares every
+    // round and by ~round 17 the driver melts down in BigInteger
+    // multiplication (measured: an 80k-supernode chain flood never
+    // finished). 25 rounds here complete instantly and every
+    // checkpoint's estimate stays <= the Long.MaxValue cap.
+    import CheckpointScope.Scoped
+    var df = spark.range(1000).toDF("id").scopedCheckpoint()
+    val cap = BigInt(Long.MaxValue)
+    for (r <- 1 to 25) {
+      val prev = df
+      df = df.as("a").join(df.as("b"), col("a.id") === col("b.id"))
+        .select(col("a.id")).scopedCheckpoint()
+      CheckpointScope.release(prev)
+      val st = df.queryExecution.analyzed.stats
+      assert(st.sizeInBytes <= cap, s"round $r: ${st.sizeInBytes}")
+    }
+    assert(df.count() === 1000L)
+    CheckpointScope.release(df)
+  }
+
   test("CheckpointScope.releaseAll frees result-lineage checkpoint blocks after materialization") {
     import spark.implicits._
     // settle: evict anything prior suites left behind so the baseline is clean
