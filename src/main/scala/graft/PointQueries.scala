@@ -227,6 +227,18 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
       graft.operators.SpatialJoin.distanceJoin(pts, 20L)
     }),
 
+    // spatial kNN JOIN: every point's 3 nearest neighbors within r=20
+    // — the per-row generalization of the single-query knn verb; grid
+    // candidates + map-side-bounded per-key top-k; brute-force window
+    // oracle proves both the candidate coverage and the tie order
+    "knn_join_spatial" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id").as("id"),
+        expr("cast(floor(value*100) as int)").as("x"),
+        col("user_id").cast("int").as("y"))
+      graft.operators.SpatialJoin.knnWithinJoin(pts, 20L, 3)
+    }),
+
     // spatio-temporal distance self-join: event pairs within r=150 in
     // (x, y, t) — the 27-cell-neighborhood generalization; brute-force
     // quadratic oracle again proves the grid loses/invents nothing
@@ -563,6 +575,17 @@ SELECT a.id AS id_a, b.id AS id_b,
   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
 FROM p a JOIN p b ON a.id < b.id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400""",
+
+    "knn_join_spatial" ->
+      """WITH p AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM p a JOIN p b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400),
+r AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY dist2, id_b) AS rn
+  FROM pairs)
+SELECT id_a, id_b, dist2, CAST(rn AS BIGINT) AS rk FROM r WHERE rn <= 3""",
 
     "distance_join_3d" ->
       """WITH p AS (SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,

@@ -133,6 +133,59 @@ object SpatialJoin {
   }
 
   /**
+   * Spatial kNN JOIN within a radius — for EVERY point, its `k`
+   * nearest OTHER points among those within Euclidean distance `r`,
+   * in the deterministic `(dist2, id_b)` tie order the single-query
+   * [[PointStore.knn]] uses. This is the per-row generalization the
+   * reference's kNN verb lacks (one query point per call,
+   * `Client.java:92-152`) and the workhorse of spatial blocking:
+   * "k nearest stations/POIs/readings for every record" in one pass.
+   *
+   * The radius bound is what makes the join EXACT and scalable at
+   * once: candidates come from the same 3×3 cell-neighborhood
+   * equi-join as [[distanceJoin]] (cell side = `r`, so the
+   * neighborhood provably covers the ball), and a per-key bounded
+   * top-k aggregate (`collectTopK` — a size-k priority queue with
+   * MAP-SIDE combine, the TakeOrdered shape as an aggregate) truncates
+   * each point's candidate list to `k` before the reduce, so the
+   * shuffle carries at most k·cells rows per point, never the full
+   * candidate fan-out. A point with fewer than `k` in-radius
+   * neighbors emits what it has (the radius contract, not a recall
+   * loss). The final rank is a row_number over ≤ k-row groups that
+   * reuses the aggregation's hash partitioning (no extra exchange).
+   */
+  def knnWithinJoin(points: DataFrame, r: Long, k: Int): DataFrame = {
+    require(r >= 1 && k >= 1)
+    val p = points.select(col("id").cast("long").as("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+    val left = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      expr(s"div(x, $r)").as("cx"), expr(s"div(y, $r)").as("cy"))
+    val offsets = array((for (ox <- -1 to 1; oy <- -1 to 1)
+      yield struct(lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"))): _*)
+    val rightN = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"))
+      .withColumn("o", explode(offsets))
+      .select(col("id_b"), col("xb"), col("yb"),
+        (expr(s"div(xb, $r)") + col("o.ox")).as("cx"),
+        (expr(s"div(yb, $r)") + col("o.oy")).as("cy"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cand = left.join(rightN, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= lit(r * r))
+    cand.groupBy(col("id_a"))
+      .agg(Bridge.collectTopK(Bridge.expression(
+          struct(col("dist2").as("dist2"), col("id_b").as("id_b"))),
+        k, reverse = true).as("top"))
+      .select(col("id_a"), explode(col("top")).as("p"))
+      .select(col("id_a"), col("p.id_b").as("id_b"), col("p.dist2").as("dist2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+          .orderBy(col("dist2"), col("id_b"))).cast("long"))
+  }
+
+  /**
    * 3-D distance self-join — the spatio-temporal twin of
    * [[distanceJoin]] ("objects within range r of each other in space
    * AND time", the conflation/collision shape): cell side `r` in all

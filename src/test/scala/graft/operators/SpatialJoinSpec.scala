@@ -56,4 +56,33 @@ class SpatialJoinSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("knnWithinJoin matches the brute-force windowed definition, ties and short lists included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // clustered points force dist2 ties (integer grid) and an isolated
+    // outlier pins the fewer-than-k contract
+    val rows = (0L until 400L).map(i =>
+      (i, (rnd.nextInt(60) + 5).toLong, (rnd.nextInt(60) + 5).toLong)) :+
+      ((400L, 5000L, 5000L)) :+ ((401L, 5007L, 5000L))
+    val df = rows.toDF("id", "x", "y")
+    val r = 9L
+    val k = 4
+    val got = SpatialJoin.knnWithinJoin(df, r, k).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    // brute force: all in-radius pairs, rank by (dist2, id_b), keep k
+    val brute = (for {
+      (ia, xa, ya) <- rows
+      (ib, xb, yb) <- rows if ia != ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r * r
+    } yield (ia, ib, d2))
+      .groupBy(_._1).toSeq.flatMap { case (ia, cands) =>
+        cands.sortBy(c => (c._3, c._2)).take(k).zipWithIndex
+          .map { case ((_, ib, d2), i) => (ia, ib, d2, (i + 1).toLong) }
+      }.toSet
+    assert(got === brute)
+    // the isolated pair: exactly one neighbor each (radius contract)
+    assert(got.count(_._1 == 400L) === 1)
+    assert(got.exists(t => t._1 == 400L && t._2 == 401L && t._3 == 49L && t._4 == 1L))
+  }
 }
