@@ -226,6 +226,12 @@ object HtmlQueries {
     // iterates to the TRUE fixpoint; the oracle unrolls 9 peel rounds
     // (fixture converges in 7 at every sf — extra rounds are no-ops)
     "kcore" -> ((s, dir) => LinkGraph.kCore(kcoreEdges(s, dir), k = 5)),
+    // k-truss (k=3, 3 bounded peel rounds) over the same densified
+    // graph — the EDGE-analog of the k-core and the sharper kernel
+    // signal: every surviving edge must sit in >= 1 triangle of the
+    // surviving subgraph, so high-degree but triangle-poor structure
+    // (the quadratic-map tendrils) peels even where kcore keeps it
+    "ktruss" -> ((s, dir) => LinkGraph.kTruss(kcoreEdges(s, dir), k = 3, rounds = 3)),
     // first-class connected components over a DISCONNECTED fixture:
     // affine-permutation cycles per 50-block (x → 7x+3 mod 50, cycle
     // lengths 4/4/2) plus a 9-edge chain merging the first ten
@@ -407,6 +413,20 @@ SELECT v, CAST(d AS BIGINT) AS deg FROM
   (SELECT v, count(*) AS d FROM
     (SELECT a AS v FROM ke9 UNION ALL SELECT b AS v FROM ke9) GROUP BY v)
 WHERE d >= 5""",
+
+    "ktruss" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 7 + 3) % 25 AS dst
+    FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 11 + 5) % 25 AS dst
+    FROM documents WHERE doc_id % 2 = 0),
+${LinkGraph.kTrussOracleCore(k = 3, rounds = 3)}
+SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM kt3 e LEFT JOIN ts3 s ON s.u = e.a AND s.v = e.b""",
 
     "cc_components" ->
       s"""WITH edges AS (

@@ -628,6 +628,19 @@ tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    val tri = triangleEnum(und)
+    tri.select(col("u").as("v"))
+      .union(tri.select(col("x").as("v")))
+      .union(tri.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Degree-ordered triangle enumeration over a canonical undirected
+    * edge set `(a < b)`: one row `(u, x, y)` per triangle, each
+    * enumerated once from its lowest-(deg, id) corner — the O(√m)
+    * out-degree bound that keeps hub vertices from a wedge blowup.
+    * Shared by [[triangles]] and the [[kTruss]] peel rounds. */
+  private def triangleEnum(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -649,12 +662,88 @@ tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
     val e2 = orient.select(col("u"), col("w").as("y"), col("word").as("yord"))
     val wedges = e1.join(e2, Seq("u")).filter(col("xord") < col("yord"))
       .select(col("u"), col("x"), col("y"))
-    val tri = wedges.join(
+    wedges.join(
       orient.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
-    tri.select(col("u").as("v"))
-      .union(tri.select(col("x").as("v")))
-      .union(tri.select(col("y").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      .select(col("u"), col("x"), col("y"))
+  }
+
+  /**
+   * k-truss peeling, BOUNDED rounds (Cohen 2008): each round computes
+   * every surviving edge's triangle SUPPORT (triangles through it in
+   * the surviving subgraph) and deletes edges with support < k−2;
+   * after exactly `rounds` peels the surviving edges are returned with
+   * their final-subgraph support. The k-truss is the edge-analog of
+   * [[kCore]] and the sharper dense-kernel signal (every edge must sit
+   * in k−2 triangles — chains, stars, and bipartite-ish link farms
+   * peel even where degrees stay high). Fixed rounds is the operator
+   * contract, like [[cheapestPaths]]: the oracle unrolls the same
+   * rounds, and a fixture converging within them makes the bounded
+   * result THE k-truss; the engine result is well-defined either way.
+   *
+   * Scale shape: per round one degree-ordered triangle enumeration
+   * (the [[triangleEnum]] O(√m) wedge bound), one edge-keyed support
+   * aggregate (map-side combinable), one left join + filter; per-round
+   * checkpoint with the superseded round released — lineage one round
+   * deep, the [[kCore]] discipline.
+   */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 0)
+    def support(e: DataFrame): DataFrame = {
+      val tri = triangleEnum(e)
+      tri.select(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b"))
+        .union(tri.select(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")))
+        .union(tri.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var e = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().scopedCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val next = e.join(support(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b")).scopedCheckpoint()
+      CheckpointScope.release(e)
+      e = next
+      r += 1
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /**
+   * DuckDB twin of [[kTruss]] over an edge CTE named `edges(src, dst)`:
+   * `rounds` unrolled support-peel rounds (simple a<b<c triangle
+   * enumeration — support is orientation-independent, so the oracle
+   * needn't replay the engine's degree ordering), ending in
+   * `kt$rounds(a, b)` plus the final support table `ts$rounds(u, v,
+   * sup)`. MATERIALIZED per round: each round's edge table is
+   * referenced four times.
+   */
+  def kTrussOracleCore(k: Int, rounds: Int): String = {
+    def supSql(i: Int) =
+      s"""tt$i AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM kt$i e1 JOIN kt$i e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN kt$i e3 ON e3.a = e1.b AND e3.b = e2.b),
+ts$i AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM
+  (SELECT a AS u, b AS v FROM tt$i
+   UNION ALL SELECT a AS u, c AS v FROM tt$i
+   UNION ALL SELECT b AS u, c AS v FROM tt$i) GROUP BY u, v)"""
+    val head =
+      """kt0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""
+    val steps = (0 until rounds).map { i =>
+      s"""${supSql(i)},
+kt${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM kt$i e
+  LEFT JOIN ts$i s ON s.u = e.a AND s.v = e.b
+  WHERE coalesce(s.sup, 0) >= ${k - 2})"""
+    }
+    ((head +: steps) :+ supSql(rounds)).mkString(",\n")
   }
 
   /**

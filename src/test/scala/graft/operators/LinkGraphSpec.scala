@@ -226,6 +226,50 @@ class LinkGraphSpec extends SparkSpec {
       Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("kTruss peels support-poor edges with cascade, matches a naive driver-side peel") {
+    import spark.implicits._
+    // K5 clique (support 3 per edge), a triangle 10-11-12 bridged to
+    // the clique by ONE edge (0,10) (support 0 — peels immediately),
+    // and a "book" 20-21 shared by two triangles (20,21,22)/(20,21,23)
+    // whose spine has support 2 but whose page edges have support 1 —
+    // at k=4 the pages peel round 1, which drops the spine's support
+    // to 0 and peels it round 2 (the cascade k-core cannot express)
+    val raw: Seq[(Long, Long)] =
+      (for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)) ++
+        Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 10L),
+          (20L, 21L), (20L, 22L), (21L, 22L), (20L, 23L), (21L, 23L))
+    val e = raw.toDF("src", "dst")
+    def naive(k: Int, rounds: Int): Map[(Long, Long), Long] = {
+      var und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.filter(t => t._1 != t._2)
+      def sup(es: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+        val set = es.toSet
+        es.map { case (a, b) =>
+          (a, b) -> es.flatMap(t => Seq(t._1, t._2)).distinct.count(c =>
+            c != a && c != b &&
+              set((math.min(a, c), math.max(a, c))) &&
+              set((math.min(b, c), math.max(b, c)))).toLong
+        }.toMap
+      }
+      for (_ <- 0 until rounds) {
+        val s = sup(und)
+        und = und.filter(t => s(t) >= k - 2)
+      }
+      sup(und)
+    }
+    for (k <- Seq(3, 4, 5); rounds <- Seq(1, 2, 3)) {
+      val got = LinkGraph.kTruss(e, k, rounds).collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(got === naive(k, rounds), s"k=$k rounds=$rounds")
+    }
+    // the cascade: k=4 round 1 keeps the book spine, round 2 peels it
+    val r1 = LinkGraph.kTruss(e, 4, 1).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r1.contains((20L, 21L)))
+    val r2 = LinkGraph.kTruss(e, 4, 2).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r2 === (for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)).toSet)
+    graft.operators.CheckpointScope.releaseAll()
+  }
+
   test("kCore is direction/multi-edge/self-loop immune and releases its rounds") {
     import spark.implicits._
     val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
