@@ -315,6 +315,58 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         outSchema)
     }),
 
+    // RANGE (predicate) DELETE EQUIVALENCE — region takedown without
+    // enumerating ids: one rectangle marker kills every inside row
+    // with seq <= the marker's; re-puts inside the region (higher seq)
+    // resurrect through it; compactDeletes folds the region physically.
+    // The read side compiles markers into ONE pushed-down x/y/seq
+    // predicate (no join); phases 'logical' and 'folded' must both
+    // equal the filtered-source oracle
+    "delete_range_equiv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delrange").toString
+      val base = eventsPoints(s, dir).withColumn("put_seq", lit(0L))
+      PointStore.write(base, s"$tmp/store")
+      val store = PointStore.open(s, s"$tmp/store")
+      val inRect = col("x").between(20000, 26000) && col("y").between(50, 90)
+      locally { import s.implicits._
+        store.deleteRange(Seq((20000, 26000, 50, 90, 1L))
+          .toDF("xmin", "xmax", "ymin", "ymax", "put_seq")) }
+      PointStore.append(
+        base.filter(inRect && col("id") % 2 === 0).withColumn("put_seq", lit(2L)),
+        s"$tmp/store")
+      def snapshot(phase: String): org.apache.spark.sql.Row = {
+        val pts = store.live(Seq("put_seq"))
+        val r = PointStore.rangeQuery(pts, RX, RY)
+          .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("x").cast("long")), lit(0L)),
+            coalesce(sum(col("y").cast("long")), lit(0L))).head()
+        val tot = pts.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val kn = PointStore.knn(pts, 25000, 75, 10)
+          .agg(coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("dist2")), lit(0L))).head()
+        org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
+          kn.getLong(0), kn.getLong(1))
+      }
+      val logical = snapshot("logical")
+      store.compactDeletes(Seq("put_seq"))
+      val folded = snapshot("folded")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        Seq("range_cnt", "range_id_sum", "range_x_sum", "range_y_sum",
+          "total_cnt", "total_id_sum", "knn_id_sum", "knn_d2_sum").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(Seq(logical, folded)).asJava),
+        outSchema)
+    }),
+
     // SNAPSHOT (time-travel) READS — the same put/delete/re-put history
     // as delete_equiv, read back AS OF each sequence bound: asof0 must
     // see the pre-delete store, asof1 the post-delete store (marker
@@ -606,6 +658,34 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
   SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
     CAST(user_id AS BIGINT) AS y FROM events
   WHERE event_id % 5 <> 0 OR event_id % 10 = 0),
+r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
+    CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS range_y_sum
+  FROM pts WHERE x BETWEEN ${RX.min} AND ${RX.max}
+    AND y BETWEEN ${RY.min} AND ${RY.max}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS total_id_sum FROM pts),
+k AS (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
+    CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
+  FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
+        FROM pts ORDER BY d2, id LIMIT 10)),
+phases(phase) AS (VALUES ('logical'), ('folded'))
+SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
+  total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
+FROM phases, r, t, k""",
+
+    // the live multiset after region delete + inside re-put: outside
+    // rows untouched, inside rows survive only via the seq-2 re-put
+    // (id % 2 = 0) — identical rows for both phases pins the compiled
+    // predicate's exactness AND the fold's result-invisibility
+    "delete_range_equiv" ->
+      s"""WITH pts AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events
+  WHERE NOT (CAST(floor(value*100) AS BIGINT) BETWEEN 20000 AND 26000
+             AND user_id BETWEEN 50 AND 90)
+     OR event_id % 2 = 0),
 r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
     CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
     CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,

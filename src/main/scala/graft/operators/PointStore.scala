@@ -281,6 +281,7 @@ class PointStore(spark: SparkSession, path: String) {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def tombPath = new Path(path + ".tombstones")
+  private def rangeTombPath = new Path(path + ".rangetombs")
   private def foldScratch = new Path(path + ".folding")
   private val FoldReady = "_GRAFT_FOLD_READY"
 
@@ -296,6 +297,45 @@ class PointStore(spark: SparkSession, path: String) {
   def delete(markers: DataFrame): Unit =
     markers.write.mode("append").parquet(tombPath.toString)
 
+  /**
+   * Logical RANGE (predicate) DELETE — region takedown without
+   * enumerating ids (the geofence-purge / bad-sensor-window verb; an
+   * equality marker per member would mean scanning 100 TB just to
+   * WRITE the delete). Markers are rectangles
+   * `(xmin, xmax, ymin, ymax, seq...)` appended O(markers); a marker
+   * kills every row inside its rectangle with sequence ≤ the marker's
+   * — the same seq discipline as [[delete]], so a later re-put inside
+   * the region resurrects. The read side compiles the (tiny) marker
+   * set into ONE plain x/y/seq predicate — no join at all, and the
+   * conjunction pushes to the parquet scan where row groups inside
+   * the dead region prune by footer stats.
+   */
+  def deleteRange(markers: DataFrame): Unit =
+    markers.write.mode("append").parquet(rangeTombPath.toString)
+
+  /** Pending range-tombstone markers (empty after a fold). */
+  def rangeTombstones: Option[DataFrame] = {
+    resolveFold()
+    if (fs.exists(rangeTombPath)) Some(spark.read.parquet(rangeTombPath.toString))
+    else None
+  }
+
+  private def applyRangeTombstones(pts: DataFrame, markers: DataFrame,
+                                   seqCols: Seq[String]): DataFrame = {
+    val rects = markers.select(
+      (Seq("xmin", "xmax", "ymin", "ymax") ++ seqCols).map(col): _*).collect()
+    if (rects.isEmpty) pts
+    else {
+      val dead = rects.map { r =>
+        col("x") >= lit(r.get(0)) && col("x") <= lit(r.get(1)) &&
+          col("y") >= lit(r.get(2)) && col("y") <= lit(r.get(3)) &&
+          struct(seqCols.map(col): _*) <=
+            struct(seqCols.indices.map(i => lit(r.get(4 + i))): _*)
+      }.reduce(_ || _)
+      pts.filter(!dead)
+    }
+  }
+
   /** The store's pending tombstone markers (empty after a fold). */
   def tombstones: Option[DataFrame] = {
     resolveFold()
@@ -307,7 +347,10 @@ class PointStore(spark: SparkSession, path: String) {
     * the store is an upsert log. */
   def live(seqCols: Seq[String]): DataFrame = {
     val base = df
-    tombstones.map(PointStore.applyTombstones(base, _, seqCols)).getOrElse(base)
+    val afterEq =
+      tombstones.map(PointStore.applyTombstones(base, _, seqCols)).getOrElse(base)
+    rangeTombstones.map(applyRangeTombstones(afterEq, _, seqCols))
+      .getOrElse(afterEq)
   }
 
   /**
@@ -332,9 +375,13 @@ class PointStore(spark: SparkSession, path: String) {
   def snapshotAsOf(seqCols: Seq[String], bound: Seq[Column]): DataFrame = {
     val cut = struct(seqCols.map(col): _*) <= struct(bound: _*)
     val base = df.filter(cut)
-    tombstones match {
+    val afterEq = tombstones match {
       case Some(t) => PointStore.applyTombstones(base, t.filter(cut), seqCols)
       case None => base
+    }
+    rangeTombstones match {
+      case Some(rt) => applyRangeTombstones(afterEq, rt.filter(cut), seqCols)
+      case None => afterEq
     }
   }
 
@@ -369,6 +416,7 @@ class PointStore(spark: SparkSession, path: String) {
       throw new java.io.IOException(s"fold swap $foldScratch -> $path failed")
     fs.delete(new Path(path, FoldReady), false)
     fs.delete(tombPath, true)
+    fs.delete(rangeTombPath, true)
     ()
   }
 
@@ -378,6 +426,7 @@ class PointStore(spark: SparkSession, path: String) {
       // crashed between the swap rename and the cleanup: finish it
       fs.delete(new Path(path, FoldReady), false)
       fs.delete(tombPath, true)
+      fs.delete(rangeTombPath, true)
       ()
     }
   }
@@ -401,6 +450,7 @@ class PointStore(spark: SparkSession, path: String) {
   def drop(): Unit = {
     fs.delete(new Path(path), true)
     fs.delete(tombPath, true)
+    fs.delete(rangeTombPath, true)
     fs.delete(foldScratch, true)
     ()
   }

@@ -233,6 +233,42 @@ class PointStoreSpec extends SparkSpec {
     store.drop()
   }
 
+  test("deleteRange kills by rectangle + seq, composes with equality markers and snapshots") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, (i % 10).toInt, (i / 10).toInt, 0L))
+    val (store, dir) = mkSeqStore(rows)
+    // rectangle x in [2,5], y in [3,6] at seq 1 — kills the 16 inside rows
+    store.deleteRange(Seq((2, 5, 3, 6, 1L))
+      .toDF("xmin", "xmax", "ymin", "ymax", "put_seq"))
+    def pts = collectPts(store.live(Seq("put_seq")))
+    val inside = (i: Long) => (i % 10) >= 2 && (i % 10) <= 5 && (i / 10) >= 3 && (i / 10) <= 6
+    assert(pts === rows.filterNot(t => inside(t._1)).map(t => (t._1, t._2, t._3)).toSet)
+    assert(store.df.count() === 100L) // store untouched, predicate-only read
+    // re-put half the dead region at seq 2: resurrects through the marker
+    val back = rows.filter(t => inside(t._1) && t._1 % 2 == 0)
+      .map(r => (r._1, r._2, r._3, 2L))
+    PointStore.append(PointStore.points(back.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq"))), dir)
+    val expect = rows.filter(t => !inside(t._1) || t._1 % 2 == 0)
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(pts === expect)
+    // an equality marker composes on top: a seq-3 marker kills even a
+    // row the range marker couldn't touch (resurrected at seq 2)
+    store.delete(Seq((42L, 2, 4, 3L)).toDF("id", "x", "y", "put_seq"))
+    assert(pts === (expect - ((42L, 2, 4))))
+    // snapshots see each history point
+    def snap(b: Long) = collectPts(store.snapshotAsOf(Seq("put_seq"), Seq(lit(b))))
+    assert(snap(0L) === rows.map(t => (t._1, t._2, t._3)).toSet)
+    assert(snap(1L) === rows.filterNot(t => inside(t._1)).map(t => (t._1, t._2, t._3)).toSet)
+    assert(snap(2L) === expect)
+    // fold: same live multiset, both marker tables retired, dead rows gone
+    store.compactDeletes(Seq("put_seq"), numPartitions = 2)
+    assert(store.tombstones.isEmpty && store.rangeTombstones.isEmpty)
+    assert(pts === (expect - ((42L, 2, 4))))
+    assert(store.df.count().toInt === expect.size - 1)
+    store.drop()
+  }
+
   test("snapshotAsOf replays each point of the put/delete/re-put history") {
     import spark.implicits._
     val rows = (0L until 100L).map(i => (i, (i % 10).toInt, (i / 10).toInt, 0L))
