@@ -1244,16 +1244,16 @@ object Dedup {
   /**
    * APPROXIMATE char-level duplicate-coverage — [[spanDedupChars]]
    * with the same fused winnow prefilter [[spanDedupApprox]] applies
-   * at word granularity: a compact signal table (scalars + window-
-   * minimum fingerprints, computed straight off the cleaned string by
-   * the [[graft.functions.AsciiPolyGrams]] →
-   * [[graft.functions.WindowMinima]] composition — the gram-hash array
-   * exists only inside each row's evaluation, never in the checkpoint)
-   * nominates candidate texts (shared fingerprint with doc-weighted
-   * df ≥ 2, or exact-duplicated cleaned text `m > 1`); the gram
-   * machinery's input is REHYDRATED from the signal table's `clean`
-   * string at candidate scale by the linear fused hash — a projection
-   * over the materialized checkpoint, not a second corpus groupBy;
+   * at word granularity: the signal table IS the exact machinery's
+   * input ([[charReps]] — ONE corpus groupBy, gram hashes on the one
+   * checkpoint), and the window-minimum fingerprints are the fused
+   * [[graft.functions.WindowMinima]] over it, recomputed per consumer
+   * (two O(n) projections over materialized blocks — cheaper than a
+   * second materialization or an [[graft.functions.AsciiPolyGrams]]
+   * re-hash, so the prefilter's only cost on top of exact's own work
+   * is the fingerprint aggregate and the candidacy join). Candidates =
+   * texts sharing a fingerprint with doc-weighted df ≥ 2, or
+   * exact-duplicated cleaned text `m > 1`;
    * non-candidates pass through with `n_dup_chars = 0`. Exact for
    * duplicated char spans ≥ `k + w - 1` cleaned characters; shorter
    * duplicated spans may be under-counted (coverage only ever drops,
@@ -1265,40 +1265,36 @@ object Dedup {
                            w: Int = 4, maxCandidateFrac: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val txt = charTxt(df)
-    // signal pass: ONE corpus groupBy; fingerprints come straight off
-    // the cleaned string through the fused AsciiPolyGrams→WindowMinima
-    // composition (no gram array in the row, no interpreted ladder);
-    // `clean` rides along (1 B/char vs ghs's 8) as the rebuild source
-    val sig = txt.groupBy("tkey")
-      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
-        first(col("clean")).as("clean"))
-      .withColumn("fps", org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.functions.WindowMinima(
-          graft.functions.AsciiPolyGrams(
-            org.apache.spark.sql.graftbridge.Bridge.expression(col("clean")), k), w)))
-      .select(col("tkey"), col("min_doc"), col("m"), col("clean"),
-        length(col("clean")).as("n"), col("fps"))
-      .scopedCheckpoint()
-    val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
+    // signal pass: ONE corpus groupBy, and the signal IS the machinery
+    // input — charReps' gram-hash array rides the single checkpoint,
+    // and the winnow fingerprints are the fused [[graft.functions
+    // .WindowMinima]] over it, recomputed on demand by each consumer
+    // (two O(n) projections over materialized blocks beat a second
+    // materialization + an AsciiPolyGrams re-hash: the r16 bench still
+    // showed the chars prefilter 1.4× its exact twin with the
+    // rebuild-from-string shape; this one adds only the fingerprint
+    // aggregate and the candidacy join on top of exact's own work)
+    val sig = charReps(txt, k).scopedCheckpoint()
+    val fpsCol = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WindowMinima(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("ghs")), w))
+    val dupFp = sig.select(col("m"), explode(fpsCol).as("fp"))
       .groupBy("fp").agg(sum(col("m")).as("fdf"))
       .filter(col("fdf") >= 2).select("fp")
-    val candKeys = sig.select(col("tkey"), explode(col("fps")).as("fp"))
+    val candKeys = sig.select(col("tkey"), explode(fpsCol).as("fp"))
       .join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
       .scopedCheckpoint()
-    // machinery input rebuilt from the signal checkpoint by the linear
-    // fused hash — a projection, not a second corpus groupBy
-    def rehydrated(sigRows: DataFrame): DataFrame = sigRows
-      .withColumn("ghs", org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.functions.AsciiPolyGrams(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("clean")), k)))
-      .select(col("tkey"), col("min_doc"), col("m"), col("n"), col("ghs"))
-      .scopedCheckpoint()
+    // both counts read materialized checkpoints; frac >= 1 skips them
     if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
-      charFanOut(txt, charMachinery(rehydrated(sig), k, minDf))
+      charFanOut(txt, charMachinery(sig, k, minDf))
     } else {
-      val activeReps = rehydrated(sig.join(candKeys, Seq("tkey"), "left_semi"))
+      // NOT re-checkpointed: the machinery's consumers recompute this
+      // semi join from the two already-materialized checkpoints (both
+      // hash-partitioned on tkey — no exchange), which measures cheaper
+      // than a second full materialization of the gram arrays
+      val activeReps = sig.join(candKeys, Seq("tkey"), "left_semi")
       val allText = charMachinery(activeReps, k, minDf).unionByName(
         sig.join(candKeys, Seq("tkey"), "left_anti")
           .select(col("tkey"), col("min_doc"), col("n").cast("long").as("n_chars"),

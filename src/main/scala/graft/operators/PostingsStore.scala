@@ -129,7 +129,10 @@ object PostingsStore {
    * positive stats partial still counted — takedown is permanent,
    * which is what takedown means). [[compact]] folds markers and
    * negative partials physically and retires both trees, crash-atomic
-   * under the same `_READY` swap.
+   * under the same `_READY` swap. Same single-writer exclusion as
+   * [[compact]]: a delete issued between a compaction's build and its
+   * swap would be retired unapplied — sequence deletes and compactions,
+   * don't interleave them.
    */
   def deleteDocs(s: SparkSession, path: String, docIds: DataFrame,
                  deleteId: Long): Unit = {
