@@ -320,6 +320,16 @@ class PointStore(spark: SparkSession, path: String) {
     else None
   }
 
+  /** Lexicographic `cols <= bounds` expanded into plain comparisons —
+    * a `struct(...) <= struct(...)` spelling is NOT translatable to a
+    * parquet source filter, which would keep the whole compiled
+    * range-tombstone predicate off the scan (measured: empty
+    * PushedFilters); the expansion keeps every atom pushable. */
+  private def lexLe(cols: Seq[Column], bounds: Seq[Column]): Column =
+    if (cols.size == 1) cols.head <= bounds.head
+    else (cols.head < bounds.head) ||
+      (cols.head === bounds.head && lexLe(cols.tail, bounds.tail))
+
   private def applyRangeTombstones(pts: DataFrame, markers: DataFrame,
                                    seqCols: Seq[String]): DataFrame = {
     val rects = markers.select(
@@ -329,8 +339,8 @@ class PointStore(spark: SparkSession, path: String) {
       val dead = rects.map { r =>
         col("x") >= lit(r.get(0)) && col("x") <= lit(r.get(1)) &&
           col("y") >= lit(r.get(2)) && col("y") <= lit(r.get(3)) &&
-          struct(seqCols.map(col): _*) <=
-            struct(seqCols.indices.map(i => lit(r.get(4 + i))): _*)
+          lexLe(seqCols.map(col),
+            seqCols.indices.map(i => lit(r.get(4 + i))))
       }.reduce(_ || _)
       pts.filter(!dead)
     }

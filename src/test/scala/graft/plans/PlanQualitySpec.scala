@@ -559,4 +559,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(ex.contains("LeftSemi") && ex.contains("LeftAnti"), ex)
     assert(!ex.contains("CartesianProduct") && !ex.contains("BroadcastNestedLoopJoin"), ex)
   }
+
+  test("round-16 additions: range-delete predicate pushes to the scan; " +
+      "kNN join truncates map-side; lateral plans as a join") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // a RANGE delete compiles its markers into plain x/y/seq
+    // comparisons — they must reach the parquet scan as PushedFilters
+    // (row groups inside the dead region prune by footer stats); a
+    // join-shaped read would shuffle the store against a 3-row marker
+    val dir = Files.createTempDirectory("graft-plan-rdel").toString + "/store"
+    val rows = (0L until 1000L).map(i => (i, (i % 32).toInt, (i / 32).toInt, 0L))
+    val df = PointStore.points(rows.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq")))
+    PointStore.write(df, dir, 2)
+    val store = PointStore.open(spark, dir)
+    store.deleteRange(Seq((4, 9, 2, 11, 1L))
+      .toDF("xmin", "xmax", "ymin", "ymax", "put_seq"))
+    val plan = store.live(Seq("put_seq")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // predicate, not a join
+    assert(plan.contains("PushedFilters: [Or("), plan) // non-empty, at the scan
+    store.drop()
+
+    // the spatial kNN join must truncate per-key candidate lists in the
+    // PARTIAL aggregate (a size-k priority queue map-side) and reuse
+    // that aggregation's partitioning for the rank window — one
+    // exchange total after the grid join, no sort of the full fan-out
+    val pts = (0L until 500L).map(i => (i, (i * 7 % 97).toInt, (i * 13 % 89).toInt))
+      .toDF("id", "x", "y")
+    val kj = graft.operators.SpatialJoin.knnWithinJoin(pts, 9L, 3)
+    val kjPlan = kj.queryExecution.executedPlan.toString
+    assert(kjPlan.contains("ObjectHashAggregate") || kjPlan.contains("SortAggregate"), kjPlan)
+    assert(kjPlan.contains("collect_top_k"), kjPlan)
+    val exchanges = "Exchange hashpartitioning\\(id_a".r
+      .findAllIn(kjPlan).length
+    assert(exchanges <= 1, s"$exchanges id_a exchanges:\n$kjPlan")
+
+    // LATERAL top-k-per-group must plan as a real join after
+    // decorrelation — never a per-outer-row subquery execution
+    val lat = graft.SparkEntry.queries("sql_lateral")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!lat.contains("CartesianProduct"), lat)
+    assert(lat.contains("Join") || lat.contains("join"), lat)
+  }
 }
