@@ -1035,18 +1035,18 @@ object Dedup {
    * 2 regardless of `minDf`; `minDf` still governs the dup inventory
    * itself. Same output schema as [[spanDedup]].
    *
-   * Scale shape: ONE corpus shuffle total — the distinct-text groupBy
-   * that tokenizes, hashes, and selects fingerprints in a single fused
-   * projection ([[graft.functions.WindowMinima]]: monotonic-deque
-   * window minima with built-in dedup, replacing the interpreted
-   * `transform`+`least`-ladder+`array_distinct` chain that dominated
-   * the r15 bench at high candidacy). The checkpoint holds scalars +
-   * ~2n/(w+1) fingerprints, never the token/gram arrays; candidates
-   * are REHYDRATED from the pass-through string (splitting reverses
-   * the `array_join` exactly) by linear expressions — a projection
-   * over the signal checkpoint, not a second corpus groupBy. One
+   * Scale shape: ONE corpus shuffle and ONE md5 tokenize pass total —
+   * the signal table IS the exact machinery's input ([[spanReps]],
+   * the same rows the exact twin materializes), and the winnow
+   * fingerprints are the fused [[graft.functions.WindowMinima]]
+   * (monotonic-deque window minima with built-in dedup, replacing the
+   * interpreted `transform`+`least`-ladder+`array_distinct` chain that
+   * dominated the r15 bench) over its checkpointed gram hashes,
+   * recomputed per consumer as an O(n) projection. One
    * fingerprint-vocabulary aggregate (map-side combinable) then sizes
-   * the exact machinery to the candidate fraction.
+   * the exact machinery to the candidate fraction; the prefilter's
+   * only cost on top of exact's own work is that aggregate plus the
+   * candidacy join.
    *
    * ADAPTIVE BAIL-OUT: when the measured candidate fraction exceeds
    * `maxCandidateFrac` (two scalar counts over already-materialized
@@ -1064,53 +1064,42 @@ object Dedup {
                       w: Int = 4, maxCandidateFrac: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val txt = spanTxt(df)
-    // compact per-distinct-text signal: pass-through scalars + fused
-    // winnow fingerprints; the heavy ws/hs/ghs arrays die before the
-    // checkpoint (consumers: fp inventory, candidacy join, pass-through,
-    // and the rehydration below — cleaned_pass IS the rebuild source)
-    val sig = withGramHashes(
-      txt.groupBy("tkey")
-        .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("m"),
-          first(col("text")).as("text")), k)
-      .withColumn("fps", org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.functions.WindowMinima(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("ghs")), w)))
-      .select(col("tkey"), col("min_doc"), col("m"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        array_join(col("ws"), " ").as("cleaned_pass"),
-        col("fps"))
-      .scopedCheckpoint()
-    val dupFp = sig.select(col("m"), explode(col("fps")).as("fp"))
+    // the signal IS the machinery input ([[spanReps]] — ONE corpus
+    // groupBy and ONE md5 tokenize pass, arrays on the one checkpoint,
+    // the same rows the exact twin materializes); the winnow
+    // fingerprints are the fused [[graft.functions.WindowMinima]] over
+    // the checkpointed gram hashes, recomputed per consumer — the
+    // rebuild-from-string shape paid the md5 token hash TWICE (signal
+    // + rehydration), which the r16 bench still showed as prefilter
+    // overhead at gate scale
+    val sig = spanReps(txt, k).scopedCheckpoint()
+    val fpsCol = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WindowMinima(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("ghs")), w))
+    val dupFp = sig.select(col("m"), explode(fpsCol).as("fp"))
       .groupBy("fp").agg(sum(col("m")).as("fdf"))
       .filter(col("fdf") >= 2).select("fp")
-    val candKeys = sig.select(col("tkey"), explode(col("fps")).as("fp"))
+    val candKeys = sig.select(col("tkey"), explode(fpsCol).as("fp"))
       .join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
-      .scopedCheckpoint() // consumed by the rehydration semi-join + anti-join
-    // gram-machinery input rebuilt from the SIGNAL table, not the
-    // corpus: splitting cleaned_pass reverses the array_join exactly
-    // (tokens are whitespace-free and nonempty by construction), and
-    // the hashes are linear fused expressions — a projection over the
-    // materialized checkpoint, no second corpus shuffle. Checkpointed
-    // for the machinery's three consumers.
-    def rehydrated(sigRows: DataFrame): DataFrame =
-      gramHashesFromWs(
-        sigRows.withColumn("ws", split(col("cleaned_pass"), " ")), k)
-        .select(col("tkey"), col("min_doc"), col("m"), col("ws"), col("ghs"))
-        .scopedCheckpoint()
-    // adaptive bail-out: both counts read materialized checkpoints
+      .scopedCheckpoint() // consumed by the candidate semi-join + anti-join
+    // both counts read materialized checkpoints; frac >= 1 skips them
     if (maxCandidateFrac < 1.0 && candKeys.count() > maxCandidateFrac * sig.count()) {
-      spanFanOut(txt, spanMachinery(rehydrated(sig), k, minDf))
+      spanFanOut(txt, spanMachinery(sig, k, minDf))
     } else {
-      val activeReps = rehydrated(sig.join(candKeys, Seq("tkey"), "left_semi"))
+      // not re-checkpointed: both join sides are tkey-partitioned
+      // checkpoints, so the machinery's consumers recompute this
+      // exchange-free semi join cheaper than a second materialization
+      val activeReps = sig.join(candKeys, Seq("tkey"), "left_semi")
       val allText = spanMachinery(activeReps, k, minDf).unionByName(
         sig.join(candKeys, Seq("tkey"), "left_anti")
-          .select(col("tkey"), col("min_doc"), col("n_tokens"),
-            col("n_tokens").as("n_kept_keep"),
-            col("cleaned_pass").as("cleaned_keep"),
-            col("n_tokens").as("n_kept_all"),
-            col("cleaned_pass").as("cleaned_all")))
+          .select(col("tkey"), col("min_doc"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            size(col("ws")).cast("long").as("n_kept_keep"),
+            array_join(col("ws"), " ").as("cleaned_keep"),
+            size(col("ws")).cast("long").as("n_kept_all"),
+            array_join(col("ws"), " ").as("cleaned_all")))
       spanFanOut(txt, allText)
     }
   }
