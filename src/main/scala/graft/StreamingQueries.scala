@@ -1148,6 +1148,64 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // ONLINE TAKEDOWN FOR THE TEXT INDEX — deleteDocs driven through
+    // foreachBatch with the BATCH ID as the delete id, so an
+    // at-least-once replay overwrites its own marker/negative-partial
+    // subtrees (replay-idempotent by construction, the appendBatch
+    // discipline applied to deletion); the two streamed takedown lists
+    // OVERLAP (%5 and %7 share the %35 docs), so the gate also proves
+    // the overlap anti-join online: each doc's stats subtract exactly
+    // once regardless of batch arrival order. Phase 'streamed' serves
+    // through markers + negative partials; 'compacted' after the
+    // physical fold — both must equal the filtered-corpus replay.
+    "stream_postings_takedown" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-ptd").toString
+        val d = TextQueries.retDocs(s, dir).select("doc_id", "text")
+        graft.operators.PostingsStore.build(d, s"$tmp/store")
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        Seq(5, 7).zipWithIndex.foreach { case (m, i) =>
+          d.filter(col("doc_id") % m === 0).select("doc_id")
+            .coalesce(1).write.parquet(s"$tmp/stage$m")
+          val part = new java.io.File(s"$tmp/stage$m").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(part.toPath,
+            java.nio.file.Paths.get(f"$tmp/in/del$i%04d.parquet"))
+        }
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store", b.toDF(), id)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      def phaseRows(phase: String) = {
+        val out = graft.operators.PostingsStore.bm25DocTopK(
+            s, s"$tmp/store", TextQueries.retQueries(s, dir), 10)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+            coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+            coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+            col("dr_sum"), col("terms_sum"))
+        (out.collect().toSeq, out.schema) // eager: compact mutates trees
+      }
+      val (streamed, outSchema) = phaseRows("streamed")
+      graft.operators.PostingsStore.compact(s, s"$tmp/store")
+      val (compacted, _) = phaseRows("compacted")
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            streamed ++ compacted).asJava), outSchema)
+    }),
+
     "stream_hll" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-hll").toString
@@ -1394,6 +1452,21 @@ FROM lj GROUP BY 1""",
     // discipline on the text index)
     "stream_postings" ->
       s"""WITH base AS MATERIALIZED (${TextQueries.bm25DocOracleSql}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+    CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+    CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum
+  FROM base),
+phases(phase) AS (VALUES ('streamed'), ('compacted'))
+SELECT phase, n_rows, score_sum, dr_sum, terms_sum FROM phases, agg""",
+
+    // the filtered-corpus replay (both streamed takedown lists applied,
+    // overlap counted once), emitted once per serving phase — the
+    // marker/negative-partial read AND the physical fold must both
+    // collapse to it
+    "stream_postings_takedown" ->
+      s"""WITH base AS MATERIALIZED (
+${TextQueries.bm25DocOracleSqlOver("doc_id % 5 <> 0 AND doc_id % 7 <> 0")}),
 agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
     CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
     CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
