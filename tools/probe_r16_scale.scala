@@ -22,15 +22,9 @@ println(s"[probe] rows served=$served1/$served2 direct=$direct")
 graft.operators.PostingsStore.drop(spark, store)
 graft.operators.CheckpointScope.releaseAll()
 
-// --- incremental CC: 2M-vertex prior labels, 100k-edge batch fold
-val n = 2000000L
-val base = spark.range(n).filter(col("id") % 25 =!= 24).select(col("id").as("src"), (col("id") + 1).as("dst")).localCheckpoint()
-val prior = time("full CC flood 2M vertices / ~1.9M chain edges (yardstick)")(graft.operators.Dedup.connectedComponents(base).select(col("doc_id").as("v"), col("cluster_id").as("component")).localCheckpoint())
-println(s"[probe] prior components: ${prior.select("component").distinct.count}")
-val batch = spark.range(100000L).select((col("id") * 25 + 24).as("src"), (col("id") * 25 + 25).as("dst")).localCheckpoint()
-val inc = time("incrementalComponents fold of 100k new edges into 2M-vertex prior")(graft.operators.LinkGraph.incrementalComponents(batch, prior).select("component").distinct.count)
-println(s"[probe] merged components: $inc")
-graft.operators.CheckpointScope.releaseAll()
+// --- incremental CC: moved to tools/probe_r16_cc.scala (this file's
+// original section passed src/dst edges where Dedup.connectedComponents
+// expects id_a/id_b and died on resolution)
 
 // --- bounded relaxations: 10M directed edges, 6 rounds
 val ev = spark.range(1000000L)
