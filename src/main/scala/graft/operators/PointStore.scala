@@ -324,18 +324,35 @@ class PointStore(spark: SparkSession, path: String) {
     * a `struct(...) <= struct(...)` spelling is NOT translatable to a
     * parquet source filter, which would keep the whole compiled
     * range-tombstone predicate off the scan (measured: empty
-    * PushedFilters); the expansion keeps every atom pushable. */
+    * PushedFilters); the expansion keeps every atom pushable. For the
+    * common single-sequence-column case it degenerates to one plain
+    * `col <= lit`. */
   private def lexLe(cols: Seq[Column], bounds: Seq[Column]): Column =
     if (cols.size == 1) cols.head <= bounds.head
     else (cols.head < bounds.head) ||
       (cols.head === bounds.head && lexLe(cols.tail, bounds.tail))
 
+  /** Above this many pending rectangle markers the read path stops
+    * compiling them into one OR-ladder predicate (an unbounded marker
+    * backlog would mean an unbounded expression tree — analysis/codegen
+    * cost on EVERY read — plus a driver collect per read) and falls
+    * back to a broadcast nested-loop anti-join: plan size O(1), marker
+    * side broadcasts, the store side still never shuffles. The ladder
+    * is preferred below the cap because it pushes to the parquet scan
+    * (row groups inside a dead region prune by footer stats — the
+    * `delete_range_equiv` PushedFilters pin), which the join spelling
+    * cannot. Either way correctness is identical (spec-pinned); past
+    * the cap a warning nudges the operator to [[compactDeletes]],
+    * which folds markers physically and empties the backlog. */
+  val MaxCompiledRangeMarkers = 64
+
   private def applyRangeTombstones(pts: DataFrame, markers: DataFrame,
                                    seqCols: Seq[String]): DataFrame = {
-    val rects = markers.select(
-      (Seq("xmin", "xmax", "ymin", "ymax") ++ seqCols).map(col): _*).collect()
+    val rectCols = Seq("xmin", "xmax", "ymin", "ymax")
+    val sel = markers.select((rectCols ++ seqCols).map(col): _*)
+    val rects = sel.limit(MaxCompiledRangeMarkers + 1).collect()
     if (rects.isEmpty) pts
-    else {
+    else if (rects.length <= MaxCompiledRangeMarkers) {
       val dead = rects.map { r =>
         col("x") >= lit(r.get(0)) && col("x") <= lit(r.get(1)) &&
           col("y") >= lit(r.get(2)) && col("y") <= lit(r.get(3)) &&
@@ -343,6 +360,17 @@ class PointStore(spark: SparkSession, path: String) {
             seqCols.indices.map(i => lit(r.get(4 + i))))
       }.reduce(_ || _)
       pts.filter(!dead)
+    } else {
+      org.slf4j.LoggerFactory.getLogger(classOf[PointStore]).warn(
+        s"graft: > $MaxCompiledRangeMarkers unfolded range-tombstone markers " +
+        s"at $path - reads fall back to a broadcast anti-join and lose scan " +
+        "pruning inside dead regions; run compactDeletes to fold the backlog")
+      val m = sel.select((rectCols ++ seqCols).map(c => col(c).as(s"__rt_$c")): _*)
+      val inside =
+        col("x") >= col("__rt_xmin") && col("x") <= col("__rt_xmax") &&
+        col("y") >= col("__rt_ymin") && col("y") <= col("__rt_ymax") &&
+        lexLe(seqCols.map(col), seqCols.map(c => col(s"__rt_$c")))
+      pts.join(broadcast(m), inside, "left_anti")
     }
   }
 
@@ -381,9 +409,20 @@ class PointStore(spark: SparkSession, path: String) {
    * fold; a bound older than the fold replays against the folded rows
    * (the Iceberg snapshot-expiry trade: physical cleanup forgets
    * history, by design — schedule folds at your retention boundary).
+   *
+   * The cut predicate is spelled through [[lexLe]], NOT
+   * `struct(seq) <= struct(bound)` — the struct spelling is not
+   * translatable to a parquet source filter (measured: empty
+   * PushedFilters), so it would make every time-travel read scan all
+   * row groups regardless of seq footer stats. The expansion keeps
+   * every atom pushable; for the common 1-column case it is a single
+   * `put_seq <= bound` that prunes row groups written after the bound
+   * (PushedFilters pinned in PlanQualitySpec, the range-delete
+   * discipline). The marker sides reuse the same predicate — they
+   * broadcast, so pushability there is moot.
    */
   def snapshotAsOf(seqCols: Seq[String], bound: Seq[Column]): DataFrame = {
-    val cut = struct(seqCols.map(col): _*) <= struct(bound: _*)
+    val cut = lexLe(seqCols.map(col), bound)
     val base = df.filter(cut)
     val afterEq = tombstones match {
       case Some(t) => PointStore.applyTombstones(base, t.filter(cut), seqCols)
@@ -411,6 +450,16 @@ class PointStore(spark: SparkSession, path: String) {
    * fold (a marker appended between the scratch write and the cleanup
    * would be retired unapplied) — the crash-recovery guarantee, not
    * multi-writer coordination, is the claim here.
+   *
+   * FILESYSTEM CONTRACT: the swap's directory rename must be atomic
+   * (HDFS/POSIX semantics — the same requirement
+   * [[PostingsStore.compact]]'s swap states). On an object store whose
+   * rename is per-file copy (e.g. S3A), the in-scratch `_READY` marker
+   * could surface under the store path before all data files finish
+   * copying, and [[resolveFold]] would retire the tombstone tables
+   * against a partially-copied store. Run folds against an
+   * atomic-rename filesystem, or front the store with a committer that
+   * provides one.
    */
   def compactDeletes(seqCols: Seq[String], numPartitions: Int = 0): Unit = {
     resolveFold()

@@ -30,14 +30,28 @@ import org.apache.spark.sql.functions._
  */
 object PostingsStore {
 
-  /** Build the store at `path` (overwrites). */
+  /** Build the store at `path` (overwrites). Alongside the postings
+    * tree, a `doclens` sidecar — `(doc_id, dl)`, ONE row per doc,
+    * doc-id-range-clustered — is written so a takedown's per-doc-length
+    * probe ([[deleteDocs]]) skips by doc_id footer stats instead of
+    * scanning the term-clustered postings (which cannot prune a doc
+    * probe). The sidecar is ~1/avgdl the postings' size and costs one
+    * extra (map-side-combined) aggregation at build time. */
   def build(df: DataFrame, path: String): Unit = {
     val (pairs, partial) = TextAnalysis.bm25Corpus(df)
     pairs.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writeDoclens(pairs, s"$path/doclens")
   }
+
+  /** The `(doc_id, dl)` sidecar: one row per doc, clustered by doc_id
+    * so parquet footer min/max make a doc-id probe touch ~1 file. */
+  private def writeDoclens(pairs: DataFrame, dest: String): Unit =
+    pairs.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dest)
 
   /** APPEND one batch's postings + stats partial under a BATCH-ID-keyed
     * subtree — the online-maintenance write ([[StreamingQueries]]'
@@ -54,6 +68,7 @@ object PostingsStore {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings/b$batchId")
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
+    writeDoclens(pairs, s"$path/doclens/b$batchId")
   }
 
   /** Compact a batch-appended store back to the offline layout: one
@@ -96,6 +111,7 @@ object PostingsStore {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings.next")
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next")
+    writeDoclens(pairs, s"$path/doclens.next") // live docs only: markers folded
     fs.create(markerPath(path)).close()
   }
 
@@ -114,16 +130,26 @@ object PostingsStore {
    * `(-n, -Σdl)` over the deleted docs, summed into the same raw
    * `(n_docs, dl_sum)` fold as the positive build/batch partials (the
    * raw-partials rule: negation composes, truncated avgdl wouldn't).
-   * Computing the partial reads the deleted docs' lengths from the
-   * postings tree — term-clustered, so a doc-id probe cannot prune:
-   * ONE full postings scan per takedown batch, O(markers) writes.
-   * Batch takedowns accordingly.
+   * The deleted docs' lengths come from the `doclens` sidecar —
+   * doc-id-clustered, so the probe prunes to the few files whose
+   * footer stats cover the takedown ids (PushedFilters pinned in the
+   * spec): a takedown batch costs O(markers) reads and writes, never a
+   * postings scan. (A pre-sidecar store falls back to the one-scan
+   * path until its next [[compact]] writes the sidecar.)
    *
-   * Both trees are keyed by the caller's `deleteId` and written with
-   * overwrite, so replaying a delete batch is idempotent (the
-   * [[appendBatch]] discipline); ids already subtracted by a DIFFERENT
-   * delete batch are excluded, so overlapping takedown lists never
-   * double-subtract, and ids absent from the store are no-ops.
+   * CRASH-ATOMIC per batch: the negative partial, then the marker
+   * tree, are both fully written BEFORE a `_GRAFT_DELETE_READY` file
+   * lands inside the marker tree, and every read path ignores
+   * batches without the marker — so a crash mid-delete leaves the
+   * batch fully invisible (a retry under a FRESH id cannot
+   * double-subtract; the half-written debris stays dark until
+   * [[compact]] retires it). Both trees are keyed by the caller's
+   * `deleteId` and written with overwrite, so replaying a delete batch
+   * is idempotent (the [[appendBatch]] discipline); ids already
+   * subtracted by a DIFFERENT delete batch are excluded, so
+   * overlapping takedown lists never double-subtract, and ids absent
+   * from the store are no-ops.
+   *
    * Contract: a deleted doc id is never re-indexed ([[appendBatch]]
    * after its takedown would be shadowed by the marker while its
    * positive stats partial still counted — takedown is permanent,
@@ -136,43 +162,93 @@ object PostingsStore {
    */
   def deleteDocs(s: SparkSession, path: String, docIds: DataFrame,
                  deleteId: Long): Unit = {
-    resolve(fsOf(s, path), path)
+    val fs = fsOf(s, path)
+    resolve(fs, path)
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
     val fresh = deletesExcept(s, path, deleteId) match {
       case Some(prior) => ids.join(prior, Seq("doc_id"), "left_anti")
       case None => ids
     }
-    val hit = rawPostings(s, path).join(broadcast(fresh), Seq("doc_id"))
-      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
-      .localCheckpoint() // one scan feeds both trees
+    val hit = docLengths(s, path, fresh)
+      .localCheckpoint() // one probe feeds both trees
     hit.agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum("dl"), lit(0L))).as("dl_sum"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deletestats/d$deleteId")
     hit.select("doc_id").coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deletes/d$deleteId")
+    // announce LAST: the batch exists to readers only from here on
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/deletes/d$deleteId/$DeleteReady")).close()
   }
 
-  /** Pending takedown markers (all delete batches), if any. */
+  /** A takedown set may legally exceed this, but below it the doclens
+    * probe inlines the ids as ONE pushable `doc_id IN (...)` predicate
+    * (footer-stats file/row-group skipping); above it the probe joins
+    * against the broadcast id set — still only the sidecar, never the
+    * postings, is scanned. */
+  private val InlineDeleteIdCap = 10000
+
+  /** `(doc_id, dl)` for the takedown ids present in the store — the
+    * [[deleteDocs]] probe. Package-visible so the spec can pin its
+    * plan (doclens scan + pushed doc_id predicate, no postings scan). */
+  private[operators] def docLengths(s: SparkSession, path: String,
+                                    fresh: DataFrame): DataFrame =
+    doclensTree(s, path) match {
+      case Some(lens) =>
+        val ids = fresh.limit(InlineDeleteIdCap + 1).collect().map(_.getLong(0))
+        val probed =
+          if (ids.isEmpty) lens.limit(0)
+          else if (ids.length <= InlineDeleteIdCap)
+            lens.filter(col("doc_id").between(ids.min, ids.max) &&
+              col("doc_id").isInCollection(ids))
+          else lens.join(broadcast(fresh), Seq("doc_id"))
+        // batched sidecars may hold one row per (doc, batch): fold like
+        // the postings path's first(dl) so semantics never diverge
+        probed.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      case None => // pre-sidecar store: the original one-scan fallback
+        rawPostings(s, path).join(broadcast(fresh), Seq("doc_id"))
+          .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    }
+
+  private def doclensTree(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (batched(s, path)) Some(s.read.parquet(s"$path/doclens/b*"))
+    else Some(s.read.parquet(s"$path/doclens"))
+  }
+
+  /** Pending takedown markers (all READY delete batches), if any. */
   private def deleteMarkers(s: SparkSession, path: String): Option[DataFrame] =
     deletesExcept(s, path, -1L)
 
-  private def deletesExcept(s: SparkSession, path: String,
-                            skipId: Long): Option[DataFrame] = {
+  /** Delete-batch dirs whose `_GRAFT_DELETE_READY` marker landed —
+    * the only batches any read path may see ([[deleteDocs]]'s
+    * crash-atomicity contract). */
+  private def readyDeleteDirs(s: SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else {
-      val dirs = fs.listStatus(root).map(_.getPath.getName)
-        .filter(n => n.startsWith("d") && n != s"d$skipId")
-      if (dirs.isEmpty) None
-      else Some(dirs.map(d => s.read.parquet(s"$path/deletes/$d"))
-        .reduce(_ unionByName _))
-    }
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("d") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, DeleteReady)))
+      .map(_.getName).toSeq
+  }
+
+  /** All ready delete batches except `skipId`, as ONE multi-path
+    * relation — a union of one read per batch dir would bill every
+    * postings read O(#batches) in plan size and file listings. */
+  private def deletesExcept(s: SparkSession, path: String,
+                            skipId: Long): Option[DataFrame] = {
+    val dirs = readyDeleteDirs(s, path).filter(_ != s"d$skipId")
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs.map(d => s"$path/deletes/$d"): _*))
   }
 
   private val CompactReady = "_GRAFT_COMPACT_READY"
-  private val Trees = Seq("postings", "stats")
+  private val DeleteReady = "_GRAFT_DELETE_READY"
+  private val Trees = Seq("postings", "stats", "doclens")
   /** Marker/delta trees a completed compaction retires: their content
     * is folded into the promoted `.next` trees, so they must not
     * survive the swap (a leftover negative partial would
@@ -258,9 +334,12 @@ object PostingsStore {
     val base =
       if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
       else s.read.parquet(s"$path/stats")
-    val dstats = new org.apache.hadoop.fs.Path(s"$path/deletestats")
-    if (dstats.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dstats))
-      base.unionByName(s.read.parquet(s"$path/deletestats/d*"))
+    // only READY delete batches subtract — a half-written batch's
+    // negative partial must stay invisible (deleteDocs crash contract)
+    val dstats = readyDeleteDirs(s, path)
+    if (dstats.nonEmpty)
+      base.unionByName(
+        s.read.parquet(dstats.map(d => s"$path/deletestats/$d"): _*))
     else base
   }
 
@@ -272,6 +351,91 @@ object PostingsStore {
                   k: Int = 10): DataFrame =
     TextAnalysis.bm25DocTopKFrom(queries, postings(s, path), stats(s, path),
       k, broadcastQueries = true)
+
+  /**
+   * Snapshot (time-travel) reads AS OF an operation bound — the
+   * [[PointStore.snapshotAsOf]] discipline for the text index. The
+   * store's mutations are already keyed by MONOTONE operation ids on
+   * one shared axis (caller contract: [[appendBatch]] batch ids and
+   * [[deleteDocs]] delete ids strictly increase across BOTH kinds of
+   * ops — foreachBatch batch ids satisfy this for free), and both
+   * subtree families are append-only; so the view as of operation
+   * `bound` is pure path selection over data already on disk: postings
+   * from batches with id ≤ bound, minus markers (and negative stats
+   * partials) from READY delete batches with id ≤ bound. An
+   * offline-[[build]]-written base tree is operation 0 — always
+   * included. No version manifests, no rewrites, and serving "the
+   * index as of before that takedown" replays the exact plans
+   * [[bm25DocTopK]] runs today.
+   *
+   * History horizon: [[compact]] folds batches, markers, and negative
+   * partials into single trees and retires them — snapshots are exact
+   * for bounds SINCE the last compaction (the [[PointStore.snapshotAsOf]]
+   * retention trade, stated there).
+   */
+  def postingsAsOf(s: SparkSession, path: String, bound: Long): DataFrame = {
+    val raw = rawPostingsAsOf(s, path, bound)
+    deleteMarkersAsOf(s, path, bound) match {
+      case Some(m) => raw.join(broadcast(m), Seq("doc_id"), "left_anti")
+      case None => raw
+    }
+  }
+
+  /** Corpus stats as of operation `bound` — positive partials from
+    * included batches plus negative partials from included READY
+    * deletes, folded raw (see [[postingsAsOf]]). */
+  def statsAsOf(s: SparkSession, path: String, bound: Long): DataFrame =
+    TextAnalysis.bm25Stats(rawPartialsAsOf(s, path, bound))
+
+  /** [[bm25DocTopK]] served from the store AS OF operation `bound`. */
+  def bm25DocTopKAsOf(s: SparkSession, path: String, queries: DataFrame,
+                      k: Int, bound: Long): DataFrame =
+    TextAnalysis.bm25DocTopKFrom(queries, postingsAsOf(s, path, bound),
+      statsAsOf(s, path, bound), k, broadcastQueries = true)
+
+  private def opId(dir: String): Long = dir.drop(1).toLong
+
+  /** `b$id` subdirs of `path/tree` (batched layout). */
+  private def batchDirs(s: SparkSession, path: String, tree: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("b")).toSeq
+  }
+
+  private def rawPostingsAsOf(s: SparkSession, path: String,
+                              bound: Long): DataFrame = {
+    resolve(fsOf(s, path), path)
+    if (batched(s, path)) {
+      val dirs = batchDirs(s, path, "postings").filter(opId(_) <= bound)
+      if (dirs.isEmpty) s.read.parquet(s"$path/postings/b*").limit(0)
+      else s.read.parquet(dirs.map(d => s"$path/postings/$d"): _*)
+    } else s.read.parquet(s"$path/postings")
+  }
+
+  private def deleteMarkersAsOf(s: SparkSession, path: String,
+                                bound: Long): Option[DataFrame] = {
+    val dirs = readyDeleteDirs(s, path).filter(opId(_) <= bound)
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs.map(d => s"$path/deletes/$d"): _*))
+  }
+
+  private def rawPartialsAsOf(s: SparkSession, path: String,
+                              bound: Long): DataFrame = {
+    resolve(fsOf(s, path), path)
+    val base =
+      if (batched(s, path)) {
+        val dirs = batchDirs(s, path, "stats").filter(opId(_) <= bound)
+        if (dirs.isEmpty) s.read.parquet(s"$path/stats/b*").limit(0)
+        else s.read.parquet(dirs.map(d => s"$path/stats/$d"): _*)
+      } else s.read.parquet(s"$path/stats")
+    val dstats = readyDeleteDirs(s, path).filter(opId(_) <= bound)
+    if (dstats.nonEmpty)
+      base.unionByName(
+        s.read.parquet(dstats.map(d => s"$path/deletestats/$d"): _*))
+    else base
+  }
 
   /** Drop the store (the reference's `drop` verb, `Client.java:217-224`,
     * for the text index). */

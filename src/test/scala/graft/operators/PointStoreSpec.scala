@@ -337,4 +337,33 @@ class PointStoreSpec extends SparkSpec {
     assert(!fs.exists(new Path(dir + ".folding")))
     store.drop()
   }
+
+  test("range-tombstone backlog past the cap falls back to the anti-join, result-identically") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, (i % 20).toInt, (i / 20).toInt, 0L))
+    val (store, _) = mkSeqStore(rows)
+    // one 1x1 rectangle per (x, y) with x+y even: way past the compiled
+    // cap — 200 markers vs MaxCompiledRangeMarkers
+    val rects = rows.filter(t => (t._2 + t._3) % 2 == 0)
+      .map(t => (t._2, t._2, t._3, t._3, 1L))
+    assert(rects.size > store.MaxCompiledRangeMarkers)
+    store.deleteRange(rects.toDF("xmin", "xmax", "ymin", "ymax", "put_seq"))
+    val expect = rows.filter(t => (t._2 + t._3) % 2 != 0)
+      .map(t => (t._1, t._2, t._3)).toSet
+    val live = store.live(Seq("put_seq"))
+    // correctness identical through the fallback path...
+    assert(collectPts(live) === expect)
+    // ...and the plan really is the join spelling (O(1) plan size), not
+    // a 200-rectangle OR-ladder
+    assert(live.queryExecution.executedPlan.toString.contains("Join"), "fallback should join")
+    // snapshots run through the same guard
+    assert(collectPts(store.snapshotAsOf(Seq("put_seq"), Seq(lit(0L)))) ===
+      rows.map(t => (t._1, t._2, t._3)).toSet)
+    assert(collectPts(store.snapshotAsOf(Seq("put_seq"), Seq(lit(1L)))) === expect)
+    // folding empties the backlog and the ladder path returns
+    store.compactDeletes(Seq("put_seq"), numPartitions = 2)
+    assert(store.rangeTombstones.isEmpty)
+    assert(collectPts(store.live(Seq("put_seq"))) === expect)
+    store.drop()
+  }
 }

@@ -225,4 +225,113 @@ class PostingsStoreSpec extends SparkSpec {
     assert(probe.collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(42L))
     PostingsStore.drop(spark, tmp)
   }
+
+  test("takedown probes the doclens sidecar with a pushed doc_id predicate, never the postings") {
+    // 200 docs so the sidecar spans multiple doc-id-clustered files;
+    // a single-doc takedown must (a) plan its length probe over the
+    // doclens tree only — zero postings files touched — and (b) push
+    // the inlined ids to that scan so footer stats skip row groups
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), format_string("%03d", col("id")), lit(" common")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-doclens").toString
+    PostingsStore.build(docs, tmp)
+    val probe = PostingsStore.docLengths(spark, tmp, Seq(42L).toDF("doc_id"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("/doclens"), plan)          // the sidecar is the source...
+    assert(!plan.contains("/postings"), plan)        // ...not the postings tree
+    assert(plan.contains("PushedFilters: [") &&
+      (plan.contains("EqualTo(doc_id,42)") || plan.contains("In(doc_id")), plan)
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((42L, 2L)))
+    // the takedown itself stays correct through the sidecar path
+    val qs = Seq((10L, "w042 common"), (11L, "w007")).toDF("query_id", "qtext")
+    PostingsStore.deleteDocs(spark, tmp, Seq(42L).toDF("doc_id"), 1L)
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val filtered = TextAnalysis.bm25DocTopK(qs,
+        docs.filter(col("doc_id") =!= 42L), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === filtered)
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("a half-written delete batch is invisible; a fresh-id retry cannot double-subtract") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-delready").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PostingsStore.build(docs, tmp)
+    def statsRow = PostingsStore.stats(spark, tmp).collect()(0)
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val full = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // crash: both trees of batch 7 land but the _READY marker does not
+    // (deleteDocs writes it last) — simulated by deleting the marker
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 7L)
+    fs.delete(new Path(s"$tmp/deletes/d7/_GRAFT_DELETE_READY"), false)
+    // the half-written batch is FULLY invisible: stats unsubtracted,
+    // doc 2 still served
+    assert((statsRow.getLong(0), statsRow.getLong(1)) === (4L, 4L))
+    assert(served === full)
+    // the operator retries under a FRESH id (the at-least-once caller
+    // that lost track of id 7): exactly one subtraction
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 8L)
+    assert((statsRow.getLong(0), statsRow.getLong(1)) === (3L, 4L))
+    val filtered = TextAnalysis.bm25DocTopK(qs, docs.filter(col("doc_id") =!= 2L), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === filtered)
+    // compaction retires the dark debris along with the live batch
+    PostingsStore.compact(spark, tmp)
+    assert(!fs.exists(new Path(s"$tmp/deletes")) && !fs.exists(new Path(s"$tmp/deletestats")))
+    assert((statsRow.getLong(0), statsRow.getLong(1)) === (3L, 4L))
+    assert(served === filtered)
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("as-of reads replay the index at each operation bound (pre/post takedown and append)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta"), (12L, "alpha")).toDF("query_id", "qtext")
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25DocTopK(qs, corpus, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    // offline-built store (operation 0) + two takedowns at ops 1 and 2
+    val flat = java.nio.file.Files.createTempDirectory("graft-postings-asof1").toString
+    PostingsStore.build(docs, flat)
+    PostingsStore.deleteDocs(spark, flat, Seq(2L).toDF("doc_id"), 1L)
+    PostingsStore.deleteDocs(spark, flat, Seq(4L).toDF("doc_id"), 2L)
+    def asOf(path: String, b: Long) =
+      PostingsStore.bm25DocTopKAsOf(spark, path, qs, 10, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(asOf(flat, 0L) === topk(docs))
+    assert(asOf(flat, 1L) === topk(docs.filter(col("doc_id") =!= 2L)))
+    assert(asOf(flat, 2L) === topk(docs.filter(!col("doc_id").isin(2L, 4L))))
+    // the live read is the view as of the last operation
+    val live = PostingsStore.bm25DocTopK(spark, flat, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(asOf(flat, 2L) === live)
+    PostingsStore.drop(spark, flat)
+
+    // batched store: appends at ops 0 and 1, takedown at op 2 — an
+    // as-of bound slices BOTH axes (batches in, later deletes out)
+    val bat = java.nio.file.Files.createTempDirectory("graft-postings-asof2").toString
+    PostingsStore.appendBatch(docs.filter(col("doc_id") <= 2L), bat, 0L)
+    PostingsStore.appendBatch(docs.filter(col("doc_id") > 2L), bat, 1L)
+    PostingsStore.deleteDocs(spark, bat, Seq(1L).toDF("doc_id"), 2L)
+    assert(asOf(bat, 0L) === topk(docs.filter(col("doc_id") <= 2L)))
+    assert(asOf(bat, 1L) === topk(docs))
+    assert(asOf(bat, 2L) === topk(docs.filter(col("doc_id") =!= 1L)))
+    PostingsStore.drop(spark, bat)
+  }
 }

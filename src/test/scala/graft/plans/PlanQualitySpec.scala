@@ -602,4 +602,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!lat.contains("CartesianProduct"), lat)
     assert(lat.contains("Join") || lat.contains("join"), lat)
   }
+
+  test("round-17: a snapshot read's seq bound reaches the parquet scan as a PushedFilter") {
+    // snapshotAsOf spells its cut through the lexLe expansion, NOT
+    // struct(seq) <= struct(bound) (which is untranslatable to a source
+    // filter — measured empty PushedFilters): a time-travel read to
+    // "yesterday" must prune row groups written after the bound by
+    // put_seq footer stats, or at 100 TB it degenerates to a full scan
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-plan-snap").toString + "/store"
+    val rows = (0L until 1000L).map(i => (i, (i % 32).toInt, (i / 32).toInt, i / 500L))
+    val df = PointStore.points(rows.toDF("pid", "px", "py", "put_seq"),
+      col("pid"), col("px"), col("py"), Seq(col("put_seq")))
+    PointStore.write(df, dir, 2)
+    val store = PointStore.open(spark, dir)
+    val snap = store.snapshotAsOf(Seq("put_seq"), Seq(lit(0L)))
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(put_seq,0)"), plan)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(snap.count() === 500L)
+    store.drop()
+  }
 }
