@@ -359,7 +359,13 @@ class PointStore(spark: SparkSession, path: String) {
           lexLe(seqCols.map(col),
             seqCols.indices.map(i => lit(r.get(4 + i))))
       }.reduce(_ || _)
-      pts.filter(!dead)
+      // null-safe: a null x/y/seq makes `dead` NULL, which filter()
+      // would drop where the >cap anti-join keeps ("not provably dead
+      // = kept"); the isnull disjuncts pin both spellings to the join
+      // semantics AND stay source-translatable (a coalesce() wrapper
+      // would kill the pushdown this ladder exists for)
+      val nullable = (Seq("x", "y") ++ seqCols).map(col(_).isNull).reduce(_ || _)
+      pts.filter(!dead || nullable)
     } else {
       org.slf4j.LoggerFactory.getLogger(classOf[PointStore]).warn(
         s"graft: > $MaxCompiledRangeMarkers unfolded range-tombstone markers " +

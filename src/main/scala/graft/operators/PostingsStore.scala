@@ -30,28 +30,49 @@ import org.apache.spark.sql.functions._
  */
 object PostingsStore {
 
-  /** Build the store at `path` (overwrites). Alongside the postings
-    * tree, a `doclens` sidecar — `(doc_id, dl)`, ONE row per doc,
+  /** Build the store at `path` (overwrites the data trees; any prior
+    * batches vanish with them). Alongside the postings tree, a
+    * `doclens` sidecar — `(doc_id, dl)`, ONE row per doc,
     * doc-id-range-clustered — is written so a takedown's per-doc-length
     * probe ([[deleteDocs]]) skips by doc_id footer stats instead of
     * scanning the term-clustered postings (which cannot prune a doc
     * probe). The sidecar is ~1/avgdl the postings' size and costs one
-    * extra (map-side-combined) aggregation at build time. */
+    * extra (map-side-combined) aggregation at build time.
+    *
+    * LAYOUT: the folded trees live under a reserved `base` subdir of
+    * each tree root (`postings/base`, `stats/base`, `doclens/base`) —
+    * the SAME subtree shape [[appendBatch]] uses — so a store that
+    * mixes a compacted/built base with later appends is one uniform
+    * directory family and every read serves the UNION of base + all
+    * batches. (The pre-r18 flat layout wrote the files at the tree
+    * root; reads still union any such flat files in, as operation 0.) */
   def build(df: DataFrame, path: String): Unit = {
+    val fs = fsOf(df.sparkSession, path)
+    Trees.foreach(t => fs.delete(livePath(path, t), true)) // prior incarnation
     val (pairs, partial) = TextAnalysis.bm25Corpus(df)
     pairs.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    writeDoclens(pairs, s"$path/doclens")
+      .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
+    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
+    writeDoclens(pairs, s"$path/doclens/$BaseDir")
   }
 
   /** The `(doc_id, dl)` sidecar: one row per doc, clustered by doc_id
-    * so parquet footer min/max make a doc-id probe touch ~1 file. */
-  private def writeDoclens(pairs: DataFrame, dest: String): Unit =
-    pairs.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(dest)
+    * so parquet footer min/max make a doc-id probe touch ~1 file.
+    * `micro = true` (a [[appendBatch]] micro-batch) skips the
+    * `repartitionByRange` — a range shuffle costs an extra sampling
+    * JOB per call, which r17's per-batch sidecar writes billed to the
+    * streaming-ingest hot path; one micro-batch is one small file, so
+    * `coalesce(1)` + an in-partition sort keeps the same footer-stats
+    * pruning without the sampling pass. */
+  private def writeDoclens(pairs: DataFrame, dest: String,
+                           micro: Boolean = false): Unit = {
+    val lens = pairs.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    val clustered =
+      if (micro) lens.coalesce(1).sortWithinPartitions("doc_id")
+      else lens.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+    clustered.write.mode("overwrite").parquet(dest)
+  }
 
   /** APPEND one batch's postings + stats partial under a BATCH-ID-keyed
     * subtree — the online-maintenance write ([[StreamingQueries]]'
@@ -64,11 +85,16 @@ object PostingsStore {
     * restores the global clustering, result-invisibly. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Unit = {
     val (pairs, partial) = TextAnalysis.bm25Corpus(df)
-    pairs.repartitionByRange(col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings/b$batchId")
-    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
-    writeDoclens(pairs, s"$path/doclens/b$batchId")
+    // two consumers (postings write + sidecar agg) — tokenize once;
+    // micro-batch scale, so the cached footprint is one batch's pairs
+    pairs.persist()
+    try {
+      pairs.repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings/b$batchId")
+      partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
+      writeDoclens(pairs, s"$path/doclens/b$batchId", micro = true)
+    } finally { pairs.unpersist(); () }
   }
 
   /** Compact a batch-appended store back to the offline layout: one
@@ -109,9 +135,9 @@ object PostingsStore {
       .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
     pairs.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings.next")
-    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next")
-    writeDoclens(pairs, s"$path/doclens.next") // live docs only: markers folded
+      .write.mode("overwrite").parquet(s"$path/postings.next/$BaseDir")
+    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next/$BaseDir")
+    writeDoclens(pairs, s"$path/doclens.next/$BaseDir") // live docs only: markers folded
     fs.create(markerPath(path)).close()
   }
 
@@ -134,8 +160,11 @@ object PostingsStore {
    * doc-id-clustered, so the probe prunes to the few files whose
    * footer stats cover the takedown ids (PushedFilters pinned in the
    * spec): a takedown batch costs O(markers) reads and writes, never a
-   * postings scan. (A pre-sidecar store falls back to the one-scan
-   * path until its next [[compact]] writes the sidecar.)
+   * postings scan. (A store whose sidecar does not cover EVERY
+   * postings source — absent entirely, or partial after a pre-sidecar
+   * store's first post-sidecar append — falls back to the one-scan
+   * path until its next [[compact]] writes a full sidecar; a partial
+   * probe would silently no-op takedowns of docs in uncovered batches.)
    *
    * CRASH-ATOMIC per batch: the negative partial, then the marker
    * tree, are both fully written BEFORE a `_GRAFT_DELETE_READY` file
@@ -164,7 +193,16 @@ object PostingsStore {
                  deleteId: Long): Unit = {
     val fs = fsOf(s, path)
     resolve(fs, path)
-    val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    // an already-READY batch is final by contract: a replay must not
+    // rewrite it — the overwrite would delete the READY marker first,
+    // un-publishing the applied batch (served-again deleted docs,
+    // un-subtracted stats) until/unless the replay finishes
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/deletes/d$deleteId/$DeleteReady"))) return
+    // null ids (e.g. the long cast of a malformed id) are harmless
+    // no-ops, not probe-time NPEs
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
     val fresh = deletesExcept(s, path, deleteId) match {
       case Some(prior) => ids.join(prior, Seq("doc_id"), "left_anti")
       case None => ids
@@ -206,17 +244,23 @@ object PostingsStore {
         // batched sidecars may hold one row per (doc, batch): fold like
         // the postings path's first(dl) so semantics never diverge
         probed.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-      case None => // pre-sidecar store: the original one-scan fallback
+      case None => // uncovered sidecar: the original one-scan fallback
         rawPostings(s, path).join(broadcast(fresh), Seq("doc_id"))
           .groupBy("doc_id").agg(first(col("dl")).as("dl"))
     }
 
+  /** The sidecar view, ONLY when it covers every postings source —
+    * source-key sets must match EXACTLY, else the probe falls back to
+    * the postings scan. Subset coverage (a pre-sidecar store that
+    * received one post-sidecar append: postings `{root, b7}`, doclens
+    * `{b7}`) would treat docs in uncovered batches as absent — a
+    * takedown that silently doesn't take down; superset coverage
+    * (stale sidecar dirs) would subtract stats for absent docs. */
   private def doclensTree(s: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/doclens")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else if (batched(s, path)) Some(s.read.parquet(s"$path/doclens/b*"))
-    else Some(s.read.parquet(s"$path/doclens"))
+    val post = treeSources(s, path, "postings")
+    val lens = treeSources(s, path, "doclens")
+    if (lens.isEmpty || lens.map(_.key).toSet != post.map(_.key).toSet) None
+    else Some(s.read.parquet(lens.map(_.absPath): _*))
   }
 
   /** Pending takedown markers (all READY delete batches), if any. */
@@ -248,6 +292,10 @@ object PostingsStore {
 
   private val CompactReady = "_GRAFT_COMPACT_READY"
   private val DeleteReady = "_GRAFT_DELETE_READY"
+  /** Reserved subdir holding [[build]]/[[compact]] output inside each
+    * tree root — shaped like a batch dir so the batched and folded
+    * layouts compose instead of shadowing each other. */
+  private val BaseDir = "base"
   private val Trees = Seq("postings", "stats", "doclens")
   /** Marker/delta trees a completed compaction retires: their content
     * is folded into the promoted `.next` trees, so they must not
@@ -300,12 +348,53 @@ object PostingsStore {
   private def resolve(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
     if (fs.exists(markerPath(path))) completeSwap(fs, path)
 
-  /** Whether [[appendBatch]] (batch-subdir layout) wrote this store. */
-  private def batched(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("b"))
+  /** One data source of a store tree: `op` its operation id for as-of
+    * bounds, `key` its logical identity for sidecar-coverage compare
+    * (`base`, `b$id`, or `""` for flat root files), `absPath` what the
+    * reader opens. */
+  private final case class TreeSrc(op: Long, key: String, absPath: String)
+
+  /** Every data source of `path/tree`: the reserved [[BaseDir]]
+    * ([[build]]/[[compact]] output) and each `b$id` batch dir
+    * ([[appendBatch]]), PLUS any flat files at the tree root (a store
+    * written before the base-dir layout) — so a compacted base that
+    * later receives appends, or a pre-r18 flat store that does, serves
+    * the UNION of everything on disk, never just the batch subdirs.
+    * Base and flat files are operation 0 (always inside an as-of
+    * bound, matching [[postingsAsOf]]'s contract). */
+  private def treeSources(s: SparkSession, path: String,
+                          tree: String): Seq[TreeSrc] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n == BaseDir)
+        Some(TreeSrc(0L, n, st.getPath.toString))
+      else if (st.isDirectory && n.startsWith("b"))
+        Some(TreeSrc(opId(n), n, st.getPath.toString))
+      else if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        Some(TreeSrc(0L, "", st.getPath.toString))
+      else None
+    }
+  }
+
+  /** One multi-path read over a tree's sources; an empty source list
+    * reads the tree root so a missing store raises the standard
+    * path-not-found error. */
+  private def readTree(s: SparkSession, srcs: Seq[TreeSrc],
+                       root: String): DataFrame =
+    if (srcs.isEmpty) s.read.parquet(root)
+    else s.read.parquet(srcs.map(_.absPath): _*)
+
+  /** [[readTree]] restricted to sources with op id ≤ `bound` (empty
+    * result — not an error — when the bound precedes every source). */
+  private def readTreeAsOf(s: SparkSession, srcs: Seq[TreeSrc],
+                           root: String, bound: Long): DataFrame = {
+    val in = srcs.filter(_.op <= bound)
+    if (srcs.isEmpty) s.read.parquet(root)
+    else if (in.isEmpty) s.read.parquet(srcs.map(_.absPath): _*).limit(0)
+    else s.read.parquet(in.map(_.absPath): _*)
   }
 
   /** The LIVE postings view: the stored rows minus any pending
@@ -322,8 +411,7 @@ object PostingsStore {
 
   private def rawPostings(s: SparkSession, path: String): DataFrame = {
     resolve(fsOf(s, path), path)
-    if (batched(s, path)) s.read.parquet(s"$path/postings/b*")
-    else s.read.parquet(s"$path/postings")
+    readTree(s, treeSources(s, path, "postings"), s"$path/postings")
   }
 
   /** The store's raw `(n_docs, dl_sum)` stats partials (1 row offline,
@@ -331,9 +419,7 @@ object PostingsStore {
     * number folds from. */
   private def rawPartials(s: SparkSession, path: String): DataFrame = {
     resolve(fsOf(s, path), path)
-    val base =
-      if (batched(s, path)) s.read.parquet(s"$path/stats/b*")
-      else s.read.parquet(s"$path/stats")
+    val base = readTree(s, treeSources(s, path, "stats"), s"$path/stats")
     // only READY delete batches subtract — a half-written batch's
     // negative partial must stay invisible (deleteDocs crash contract)
     val dstats = readyDeleteDirs(s, path)
@@ -395,23 +481,10 @@ object PostingsStore {
 
   private def opId(dir: String): Long = dir.drop(1).toLong
 
-  /** `b$id` subdirs of `path/tree` (batched layout). */
-  private def batchDirs(s: SparkSession, path: String, tree: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("b")).toSeq
-  }
-
   private def rawPostingsAsOf(s: SparkSession, path: String,
                               bound: Long): DataFrame = {
     resolve(fsOf(s, path), path)
-    if (batched(s, path)) {
-      val dirs = batchDirs(s, path, "postings").filter(opId(_) <= bound)
-      if (dirs.isEmpty) s.read.parquet(s"$path/postings/b*").limit(0)
-      else s.read.parquet(dirs.map(d => s"$path/postings/$d"): _*)
-    } else s.read.parquet(s"$path/postings")
+    readTreeAsOf(s, treeSources(s, path, "postings"), s"$path/postings", bound)
   }
 
   private def deleteMarkersAsOf(s: SparkSession, path: String,
@@ -424,12 +497,7 @@ object PostingsStore {
   private def rawPartialsAsOf(s: SparkSession, path: String,
                               bound: Long): DataFrame = {
     resolve(fsOf(s, path), path)
-    val base =
-      if (batched(s, path)) {
-        val dirs = batchDirs(s, path, "stats").filter(opId(_) <= bound)
-        if (dirs.isEmpty) s.read.parquet(s"$path/stats/b*").limit(0)
-        else s.read.parquet(dirs.map(d => s"$path/stats/$d"): _*)
-      } else s.read.parquet(s"$path/stats")
+    val base = readTreeAsOf(s, treeSources(s, path, "stats"), s"$path/stats", bound)
     val dstats = readyDeleteDirs(s, path).filter(opId(_) <= bound)
     if (dstats.nonEmpty)
       base.unionByName(

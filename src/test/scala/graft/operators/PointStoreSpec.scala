@@ -366,4 +366,28 @@ class PointStoreSpec extends SparkSpec {
     assert(collectPts(store.live(Seq("put_seq"))) === expect)
     store.drop()
   }
+
+  test("ladder and anti-join tombstone spellings agree on null-seq rows (not provably dead = kept)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pstore-null").toString + "/store"
+    val raw = Seq((1L, 1, 1, Option(0L)), (2L, 1, 2, Option.empty[Long]),
+      (3L, 5, 5, Option(0L))).toDF("pid", "px", "py", "put_seq")
+    val df = PointStore.points(raw, col("pid"), col("px"), col("py"), Seq(col("put_seq")))
+    PointStore.write(df, dir, 1)
+    val store = PointStore.open(spark, dir)
+    // one rect covering x=1, y∈[1,2] at seq 1: row 1 is dead; row 2 is
+    // inside the rect but its seq is NULL — not provably dead, so the
+    // compiled ladder must keep it exactly like the anti-join would
+    store.deleteRange(Seq((1, 1, 1, 2, 1L)).toDF("xmin", "xmax", "ymin", "ymax", "put_seq"))
+    assert(collectPts(store.live(Seq("put_seq"))) === Set((2L, 1, 2), (3L, 5, 5)))
+    // push the backlog past the cap with far-away rects: the SAME rows
+    // survive through the anti-join spelling
+    val far = (0 until store.MaxCompiledRangeMarkers + 5)
+      .map(i => (900 + i, 900 + i, 900, 900, 1L))
+    store.deleteRange(far.toDF("xmin", "xmax", "ymin", "ymax", "put_seq"))
+    val live = store.live(Seq("put_seq"))
+    assert(live.queryExecution.executedPlan.toString.contains("Join"), "fallback should join")
+    assert(collectPts(live) === Set((2L, 1, 2), (3L, 5, 5)))
+    store.drop()
+  }
 }

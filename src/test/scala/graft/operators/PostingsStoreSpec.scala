@@ -49,14 +49,128 @@ class PostingsStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(served === direct)
     // compaction (batched -> global clustering) is result-invisible,
-    // and an append AFTER compaction still merges exactly (the folded
-    // partial carries raw sums, not the truncated avgdl)
+    // and an append AFTER compaction still merges exactly: the folded
+    // base tree and the new batch serve as one union (the r17 layout
+    // read only b* subdirs here, silently dropping the compacted base),
+    // and the folded partial carries raw sums, not the truncated avgdl
     PostingsStore.compact(spark, tmp)
     val compacted = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(compacted === direct)
     val st2 = PostingsStore.stats(spark, tmp).collect()(0)
     assert((st2.getLong(0), st2.getLong(1)) === (4L, 4L))
+    val extra = Seq((5L, "gamma theta theta"), (6L, "delta zeta")).toDF("doc_id", "text")
+    PostingsStore.appendBatch(extra, tmp, 2L)
+    val union = docs.unionByName(extra)
+    val unionDirect = TextAnalysis.bm25DocTopK(qs, union, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val afterAppend = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(afterAppend === unionDirect)
+    assert(afterAppend !== direct) // the append is visible...
+    val st3 = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st3.getLong(0), st3.getLong(1)) === (6L, 3L)) // 21 tokens / 6 docs
+    // ...and a second compaction folds the mixed base+batch layout back
+    PostingsStore.compact(spark, tmp)
+    val refolded = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(refolded === unionDirect)
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("append after an offline build serves the union, and takedowns reach both layers") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val extra = Seq((5L, "gamma theta theta"), (6L, "delta zeta")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta"), (12L, "alpha theta"))
+      .toDF("query_id", "qtext")
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25DocTopK(qs, corpus, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-mixed").toString
+    PostingsStore.build(docs, tmp)
+    PostingsStore.appendBatch(extra, tmp, 1L)
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val union = docs.unionByName(extra)
+    assert(served === topk(union))
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (6L, 3L))
+    // a takedown spanning a base doc (1) and a batch doc (5) lands on
+    // both layers through the (fully covering) doclens sidecar
+    PostingsStore.deleteDocs(spark, tmp, Seq(1L, 5L).toDF("doc_id"), 2L)
+    assert(served === topk(union.filter(!col("doc_id").isin(1L, 5L))))
+    val st2 = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st2.getLong(0), st2.getLong(1)) === (4L, 3L)) // 14 tokens / 4 docs
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("a partially-covered doclens sidecar falls back to the scan — takedowns never no-op") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon")).toDF("doc_id", "text")
+    val extra = Seq((3L, "beta gamma gamma zeta")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-partial").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pre-sidecar store (simulated by dropping the sidecar the build
+    // wrote) that receives one post-sidecar append: postings sources
+    // {base, b1}, doclens sources {b1} — partial coverage
+    PostingsStore.build(docs, tmp)
+    fs.delete(new Path(s"$tmp/doclens"), true)
+    PostingsStore.appendBatch(extra, tmp, 1L)
+    // the takedown target lives in the UNCOVERED base layer; the probe
+    // must fall back to the postings scan (an r17-style sidecar-first
+    // probe would find no dl row, write no marker, and keep serving it)
+    PostingsStore.deleteDocs(spark, tmp, Seq(1L).toDF("doc_id"), 2L)
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val filtered = TextAnalysis.bm25DocTopK(qs,
+        docs.unionByName(extra).filter(col("doc_id") =!= 1L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === filtered)
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (2L, 4L)) // docs 2,3: 8 tokens
+    // compact writes a full sidecar; the fast probe path resumes
+    PostingsStore.compact(spark, tmp)
+    val probe = PostingsStore.docLengths(spark, tmp, Seq(2L).toDF("doc_id"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("/doclens"), plan)
+    assert(!plan.contains("/postings"), plan)
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("replaying a delete under an already-READY id is a no-op, not an un-publish") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-replay").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PostingsStore.build(docs, tmp)
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 0L)
+    val ready = new Path(s"$tmp/deletes/d0/_GRAFT_DELETE_READY")
+    assert(fs.exists(ready))
+    val applied = fs.getFileStatus(ready).getModificationTime
+    // the batch is final by contract: a replay (even with a DIFFERENT
+    // id list — the caller lost track) must not rewrite the published
+    // trees — an overwrite would first delete the READY marker, making
+    // the applied batch invisible until the replay completed
+    PostingsStore.deleteDocs(spark, tmp, Seq(3L).toDF("doc_id"), 0L)
+    assert(fs.exists(ready))
+    assert(fs.getFileStatus(ready).getModificationTime === applied)
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val filtered = TextAnalysis.bm25DocTopK(qs, docs.filter(col("doc_id") =!= 2L), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === filtered) // doc 2 still out, doc 3 still in
     PostingsStore.drop(spark, tmp)
   }
 
