@@ -216,6 +216,71 @@ object TextQueries {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
+    // snapshot (time-travel) reads over the postings store: two batch
+    // appends (ops 1: even docs, 2: odd docs) then a takedown (op 3,
+    // %5 docs) — serving AS OF each bound must replay the one-shot
+    // retrieval over exactly the corpus that existed then, and the
+    // live read equals the last bound (every phase hash-checked
+    // against the corresponding filtered-corpus oracle)
+    "postings_asof" -> ((s, dir) => {
+      val d = retDocs(s, dir)
+      val qs = retQueries(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings-asof").toString
+      graft.operators.PostingsStore.appendBatch(
+        d.filter(col("doc_id") % 2 === 0), tmp, 1L)
+      graft.operators.PostingsStore.appendBatch(
+        d.filter(col("doc_id") % 2 =!= 0), tmp, 2L)
+      graft.operators.PostingsStore.deleteDocs(s, tmp,
+        d.filter(col("doc_id") % 5 === 0).select("doc_id"), 3L)
+      def phase(r: org.apache.spark.sql.DataFrame, name: String) = {
+        val out = summarizeRetrieval(r, name)
+        (out.collect().toSeq, out.schema)
+      }
+      val (a1, outSchema) = phase(
+        graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 1L), "asof1")
+      val (a2, _) = phase(
+        graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 2L), "asof2")
+      val (a3, _) = phase(
+        graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 3L), "asof3")
+      val (live, _) = phase(
+        graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), "live")
+      val rows = a1 ++ a2 ++ a3 ++ live
+      graft.operators.PostingsStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+    // the compact-then-append lifecycle (the NORMAL shape of a store
+    // that compacts periodically while ingest continues): offline base
+    // + one batch, a fold, then a post-fold append — each serve must
+    // union every layer on disk (the r17 layout silently dropped the
+    // compacted base once a batch dir appeared)
+    "postings_compact_append" -> ((s, dir) => {
+      val d = retDocs(s, dir)
+      val qs = retQueries(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings-ca").toString
+      graft.operators.PostingsStore.build(d.filter(col("doc_id") % 3 === 0), tmp)
+      graft.operators.PostingsStore.appendBatch(
+        d.filter(col("doc_id") % 3 === 1), tmp, 1L)
+      // each phase collects EAGERLY before the next store mutation
+      // (stale FileIndex otherwise — the postings_delete_equiv rule)
+      def phase(name: String) = {
+        val out = summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), name)
+        (out.collect().toSeq, out.schema)
+      }
+      val (mixed1, outSchema) = phase("mixed1")
+      graft.operators.PostingsStore.compact(s, tmp)
+      val (folded, _) = phase("folded")
+      graft.operators.PostingsStore.appendBatch(
+        d.filter(col("doc_id") % 3 === 2), tmp, 2L)
+      val (mixed2, _) = phase("mixed2")
+      val rows = mixed1 ++ folded ++ mixed2
+      graft.operators.PostingsStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
     // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
     // winnowing (rolling-hash) local fingerprints, k=5 w=4
@@ -498,6 +563,25 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
         format_string("ta%d tb%d %s", col("doc_id") % 61, col("doc_id") % 13,
           element_at(TextAnalysis.tokens(col("text")), 1)).as("qtext"))
       .filter(col("query_id") % 29 === 0)
+
+  /** The per-phase retrieval aggregate the postings store gates share:
+    * one row summarizing a served top-k result, so N lifecycle phases
+    * hash-compare against N filtered-corpus oracle replays. */
+  private def summarizeRetrieval(r: DataFrame, phase: String): DataFrame =
+    r.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+        coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+        coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+      .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+        col("dr_sum"), col("terms_sum"))
+
+  /** The one-row aggregate of a [[bm25DocOracleSqlOver]] CTE — the SQL
+    * twin of [[summarizeRetrieval]]. */
+  private def retrievalAggSql(base: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
+  CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
+  CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS terms_sum FROM $base"""
 
   /** The bm25_doc_topk replay — shared by the direct gate and the
     * postings_equiv wrapper (which aggregates it per phase). */
@@ -1338,6 +1422,32 @@ da AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
 SELECT 'pre' AS phase, * FROM fa
 UNION ALL SELECT 'deleted' AS phase, * FROM da
 UNION ALL SELECT 'compacted' AS phase, * FROM da""",
+
+    // four as-of phases, each the one-shot aggregate over exactly the
+    // corpus the bound selects: batch 1 only / both batches / both
+    // minus the op-3 takedown / the live view (== the last bound)
+    "postings_asof" ->
+      s"""WITH even_base AS MATERIALIZED (${bm25DocOracleSqlOver("doc_id % 2 = 0")}),
+full_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE")}),
+del_base AS MATERIALIZED (${bm25DocOracleSqlOver("doc_id % 5 <> 0")}),
+ea AS (${retrievalAggSql("even_base")}),
+fa AS (${retrievalAggSql("full_base")}),
+da AS (${retrievalAggSql("del_base")})
+SELECT 'asof1' AS phase, * FROM ea
+UNION ALL SELECT 'asof2' AS phase, * FROM fa
+UNION ALL SELECT 'asof3' AS phase, * FROM da
+UNION ALL SELECT 'live' AS phase, * FROM da""",
+
+    // compact-then-append: base+batch before and after the fold replay
+    // the two-thirds corpus; the post-fold append reaches the full one
+    "postings_compact_append" ->
+      s"""WITH part_base AS MATERIALIZED (${bm25DocOracleSqlOver("doc_id % 3 <> 2")}),
+full_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE")}),
+pa AS (${retrievalAggSql("part_base")}),
+fa AS (${retrievalAggSql("full_base")})
+SELECT 'mixed1' AS phase, * FROM pa
+UNION ALL SELECT 'folded' AS phase, * FROM pa
+UNION ALL SELECT 'mixed2' AS phase, * FROM fa""",
 
     "token_pieces" ->
       """SELECT doc_id,
