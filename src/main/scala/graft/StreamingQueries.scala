@@ -768,6 +768,81 @@ object StreamingQueries {
             Seq(streamed, replayed)).asJava), outSchema)
     }),
 
+    // region takedown ONLINE: the file stream delivers two rectangle
+    // markers (rect A at seq 1, rect B at seq 3) that foreachBatch
+    // appends as range tombstones — O(markers) per batch, never an id
+    // enumeration. The %10 re-puts (seq 2) resurrect through rect A
+    // but die where rect B covers them; redelivering rect A after the
+    // stream must not move the live view (markers commute and
+    // duplicates are invisible — at-least-once in, exactly-once out)
+    "stream_takedown_range" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      val (tmp, fs, mSchema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-rtakedown").toString
+        val base = PointStore.points(
+            s.read.parquet(s"$dir/events.parquet"),
+            col("event_id"), expr("cast(floor(value*100) as int)"),
+            col("user_id"))
+          .withColumn("put_seq", lit(0L))
+        PointStore.write(base, s"$tmp/store")
+        PointStore.append(base.filter(col("id") % 10 === 0)
+          .withColumn("put_seq", lit(2L)), s"$tmp/store")
+        locally {
+          import s.implicits._
+          Seq((0, 15000, 0, 70, 1L))
+            .toDF("xmin", "xmax", "ymin", "ymax", "put_seq")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+          Seq((12000, 40000, 50, 130, 3L))
+            .toDF("xmin", "xmax", "ymin", "ymax", "put_seq")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        }
+        val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+        (tmp, fs, s.read.parquet(s"$tmp/in").schema)
+      }
+      val store = PointStore.open(s, s"$tmp/store")
+      val stream = s.readStream.schema(mSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => store.deleteRange(batch) }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      def snapshot(phase: String): org.apache.spark.sql.Row = {
+        // markers first, THEN the upsert collapse: a re-put whose base
+        // version ALSO survives the rectangles (unlike stream_takedown's
+        // %5 ⊇ %10 markers, rect A doesn't cover every re-put) must
+        // count once, as its latest version
+        val pts = PointStore.latest(store.live(Seq("put_seq")), Seq(col("put_seq")))
+        val r = PointStore.rangeQuery(pts, RX, RY)
+          .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("x").cast("long")), lit(0L)),
+            coalesce(sum(col("y").cast("long")), lit(0L))).head()
+        val tot = pts.agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
+        val kn = PointStore.knn(pts, 25000, 75, 10)
+          .agg(coalesce(sum(col("id")), lit(0L)),
+            coalesce(sum(col("dist2")), lit(0L))).head()
+        org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
+          kn.getLong(0), kn.getLong(1))
+      }
+      val streamed = snapshot("streamed")
+      // at-least-once redelivery of the rect-A marker batch
+      store.deleteRange(s.read.parquet(s"$tmp/in").filter(col("put_seq") === 1L))
+      val replayed = snapshot("replayed")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        Seq("range_cnt", "range_id_sum", "range_x_sum", "range_y_sum",
+          "total_cnt", "total_id_sum", "knn_id_sum", "knn_d2_sum").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      StreamMeter.setup { fs.delete(new Path(tmp), true) }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            Seq(streamed, replayed)).asJava), outSchema)
+    }),
+
     "stream_dq" -> ((s, dir) => {
       val (tmp, schema) = StreamMeter.setup {
         val tmp = Files.createTempDirectory("graft-stream-dq").toString
@@ -1328,6 +1403,36 @@ k AS (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
     CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
   FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
         FROM pts ORDER BY d2, id LIMIT 10)),
+phases(phase) AS (VALUES ('streamed'), ('replayed'))
+SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
+  total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
+FROM phases, r, t, k""",
+
+    // the live multiset after the streamed RECTANGLE-marker history:
+    // base rows (seq 0) survive outside rects A(seq 1) and B(seq 3);
+    // the %10 re-puts (seq 2) resurrect through A but die inside B —
+    // and the redelivered rect-A batch must not move any number
+    "stream_takedown_range" ->
+      s"""WITH pts AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value*100) AS BIGINT) AS x,
+    CAST(user_id AS BIGINT) AS y FROM events),
+live AS MATERIALIZED (
+  SELECT * FROM pts WHERE CASE WHEN id % 10 = 0
+    THEN NOT (x BETWEEN 12000 AND 40000 AND y BETWEEN 50 AND 130)
+    ELSE NOT (x BETWEEN 0 AND 15000 AND y BETWEEN 0 AND 70)
+     AND NOT (x BETWEEN 12000 AND 40000 AND y BETWEEN 50 AND 130) END),
+r AS (SELECT CAST(count(*) AS BIGINT) AS range_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS range_id_sum,
+    CAST(coalesce(sum(x), 0) AS BIGINT) AS range_x_sum,
+    CAST(coalesce(sum(y), 0) AS BIGINT) AS range_y_sum
+  FROM live WHERE x BETWEEN ${RX.min} AND ${RX.max}
+    AND y BETWEEN ${RY.min} AND ${RY.max}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt,
+    CAST(coalesce(sum(id), 0) AS BIGINT) AS total_id_sum FROM live),
+k AS (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) AS knn_id_sum,
+    CAST(coalesce(sum(d2), 0) AS BIGINT) AS knn_d2_sum
+  FROM (SELECT id, (x-25000)*(x-25000) + (y-75)*(y-75) AS d2
+        FROM live ORDER BY d2, id LIMIT 10)),
 phases(phase) AS (VALUES ('streamed'), ('replayed'))
 SELECT phase, range_cnt, range_id_sum, range_x_sum, range_y_sum,
   total_cnt, total_id_sum, knn_id_sum, knn_d2_sum
