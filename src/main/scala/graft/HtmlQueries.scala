@@ -232,6 +232,11 @@ object HtmlQueries {
     // surviving subgraph, so high-degree but triangle-poor structure
     // (the quadratic-map tendrils) peels even where kcore keeps it
     "ktruss" -> ((s, dir) => LinkGraph.kTruss(kcoreEdges(s, dir), k = 3, rounds = 3)),
+    // the peel's convergence trace: (round, peeled, surviving) per
+    // round — the caller-visible signal that `rounds` sufficed (last
+    // round peels 0) or truncated the peel
+    "ktruss_peel" -> ((s, dir) =>
+      LinkGraph.kTrussPeelTrace(kcoreEdges(s, dir), k = 3, rounds = 3)),
     // first-class connected components over a DISCONNECTED fixture:
     // affine-permutation cycles per 50-block (x → 7x+3 mod 50, cycle
     // lengths 4/4/2) plus a 9-edge chain merging the first ten
@@ -427,6 +432,27 @@ edges AS (
 ${LinkGraph.kTrussOracleCore(k = 3, rounds = 3)}
 SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
 FROM kt3 e LEFT JOIN ts3 s ON s.u = e.a AND s.v = e.b""",
+
+    // per-round edge-set cardinalities of the same unrolled peel:
+    // peeled(i) = |kt(i-1)| - |kt(i)|
+    "ktruss_peel" ->
+      s"""WITH sz AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id * 31 + 7) % sz.n AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, doc_id % 25 AS dst FROM documents, sz
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 7 + 3) % 25 AS dst
+    FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id AS src, (doc_id // 25) * 25 + (doc_id * 11 + 5) % 25 AS dst
+    FROM documents WHERE doc_id % 2 = 0),
+${LinkGraph.kTrussOracleCore(k = 3, rounds = 3)},
+c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kt0),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kt1),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kt2),
+c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kt3)
+SELECT CAST(1 AS BIGINT) AS round, c0.n - c1.n AS peeled, c1.n AS surviving FROM c0, c1
+UNION ALL SELECT CAST(2 AS BIGINT), c1.n - c2.n, c2.n FROM c1, c2
+UNION ALL SELECT CAST(3 AS BIGINT), c2.n - c3.n, c3.n FROM c2, c3""",
 
     "cc_components" ->
       s"""WITH edges AS (

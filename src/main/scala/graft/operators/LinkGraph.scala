@@ -688,32 +688,71 @@ tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
    */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 2 && rounds >= 0)
-    def support(e: DataFrame): DataFrame = {
-      val tri = triangleEnum(e)
-      tri.select(least(col("u"), col("x")).as("a"),
-          greatest(col("u"), col("x")).as("b"))
-        .union(tri.select(least(col("u"), col("y")).as("a"),
-          greatest(col("u"), col("y")).as("b")))
-        .union(tri.select(least(col("x"), col("y")).as("a"),
-          greatest(col("x"), col("y")).as("b")))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
-    }
-    var e = edges.select(
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct().scopedCheckpoint()
+    var e = trussInit(edges)
     var r = 0
     while (r < rounds) {
-      val next = e.join(support(e), Seq("a", "b"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-        .select(col("a"), col("b")).scopedCheckpoint()
+      val next = trussPeelOnce(e, k)
       CheckpointScope.release(e)
       e = next
       r += 1
     }
-    e.join(support(e), Seq("a", "b"), "left")
+    e.join(trussSupport(e), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Canonical undirected-edge table the truss peel starts from. */
+  private def trussInit(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().scopedCheckpoint()
+
+  /** Per-edge triangle support in the surviving subgraph. */
+  private def trussSupport(e: DataFrame): DataFrame = {
+    val tri = triangleEnum(e)
+    tri.select(least(col("u"), col("x")).as("a"),
+        greatest(col("u"), col("x")).as("b"))
+      .union(tri.select(least(col("u"), col("y")).as("a"),
+        greatest(col("u"), col("y")).as("b")))
+      .union(tri.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /** One support-peel round, checkpointed. */
+  private def trussPeelOnce(e: DataFrame, k: Int): DataFrame =
+    e.join(trussSupport(e), Seq("a", "b"), "left")
+      .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+      .select(col("a"), col("b")).scopedCheckpoint()
+
+  /**
+   * [[kTruss]]'s convergence signal — one row per peel round,
+   * `(round, peeled, surviving)` — so a caller choosing `rounds` can
+   * SEE whether the bounded peel CONVERGED (the last round peeled 0
+   * edges, making the bounded result THE k-truss) or was truncated
+   * mid-peel and needs more rounds: the [[pageRankDelta]] discipline
+   * applied to the edge-peel loop. Costs [[kTruss]]'s per-round work
+   * plus one count per round over the already-checkpointed edge set
+   * (a driver-side integer per round — nothing collects).
+   */
+  def kTrussPeelTrace(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1)
+    val session = edges.sparkSession
+    var e = trussInit(edges)
+    var n = e.count()
+    val trace = Seq.newBuilder[(Long, Long, Long)]
+    var r = 0
+    while (r < rounds) {
+      val next = trussPeelOnce(e, k)
+      val nn = next.count()
+      trace += ((r + 1L, n - nn, nn))
+      CheckpointScope.release(e)
+      e = next; n = nn; r += 1
+    }
+    CheckpointScope.release(e)
+    import session.implicits._
+    trace.result().toDF("round", "peeled", "surviving")
   }
 
   /**
