@@ -305,10 +305,30 @@ object TextQueries {
     // never engage in the gate regardless of fixture duplication rate
     "span_dedup_winnow" -> ((s, dir) =>
       Dedup.spanDedupApprox(docs(s, dir), SpanK, 2, 4, maxCandidateFrac = 1.0)),
-    // the char-granularity twin: same signal-table prefilter over the
-    // char-gram hashes; non-candidates report zero duplicate coverage
+    // the char-granularity twin at the PRODUCTION default bail-out
+    // (maxCandidateFrac = 0.5): at oracle scale (sf0.01) the fixture
+    // sits at ~42% candidacy, under the threshold, so the pure
+    // approximate path runs and the oracle models it (zero coverage
+    // for non-candidates); at bench scale (sf0.1) the same fixture
+    // crosses ~85% candidacy and the operator takes the adaptive
+    // exact bail-out it would take in production — an 85%-duplicated
+    // corpus is exactly where a prefilter CANNOT pay, and paying only
+    // the signal-pass floor there (instead of re-tokenizing nearly
+    // every candidate) is the operator working as designed. The
+    // prefilter's win case is pinned by span_dedup_chars_winnow_sparse
     "span_dedup_chars_winnow" -> ((s, dir) =>
-      Dedup.spanDedupCharsApprox(docs(s, dir), SpanCharsK, 2, 4, maxCandidateFrac = 1.0)),
+      Dedup.spanDedupCharsApprox(docs(s, dir), SpanCharsK, 2, 4, maxCandidateFrac = 0.5)),
+    // the mostly-distinct corpus the winnow prefilter is FOR: ~90% of
+    // docs carry doc-salted generated text (no two docs share a 20-char
+    // window — every token embeds its doc_id), ~10% share one literal
+    // passage; candidacy stays ~10% at every sf, the positioned join
+    // runs over candidates only, and the approximate twin beats the
+    // exact one on the SAME fixture — the bench row the duplication-
+    // heavy documents fixture structurally cannot show
+    "span_dedup_chars_sparse" -> ((s, dir) =>
+      Dedup.spanDedupChars(sparseDocs(s, dir), SpanCharsK, 2)),
+    "span_dedup_chars_winnow_sparse" -> ((s, dir) =>
+      Dedup.spanDedupCharsApprox(sparseDocs(s, dir), SpanCharsK, 2, 4)),
     // BPE tokenizer-training primitive: corpus-weighted adjacent
     // char-pair counts over the distinct-word table, top-k candidates
     "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMergeCandidates(docs(s, dir), 20)),
@@ -563,6 +583,80 @@ v1 AS (SELECT ${byteVstr("w")} AS vstr, wc FROM wf)"""
         format_string("ta%d tb%d %s", col("doc_id") % 61, col("doc_id") % 13,
           element_at(TextAnalysis.tokens(col("text")), 1)).as("qtext"))
       .filter(col("query_id") % 29 === 0)
+
+  /** The shared passage of the sparse span-dedup fixture (cleaned
+    * length ~100 chars ≥ k+w−1, so winnow-approximate coverage of the
+    * copies is exact). */
+  private val SparsePassage =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+    "the quiet river flow past the old stone bridge at dawn"
+
+  /** The mostly-distinct corpus the winnow prefilter targets: docs ≡ 0
+    * (mod 10) share [[SparsePassage]]; every other doc's text is
+    * generated with its doc_id embedded in EVERY token, so no two docs
+    * share a [[SpanCharsK]]-char window (a 20-char window always
+    * contains a complete `t<id>x<digit>` token) — candidacy stays ~10%
+    * at every scale factor and the positioned join runs over
+    * candidates only. */
+  /** Virtual-id fan-out of the sparse fixture: the text is generated
+    * purely from the (virtual) doc id, so the corpus scales past the
+    * documents table without changing its statistics. 4× the docs and
+    * 160 tokens per unique doc (~20k docs / ~16M chars at sf0.1) is
+    * where the exact twin's all-grams shuffle (the work the prefilter
+    * skips) dominates the prefilter's own fingerprint pass — at the
+    * un-fanned 5k-doc / 40-token size the gate is all fixed cost and
+    * the candidate pruning cannot show in the bench. */
+  private val SparseFanOut = 4
+
+  private[graft] def sparseDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(sequence(lit(0L), lit(SparseFanOut - 1L))).as("r"),
+        col("doc_id"))
+      .select((col("doc_id") * SparseFanOut + col("r")).as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit(SparsePassage))
+          .otherwise(expr("array_join(transform(sequence(1, 160), " +
+            "i -> concat('t', cast(doc_id as string), 'x', " +
+            "cast((i*3 + doc_id*5) % 10 as string))), ' ')"))
+          .as("text"))
+
+  /** The exact char-span-dedup oracle, parameterized by the docs
+    * source (a table name or FROM-able subquery) so the documents and
+    * sparse fixtures replay one SQL body. */
+  private def spanCharsExactOracle(docsSrc: String): String =
+    s"""WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g') AS clean
+  FROM $docsSrc),
+h AS (SELECT doc_id, length(clean) AS n,
+    list_transform(range(1, length(clean)+1), i -> CAST(ascii(substr(clean, CAST(i AS INT), 1)) AS BIGINT)) AS hs
+  FROM c WHERE length(clean) >= 1),
+g AS (SELECT doc_id, n,
+    CASE WHEN n >= $SpanCharsK THEN list_transform(range(1, n-${SpanCharsK - 2}),
+      i -> ${Dedup.spanGramHash(SpanCharsK)})
+    ELSE CAST([] AS BIGINT[]) END AS ghs
+  FROM h),
+occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM g),
+dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
+pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(ghs)+1),
+    i -> {'i': i, 'gh': ghs[i]})) AS pg FROM g)),
+ds AS (SELECT p.doc_id, list_sort(list(p.i)) AS ss
+  FROM pos p JOIN dup d ON p.gh = d.gh AND p.doc_id <> d.keeper
+  GROUP BY p.doc_id),
+j AS (SELECT g.doc_id, g.n, coalesce(ds.ss, CAST([] AS BIGINT[])) AS ss
+  FROM g LEFT JOIN ds USING (doc_id))
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(len(list_filter(range(1, n+1),
+    p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanCharsK - 1})) > 0)) AS BIGINT) AS n_dup_chars
+FROM j"""
+
+  /** The DuckDB twin of [[sparseDocs]], as a FROM-able subquery. */
+  private def sparseDocsSql: String =
+    s"""(SELECT vid AS doc_id, CASE WHEN vid % 10 = 0 THEN '$SparsePassage'
+  ELSE array_to_string(list_transform(range(1, 161),
+    i -> 't' || CAST(vid AS VARCHAR) || 'x' ||
+         CAST((i*3 + vid*5) % 10 AS VARCHAR)), ' ') END AS text
+FROM (SELECT doc_id * $SparseFanOut + r.r AS vid
+      FROM documents, (SELECT unnest(range($SparseFanOut)) AS r) r))"""
 
   /** The per-phase retrieval aggregate the postings store gates share:
     * one row summarizing a served top-k result, so N lifecycle phases
@@ -1112,36 +1206,23 @@ WHERE doc_id NOT IN (SELECT doc_id FROM cand)""",
     // ascii codes of the [a-z0-9]-only stream (no digest — the
     // polynomial runs on the codes; substr is per-position here, fine
     // at oracle scale)
-    "span_dedup_chars" ->
-      s"""WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g') AS clean
-  FROM documents),
-h AS (SELECT doc_id, length(clean) AS n,
-    list_transform(range(1, length(clean)+1), i -> CAST(ascii(substr(clean, CAST(i AS INT), 1)) AS BIGINT)) AS hs
-  FROM c WHERE length(clean) >= 1),
-g AS (SELECT doc_id, n,
-    CASE WHEN n >= $SpanCharsK THEN list_transform(range(1, n-${SpanCharsK - 2}),
-      i -> ${Dedup.spanGramHash(SpanCharsK)})
-    ELSE CAST([] AS BIGINT[]) END AS ghs
-  FROM h),
-occ AS (SELECT DISTINCT doc_id, unnest(ghs) AS gh FROM g),
-dup AS (SELECT gh, min(doc_id) AS keeper FROM occ GROUP BY gh HAVING count(*) >= 2),
-pos AS (SELECT doc_id, pg.i AS i, pg.gh AS gh FROM (
-  SELECT doc_id, unnest(list_transform(range(1, len(ghs)+1),
-    i -> {'i': i, 'gh': ghs[i]})) AS pg FROM g)),
-ds AS (SELECT p.doc_id, list_sort(list(p.i)) AS ss
-  FROM pos p JOIN dup d ON p.gh = d.gh AND p.doc_id <> d.keeper
-  GROUP BY p.doc_id),
-j AS (SELECT g.doc_id, g.n, coalesce(ds.ss, CAST([] AS BIGINT[])) AS ss
-  FROM g LEFT JOIN ds USING (doc_id))
-SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-  CAST(len(list_filter(range(1, n+1),
-    p -> len(list_filter(ss, s -> s <= p AND s >= p - ${SpanCharsK - 1})) > 0)) AS BIGINT) AS n_dup_chars
-FROM j""",
+    "span_dedup_chars" -> spanCharsExactOracle("documents"),
+
+    // the sparse fixture: approximate == exact there (duplicates are
+    // exact copies ≥ k+w-1 chars; uniques share no 20-char window), so
+    // BOTH sparse twins replay the one exact oracle over the fixture
+    "span_dedup_chars_sparse" -> spanCharsExactOracle(sparseDocsSql),
+    "span_dedup_chars_winnow_sparse" -> spanCharsExactOracle(sparseDocsSql),
 
     // char twin of span_dedup_winnow: fingerprints are window minima
     // (w=4) over the char-gram hashes; candidates share a duplicated
     // fingerprint or a duplicated cleaned text; the chain runs over
-    // candidates only, everyone else reports zero coverage
+    // candidates only, everyone else reports zero coverage. The gate
+    // runs the production default maxCandidateFrac=0.5, and the sf0.01
+    // fixture's ~42% candidacy stays under it — so the PURE approximate
+    // path this SQL models is the path the engine takes at oracle scale
+    // (the >0.5 bail-out at larger scale returns exact results, pinned
+    // by the DedupSpec equivalence test, not this oracle)
     "span_dedup_chars_winnow" ->
       s"""WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g') AS clean
   FROM documents),

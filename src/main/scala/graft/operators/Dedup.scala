@@ -1076,11 +1076,13 @@ object Dedup {
     val fpsCol = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.WindowMinima(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("ghs")), w))
-    val dupFp = sig.select(col("m"), explode(fpsCol).as("fp"))
-      .groupBy("fp").agg(sum(col("m")).as("fdf"))
+    // two lazy fp passes (aggregate + candidacy join) — see the
+    // [[spanDedupCharsApprox]] note: cheaper than checkpointing the
+    // exploded fp rows
+    val fpx = sig.select(col("tkey"), col("m"), explode(fpsCol).as("fp"))
+    val dupFp = fpx.groupBy("fp").agg(sum(col("m")).as("fdf"))
       .filter(col("fdf") >= 2).select("fp")
-    val candKeys = sig.select(col("tkey"), explode(fpsCol).as("fp"))
-      .join(dupFp, "fp").select("tkey")
+    val candKeys = fpx.join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
       .scopedCheckpoint() // consumed by the candidate semi-join + anti-join
@@ -1267,11 +1269,15 @@ object Dedup {
     val fpsCol = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.WindowMinima(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("ghs")), w))
-    val dupFp = sig.select(col("m"), explode(fpsCol).as("fp"))
-      .groupBy("fp").agg(sum(col("m")).as("fdf"))
+    // two lazy fp passes (aggregate + candidacy join) measured CHEAPER
+    // than materializing the exploded fp table once: the fp rows are
+    // ~1/w of the gram rows, so a checkpoint's write+read I/O exceeds
+    // one recompute of the O(n) window-minima projection (r18 bench,
+    // 40k-doc sparse fixture: 13.3 s two-pass vs 15.4 s checkpointed)
+    val fpx = sig.select(col("tkey"), col("m"), explode(fpsCol).as("fp"))
+    val dupFp = fpx.groupBy("fp").agg(sum(col("m")).as("fdf"))
       .filter(col("fdf") >= 2).select("fp")
-    val candKeys = sig.select(col("tkey"), explode(fpsCol).as("fp"))
-      .join(dupFp, "fp").select("tkey")
+    val candKeys = fpx.join(dupFp, "fp").select("tkey")
       .union(sig.filter(col("m") > 1).select("tkey"))
       .distinct()
       .scopedCheckpoint()
