@@ -48,6 +48,9 @@ object PostingsStore {
     * root; reads still union any such flat files in, as operation 0.) */
   def build(df: DataFrame, path: String): Unit = {
     val fs = fsOf(df.sparkSession, path)
+    resolve(fs, path) // converge an interrupted swap BEFORE overwriting —
+    // else its marker would later promote stale .next over this build
+    Trees.foreach(t => fs.delete(nextPath(path, t), true)) // unfinished-build debris
     Trees.foreach(t => fs.delete(livePath(path, t), true)) // prior incarnation
     val (pairs, partial) = TextAnalysis.bm25Corpus(df)
     pairs.repartitionByRange(col("term"), col("doc_id"))
