@@ -409,6 +409,28 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, tmp)
   }
 
+  test("an as-of read plans ONLY the sources inside the bound (pure path selection)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-asofplan").toString
+    PostingsStore.build(docs.filter(col("doc_id") <= 2), tmp) // base = op 0
+    PostingsStore.appendBatch(docs.filter(col("doc_id") === 3), tmp, 1L)
+    PostingsStore.appendBatch(docs.filter(col("doc_id") === 4), tmp, 2L)
+    // bound 1: the scan's file index must cover base + b1 and NOT b2 —
+    // time travel is path selection, never a read-then-filter
+    val files1 = PostingsStore.postingsAsOf(spark, tmp, 1L).inputFiles.toSeq
+    assert(files1.exists(_.contains("postings/base/")), files1)
+    assert(files1.exists(_.contains("postings/b1/")), files1)
+    assert(!files1.exists(_.contains("postings/b2/")), files1)
+    // bound 0: the offline base alone
+    val files0 = PostingsStore.postingsAsOf(spark, tmp, 0L).inputFiles.toSeq
+    assert(files0.nonEmpty && files0.forall(_.contains("postings/base/")), files0)
+    PostingsStore.drop(spark, tmp)
+  }
+
   test("as-of reads replay the index at each operation bound (pre/post takedown and append)") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
