@@ -1223,6 +1223,72 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // TIME TRAVEL over the ONLINE-built text index: the corpus arrives
+    // as three doc_id-ordered thirds (foreachBatch ids 0..2, delivery
+    // order pinned by explicit file mtimes), then a takedown lands as
+    // operation 3 — serving AS OF bounds 0 / 2 / 3 and live must each
+    // replay exactly the corpus that operation horizon selects. The
+    // history the bounds slice IS the batch subtree layout the stream
+    // already wrote: nothing is rewritten or versioned to serve it
+    "stream_postings_asof" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-pasof").toString
+        val d = TextQueries.retDocs(s, dir).select("doc_id", "text")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        val sliced = d.withColumn("slice", ntile(3).over(w))
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        (1 to 3).foreach { k =>
+          sliced.filter(col("slice") === k).select("doc_id", "text")
+            .coalesce(1).write.parquet(s"$tmp/stage$k")
+          val part = new java.io.File(s"$tmp/stage$k").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = java.nio.file.Paths.get(f"$tmp/in/slice$k%04d.parquet")
+          Files.copy(part.toPath, dest)
+          // pin delivery order: batch id k-1 must carry slice k (the
+          // file source orders by mtime; same-millisecond copies would
+          // leave the as-of bounds racing the tie-break)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+        }
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.PostingsStore.appendBatch(b.toDF(), s"$tmp/store", id)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
+        TextQueries.retDocs(s, dir).filter(col("doc_id") % 5 === 0).select("doc_id"), 3L)
+      def phaseAgg(r: org.apache.spark.sql.DataFrame, phase: String) =
+        r.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+            coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+            coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+            col("dr_sum"), col("terms_sum"))
+      val qs = TextQueries.retQueries(s, dir)
+      def asOf(bound: Long, phase: String) = phaseAgg(
+        graft.operators.PostingsStore.bm25DocTopKAsOf(s, s"$tmp/store", qs, 10, bound),
+        phase)
+      val first = asOf(0L, "asof0")
+      val rows = first.collect().toSeq ++
+        asOf(2L, "asof2").collect().toSeq ++
+        asOf(3L, "asof3").collect().toSeq ++
+        phaseAgg(graft.operators.PostingsStore.bm25DocTopK(
+          s, s"$tmp/store", qs, 10), "live").collect().toSeq
+      val outSchema = first.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // ONLINE TAKEDOWN FOR THE TEXT INDEX — deleteDocs driven through
     // foreachBatch with the BATCH ID as the delete id, so an
     // at-least-once replay overwrites its own marker/negative-partial
@@ -1564,6 +1630,23 @@ agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
   FROM base),
 phases(phase) AS (VALUES ('streamed'), ('compacted'))
 SELECT phase, n_rows, score_sum, dr_sum, terms_sum FROM phases, agg""",
+
+    // four as-of phases over the streamed index, each the one-shot
+    // aggregate over exactly the corpus its operation bound selects:
+    // the first streamed third / all three / all minus the op-3
+    // takedown / the live view (== the last bound)
+    "stream_postings_asof" ->
+      s"""WITH b0 AS MATERIALIZED (${TextQueries.bm25DocOracleSqlOver(
+        "doc_id IN (SELECT doc_id FROM (SELECT doc_id, ntile(3) OVER (ORDER BY doc_id) AS nt FROM rdocs) WHERE nt = 1)")}),
+b2 AS MATERIALIZED (${TextQueries.bm25DocOracleSqlOver("TRUE")}),
+b3 AS MATERIALIZED (${TextQueries.bm25DocOracleSqlOver("doc_id % 5 <> 0")}),
+a0 AS (${TextQueries.retrievalAggSql("b0")}),
+a2 AS (${TextQueries.retrievalAggSql("b2")}),
+a3 AS (${TextQueries.retrievalAggSql("b3")})
+SELECT 'asof0' AS phase, * FROM a0
+UNION ALL SELECT 'asof2' AS phase, * FROM a2
+UNION ALL SELECT 'asof3' AS phase, * FROM a3
+UNION ALL SELECT 'live' AS phase, * FROM a3""",
 
     // the filtered-corpus replay (both streamed takedown lists applied,
     // overlap counted once), emitted once per serving phase — the

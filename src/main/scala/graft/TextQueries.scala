@@ -671,7 +671,7 @@ FROM (SELECT doc_id * $SparseFanOut + r.r AS vid
 
   /** The one-row aggregate of a [[bm25DocOracleSqlOver]] CTE — the SQL
     * twin of [[summarizeRetrieval]]. */
-  private def retrievalAggSql(base: String): String =
+  private[graft] def retrievalAggSql(base: String): String =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(coalesce(sum(score_e6), 0) AS BIGINT) AS score_sum,
   CAST(coalesce(sum(doc_id * rank), 0) AS BIGINT) AS dr_sum,
