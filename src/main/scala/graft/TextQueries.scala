@@ -281,6 +281,34 @@ object TextQueries {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
+    // TERM purge (the PII/secret-token workflow, the vocabulary-axis
+    // takedown): after purgeTerms the purged terms stop being served —
+    // df and per-query n_terms shift, corpus stats (doc lengths at
+    // index time) do NOT — and the physical fold must serve the same
+    // term-filtered replay the marker read does
+    "postings_term_purge" -> ((s, dir) => {
+      val d = retDocs(s, dir)
+      val qs = retQueries(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings-purge").toString
+      graft.operators.PostingsStore.build(d, tmp)
+      def phase(name: String) = {
+        val out = summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), name)
+        (out.collect().toSeq, out.schema)
+      }
+      val (pre, outSchema) = phase("pre")
+      import s.implicits._
+      graft.operators.PostingsStore.purgeTerms(s, tmp,
+        Seq("ta7", "tb3").toDF("term"), 0L)
+      val (purged, _) = phase("purged")
+      graft.operators.PostingsStore.compact(s, tmp)
+      val (folded, _) = phase("folded")
+      val rows = pre ++ purged ++ folded
+      graft.operators.PostingsStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
     // BPE-style pre-tokenizer piece counts (engine-exact, no heuristic)
     "token_pieces" -> ((s, dir) => TextAnalysis.tokenPieces(docs(s, dir))),
     // winnowing (rolling-hash) local fingerprints, k=5 w=4
@@ -688,7 +716,8 @@ FROM (SELECT doc_id * $SparseFanOut + r.r AS vid
     * source doc is deleted from the store. `TRUE` is the undeleted
     * corpus; `postings_delete_equiv` replays the takedown with
     * `doc_id % 5 <> 0`. */
-  private[graft] def bm25DocOracleSqlOver(livePred: String): String = {
+  private[graft] def bm25DocOracleSqlOver(livePred: String,
+                                          termPred: String = "TRUE"): String = {
     import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
     s"""WITH $retDocsCte,
 w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),
@@ -696,7 +725,8 @@ live AS (SELECT * FROM w WHERE $livePred),
 d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM live),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
 p0 AS (SELECT doc_id, dl, unnest(list_distinct(ws)) AS term, ws FROM d),
-p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0),
+p AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf FROM p0
+  WHERE $termPred),
 dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
 qt AS (SELECT doc_id AS query_id,
     unnest(list_distinct(['ta' || (doc_id % 61), 'tb' || (doc_id % 13), ws[1]])) AS term
@@ -1529,6 +1559,18 @@ fa AS (${retrievalAggSql("full_base")})
 SELECT 'mixed1' AS phase, * FROM pa
 UNION ALL SELECT 'folded' AS phase, * FROM pa
 UNION ALL SELECT 'mixed2' AS phase, * FROM fa""",
+
+    // term-filtered replay: the purged terms vanish from the posting
+    // side (df, sc, n_terms) while corpus stats stay the full ones —
+    // marker read and physical fold both collapse to it
+    "postings_term_purge" ->
+      s"""WITH full_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE")}),
+purged_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE", "term NOT IN ('ta7', 'tb3')")}),
+fa AS (${retrievalAggSql("full_base")}),
+pa AS (${retrievalAggSql("purged_base")})
+SELECT 'pre' AS phase, * FROM fa
+UNION ALL SELECT 'purged' AS phase, * FROM pa
+UNION ALL SELECT 'folded' AS phase, * FROM pa""",
 
     "token_pieces" ->
       """SELECT doc_id,

@@ -266,6 +266,79 @@ object PostingsStore {
     else Some(s.read.parquet(lens.map(_.absPath): _*))
   }
 
+  /**
+   * Logical TERM purge — the vocabulary-axis sibling of [[deleteDocs]]
+   * (the PII/secret-token workflow: a term must stop being SERVED by
+   * retrieval without rewriting a 100-TB index). Marker table
+   * `termpurges/t$purgeId` holds the purged terms; every postings read
+   * drops them — inlined as a pushable `NOT IN` filter below
+   * [[InlinePurgeTermCap]] (no join at all), a broadcast anti-join
+   * past it. Corpus stats are UNCHANGED by contract: dl/avgdl are the
+   * documents' lengths at INDEX time (the BM25 normalization base),
+   * and n_docs counts documents, not terms — so a purge shifts df and
+   * per-query n_terms only, exactly the term-filtered replay.
+   *
+   * Same crash/replay discipline as [[deleteDocs]]: the marker list is
+   * announced by a `_GRAFT_DELETE_READY` file written LAST (half-written
+   * purges invisible), replaying an already-READY id is a no-op, and
+   * [[compact]] folds purges physically (the folded tree simply never
+   * contains the terms) and retires the marker tree. Same re-index
+   * contract too: a purged term appearing in a batch appended AFTER the
+   * purge's compaction is served again — purge is a statement about the
+   * indexed past; keep ingest-side filtering for the future.
+   */
+  def purgeTerms(s: SparkSession, path: String, terms: DataFrame,
+                 purgeId: Long): Unit = {
+    val fs = fsOf(s, path)
+    resolve(fs, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/$TermPurgeTree/t$purgeId/$DeleteReady"))) return
+    terms.select(col("term").cast("string").as("term"))
+      .filter(col("term").isNotNull).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/$TermPurgeTree/t$purgeId")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/$TermPurgeTree/t$purgeId/$DeleteReady")).close()
+  }
+
+  /** Below this many pending purged terms the read inlines them as ONE
+    * `term NOT IN (...)` filter (codegen'd, no join, row-group
+    * dictionary/stats skipping); above it the marker set broadcasts
+    * into an anti-join — either way the store side never shuffles. */
+  private val InlinePurgeTermCap = 1000
+  private val TermPurgeTree = "termpurges"
+
+  /** READY purge dirs (the only ones any read may see). */
+  private def readyPurgeDirs(s: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/$TermPurgeTree")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("t") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, DeleteReady)))
+      .map(_.getName).toSeq
+  }
+
+  private def purgeMarkers(s: SparkSession, path: String,
+                           bound: Long = Long.MaxValue): Option[DataFrame] = {
+    val dirs = readyPurgeDirs(s, path).filter(opId(_) <= bound)
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs.map(d => s"$path/$TermPurgeTree/$d"): _*))
+  }
+
+  /** Drop purged terms from a postings view — inline filter or
+    * broadcast anti-join (see [[purgeTerms]]). */
+  private def applyPurges(df: DataFrame, markers: Option[DataFrame]): DataFrame =
+    markers match {
+      case None => df
+      case Some(m) =>
+        val terms = m.limit(InlinePurgeTermCap + 1).collect().map(_.getString(0))
+        if (terms.isEmpty) df
+        else if (terms.length <= InlinePurgeTermCap)
+          df.filter(!col("term").isInCollection(terms))
+        else df.join(broadcast(m), Seq("term"), "left_anti")
+    }
+
   /** Pending takedown markers (all READY delete batches), if any. */
   private def deleteMarkers(s: SparkSession, path: String): Option[DataFrame] =
     deletesExcept(s, path, -1L)
@@ -305,7 +378,7 @@ object PostingsStore {
     * survive the swap (a leftover negative partial would
     * double-subtract). Retired under the same `_READY` marker, so a
     * crash at any step still converges without double-counting. */
-  private val RetireTrees = Seq("deletes", "deletestats")
+  private val RetireTrees = Seq("deletes", "deletestats", "termpurges")
   private def markerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/$CompactReady")
   private def livePath(path: String, t: String) =
@@ -406,10 +479,11 @@ object PostingsStore {
     * plans except as absent rows. */
   def postings(s: SparkSession, path: String): DataFrame = {
     val raw = rawPostings(s, path)
-    deleteMarkers(s, path) match {
+    val afterDocs = deleteMarkers(s, path) match {
       case Some(m) => raw.join(broadcast(m), Seq("doc_id"), "left_anti")
       case None => raw
     }
+    applyPurges(afterDocs, purgeMarkers(s, path))
   }
 
   private def rawPostings(s: SparkSession, path: String): DataFrame = {
@@ -464,10 +538,11 @@ object PostingsStore {
    */
   def postingsAsOf(s: SparkSession, path: String, bound: Long): DataFrame = {
     val raw = rawPostingsAsOf(s, path, bound)
-    deleteMarkersAsOf(s, path, bound) match {
+    val afterDocs = deleteMarkersAsOf(s, path, bound) match {
       case Some(m) => raw.join(broadcast(m), Seq("doc_id"), "left_anti")
       case None => raw
     }
+    applyPurges(afterDocs, purgeMarkers(s, path, bound))
   }
 
   /** Corpus stats as of operation `bound` — positive partials from

@@ -409,6 +409,49 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, tmp)
   }
 
+  test("purgeTerms: purged terms stop being served, stats stay, fold is physical") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta"), (12L, "alpha delta"))
+      .toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-purge").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PostingsStore.build(docs, tmp)
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // expected: the SAME corpus with the delta postings dropped — doc
+    // lengths and corpus stats unchanged (index-time contract)
+    val (pairs, partial) = TextAnalysis.bm25Corpus(docs)
+    val expected = TextAnalysis.bm25DocTopKFrom(qs,
+        pairs.filter(col("term") =!= "delta"),
+        TextAnalysis.bm25Stats(partial), 10, broadcastQueries = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val full = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === full)
+    assert(expected !== full)
+    PostingsStore.purgeTerms(spark, tmp, Seq("delta").toDF("term"), 0L)
+    assert(served === expected)
+    // stats untouched: purge drops postings, never documents
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (4L, 4L))
+    // replaying an already-READY purge id is a no-op (never un-publishes)
+    PostingsStore.purgeTerms(spark, tmp, Seq("gamma").toDF("term"), 0L)
+    assert(served === expected)
+    // the fold is physical: marker tree retired, the folded postings
+    // simply never contain the term, serving unchanged
+    PostingsStore.compact(spark, tmp)
+    assert(!fs.exists(new Path(s"$tmp/termpurges")))
+    assert(served === expected)
+    assert(PostingsStore.postings(spark, tmp)
+      .filter(col("term") === "delta").count() === 0L)
+    PostingsStore.drop(spark, tmp)
+  }
+
   test("an as-of read plans ONLY the sources inside the bound (pure path selection)") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
