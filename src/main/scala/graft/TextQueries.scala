@@ -281,6 +281,38 @@ object TextQueries {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
+    // RE-INDEX (document update, the re-crawl lifecycle): takedown at
+    // op 1 then appendBatch of UPDATED text at op 2 — the marker kills
+    // only versions ≤ its op, so the new version serves; stats track
+    // exactly (delete subtracts the old length, the batch partial adds
+    // the new); the fold is result-invisible over the whole cycle
+    "postings_reindex" -> ((s, dir) => {
+      val d = retDocs(s, dir)
+      val qs = retQueries(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings-reidx").toString
+      graft.operators.PostingsStore.build(d, tmp)
+      def phase(name: String) = {
+        val out = summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), name)
+        (out.collect().toSeq, out.schema)
+      }
+      val (pre, outSchema) = phase("pre")
+      graft.operators.PostingsStore.deleteDocs(s, tmp,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), 1L)
+      val (deleted, _) = phase("deleted")
+      graft.operators.PostingsStore.appendBatch(
+        d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" updza updzb")).as("text")), tmp, 2L)
+      val (reindexed, _) = phase("reindexed")
+      graft.operators.PostingsStore.compact(s, tmp)
+      val (folded, _) = phase("folded")
+      val rows = pre ++ deleted ++ reindexed ++ folded
+      graft.operators.PostingsStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
     // TERM purge (the PII/secret-token workflow, the vocabulary-axis
     // takedown): after purgeTerms the purged terms stop being served —
     // df and per-query n_terms shift, corpus stats (doc lengths at
@@ -717,10 +749,11 @@ FROM (SELECT doc_id * $SparseFanOut + r.r AS vid
     * corpus; `postings_delete_equiv` replays the takedown with
     * `doc_id % 5 <> 0`. */
   private[graft] def bm25DocOracleSqlOver(livePred: String,
-                                          termPred: String = "TRUE"): String = {
+                                          termPred: String = "TRUE",
+                                          textExpr: String = "text"): String = {
     import TextAnalysis.{Bm25K1E4 => K1, Bm25K1p1E4 => K1P1, Bm25BE4 => B}
     s"""WITH $retDocsCte,
-w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM rdocs),
+w AS (SELECT doc_id, regexp_split_to_array(lower(trim($textExpr)), '\\s+') AS ws FROM rdocs),
 live AS (SELECT * FROM w WHERE $livePred),
 d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM live),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM d),
@@ -1559,6 +1592,22 @@ fa AS (${retrievalAggSql("full_base")})
 SELECT 'mixed1' AS phase, * FROM pa
 UNION ALL SELECT 'folded' AS phase, * FROM pa
 UNION ALL SELECT 'mixed2' AS phase, * FROM fa""",
+
+    // the full / takedown-filtered / UPDATED-corpus replays: after the
+    // re-add, scoring runs over the corpus with the %10 docs' new text
+    // (two fresh terms appended), and the fold changes nothing
+    "postings_reindex" ->
+      s"""WITH full_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE")}),
+del_base AS MATERIALIZED (${bm25DocOracleSqlOver("doc_id % 10 <> 0")}),
+upd_base AS MATERIALIZED (${bm25DocOracleSqlOver("TRUE", "TRUE",
+        "CASE WHEN doc_id % 10 = 0 THEN text || ' updza updzb' ELSE text END")}),
+fa AS (${retrievalAggSql("full_base")}),
+da AS (${retrievalAggSql("del_base")}),
+ua AS (${retrievalAggSql("upd_base")})
+SELECT 'pre' AS phase, * FROM fa
+UNION ALL SELECT 'deleted' AS phase, * FROM da
+UNION ALL SELECT 'reindexed' AS phase, * FROM ua
+UNION ALL SELECT 'folded' AS phase, * FROM ua""",
 
     // term-filtered replay: the purged terms vanish from the posting
     // side (df, sc, n_terms) while corpus stats stay the full ones —

@@ -52,7 +52,8 @@ object PostingsStore {
     // else its marker would later promote stale .next over this build
     Trees.foreach(t => fs.delete(nextPath(path, t), true)) // unfinished-build debris
     Trees.foreach(t => fs.delete(livePath(path, t), true)) // prior incarnation
-    val (pairs, partial) = TextAnalysis.bm25Corpus(df)
+    val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
+    val pairs = pairs0.withColumn("op", lit(0L)) // operation id (versioned markers)
     pairs.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
@@ -70,7 +71,11 @@ object PostingsStore {
     * pruning without the sampling pass. */
   private def writeDoclens(pairs: DataFrame, dest: String,
                            micro: Boolean = false): Unit = {
-    val lens = pairs.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    // one row per (doc, latest op): within a batch op is constant; the
+    // compact path's cross-batch pairs are live-only, so max_by picks
+    // the (single) live version's length
+    val lens = pairs.groupBy("doc_id").agg(expr("max_by(dl, op)").as("dl"),
+      max(col("op")).as("op"))
     val clustered =
       if (micro) lens.coalesce(1).sortWithinPartitions("doc_id")
       else lens.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
@@ -87,7 +92,8 @@ object PostingsStore {
     * compaction (re-running [[build]] over the accumulated corpus)
     * restores the global clustering, result-invisibly. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Unit = {
-    val (pairs, partial) = TextAnalysis.bm25Corpus(df)
+    val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
+    val pairs = pairs0.withColumn("op", lit(batchId))
     // two consumers (postings write + sidecar agg) — tokenize once;
     // micro-batch scale, so the cached footprint is one batch's pairs
     pairs.persist()
@@ -182,10 +188,16 @@ object PostingsStore {
    * overlapping takedown lists never double-subtract, and ids absent
    * from the store are no-ops.
    *
-   * Contract: a deleted doc id is never re-indexed ([[appendBatch]]
-   * after its takedown would be shadowed by the marker while its
-   * positive stats partial still counted — takedown is permanent,
-   * which is what takedown means). [[compact]] folds markers and
+   * RE-INDEX (document update) is supported: markers are VERSIONED —
+   * a marker kills only posting versions with operation id ≤ its own
+   * (every stored row carries the `op` of the batch that wrote it),
+   * so `deleteDocs(id=k)` then `appendBatch(newText, id>k)` serves the
+   * NEW version (the re-crawl lifecycle), and a later takedown lands
+   * on it (the probe judges liveness against the marker set, so
+   * overlapping lists stay exactly-once and a fully-dead doc
+   * contributes nothing). Stats stay exact through the cycle: the
+   * delete subtracts the live version's length, the re-add's batch
+   * partial adds the new one. [[compact]] folds markers and
    * negative partials physically and retires both trees, crash-atomic
    * under the same `_READY` swap. Same single-writer exclusion as
    * [[compact]]: a delete issued between a compaction's build and its
@@ -206,17 +218,32 @@ object PostingsStore {
     // no-ops, not probe-time NPEs
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
       .filter(col("doc_id").isNotNull).distinct()
-    val fresh = deletesExcept(s, path, deleteId) match {
-      case Some(prior) => ids.join(prior, Seq("doc_id"), "left_anti")
-      case None => ids
+    // LIVE versions of the requested ids: every stored version minus
+    // those a prior marker already shadows (version v is dead under
+    // marker m iff v.op <= m.op). Docs with no live version — absent,
+    // or fully taken down and not re-indexed since — contribute no
+    // marker and no subtraction, which makes overlapping takedown
+    // lists exactly-once AND makes a takedown of a re-indexed doc
+    // (live again under a LATER op) land on the new version
+    val versions = docLengths(s, path, ids)
+    val liveVers = deletesExcept(s, path, deleteId) match {
+      case Some(prior0) =>
+        val prior = withOp(prior0)
+          .select(col("doc_id").as("__d"), col("op").as("__dop"))
+        versions.join(broadcast(prior),
+          versions("doc_id") === col("__d") && versions("op") <= col("__dop"),
+          "left_anti")
+      case None => versions
     }
-    val hit = docLengths(s, path, fresh)
+    val hit = liveVers.groupBy("doc_id")
+      .agg(expr("max_by(dl, op)").as("dl"))
       .localCheckpoint() // one probe feeds both trees
     hit.agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum("dl"), lit(0L))).as("dl_sum"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deletestats/d$deleteId")
-    hit.select("doc_id").coalesce(1).write.mode("overwrite")
+    hit.select("doc_id").withColumn("op", lit(deleteId))
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deletes/d$deleteId")
     // announce LAST: the batch exists to readers only from here on
     fs.create(new org.apache.hadoop.fs.Path(
@@ -230,27 +257,32 @@ object PostingsStore {
     * postings, is scanned. */
   private val InlineDeleteIdCap = 10000
 
-  /** `(doc_id, dl)` for the takedown ids present in the store — the
-    * [[deleteDocs]] probe. Package-visible so the spec can pin its
+  /** `(doc_id, dl, op)` — every stored VERSION of the takedown ids —
+    * the [[deleteDocs]] probe (liveness is the caller's to judge
+    * against the marker set). Package-visible so the spec can pin its
     * plan (doclens scan + pushed doc_id predicate, no postings scan). */
   private[operators] def docLengths(s: SparkSession, path: String,
                                     fresh: DataFrame): DataFrame =
     doclensTree(s, path) match {
-      case Some(lens) =>
+      case Some(lens0) =>
+        val lens = withOp(lens0)
         val ids = fresh.limit(InlineDeleteIdCap + 1).collect().map(_.getLong(0))
-        val probed =
-          if (ids.isEmpty) lens.limit(0)
-          else if (ids.length <= InlineDeleteIdCap)
-            lens.filter(col("doc_id").between(ids.min, ids.max) &&
-              col("doc_id").isInCollection(ids))
-          else lens.join(broadcast(fresh), Seq("doc_id"))
-        // batched sidecars may hold one row per (doc, batch): fold like
-        // the postings path's first(dl) so semantics never diverge
-        probed.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        if (ids.isEmpty) lens.limit(0)
+        else if (ids.length <= InlineDeleteIdCap)
+          lens.filter(col("doc_id").between(ids.min, ids.max) &&
+            col("doc_id").isInCollection(ids))
+        else lens.join(broadcast(fresh), Seq("doc_id"))
       case None => // uncovered sidecar: the original one-scan fallback
-        rawPostings(s, path).join(broadcast(fresh), Seq("doc_id"))
-          .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        withOp(rawPostings(s, path)).join(broadcast(fresh), Seq("doc_id"))
+          .groupBy("doc_id", "op").agg(first(col("dl")).as("dl"))
+          .select("doc_id", "dl", "op")
     }
+
+  /** Pre-versioning stores carry no `op` column; their rows and
+    * markers are all operation 0 — the versioned semantics degrade to
+    * exactly the old permanent-takedown behavior. */
+  private def withOp(df: DataFrame): DataFrame =
+    if (df.columns.contains("op")) df else df.withColumn("op", lit(0L))
 
   /** The sidecar view, ONLY when it covers every postings source —
     * source-key sets must match EXACTLY, else the probe falls back to
@@ -478,13 +510,26 @@ object PostingsStore {
     * [[compact]] consume, so deletion is invisible to all downstream
     * plans except as absent rows. */
   def postings(s: SparkSession, path: String): DataFrame = {
-    val raw = rawPostings(s, path)
-    val afterDocs = deleteMarkers(s, path) match {
-      case Some(m) => raw.join(broadcast(m), Seq("doc_id"), "left_anti")
+    val raw = withOp(rawPostings(s, path))
+    applyPurges(applyDocMarkers(raw, deleteMarkers(s, path)),
+      purgeMarkers(s, path))
+  }
+
+  /** Kill every posting VERSION a marker shadows: row dead iff some
+    * marker matches its doc_id with marker.op >= row.op — so a doc
+    * re-indexed under a LATER op than its takedown serves again (the
+    * re-crawl/update lifecycle), while pre-marker versions stay dead. */
+  private def applyDocMarkers(raw: DataFrame,
+                              markers: Option[DataFrame]): DataFrame =
+    markers match {
+      case Some(m0) =>
+        val m = withOp(m0).select(col("doc_id").as("__del_doc"),
+          col("op").as("__del_op"))
+        raw.join(broadcast(m),
+          raw("doc_id") === col("__del_doc") && raw("op") <= col("__del_op"),
+          "left_anti")
       case None => raw
     }
-    applyPurges(afterDocs, purgeMarkers(s, path))
-  }
 
   private def rawPostings(s: SparkSession, path: String): DataFrame = {
     resolve(fsOf(s, path), path)
@@ -537,12 +582,9 @@ object PostingsStore {
    * retention trade, stated there).
    */
   def postingsAsOf(s: SparkSession, path: String, bound: Long): DataFrame = {
-    val raw = rawPostingsAsOf(s, path, bound)
-    val afterDocs = deleteMarkersAsOf(s, path, bound) match {
-      case Some(m) => raw.join(broadcast(m), Seq("doc_id"), "left_anti")
-      case None => raw
-    }
-    applyPurges(afterDocs, purgeMarkers(s, path, bound))
+    val raw = withOp(rawPostingsAsOf(s, path, bound))
+    applyPurges(applyDocMarkers(raw, deleteMarkersAsOf(s, path, bound)),
+      purgeMarkers(s, path, bound))
   }
 
   /** Corpus stats as of operation `bound` — positive partials from

@@ -409,6 +409,51 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, tmp)
   }
 
+  test("re-index: takedown then re-add serves the NEW version; a later takedown lands on it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "zeta zeta epsilon alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta"), (12L, "theta"))
+      .toDF("query_id", "qtext")
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25DocTopK(qs, corpus, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-reidx").toString
+    PostingsStore.build(docs, tmp)
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    def statsRow = { val r = PostingsStore.stats(spark, tmp).collect()(0)
+      (r.getLong(0), r.getLong(1)) }
+    // op 1: take down doc 2
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 1L)
+    assert(served === topk(docs.filter(col("doc_id") =!= 2L)))
+    assert(statsRow === (3L, 4L))
+    // op 2: RE-ADD doc 2 with updated text (new term theta, length 5)
+    val updated = Seq((2L, "alpha delta theta theta epsilon")).toDF("doc_id", "text")
+    PostingsStore.appendBatch(updated, tmp, 2L)
+    val newCorpus = docs.filter(col("doc_id") =!= 2L).unionByName(updated)
+    assert(served === topk(newCorpus)) // the v2 doc serves, v1 stays dead
+    assert(statsRow === (4L, 4L))      // 17 tokens / 4 docs
+    // as-of replays every point of the cycle (history is on disk)
+    def asOf(b: Long) = PostingsStore.bm25DocTopKAsOf(spark, tmp, qs, 10, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(asOf(0L) === topk(docs))
+    assert(asOf(1L) === topk(docs.filter(col("doc_id") =!= 2L)))
+    assert(asOf(2L) === topk(newCorpus))
+    // op 3: take down the RE-INDEXED doc — the probe must find the v2
+    // version live (an r17-style prior-marker exclusion would no-op)
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 3L)
+    assert(served === topk(docs.filter(col("doc_id") =!= 2L)))
+    assert(statsRow === (3L, 4L)) // exactly the v2 length subtracted
+    // the fold is result-invisible over the whole cycle
+    PostingsStore.compact(spark, tmp)
+    assert(served === topk(docs.filter(col("doc_id") =!= 2L)))
+    assert(statsRow === (3L, 4L))
+    PostingsStore.drop(spark, tmp)
+  }
+
   test("purgeTerms: purged terms stop being served, stats stay, fold is physical") {
     import org.apache.hadoop.fs.Path
     val docs = Seq(
