@@ -1289,6 +1289,79 @@ object StreamingQueries {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
     }),
 
+    // ONLINE DOCUMENT UPSERT — the re-crawl lifecycle driven through
+    // foreachBatch: each micro-batch of updated documents becomes a
+    // takedown of the ids at op 2k+1 then a re-add of the new text at
+    // op 2k+2 (both ids derived from the batch id, so the operation
+    // axis stays monotone and an at-least-once REDELIVERY is
+    // exactly-once net: the delete skips its READY batch, the append
+    // overwrites its own subtree). Serving after the stream must equal
+    // the one-shot replay over the LAST-WRITER corpus; the redelivered
+    // batch must not move it; the fold must be result-invisible
+    "stream_postings_reindex" -> ((s, dir) => {
+      val (tmp, schema) = StreamMeter.setup {
+        val tmp = Files.createTempDirectory("graft-stream-reidx").toString
+        val d = TextQueries.retDocs(s, dir).select("doc_id", "text")
+        graft.operators.PostingsStore.build(d, s"$tmp/store")
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        // two update waves over disjoint doc subsets, delivered in order
+        Seq(10 -> "updza updzb", 15 -> "updzc").zipWithIndex.foreach {
+          case ((m, extra), i) =>
+            d.filter(col("doc_id") % m === 0)
+              .select(col("doc_id"), concat(col("text"), lit(" " + extra)).as("text"))
+              .coalesce(1).write.parquet(s"$tmp/stage$m")
+            val part = new java.io.File(s"$tmp/stage$m").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dest = java.nio.file.Paths.get(f"$tmp/in/upd$i%04d.parquet")
+            Files.copy(part.toPath, dest)
+            Files.setLastModifiedTime(dest,
+              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val batch = b.toDF().localCheckpoint() // two store ops, one read
+          graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
+            batch.select("doc_id"), 2 * id + 1)
+          graft.operators.PostingsStore.appendBatch(batch, s"$tmp/store", 2 * id + 2)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      def phaseAgg(phase: String) =
+        graft.operators.PostingsStore.bm25DocTopK(
+            s, s"$tmp/store", TextQueries.retQueries(s, dir), 10)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("score_e6"), lit(0L)).as("score_sum"),
+            coalesce(sum(col("doc_id") * col("rank")), lit(0L)).as("dr_sum"),
+            coalesce(sum("n_terms"), lit(0L)).as("terms_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("score_sum"),
+            col("dr_sum"), col("terms_sum"))
+      val streamed = phaseAgg("streamed")
+      val rowsPre = streamed.collect().toSeq
+      // at-least-once redelivery of the ENTIRE first update wave
+      locally {
+        val wave = s.read.parquet(s"$tmp/in")
+          .filter(col("text").endsWith("updzb")).localCheckpoint()
+        graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
+          wave.select("doc_id"), 1L)
+        graft.operators.PostingsStore.appendBatch(wave, s"$tmp/store", 2L)
+      }
+      val rowsMid = rowsPre ++ phaseAgg("replayed").collect().toSeq
+      graft.operators.PostingsStore.compact(s, s"$tmp/store")
+      val rows = rowsMid ++ phaseAgg("folded").collect().toSeq
+      val outSchema = streamed.schema
+      StreamMeter.setup {
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
+
     // ONLINE TAKEDOWN FOR THE TEXT INDEX — deleteDocs driven through
     // foreachBatch with the BATCH ID as the delete id, so an
     // at-least-once replay overwrites its own marker/negative-partial
@@ -1647,6 +1720,17 @@ SELECT 'asof0' AS phase, * FROM a0
 UNION ALL SELECT 'asof2' AS phase, * FROM a2
 UNION ALL SELECT 'asof3' AS phase, * FROM a3
 UNION ALL SELECT 'live' AS phase, * FROM a3""",
+
+    // the LAST-WRITER corpus replay: the second update wave (%15) wins
+    // over the first (%10) on their %30 overlap — streamed upsert,
+    // whole-wave redelivery, and the physical fold all collapse to it
+    "stream_postings_reindex" ->
+      s"""WITH upd_base AS MATERIALIZED (${TextQueries.bm25DocOracleSqlOver("TRUE", "TRUE",
+        "CASE WHEN doc_id % 15 = 0 THEN text || ' updzc' " +
+        "WHEN doc_id % 10 = 0 THEN text || ' updza updzb' ELSE text END")}),
+ua AS (${TextQueries.retrievalAggSql("upd_base")}),
+phases(phase) AS (VALUES ('streamed'), ('replayed'), ('folded'))
+SELECT phase, n_rows, score_sum, dr_sum, terms_sum FROM phases, ua""",
 
     // the filtered-corpus replay (both streamed takedown lists applied,
     // overlap counted once), emitted once per serving phase — the
