@@ -109,6 +109,42 @@ object EmbeddingQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries), K,
         nCentroids = IvfCentroids, nProbe = IvfProbe, lloydIters = 1)
     }),
+    // MATERIALIZED ANN index (the postings-store discipline on the
+    // vector surface): centroids + cell-range-clustered assignment
+    // written once, retrievals served from the store with the query
+    // batch's probe cells pushed into the scan — plain AND filtered
+    // serving must equal the from-scratch twins exactly
+    "ann_store_equiv" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vstore").toString
+      graft.operators.VectorStore.build(e, tmp, nCentroids = IvfCentroids)
+      def summarize(r: org.apache.spark.sql.DataFrame, phase: String) =
+        r.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("dot"), lit(0L)).as("dot_sum"),
+            coalesce(sum(col("nid") * col("rank")), lit(0L)).as("nr_sum"),
+            coalesce(sum("qid"), lit(0L)).as("q_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("dot_sum"),
+            col("nr_sum"), col("q_sum"))
+      val fpred = col("vec_id") % 3 === 1
+      val out = summarize(
+          Similarity.ivfTopK(e, qs, K, IvfCentroids, IvfProbe), "direct")
+        .unionByName(summarize(
+          graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "served"))
+        .unionByName(summarize(
+          Similarity.ivfFilteredTopK(e, qs, K, fpred, IvfCentroids, IvfProbe),
+          "direct_f"))
+        .unionByName(summarize(
+          graft.operators.VectorStore.filteredTopK(s, tmp, qs, K, fpred, IvfProbe),
+          "served_f"))
+      // eager: the store tree must be deletable before returning
+      val rows = out.collect().toSeq
+      val outSchema = out.schema
+      graft.operators.VectorStore.drop(s, tmp)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+    }),
     // topic model over the same refined clustering: per-(topic, label)
     // membership counts — what topic-balanced mixture selection reads;
     // one assignment pass (fused argmax) + one model-scale aggregate
@@ -483,6 +519,19 @@ assign2 AS (SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad2)
   WHERE rn = 1)"""
 
+  /** The complete plain / metadata-filtered IVF retrieval replays —
+    * the `ann_ivf_topk`/`ann_filtered_topk` texts, shared with the
+    * `ann_store_equiv` phase aggregates. */
+  private def ivfOracleFull: String =
+    s"""WITH $intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign")}"""
+
+  private def ivfOracleFiltered: String =
+    s"""WITH $intCte,
+$ivfSeedCte,
+${ivfTopSql("ad", "assign", candPred = " AND a.vec_id % 3 = 1")}"""
+
   /** IVF probe/candidate/re-rank tail over a dot table and an
     * assignment table (probe ties to the HIGHEST cid — the engine's
     * struct-desc sort). `qPred` restricts the query set; empty = every
@@ -709,15 +758,28 @@ SELECT qid, nid, dot, rank FROM lshtop""",
     // strict-greater rule), probes = top-nProbe centroids per query with
     // ties to the HIGHEST cid (the engine's struct sort compares (d,
     // cid) descending), then exact re-rank of probed-cell members.
-    "ann_ivf_topk" ->
-      s"""WITH $intCte,
-$ivfSeedCte,
-${ivfTopSql("ad", "assign")}""",
+    "ann_ivf_topk" -> ivfOracleFull,
 
-    "ann_filtered_topk" ->
-      s"""WITH $intCte,
-$ivfSeedCte,
-${ivfTopSql("ad", "assign", candPred = " AND a.vec_id % 3 = 1")}""",
+    "ann_filtered_topk" -> ivfOracleFiltered,
+
+    // the materialized ANN index must be result-invisible: the
+    // store-served plain and filtered retrievals each collapse to the
+    // same aggregate as their from-scratch twins
+    "ann_store_equiv" ->
+      s"""WITH base AS MATERIALIZED ($ivfOracleFull),
+fbase AS MATERIALIZED ($ivfOracleFiltered),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(dot), 0) AS BIGINT) AS dot_sum,
+  CAST(coalesce(sum(nid * rank), 0) AS BIGINT) AS nr_sum,
+  CAST(coalesce(sum(qid), 0) AS BIGINT) AS q_sum FROM base),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(dot), 0) AS BIGINT) AS dot_sum,
+  CAST(coalesce(sum(nid * rank), 0) AS BIGINT) AS nr_sum,
+  CAST(coalesce(sum(qid), 0) AS BIGINT) AS q_sum FROM fbase)
+SELECT 'direct' AS phase, * FROM a
+UNION ALL SELECT 'served' AS phase, * FROM a
+UNION ALL SELECT 'direct_f' AS phase, * FROM f
+UNION ALL SELECT 'served_f' AS phase, * FROM f""",
 
     // IVF + one Lloyd iteration: cell means by truncating integer
     // division (HUGEINT sum // count, cast back), empty cells keep

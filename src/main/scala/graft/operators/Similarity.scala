@@ -463,7 +463,7 @@ object Similarity {
 
   /** `nCentroids` as given, or the [[autoCentroids]] rule for the
     * `0`/"auto" sentinel. */
-  private def resolveCentroids(emb: DataFrame, nCentroids: Int): Int =
+  private[operators] def resolveCentroids(emb: DataFrame, nCentroids: Int): Int =
     if (nCentroids > 0) nCentroids else autoCentroids(emb)
 
   /** Centroid-count memo-key component WITHOUT forcing resolution:
@@ -759,6 +759,12 @@ object Similarity {
     * the shape the 16-centroid oracle gates pin. Past it: two-level
     * [[graft.functions.DotTopKGrouped]] over the top-`nProbe` coarse
     * groups, ties (dot desc, cid asc) — O(√nCentroids-ish) per row. */
+  /** [[probeList]], package-visible for [[VectorStore]]'s pushable
+    * probe-cell pre-filter. */
+  private[operators] def probeCells(cents: Seq[(Int, Array[Long])],
+                                    nProbe: Int): Column =
+    probeList(cents, nProbe)
+
   private def probeList(cents: Seq[(Int, Array[Long])], nProbe: Int): Column =
     if (cents.length <= FlatCentroidMax) {
       val scored = cents.map { case (cid, c) =>
@@ -789,7 +795,16 @@ object Similarity {
               lloydIters: Int = 0): DataFrame = {
     val seeds = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
     val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
-    val assigned = ivfAssign(emb, cents)
+    ivfServe(ivfAssign(emb, cents), cents, queries, k, nProbe)
+  }
+
+  /** The shared IVF serve core over an already-ASSIGNED corpus —
+    * [[ivfTopK]]/[[ivfFilteredTopK]] build the assignment on the fly;
+    * [[VectorStore]] replays this exact plan over its stored one, so
+    * store-served results are bit-equal by construction. */
+  private[operators] def ivfServe(assigned: DataFrame,
+      cents: Seq[(Int, Array[Long])], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
     // probes materialized as a column BEFORE the explode:
     // InferFiltersFromGenerate duplicates a generator-child expression
     // into an inferred size()>0 filter, which would triple-evaluate the
@@ -834,19 +849,7 @@ object Similarity {
                       lloydIters: Int = 0): DataFrame = {
     val seeds = ivfCentroids(emb, resolveCentroids(emb, nCentroids))
     val cents = if (lloydIters > 0) ivfRefine(emb, seeds, lloydIters) else seeds
-    val assigned = ivfAssign(emb, cents).filter(pred)
-    val qProbes = queries
-      .withColumn("probes", probeList(cents, nProbe))
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(col("probes")).as("centroid_id"))
-    val scoredCand = assigned
-      .join(broadcast(qProbes), Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), dotInt("qv", "v").as("dot"))
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
-    scoredCand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "dot", "rank")
+    ivfServe(ivfAssign(emb, cents).filter(pred), cents, queries, k, nProbe)
   }
 
   /**
