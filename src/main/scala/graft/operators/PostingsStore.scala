@@ -52,6 +52,11 @@ object PostingsStore {
     // else its marker would later promote stale .next over this build
     Trees.foreach(t => fs.delete(nextPath(path, t), true)) // unfinished-build debris
     Trees.foreach(t => fs.delete(livePath(path, t), true)) // prior incarnation
+    // prior MARKER trees go with the data trees: the overwrite contract
+    // is "prior batches vanish", and a leftover takedown marker would
+    // shadow the fresh corpus (all new rows are op 0) while a leftover
+    // negative partial corrupts the fresh stats
+    RetireTrees.foreach(t => fs.delete(livePath(path, t), true))
     val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
     val pairs = pairs0.withColumn("op", lit(0L)) // operation id (versioned markers)
     pairs.repartitionByRange(col("term"), col("doc_id"))
@@ -92,6 +97,13 @@ object PostingsStore {
     * compaction (re-running [[build]] over the accumulated corpus)
     * restores the global clustering, result-invisibly. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Unit = {
+    // converge an interrupted compaction FIRST — like every other
+    // mutation and read. Without this, a batch appended into the window
+    // between a crashed compaction's _READY marker and the next
+    // swap-completion would land in the LIVE tree that the first
+    // subsequent read's resolve renames aside and deletes — a committed
+    // streaming batch silently gone (spec-pinned in the crash battery)
+    resolve(fsOf(df.sparkSession, path), path)
     val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
     val pairs = pairs0.withColumn("op", lit(batchId))
     // two consumers (postings write + sidecar agg) — tokenize once;
@@ -139,14 +151,22 @@ object PostingsStore {
     val fs = fsOf(s, path)
     resolve(fs, path)                       // converge an interrupted prior swap
     Trees.foreach(t => fs.delete(nextPath(path, t), true)) // unfinished-build debris
-    val pairs = postings(s, path)
+    // markers fold into BOTH trees; purges fold into the postings tree
+    // ONLY — a doc whose every term was purged is still a live document
+    // (purge keeps its (n_docs, dl_sum) contribution by contract), so
+    // it must keep its doclens row or a post-fold takedown would find
+    // no length and silently skip the stats subtraction the same
+    // takedown issued before the fold performs (fold result-invisibility)
+    val liveDocs = applyDocMarkers(withOp(rawPostings(s, path)),
+      deleteMarkers(s, path))
+    val pairs = applyPurges(liveDocs, purgeMarkers(s, path))
     val partial = rawPartials(s, path)
       .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
     pairs.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings.next/$BaseDir")
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next/$BaseDir")
-    writeDoclens(pairs, s"$path/doclens.next/$BaseDir") // live docs only: markers folded
+    writeDoclens(liveDocs, s"$path/doclens.next/$BaseDir")
     fs.create(markerPath(path)).close()
   }
 
@@ -295,7 +315,7 @@ object PostingsStore {
     val post = treeSources(s, path, "postings")
     val lens = treeSources(s, path, "doclens")
     if (lens.isEmpty || lens.map(_.key).toSet != post.map(_.key).toSet) None
-    else Some(s.read.parquet(lens.map(_.absPath): _*))
+    else Some(readTree(s, lens, s"$path/doclens")) // mixed-era op handling
   }
 
   /**
@@ -401,9 +421,8 @@ object PostingsStore {
   private val CompactReady = "_GRAFT_COMPACT_READY"
   private val DeleteReady = "_GRAFT_DELETE_READY"
   /** Reserved subdir holding [[build]]/[[compact]] output inside each
-    * tree root — shaped like a batch dir so the batched and folded
-    * layouts compose instead of shadowing each other. */
-  private val BaseDir = "base"
+    * tree root — see [[StoreSwap.BaseDir]]. */
+  private val BaseDir = StoreSwap.BaseDir
   private val Trees = Seq("postings", "stats", "doclens")
   /** Marker/delta trees a completed compaction retires: their content
     * is folded into the promoted `.next` trees, so they must not
@@ -411,99 +430,37 @@ object PostingsStore {
     * double-subtract). Retired under the same `_READY` marker, so a
     * crash at any step still converges without double-counting. */
   private val RetireTrees = Seq("deletes", "deletestats", "termpurges")
-  private def markerPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/$CompactReady")
-  private def livePath(path: String, t: String) =
-    new org.apache.hadoop.fs.Path(s"$path/$t")
-  private def nextPath(path: String, t: String) =
-    new org.apache.hadoop.fs.Path(s"$path/$t.next")
-  private def oldPath(path: String, t: String) =
-    new org.apache.hadoop.fs.Path(s"$path/$t.old")
+  private def markerPath(path: String) = StoreSwap.markerPath(path, CompactReady)
+  private def livePath(path: String, t: String) = StoreSwap.livePath(path, t)
+  private def nextPath(path: String, t: String) = StoreSwap.nextPath(path, t)
 
   private def fsOf(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    StoreSwap.fsOf(s, path)
 
-  /** Complete a marker-announced swap, per tree and idempotently:
-    * move live aside, promote `.next`, drop the `.old`. Each step only
-    * fires from the state the previous one leaves, so re-running after
-    * a crash at ANY point finishes exactly the remaining steps. */
-  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
-    Trees.foreach { t =>
-      val (live, next, old) = (livePath(path, t), nextPath(path, t), oldPath(path, t))
-      if (fs.exists(next)) {
-        if (fs.exists(live)) {
-          fs.delete(old, true)              // stale .old from a doubly-crashed swap
-          if (!fs.rename(live, old))
-            throw new java.io.IOException(s"compact swap: $live -> $old failed")
-        }
-        if (!fs.rename(next, live))
-          throw new java.io.IOException(s"compact swap: $next -> $live failed")
-      }
-      fs.delete(old, true)
-    }
-    RetireTrees.foreach(t => fs.delete(livePath(path, t), true))
-    fs.delete(markerPath(path), false)
-    ()
-  }
+  // the crash-atomic swap, the converge-on-access rule, and the
+  // base/batch/legacy-flat layout are the SHARED store machinery
+  // ([[StoreSwap]] — one implementation, one invariant set, also
+  // backing [[VectorStore]]); this store's instantiation: three data
+  // trees, three retire trees, the compact marker
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    StoreSwap.completeSwap(fs, path, Trees, RetireTrees, CompactReady)
 
-  /** Converge a crash-interrupted [[compact]]: with the `_READY` marker
-    * present the `.next` trees are complete, so finish the swap; without
-    * it any `.next` debris is an unfinished build and the live trees are
-    * authoritative (left untouched — [[compact]] itself discards the
-    * debris before rebuilding). Called by every read path, so a store
-    * headless from a mid-swap crash self-heals on first access. */
   private def resolve(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
-    if (fs.exists(markerPath(path))) completeSwap(fs, path)
+    StoreSwap.resolve(fs, path, Trees, RetireTrees, CompactReady)
 
-  /** One data source of a store tree: `op` its operation id for as-of
-    * bounds, `key` its logical identity for sidecar-coverage compare
-    * (`base`, `b$id`, or `""` for flat root files), `absPath` what the
-    * reader opens. */
-  private final case class TreeSrc(op: Long, key: String, absPath: String)
+  private type TreeSrc = StoreSwap.TreeSrc
 
-  /** Every data source of `path/tree`: the reserved [[BaseDir]]
-    * ([[build]]/[[compact]] output) and each `b$id` batch dir
-    * ([[appendBatch]]), PLUS any flat files at the tree root (a store
-    * written before the base-dir layout) — so a compacted base that
-    * later receives appends, or a pre-r18 flat store that does, serves
-    * the UNION of everything on disk, never just the batch subdirs.
-    * Base and flat files are operation 0 (always inside an as-of
-    * bound, matching [[postingsAsOf]]'s contract). */
   private def treeSources(s: SparkSession, path: String,
-                          tree: String): Seq[TreeSrc] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n == BaseDir)
-        Some(TreeSrc(0L, n, st.getPath.toString))
-      else if (st.isDirectory && n.startsWith("b"))
-        Some(TreeSrc(opId(n), n, st.getPath.toString))
-      else if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        Some(TreeSrc(0L, "", st.getPath.toString))
-      else None
-    }
-  }
+                          tree: String): Seq[TreeSrc] =
+    StoreSwap.treeSources(s, path, tree)
 
-  /** One multi-path read over a tree's sources; an empty source list
-    * reads the tree root so a missing store raises the standard
-    * path-not-found error. */
   private def readTree(s: SparkSession, srcs: Seq[TreeSrc],
                        root: String): DataFrame =
-    if (srcs.isEmpty) s.read.parquet(root)
-    else s.read.parquet(srcs.map(_.absPath): _*)
+    StoreSwap.readTree(s, srcs, root)
 
-  /** [[readTree]] restricted to sources with op id ≤ `bound` (empty
-    * result — not an error — when the bound precedes every source). */
   private def readTreeAsOf(s: SparkSession, srcs: Seq[TreeSrc],
-                           root: String, bound: Long): DataFrame = {
-    val in = srcs.filter(_.op <= bound)
-    if (srcs.isEmpty) s.read.parquet(root)
-    else if (in.isEmpty) s.read.parquet(srcs.map(_.absPath): _*).limit(0)
-    else s.read.parquet(in.map(_.absPath): _*)
-  }
+                           root: String, bound: Long): DataFrame =
+    StoreSwap.readTreeAsOf(s, srcs, root, bound)
 
   /** The LIVE postings view: the stored rows minus any pending
     * takedown markers ([[deleteDocs]]) — what every serve path and

@@ -558,4 +558,144 @@ class PostingsStoreSpec extends SparkSpec {
     assert(asOf(bat, 2L) === topk(docs.filter(col("doc_id") =!= 1L)))
     PostingsStore.drop(spark, bat)
   }
+
+  test("a batch appended after a crashed compaction's marker survives the swap") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon")).toDF("doc_id", "text")
+    val late = Seq((3L, "zeta zeta gamma")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-appendcrash").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PostingsStore.appendBatch(docs, tmp, 0L)
+    // compaction crashes AFTER its _READY marker, BEFORE any swap step...
+    PostingsStore.compactBuild(spark, tmp)
+    assert(fs.exists(new Path(s"$tmp/_GRAFT_COMPACT_READY")))
+    // ...and the restarted streaming query commits its next batch before
+    // ANY read runs. appendBatch must converge the pending swap FIRST:
+    // writing into the pre-swap live tree would hand the batch to the
+    // resolve the first subsequent read performs — renamed aside and
+    // deleted with the .old tree, while the stream's checkpoint says
+    // the batch committed (the one mutation that skipped resolve in r18)
+    PostingsStore.appendBatch(late, tmp, 1L)
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val direct = TextAnalysis.bm25DocTopK(qs, docs.unionByName(late), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === direct)
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (3L, 3L)) // 11 tokens / 3 docs
+    assert(!fs.exists(new Path(s"$tmp/_GRAFT_COMPACT_READY")))
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("rebuilding at a path with pending markers starts clean — no stale shadowing") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon")).toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha delta"), (11L, "gamma")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-rebuild").toString
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PostingsStore.build(docs, tmp)
+    PostingsStore.deleteDocs(spark, tmp, Seq(1L).toDF("doc_id"), 1L)
+    PostingsStore.purgeTerms(spark, tmp, Seq("delta").toDF("term"), 2L)
+    // the overwrite contract is "prior batches vanish" — the MARKER
+    // trees included: a leftover op-1 takedown would shadow the fresh
+    // build's op-0 rows for doc 1, its negative partial would corrupt
+    // the fresh stats, and the stale purge would hide delta postings
+    PostingsStore.build(docs, tmp)
+    assert(!fs.exists(new Path(s"$tmp/deletes")))
+    assert(!fs.exists(new Path(s"$tmp/deletestats")))
+    assert(!fs.exists(new Path(s"$tmp/termpurges")))
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val direct = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === direct)
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (2L, 4L))
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("a flat pre-versioning store mixed with op-carrying appends reads as op 0 — takedowns reach the legacy layer") {
+    val legacy = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon")).toDF("doc_id", "text")
+    val extra = Seq((3L, "beta gamma gamma zeta")).toDF("doc_id", "text")
+    val qs = Seq((10L, "gamma zeta"), (11L, "delta"), (12L, "alpha"))
+      .toDF("query_id", "qtext")
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25DocTopK(qs, corpus, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-legacy").toString
+    // hand-write the pre-versioning flat layout: op-LESS postings /
+    // stats / doclens files at each tree ROOT — what a pre-base-dir
+    // build persisted
+    val (pairs, partial) = TextAnalysis.bm25Corpus(legacy)
+    pairs.coalesce(1).write.parquet(s"$tmp/postings")
+    partial.coalesce(1).write.parquet(s"$tmp/stats")
+    pairs.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .coalesce(1).write.parquet(s"$tmp/doclens")
+    // an op-carrying append joins the store: the tree now mixes op-less
+    // flat files with an op column'd batch dir. A single multi-path
+    // read would take its schema from ONE footer — dropping op (a
+    // marker then kills re-indexed versions) or reading legacy rows as
+    // op NULL (the `op <= marker` predicate never matches: takedowns
+    // silently keep serving the legacy layer)
+    PostingsStore.appendBatch(extra, tmp, 1L)
+    def served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val union = legacy.unionByName(extra)
+    assert(served === topk(union))
+    // takedown of a LEGACY doc: its rows read as op 0, the op-2 marker
+    // covers them, stats subtract its real sidecar length
+    PostingsStore.deleteDocs(spark, tmp, Seq(1L).toDF("doc_id"), 2L)
+    assert(served === topk(union.filter(col("doc_id") =!= 1L)))
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert((st.getLong(0), st.getLong(1)) === (2L, 4L)) // docs 2,3: 8 tokens
+    // re-index the OTHER legacy doc: the op-4 re-add outlives its op-3
+    // takedown, the legacy version stays dead
+    PostingsStore.deleteDocs(spark, tmp, Seq(2L).toDF("doc_id"), 3L)
+    PostingsStore.appendBatch(Seq((2L, "zeta zeta")).toDF("doc_id", "text"), tmp, 4L)
+    val expected = topk(extra.unionByName(Seq((2L, "zeta zeta")).toDF("doc_id", "text")))
+    assert(served === expected)
+    PostingsStore.drop(spark, tmp)
+  }
+
+  test("a fully-purged doc keeps its doclens row: takedown stats match before and after the fold") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta delta epsilon rho"),
+      (3L, "sigma tau tau zeta")).toDF("doc_id", "text")
+    // doc 1's ENTIRE vocabulary is purged (the all-PII doc)
+    val purged = Seq("alpha", "beta", "gamma").toDF("term")
+    def stats(path: String) = {
+      val st = PostingsStore.stats(spark, path).collect()(0)
+      (st.getLong(0), st.getLong(1))
+    }
+    // sequence A: purge → takedown, no fold in between — the takedown
+    // subtracts doc 1's (1 doc, 4 tokens)
+    val a = java.nio.file.Files.createTempDirectory("graft-postings-purgedoc-a").toString
+    PostingsStore.build(docs, a)
+    PostingsStore.purgeTerms(spark, a, purged, 1L)
+    PostingsStore.deleteDocs(spark, a, Seq(1L).toDF("doc_id"), 2L)
+    val expected = stats(a)
+    assert(expected === (2L, 4L))
+    // sequence B: the same takedown issued AFTER the purge was folded.
+    // The compacted doclens must still carry the all-purged doc's
+    // length — purge drops postings, never documents (its stats
+    // contribution stays by contract) — else this takedown finds no
+    // version, writes no negative partial, and the stats can never be
+    // corrected (fold result-invisibility broken for this sequence)
+    val b = java.nio.file.Files.createTempDirectory("graft-postings-purgedoc-b").toString
+    PostingsStore.build(docs, b)
+    PostingsStore.purgeTerms(spark, b, purged, 1L)
+    PostingsStore.compact(spark, b)
+    PostingsStore.deleteDocs(spark, b, Seq(1L).toDF("doc_id"), 2L)
+    assert(stats(b) === expected)
+    PostingsStore.drop(spark, a)
+    PostingsStore.drop(spark, b)
+  }
 }
