@@ -852,6 +852,25 @@ object Similarity {
     ivfServe(ivfAssign(emb, cents).filter(pred), cents, queries, k, nProbe)
   }
 
+  /** [[ivfTopK]] over a CALLER-SUPPLIED centroid set — the from-scratch
+    * twin of serving a [[VectorStore]] whose centroids were trained on
+    * a prior corpus ([[VectorStore.appendBatch]] keeps the existing
+    * centroids; new vectors only extend the assignment), and the
+    * incremental-index serve shape generally: assignment + probe + exact
+    * re-rank over `emb`, centroids fixed. */
+  def ivfTopKWith(emb: DataFrame, cents: Seq[(Int, Array[Long])],
+                  queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
+    ivfServe(ivfAssign(emb, cents), cents, queries, k, nProbe)
+
+  /** [[ivfFilteredTopK]] over a caller-supplied centroid set (see
+    * [[ivfTopKWith]]) — the from-scratch twin of a mutated
+    * [[VectorStore]]: a takedown is exactly a `vec_id`-exclusion
+    * predicate over the assignment. */
+  def ivfFilteredTopKWith(emb: DataFrame, cents: Seq[(Int, Array[Long])],
+                          queries: DataFrame, k: Int, pred: Column,
+                          nProbe: Int = 4): DataFrame =
+    ivfServe(ivfAssign(emb, cents).filter(pred), cents, queries, k, nProbe)
+
   /**
    * IVF-blocked kNN JOIN: the k nearest neighbors (by exact integer
    * inner product) for EVERY vector in the table — the primitive behind
