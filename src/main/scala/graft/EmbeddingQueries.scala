@@ -18,6 +18,32 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Similarity.intEmbeddings(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** One labeled phase aggregate of a top-k result — the shape every
+    * VectorStore gate compares store-served phases through. */
+  private def storePhase(r: DataFrame, phase: String): DataFrame =
+    r.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("dot"), lit(0L)).as("dot_sum"),
+        coalesce(sum(col("nid") * col("rank")), lit(0L)).as("nr_sum"),
+        coalesce(sum("qid"), lit(0L)).as("q_sum"))
+      .select(lit(phase).as("phase"), col("n_rows"), col("dot_sum"),
+        col("nr_sum"), col("q_sum"))
+
+  /** Materialize a phase frame NOW (a later store mutation rewrites the
+    * files a lazy plan would still reference). */
+  private def eagerRows(s: SparkSession, out: DataFrame): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.collect().toSeq).asJava),
+      out.schema)
+
+  /** Eager-collect, then drop the gate's temp store tree. */
+  private def eagerThenDrop(s: SparkSession, out: DataFrame,
+                            tmp: String): DataFrame = {
+    val r = eagerRows(s, out)
+    graft.operators.VectorStore.drop(s, tmp)
+    r
+  }
+
   private val K = 10
   private val NQueries = 10
   private val NearDupMinDot = 350000000000L // ~cosine 0.35 at unit norms
@@ -119,31 +145,113 @@ object EmbeddingQueries {
       val qs = e.filter(col("vec_id") < NQueries)
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore").toString
       graft.operators.VectorStore.build(e, tmp, nCentroids = IvfCentroids)
-      def summarize(r: org.apache.spark.sql.DataFrame, phase: String) =
-        r.agg(count(lit(1)).as("n_rows"),
-            coalesce(sum("dot"), lit(0L)).as("dot_sum"),
-            coalesce(sum(col("nid") * col("rank")), lit(0L)).as("nr_sum"),
-            coalesce(sum("qid"), lit(0L)).as("q_sum"))
-          .select(lit(phase).as("phase"), col("n_rows"), col("dot_sum"),
-            col("nr_sum"), col("q_sum"))
       val fpred = col("vec_id") % 3 === 1
-      val out = summarize(
+      val out = storePhase(
           Similarity.ivfTopK(e, qs, K, IvfCentroids, IvfProbe), "direct")
-        .unionByName(summarize(
+        .unionByName(storePhase(
           graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "served"))
-        .unionByName(summarize(
+        .unionByName(storePhase(
           Similarity.ivfFilteredTopK(e, qs, K, fpred, IvfCentroids, IvfProbe),
           "direct_f"))
-        .unionByName(summarize(
+        .unionByName(storePhase(
           graft.operators.VectorStore.filteredTopK(s, tmp, qs, K, fpred, IvfProbe),
           "served_f"))
-      // eager: the store tree must be deletable before returning
-      val rows = out.collect().toSeq
-      val outSchema = out.schema
-      graft.operators.VectorStore.drop(s, tmp)
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+      eagerThenDrop(s, out, tmp)
+    }),
+    // STORE TAKEDOWN: a deleted embedding leaves retrieval immediately
+    // (marker side table, no index rewrite) — the served results equal
+    // the from-scratch pipeline over the corpus minus the deleted ids
+    // (same full-corpus centroids: markers filter the assignment only),
+    // plain AND composed with a metadata predicate
+    "ann_store_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-del").toString
+      graft.operators.VectorStore.build(e, tmp, nCentroids = IvfCentroids)
+      graft.operators.VectorStore.deleteVecs(s, tmp,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), 1L)
+      val dpred = col("vec_id") % 7 =!= 3
+      val fpred = col("vec_id") % 3 === 1
+      val out = storePhase(
+          Similarity.ivfFilteredTopK(e, qs, K, dpred, IvfCentroids, IvfProbe),
+          "direct")
+        .unionByName(storePhase(
+          graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "served"))
+        .unionByName(storePhase(
+          Similarity.ivfFilteredTopK(e, qs, K, dpred && fpred, IvfCentroids,
+            IvfProbe), "direct_f"))
+        .unionByName(storePhase(
+          graft.operators.VectorStore.filteredTopK(s, tmp, qs, K, fpred,
+            IvfProbe), "served_f"))
+      eagerThenDrop(s, out, tmp)
+    }),
+    // STORE APPEND: new vectors join the EXISTING centroids' cells (the
+    // incremental-index contract — re-clustering is an explicit
+    // rebuild), so the served result equals assigning the UNION corpus
+    // to the prior-corpus centroids (Similarity.ivfTopKWith)
+    "ann_store_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val prior = e.filter(col("vec_id") % 5 =!= 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-app").toString
+      graft.operators.VectorStore.build(prior, tmp, nCentroids = IvfCentroids)
+      graft.operators.VectorStore.appendBatch(
+        e.filter(col("vec_id") % 5 === 0), tmp, 1L)
+      val cents = Similarity.ivfCentroids(prior, IvfCentroids)
+      val out = storePhase(
+          Similarity.ivfTopKWith(e, cents, qs, K, IvfProbe), "direct")
+        .unionByName(storePhase(
+          graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "served"))
+      eagerThenDrop(s, out, tmp)
+    }),
+    // STORE LIFECYCLE capstone: build on a prior corpus, append a
+    // batch, take down a slice, serve, COMPACT (fold batches + markers
+    // to one clustered base), serve again — compaction must be
+    // result-invisible and both serves must equal the from-scratch
+    // replay (prior centroids, union corpus, takedown as a predicate)
+    "ann_store_lifecycle" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val prior = e.filter(col("vec_id") % 5 =!= 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-life").toString
+      graft.operators.VectorStore.build(prior, tmp, nCentroids = IvfCentroids)
+      graft.operators.VectorStore.appendBatch(
+        e.filter(col("vec_id") % 5 === 0), tmp, 1L)
+      graft.operators.VectorStore.deleteVecs(s, tmp,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), 2L)
+      val cents = Similarity.ivfCentroids(prior, IvfCentroids)
+      val direct = storePhase(Similarity.ivfFilteredTopKWith(
+        e, cents, qs, K, col("vec_id") % 7 =!= 3, IvfProbe), "direct")
+      // eager per phase: compact rewrites the files a lazy pre-compact
+      // plan would still reference
+      val pre = eagerRows(s, storePhase(
+        graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "pre"))
+      graft.operators.VectorStore.compact(s, tmp)
+      val out = direct.unionByName(pre).unionByName(storePhase(
+        graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "post"))
+      eagerThenDrop(s, out, tmp)
+    }),
+    // STORE AS-OF: snapshot serving at each operation bound — before
+    // the append (prior corpus only), after it (union), after the
+    // takedown (minus the deleted slice) — pure path selection over
+    // batch subtrees + versioned markers, no manifests, no rewrites
+    "ann_store_asof" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val prior = e.filter(col("vec_id") % 5 =!= 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-asof").toString
+      graft.operators.VectorStore.build(prior, tmp, nCentroids = IvfCentroids)
+      graft.operators.VectorStore.appendBatch(
+        e.filter(col("vec_id") % 5 === 0), tmp, 1L)
+      graft.operators.VectorStore.deleteVecs(s, tmp,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), 2L)
+      val out = storePhase(
+          graft.operators.VectorStore.topKAsOf(s, tmp, qs, K, IvfProbe, 0L), "b0")
+        .unionByName(storePhase(
+          graft.operators.VectorStore.topKAsOf(s, tmp, qs, K, IvfProbe, 1L), "b1"))
+        .unionByName(storePhase(
+          graft.operators.VectorStore.topKAsOf(s, tmp, qs, K, IvfProbe, 2L), "b2"))
+      eagerThenDrop(s, out, tmp)
     }),
     // topic model over the same refined clustering: per-(topic, label)
     // membership counts — what topic-balanced mixture selection reads;
@@ -495,15 +603,17 @@ lshtop AS (SELECT qid, nid, dot, rank FROM (
     * (`cex`), per-vector centroid dots (`ad`), argmax assignment with
     * ties to the LOWEST cid (`assign`) — the DotArgmax
     * strict-greater rule. */
-  private val ivfSeedCte =
+  private def ivfSeedCteOver(seedWhere: String): String =
     s"""cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM ie ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
+  FROM (SELECT vec_id FROM ie $seedWhere ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
 cex AS (SELECT c.cid, x.i, x.ev FROM cent c JOIN iex x ON x.vec_id = c.cvid),
 ad AS (SELECT x.vec_id, c.cid, CAST(sum(x.ev * c.ev) AS BIGINT) AS dot
   FROM iex x JOIN cex c ON c.i = x.i GROUP BY 1, 2),
 assign AS (SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM ad)
   WHERE rn = 1)"""
+
+  private val ivfSeedCte = ivfSeedCteOver("")
 
   /** One integer-Lloyd round over `assign`/`cex` → refined components
     * `cex2`, dot table `ad2`, refined assignment `assign2` — shared by
@@ -522,15 +632,30 @@ assign2 AS (SELECT vec_id, cid FROM (
   /** The complete plain / metadata-filtered IVF retrieval replays —
     * the `ann_ivf_topk`/`ann_filtered_topk` texts, shared with the
     * `ann_store_equiv` phase aggregates. */
-  private def ivfOracleFull: String =
-    s"""WITH $intCte,
-$ivfSeedCte,
-${ivfTopSql("ad", "assign")}"""
+  private def ivfOracleFull: String = ivfOracleOver()
 
   private def ivfOracleFiltered: String =
+    ivfOracleOver(candPred = " AND a.vec_id % 3 = 1")
+
+  /** Parameterized full IVF retrieval replay: `seedWhere` restricts the
+    * corpus the hash-order seeds are picked from (the PRIOR corpus for
+    * the VectorStore append/as-of gates — appended vectors join the
+    * existing centroids); `candPred` restricts the candidate
+    * (assignment) side — metadata filters AND takedowns are exactly
+    * such predicates. */
+  private def ivfOracleOver(seedWhere: String = "",
+                            candPred: String = ""): String =
     s"""WITH $intCte,
-$ivfSeedCte,
-${ivfTopSql("ad", "assign", candPred = " AND a.vec_id % 3 = 1")}"""
+${ivfSeedCteOver(seedWhere)},
+${ivfTopSql("ad", "assign", candPred = candPred)}"""
+
+  /** Phase-aggregate SELECT over a materialized top-k CTE — the oracle
+    * twin of the engine-side `storePhase`. */
+  private def phaseAggSelect(cte: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(dot), 0) AS BIGINT) AS dot_sum,
+  CAST(coalesce(sum(nid * rank), 0) AS BIGINT) AS nr_sum,
+  CAST(coalesce(sum(qid), 0) AS BIGINT) AS q_sum FROM $cte"""
 
   /** IVF probe/candidate/re-rank tail over a dot table and an
     * assignment table (probe ties to the HIGHEST cid — the engine's
@@ -768,18 +893,64 @@ SELECT qid, nid, dot, rank FROM lshtop""",
     "ann_store_equiv" ->
       s"""WITH base AS MATERIALIZED ($ivfOracleFull),
 fbase AS MATERIALIZED ($ivfOracleFiltered),
-a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(coalesce(sum(dot), 0) AS BIGINT) AS dot_sum,
-  CAST(coalesce(sum(nid * rank), 0) AS BIGINT) AS nr_sum,
-  CAST(coalesce(sum(qid), 0) AS BIGINT) AS q_sum FROM base),
-f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(coalesce(sum(dot), 0) AS BIGINT) AS dot_sum,
-  CAST(coalesce(sum(nid * rank), 0) AS BIGINT) AS nr_sum,
-  CAST(coalesce(sum(qid), 0) AS BIGINT) AS q_sum FROM fbase)
+a AS (${phaseAggSelect("base")}),
+f AS (${phaseAggSelect("fbase")})
 SELECT 'direct' AS phase, * FROM a
 UNION ALL SELECT 'served' AS phase, * FROM a
 UNION ALL SELECT 'direct_f' AS phase, * FROM f
 UNION ALL SELECT 'served_f' AS phase, * FROM f""",
+
+    // a mutated store must serve the from-scratch pipeline over the
+    // corpus minus the takedown slice — same centroids (markers filter
+    // the assignment only); the filtered phase composes both predicates
+    "ann_store_delete" ->
+      s"""WITH base AS MATERIALIZED (${ivfOracleOver(candPred = " AND a.vec_id % 7 <> 3")}),
+fbase AS MATERIALIZED (${ivfOracleOver(
+        candPred = " AND a.vec_id % 7 <> 3 AND a.vec_id % 3 = 1")}),
+a AS (${phaseAggSelect("base")}),
+f AS (${phaseAggSelect("fbase")})
+SELECT 'direct' AS phase, * FROM a
+UNION ALL SELECT 'served' AS phase, * FROM a
+UNION ALL SELECT 'direct_f' AS phase, * FROM f
+UNION ALL SELECT 'served_f' AS phase, * FROM f""",
+
+    // an appended store serves the UNION corpus assigned to the PRIOR
+    // corpus's centroids (seeds picked from the prior slice only)
+    "ann_store_append" ->
+      s"""WITH base AS MATERIALIZED (${ivfOracleOver(
+        seedWhere = "WHERE vec_id % 5 <> 0")}),
+a AS (${phaseAggSelect("base")})
+SELECT 'direct' AS phase, * FROM a
+UNION ALL SELECT 'served' AS phase, * FROM a""",
+
+    // build-on-prior + append + takedown, served before AND after the
+    // compaction fold — all three phases equal the one replay (prior
+    // seeds, union corpus, takedown as a candidate predicate)
+    "ann_store_lifecycle" ->
+      s"""WITH base AS MATERIALIZED (${ivfOracleOver(
+        seedWhere = "WHERE vec_id % 5 <> 0",
+        candPred = " AND a.vec_id % 7 <> 3")}),
+a AS (${phaseAggSelect("base")})
+SELECT 'direct' AS phase, * FROM a
+UNION ALL SELECT 'pre' AS phase, * FROM a
+UNION ALL SELECT 'post' AS phase, * FROM a""",
+
+    // snapshot serving at each operation bound: prior corpus only
+    // (before the append), union (after it), minus the takedown slice
+    "ann_store_asof" ->
+      s"""WITH b0t AS MATERIALIZED (${ivfOracleOver(
+        seedWhere = "WHERE vec_id % 5 <> 0",
+        candPred = " AND a.vec_id % 5 <> 0")}),
+b1t AS MATERIALIZED (${ivfOracleOver(seedWhere = "WHERE vec_id % 5 <> 0")}),
+b2t AS MATERIALIZED (${ivfOracleOver(
+        seedWhere = "WHERE vec_id % 5 <> 0",
+        candPred = " AND a.vec_id % 7 <> 3")}),
+a0 AS (${phaseAggSelect("b0t")}),
+a1 AS (${phaseAggSelect("b1t")}),
+a2 AS (${phaseAggSelect("b2t")})
+SELECT 'b0' AS phase, * FROM a0
+UNION ALL SELECT 'b1' AS phase, * FROM a1
+UNION ALL SELECT 'b2' AS phase, * FROM a2""",
 
     // IVF + one Lloyd iteration: cell means by truncating integer
     // division (HUGEINT sum // count, cast back), empty cells keep
