@@ -1,5 +1,5 @@
 // Round-19 scale probe: the materialized ANN store (VectorStore) at
-// 1M vectors x 16 dims —
+// 1M vectors x 64 dims (the embeddings fixture dim) —
 //  - build cost (centroids + cell-range-clustered assignment + meta,
 //    crash-atomic .next/_READY/swap);
 //  - store-served vs from-scratch IVF top-k latency (the same serve
@@ -19,23 +19,33 @@ def time[T](label: String)(f: => T): T = { val t0 = System.nanoTime; val r = f; 
 val root = "/tmp/probe_r19_vstore"
 new java.io.File(root).mkdirs()
 val n = 1000000L
-val vexpr = "transform(sequence(0, 15), j -> cast((id * 31 + j * 7) % 997 as bigint) + cast(id % 64 as bigint) * 1000)"
+// 64 DIRECTIONAL clusters (vector i points along axis i%64 plus noise):
+// inner-product argmax separates directions, not offsets — a scalar
+// shift along the all-ones vector would collapse every row into the
+// single largest-norm cell
+val vexpr = "transform(sequence(0, 63), j -> cast((id * 31 + j * 7) % 97 as bigint) + (case when j = id % 64 then 5000 else 0 end))"
 val raw = spark.range(n).select(col("id").as("vec_id"), expr(vexpr).as("v"))
-time("write 1M x 16 int-vector corpus (64 natural clusters)") { raw.repartition(32).write.mode("overwrite").parquet(s"$root/emb") }
+time("write 1M x 64 int-vector corpus (64 natural clusters)") { raw.repartition(32).write.mode("overwrite").parquet(s"$root/emb") }
 val emb = spark.read.parquet(s"$root/emb")
 time("build VectorStore (256 centroids, clustered assignment, atomic swap)") { VectorStore.build(emb, s"$root/vstore", nCentroids = 256) }
 val fsP = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 println(s"PROBE assign files: ${fsP.listStatus(new org.apache.hadoop.fs.Path(s"$root/vstore/assign/base")).count(_.getPath.getName.endsWith(".parquet"))}")
 val qs = emb.filter(col("vec_id") % 125000 === 0) // 8 queries
 println(s"PROBE queries: ${qs.count()}")
-val served = time("store-served topK (k=10, nProbe=8), 8 queries") { VectorStore.topK(spark, s"$root/vstore", qs, 10, nProbe = 8).collect() }
-val scratch = time("from-scratch ivfTopK (same params, re-assigns the corpus)") { Similarity.ivfTopK(emb, qs, 10, nCentroids = 256, nProbe = 8).collect() }
+// warm-up: one un-timed serve so neither timed path pays the JVM's
+// first-ever shuffle/codegen; then min-of-2 per path (the Bench rule)
+VectorStore.topK(spark, s"$root/vstore", qs, 10, nProbe = 8).collect()
+def minOf2(label: String)(f: => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = { val t0 = System.nanoTime; val r1 = f; val s1 = (System.nanoTime - t0) / 1e9; val t1 = System.nanoTime; val r2 = f; val s2 = (System.nanoTime - t1) / 1e9; println(f"PROBE $label: ${math.min(s1, s2)}%.1f s (runs $s1%.1f / $s2%.1f)"); r2 }
+val served = minOf2("store-served topK (k=10, nProbe=8), 8 queries") { VectorStore.topK(spark, s"$root/vstore", qs, 10, nProbe = 8).collect() }
+val scratch = minOf2("from-scratch ivfTopK (same params, re-assigns the corpus)") { Similarity.ivfTopK(emb, qs, 10, nCentroids = 256, nProbe = 8).collect() }
 println(s"PROBE served==scratch: ${served.map(_.toString).sorted.toSeq == scratch.map(_.toString).sorted.toSeq}")
-// row-group skipping evidence: a 2-cell probe over the cell-range-
-// clustered assignment — scan output rows = rows in surviving row
-// groups after the pushed IN's footer-stats skip
+// row-group skipping evidence: a 2-POPULATED-cell probe over the
+// cell-range-clustered assignment — scan output rows = rows in
+// surviving row groups after the pushed IN's footer-stats skip
 spark.conf.set("spark.sql.adaptive.enabled", "false")
-val probe = spark.read.parquet(s"$root/vstore/assign/base").filter(col("centroid_id").isInCollection(Seq(3, 200)))
+val twoCells = spark.read.parquet(s"$root/vstore/assign/base").groupBy("centroid_id").count().orderBy(desc("count")).limit(2).collect().map(_.getInt(0)).toSeq
+println(s"PROBE probing the 2 fullest cells: $twoCells")
+val probe = spark.read.parquet(s"$root/vstore/assign/base").filter(col("centroid_id").isInCollection(twoCells))
 val pqe = probe.queryExecution
 val pc = time("2-cell probe over clustered assignment") { pqe.executedPlan.execute().count() }
 val scan = pqe.executedPlan.collectLeaves().collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
