@@ -65,7 +65,7 @@ object Bench {
       "stream_dq", "stream_sliding", "stream_topk", "stream_quantiles",
       "stream_sessionize", "stream_kmv", "stream_join", "stream_join_outer",
       "stream_postings", "stream_postings_takedown", "stream_postings_asof", "stream_postings_reindex", "stream_cc", "stream_takedown",
-      "stream_takedown_range", "compact_equiv")
+      "stream_takedown_range", "stream_ann_store", "compact_equiv")
   private val storeKeys = Seq("store_build", "store_range", "store_knn")
   private val store3Keys = Seq("store3_build", "store3_range", "store3_knn")
 

@@ -253,6 +253,54 @@ object EmbeddingQueries {
           graft.operators.VectorStore.topKAsOf(s, tmp, qs, K, IvfProbe, 2L), "b2"))
       eagerThenDrop(s, out, tmp)
     }),
+    // ONLINE ANN-index maintenance — the streamed twin of the
+    // ann_store_* lifecycle: a prior corpus indexed offline, the
+    // remaining fifth arriving as foreachBatch micro-batches appended
+    // to the EXISTING centroids (replay-idempotent batch subtrees, op
+    // ids 1.. — the offline base owns op 0), an ONLINE takedown, then
+    // serve before AND after the compaction fold. Against a fixed
+    // batch-id-independent final state (all appends precede the
+    // takedown on the op axis) the result is split-invariant, so both
+    // phases share the one-shot lifecycle replay
+    "stream_ann_store" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val (tmp, schema) = graft.streaming.StreamMeter.setup {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-vstore").toString
+        graft.operators.VectorStore.build(
+          e.filter(col("vec_id") % 5 =!= 0), s"$tmp/store",
+          nCentroids = IvfCentroids)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 5 === 0)
+          .repartition(2).write.parquet(s"$tmp/in")
+        (tmp, s.read.parquet(s"$tmp/in").schema)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.operators.VectorStore.appendBatch(
+            Similarity.intEmbeddings(b.toDF()), s"$tmp/store", id + 1)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.VectorStore.deleteVecs(s, s"$tmp/store",
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), 100L)
+      val pre = eagerRows(s, storePhase(
+        graft.operators.VectorStore.topK(s, s"$tmp/store", qs, K, IvfProbe),
+        "streamed"))
+      graft.operators.VectorStore.compact(s, s"$tmp/store")
+      val out = pre.unionByName(storePhase(
+        graft.operators.VectorStore.topK(s, s"$tmp/store", qs, K, IvfProbe),
+        "compacted"))
+      val res = eagerRows(s, out)
+      graft.streaming.StreamMeter.setup {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
+      res
+    }),
     // topic model over the same refined clustering: per-(topic, label)
     // membership counts — what topic-balanced mixture selection reads;
     // one assignment pass (fused argmax) + one model-scale aggregate
@@ -934,6 +982,17 @@ a AS (${phaseAggSelect("base")})
 SELECT 'direct' AS phase, * FROM a
 UNION ALL SELECT 'pre' AS phase, * FROM a
 UNION ALL SELECT 'post' AS phase, * FROM a""",
+
+    // the streamed lifecycle's final state is batch-split-invariant
+    // (every append precedes the takedown on the op axis), so both its
+    // phases share the one-shot lifecycle replay
+    "stream_ann_store" ->
+      s"""WITH base AS MATERIALIZED (${ivfOracleOver(
+        seedWhere = "WHERE vec_id % 5 <> 0",
+        candPred = " AND a.vec_id % 7 <> 3")}),
+a AS (${phaseAggSelect("base")})
+SELECT 'streamed' AS phase, * FROM a
+UNION ALL SELECT 'compacted' AS phase, * FROM a""",
 
     // snapshot serving at each operation bound: prior corpus only
     // (before the append), union (after it), minus the takedown slice
