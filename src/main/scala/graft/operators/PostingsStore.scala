@@ -64,6 +64,35 @@ object PostingsStore {
       .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
     partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
     writeDoclens(pairs, s"$path/doclens/$BaseDir")
+    // build-corpus identity for [[isStale]]: doc count from the just-
+    // written stats partial (no extra corpus scan) + the file-listing/
+    // plan fingerprint where the corpus is file-backed
+    val s = df.sparkSession
+    val nDocs = s.read.parquet(s"$path/stats/$BaseDir").collect()(0).getLong(0)
+    import s.implicits._
+    Seq((nDocs, TableMemo.contentKey(df).getOrElse("")))
+      .toDF("n_rows", "fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/$BaseDir")
+  }
+
+  /** Has the BUILD corpus changed since [[build]] captured it? — the
+    * [[VectorStore.isStale]] contract on the text surface: the store's
+    * own mutations ([[appendBatch]]/[[deleteDocs]]/[[purgeTerms]]) do
+    * NOT make it stale; upstream drift of the corpus a caller would
+    * rebuild from does. File-backed corpora compare the full
+    * listing+plan fingerprint; in-memory corpora degrade to a doc-count
+    * compare (documented weaker). A store predating the meta tree
+    * answers `true` — unknown provenance is stale by definition. */
+  def isStale(s: SparkSession, path: String, docs: DataFrame): Boolean = {
+    resolve(fsOf(s, path), path)
+    val srcs = treeSources(s, path, "meta")
+    if (srcs.isEmpty) return true
+    val m = readTree(s, srcs, s"$path/meta")
+      .select("n_rows", "fingerprint").collect()(0)
+    val (n0, fp0) = (m.getLong(0), m.getString(1))
+    val fpNow = TableMemo.contentKey(docs).getOrElse("")
+    if (fp0.nonEmpty && fpNow.nonEmpty) fpNow != fp0
+    else docs.count() != n0
   }
 
   /** The `(doc_id, dl)` sidecar: one row per doc, clustered by doc_id

@@ -664,6 +664,40 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, tmp)
   }
 
+  test("isStale reports build-corpus drift; the store's own mutations do not count") {
+    import org.apache.hadoop.fs.Path
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta gamma gamma zeta")).toDF("doc_id", "text")
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-postings-data").toString
+    docs.write.parquet(s"$dataDir/docs")
+    val df = spark.read.parquet(s"$dataDir/docs")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-stale").toString
+    PostingsStore.build(df, tmp)
+    assert(!PostingsStore.isStale(spark, tmp, df))
+    // a different derivation over the same files is a different corpus
+    assert(PostingsStore.isStale(spark, tmp, df.filter(col("doc_id") =!= 1L)))
+    // the store's own lifecycle is not upstream drift
+    PostingsStore.deleteDocs(spark, tmp, Seq(1L).toDF("doc_id"), 1L)
+    PostingsStore.purgeTerms(spark, tmp, Seq("delta").toDF("term"), 2L)
+    assert(!PostingsStore.isStale(spark, tmp, df))
+    // the corpus files changed in place
+    docs.filter(col("doc_id") =!= 2L).write.mode("overwrite").parquet(s"$dataDir/docs")
+    assert(PostingsStore.isStale(spark, tmp, spark.read.parquet(s"$dataDir/docs")))
+    // in-memory corpus: doc-count compare (documented weaker)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-postings-stale2").toString
+    PostingsStore.build(docs, tmp2)
+    assert(!PostingsStore.isStale(spark, tmp2, docs))
+    assert(PostingsStore.isStale(spark, tmp2, docs.filter(col("doc_id") =!= 1L)))
+    // a store predating the meta tree: unknown provenance = stale
+    val fs = new Path(tmp2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$tmp2/meta"), true)
+    assert(PostingsStore.isStale(spark, tmp2, docs))
+    PostingsStore.drop(spark, tmp)
+    PostingsStore.drop(spark, tmp2)
+  }
+
   test("a fully-purged doc keeps its doclens row: takedown stats match before and after the fold") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
