@@ -71,8 +71,13 @@ class VectorStoreSpec extends SparkSpec {
     VectorStore.deleteVecs(spark, tmp, Seq(183L, 195L).toDF("vec_id"), 2L)
     val delPred = !col("vec_id").isin(183L, 195L)
     val delDirect = rows(Similarity.ivfFilteredTopKWith(e, cents, qs, 5, delPred, nProbe = 2))
-    assert(rows(VectorStore.topK(spark, tmp, qs, 5, nProbe = 2)) === delDirect)
+    val delServed = VectorStore.topK(spark, tmp, qs, 5, nProbe = 2)
+    assert(rows(delServed) === delDirect)
     assert(delDirect !== unionDirect)
+    // the probe-cell IN still reaches the assignment scan BELOW the
+    // marker anti-join — takedowns must not cost the file skipping
+    val delPlan = delServed.queryExecution.executedPlan.toString
+    assert(delPlan.contains("In(centroid_id"), delPlan)
     // re-embed: the id returns under a LATER op with a DIFFERENT vector
     // and serves the new version; the old one stays dead
     val newSeven = Seq((183L, (0 to 7).map(j => (j * 1000 + 1).toLong)))
