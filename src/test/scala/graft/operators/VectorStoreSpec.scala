@@ -107,6 +107,12 @@ class VectorStoreSpec extends SparkSpec {
     VectorStore.appendBatch(batch, tmp, 1L)                  // op 1
     VectorStore.deleteVecs(spark, tmp, Seq(7L).toDF("vec_id"), 2L) // op 2
     def asOf(b: Long) = rows(VectorStore.topKAsOf(spark, tmp, qs, 5, 2, b))
+    // time travel is path selection, never read-then-filter: bound 0
+    // plans ONLY the base tree
+    val files0 = VectorStore.assignmentAsOf(spark, tmp, 0L).inputFiles.toSeq
+    assert(files0.nonEmpty && files0.forall(_.contains("assign/base/")), files0)
+    val files1 = VectorStore.assignmentAsOf(spark, tmp, 1L).inputFiles.toSeq
+    assert(files1.exists(_.contains("assign/b1/")), files1)
     assert(asOf(0L) === rows(Similarity.ivfTopKWith(prior, cents, qs, 5, nProbe = 2)))
     assert(asOf(1L) === rows(Similarity.ivfTopKWith(e, cents, qs, 5, nProbe = 2)))
     assert(asOf(2L) === rows(Similarity.ivfFilteredTopKWith(
