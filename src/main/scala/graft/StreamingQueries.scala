@@ -1323,10 +1323,14 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val q = stream.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val batch = b.toDF().localCheckpoint() // two store ops, one read
-          graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
-            batch.select("doc_id"), 2 * id + 1)
-          graft.operators.PostingsStore.appendBatch(batch, s"$tmp/store", 2 * id + 2)
+          // two store ops, one read; scoped release — both consumers
+          // finish inside the batch
+          val batch = graft.operators.CheckpointScope.checkpoint(b.toDF())
+          try {
+            graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
+              batch.select("doc_id"), 2 * id + 1)
+            graft.operators.PostingsStore.appendBatch(batch, s"$tmp/store", 2 * id + 2)
+          } finally graft.operators.CheckpointScope.release(batch)
         }
         .option("checkpointLocation", s"$tmp/ckpt").start()
       try q.processAllAvailable() finally q.stop()
@@ -1343,11 +1347,13 @@ object StreamingQueries {
       val rowsPre = streamed.collect().toSeq
       // at-least-once redelivery of the ENTIRE first update wave
       locally {
-        val wave = s.read.parquet(s"$tmp/in")
-          .filter(col("text").endsWith("updzb")).localCheckpoint()
-        graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
-          wave.select("doc_id"), 1L)
-        graft.operators.PostingsStore.appendBatch(wave, s"$tmp/store", 2L)
+        val wave = graft.operators.CheckpointScope.checkpoint(
+          s.read.parquet(s"$tmp/in").filter(col("text").endsWith("updzb")))
+        try {
+          graft.operators.PostingsStore.deleteDocs(s, s"$tmp/store",
+            wave.select("doc_id"), 1L)
+          graft.operators.PostingsStore.appendBatch(wave, s"$tmp/store", 2L)
+        } finally graft.operators.CheckpointScope.release(wave)
       }
       val rowsMid = rowsPre ++ phaseAgg("replayed").collect().toSeq
       graft.operators.PostingsStore.compact(s, s"$tmp/store")

@@ -284,16 +284,21 @@ object PostingsStore {
           "left_anti")
       case None => versions
     }
-    val hit = liveVers.groupBy("doc_id")
-      .agg(expr("max_by(dl, op)").as("dl"))
-      .localCheckpoint() // one probe feeds both trees
-    hit.agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum("dl"), lit(0L))).as("dl_sum"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/deletestats/d$deleteId")
-    hit.select("doc_id").withColumn("op", lit(deleteId))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/deletes/d$deleteId")
+    // one probe feeds both trees; scoped so the blocks release HERE
+    // (both consumers materialize inside this call — a raw
+    // localCheckpoint would leave its blocks to the ContextCleaner
+    // lottery, the one leak source the r19 pinned bench caught)
+    val hit = CheckpointScope.checkpoint(liveVers.groupBy("doc_id")
+      .agg(expr("max_by(dl, op)").as("dl")))
+    try {
+      hit.agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum("dl"), lit(0L))).as("dl_sum"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/deletestats/d$deleteId")
+      hit.select("doc_id").withColumn("op", lit(deleteId))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/deletes/d$deleteId")
+    } finally CheckpointScope.release(hit)
     // announce LAST: the batch exists to readers only from here on
     fs.create(new org.apache.hadoop.fs.Path(
       s"$path/deletes/d$deleteId/$DeleteReady")).close()
