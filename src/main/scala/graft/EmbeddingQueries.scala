@@ -253,6 +253,33 @@ object EmbeddingQueries {
           graft.operators.VectorStore.topKAsOf(s, tmp, qs, K, IvfProbe, 2L), "b2"))
       eagerThenDrop(s, out, tmp)
     }),
+    // RE-CLUSTER: the documented centroid-drift path — an explicit
+    // IN-PLACE rebuild over the store's own live vectors (vectors() =
+    // assignment minus markers). Crash-safe by the build contract:
+    // every read of the live trees happens while writing `.next`, the
+    // swap replaces them only after the marker. Served results equal
+    // the from-scratch pipeline over the LIVE corpus with RE-TRAINED
+    // seeds — batches and takedowns fold into the new base
+    "ann_store_recluster" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-rc").toString
+      graft.operators.VectorStore.build(
+        e.filter(col("vec_id") % 5 =!= 0), tmp, nCentroids = IvfCentroids)
+      graft.operators.VectorStore.appendBatch(
+        e.filter(col("vec_id") % 5 === 0), tmp, 1L)
+      graft.operators.VectorStore.deleteVecs(s, tmp,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), 2L)
+      graft.operators.VectorStore.build(
+        graft.operators.VectorStore.vectors(s, tmp), tmp,
+        nCentroids = IvfCentroids)
+      val out = storePhase(
+          Similarity.ivfTopK(e.filter(col("vec_id") % 7 =!= 3), qs, K,
+            IvfCentroids, IvfProbe), "direct")
+        .unionByName(storePhase(
+          graft.operators.VectorStore.topK(s, tmp, qs, K, IvfProbe), "served"))
+      eagerThenDrop(s, out, tmp)
+    }),
     // ONLINE ANN-index maintenance — the streamed twin of the
     // ann_store_* lifecycle: a prior corpus indexed offline, the
     // remaining fifth arriving as foreachBatch micro-batches appended
@@ -982,6 +1009,16 @@ a AS (${phaseAggSelect("base")})
 SELECT 'direct' AS phase, * FROM a
 UNION ALL SELECT 'pre' AS phase, * FROM a
 UNION ALL SELECT 'post' AS phase, * FROM a""",
+
+    // after the in-place re-cluster the store IS a fresh index over the
+    // live corpus: seeds re-picked from it, takedowns folded out
+    "ann_store_recluster" ->
+      s"""WITH base AS MATERIALIZED (${ivfOracleOver(
+        seedWhere = "WHERE vec_id % 7 <> 3",
+        candPred = " AND a.vec_id % 7 <> 3")}),
+a AS (${phaseAggSelect("base")})
+SELECT 'direct' AS phase, * FROM a
+UNION ALL SELECT 'served' AS phase, * FROM a""",
 
     // the streamed lifecycle's final state is batch-split-invariant
     // (every append precedes the takedown on the op axis), so both its

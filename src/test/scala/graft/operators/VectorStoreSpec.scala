@@ -97,6 +97,26 @@ class VectorStoreSpec extends SparkSpec {
     VectorStore.drop(spark, tmp)
   }
 
+  test("in-place re-cluster: rebuild over the store's live vectors folds everything into a fresh index") {
+    import org.apache.hadoop.fs.Path
+    val (e, qs) = fixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-rc").toString
+    VectorStore.build(e.filter(col("vec_id") % 5 =!= 0), tmp, nCentroids = 8)
+    VectorStore.appendBatch(e.filter(col("vec_id") % 5 === 0), tmp, 1L)
+    VectorStore.deleteVecs(spark, tmp, Seq(183L).toDF("vec_id"), 2L)
+    // the documented centroid-drift path: an explicit rebuild over the
+    // live view, IN PLACE (build reads the live trees while writing
+    // .next; the swap replaces them only after the marker)
+    VectorStore.build(VectorStore.vectors(spark, tmp), tmp, nCentroids = 8)
+    val live = e.filter(col("vec_id") =!= 183L)
+    assert(rows(VectorStore.topK(spark, tmp, qs, 5, nProbe = 2)) ===
+      rows(Similarity.ivfTopK(live, qs, 5, nCentroids = 8, nProbe = 2)))
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$tmp/deletes")))
+    assert(!fs.exists(new Path(s"$tmp/assign/b1")))
+    VectorStore.drop(spark, tmp)
+  }
+
   test("as-of serving replays the index at each operation bound") {
     val (e, qs) = fixture
     val prior = e.filter(col("vec_id") % 5 =!= 0)
