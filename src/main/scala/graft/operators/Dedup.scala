@@ -452,6 +452,11 @@ object Dedup {
    * all-pairs.
    */
   def simhashNearPairs(df: DataFrame, maxHamming: Int = 8): DataFrame = {
+    // both sides of the banded self-join replay the tokenize+SimHashAgg
+    // plan — deliberately NOT materialized: the two sides run inside ONE
+    // job and overlap on idle cores, and a checkpoint was measured
+    // SLOWER at bench scale (3.97 → 6.00 s, r19: serializing the two
+    // passes costs more wall-clock than the duplicated CPU)
     val sh = simhash(df)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
@@ -487,7 +492,11 @@ object Dedup {
    * verification is a per-row popcount.
    */
   def hammingNearPairs64(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val ids = hashed.select(col("id"), col("h"))
+    // the id table feeds FIVE plan branches (band distinct, within ×2,
+    // cross fan-out ×2); callers hand in perceptual hashes whose plan
+    // DECODES the media (ImageIO / WAV / AVI) — materialize the 16-B
+    // (id, h) rows once so the decode never replays per branch
+    val ids = hashed.select(col("id"), col("h")).scopedCheckpoint()
     // collapse-first (the span-dedup trick, at hash granularity): the
     // banded self-join and the popcount verify run over DISTINCT hash
     // values — identical hashes (exact perceptual duplicates, the bulk
@@ -547,7 +556,10 @@ object Dedup {
    * CC over the pair set).
    */
   def hammingClusters64(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val ids = hashed.select(col("id"), col("h"))
+    // same multi-branch shape as [[hammingNearPairs64]] (star join,
+    // edge fan-out ×2, band distinct all replay the input plan):
+    // materialize the decode-backed hashes once
+    val ids = hashed.select(col("id"), col("h")).scopedCheckpoint()
     val reps = ids.groupBy("h").agg(min(col("id")).as("rep"))
     val star = ids.join(reps, "h").filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))

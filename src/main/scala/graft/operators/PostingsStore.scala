@@ -59,11 +59,20 @@ object PostingsStore {
     RetireTrees.foreach(t => fs.delete(livePath(path, t), true))
     val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
     val pairs = pairs0.withColumn("op", lit(0L)) // operation id (versioned markers)
-    pairs.repartitionByRange(col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
-    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
-    writeDoclens(pairs, s"$path/doclens/$BaseDir")
+    // three consumers re-run the tokenize+explode pass without a
+    // materialization: the range shuffle's SAMPLING job, the postings
+    // write itself, and the doclens sidecar (whose own range shuffle
+    // samples once more) — four corpus tokenizations per build. The
+    // [[appendBatch]] discipline applied at build scale: persist the
+    // pairs (MEMORY_AND_DISK — spills, never recomputes), tokenize once
+    pairs.persist()
+    try {
+      pairs.repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
+      partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
+      writeDoclens(pairs, s"$path/doclens/$BaseDir")
+    } finally { pairs.unpersist(); () }
     // build-corpus identity for [[isStale]]: doc count from the just-
     // written stats partial (no extra corpus scan) + the file-listing/
     // plan fingerprint where the corpus is file-backed
@@ -125,7 +134,8 @@ object PostingsStore {
     * Per-batch files are term-clustered only within the batch — a
     * compaction (re-running [[build]] over the accumulated corpus)
     * restores the global clustering, result-invisibly. */
-  def appendBatch(df: DataFrame, path: String, batchId: Long): Unit = {
+  def appendBatch(df: DataFrame, path: String, batchId: Long,
+                  micro: Boolean = true): Unit = {
     // converge an interrupted compaction FIRST — like every other
     // mutation and read. Without this, a batch appended into the window
     // between a crashed compaction's _READY marker and the next
@@ -139,9 +149,22 @@ object PostingsStore {
     // micro-batch scale, so the cached footprint is one batch's pairs
     pairs.persist()
     try {
-      pairs.repartitionByRange(col("term"), col("doc_id"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").parquet(s"$path/postings/b$batchId")
+      // `micro` (the foreachBatch default): one term-sorted file per
+      // batch tree — the sidecar's r17 lesson applied to the postings
+      // write too: a range shuffle costs an extra SAMPLING job per
+      // call plus a fan-out of shuffle-partition-many tiny files, and
+      // a micro-batch is one small file either way, so footer-stats
+      // pruning granularity is unchanged. `repartition(1)`, NOT
+      // `coalesce(1)`: coalesce collapses the WHOLE upstream stage —
+      // tokenize included — to one task (measured +3.5 s on the asof
+      // gate's half-corpus batches); the keyless shuffle keeps the
+      // tokenize parallel and moves only the batch's pairs once. Bulk
+      // appends pass micro = false to keep in-batch range clustering
+      val clustered =
+        if (micro) pairs.repartition(1).sortWithinPartitions("term", "doc_id")
+        else pairs.repartitionByRange(col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id")
+      clustered.write.mode("overwrite").parquet(s"$path/postings/b$batchId")
       partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
       writeDoclens(pairs, s"$path/doclens/b$batchId", micro = true)
     } finally { pairs.unpersist(); () }
@@ -188,14 +211,21 @@ object PostingsStore {
     // takedown issued before the fold performs (fold result-invisibility)
     val liveDocs = applyDocMarkers(withOp(rawPostings(s, path)),
       deleteMarkers(s, path))
-    val pairs = applyPurges(liveDocs, purgeMarkers(s, path))
-    val partial = rawPartials(s, path)
-      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
-    pairs.repartitionByRange(col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings.next/$BaseDir")
-    partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next/$BaseDir")
-    writeDoclens(liveDocs, s"$path/doclens.next/$BaseDir")
+    // four consumers otherwise re-read the whole store THROUGH the
+    // marker anti-join (postings range-sampling + write, doclens
+    // range-sampling + write) — the [[build]]/[[appendBatch]] persist
+    // discipline: one store read, three cache reads
+    liveDocs.persist()
+    try {
+      val pairs = applyPurges(liveDocs, purgeMarkers(s, path))
+      val partial = rawPartials(s, path)
+        .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+      pairs.repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings.next/$BaseDir")
+      partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats.next/$BaseDir")
+      writeDoclens(liveDocs, s"$path/doclens.next/$BaseDir")
+    } finally { liveDocs.unpersist(); () }
     fs.create(markerPath(path)).close()
   }
 

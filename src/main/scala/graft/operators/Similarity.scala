@@ -820,6 +820,13 @@ object Similarity {
       .join(broadcast(qProbes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), dotInt("qv", "v").as("dot"))
+    // rank via the window, NOT the bounded collectTopK aggregate: the
+    // aggregate spelling (≤ k rows per query per map partition through
+    // the exchange) was tried in r19 and measured +0.3–0.7 s per ann
+    // key at bench scale — ObjectHashAggregate breaks the codegen span
+    // and the probed candidate set is small (nProbe/nCentroids of the
+    // corpus), so the window's single tiny exchange wins empirically.
+    // Revisit if profiles ever show this exchange dominating a serve.
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
     scoredCand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -459,6 +459,16 @@ object TextAnalysis {
   private[operators] def bm25DocTopKFrom(queries: DataFrame, pairs: DataFrame,
       stats: DataFrame, k: Int, broadcastQueries: Boolean): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // NOTE (r19 optimization round): a query-term prefilter — collect
+    // the distinct query terms and push `term IN (...)` into both
+    // corpus passes (df aggregate + scored join) — was implemented,
+    // oracle-verified result-identical (df per term is invariant under
+    // restricting to a term subset), and MEASURED OUT: the retrieval
+    // fixture's query vocabulary covers 99.8% of postings rows (probe:
+    // 125,981 of 126,231 survive the IN), so nothing prunes, and the
+    // collect + literal-heavy plan added ~0.3-0.5 s per serve at bench
+    // scale. Worth revisiting only for selective query sets over a
+    // term-range-clustered store, where the IN prunes whole files.
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms0 = queries.select(col("query_id"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
