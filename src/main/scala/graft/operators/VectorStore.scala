@@ -90,11 +90,19 @@ object VectorStore {
     cents.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("centroid_id", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids.next/$BaseDir")
-    Similarity.ivfAssign(emb, cents)
+    // two consumers re-run the fused-argmax assignment over the whole
+    // corpus without a materialization: the range shuffle's SAMPLING
+    // job and the write itself — the [[PostingsStore.build]] persist
+    // discipline (MEMORY_AND_DISK: spills, never recomputes)
+    val assigned = Similarity.ivfAssign(emb, cents)
       .withColumn("op", lit(0L)) // operation id (versioned markers)
-      .repartitionByRange(col("centroid_id"), col("vec_id"))
-      .sortWithinPartitions("centroid_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$path/assign.next/$BaseDir")
+    assigned.persist()
+    try {
+      assigned
+        .repartitionByRange(col("centroid_id"), col("vec_id"))
+        .sortWithinPartitions("centroid_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$path/assign.next/$BaseDir")
+    } finally { assigned.unpersist(); () }
     // build-corpus identity for [[isStale]]: row count from the just-
     // written assignment's footers (no second corpus scan) + the
     // file-listing/plan fingerprint where the corpus is file-backed
@@ -112,14 +120,24 @@ object VectorStore {
     * foreachBatch replay is idempotent (overwrite of `b$batchId`).
     * Resolves a pending swap FIRST — the [[PostingsStore.appendBatch]]
     * crash-window lesson, applied from day one. */
-  def appendBatch(emb: DataFrame, path: String, batchId: Long): Unit = {
+  def appendBatch(emb: DataFrame, path: String, batchId: Long,
+                  micro: Boolean = true): Unit = {
     val s = emb.sparkSession
     resolve(fsOf(s, path), path)
-    Similarity.ivfAssign(emb, centroids(s, path))
+    val assigned = Similarity.ivfAssign(emb, centroids(s, path))
       .withColumn("op", lit(batchId))
-      .repartitionByRange(col("centroid_id"), col("vec_id"))
-      .sortWithinPartitions("centroid_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$path/assign/b$batchId")
+    // `micro` (the foreachBatch default): one cell-sorted file per
+    // batch tree — the [[PostingsStore.appendBatch]] trade: a range
+    // shuffle costs a per-call SAMPLING job (a second full assignment
+    // pass over the batch) plus a tiny-file fan-out; `repartition(1)`
+    // keeps the assignment pass parallel and moves the batch once.
+    // Bulk appends pass micro = false for in-batch range clustering
+    val clustered =
+      if (micro) assigned.repartition(1)
+        .sortWithinPartitions("centroid_id", "vec_id")
+      else assigned.repartitionByRange(col("centroid_id"), col("vec_id"))
+        .sortWithinPartitions("centroid_id", "vec_id")
+    clustered.write.mode("overwrite").parquet(s"$path/assign/b$batchId")
   }
 
   /** Logical vector DELETE (takedown) — the embedding of a taken-down
@@ -165,10 +183,16 @@ object VectorStore {
     val fs = fsOf(s, path)
     resolve(fs, path)
     fs.delete(StoreSwap.nextPath(path, "assign"), true) // unfinished debris
-    assignment(s, path)
-      .repartitionByRange(col("centroid_id"), col("vec_id"))
-      .sortWithinPartitions("centroid_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$path/assign.next/$BaseDir")
+    // sampling + write otherwise re-read the whole store THROUGH the
+    // marker anti-join twice — the [[build]] persist discipline
+    val live = assignment(s, path)
+    live.persist()
+    try {
+      live
+        .repartitionByRange(col("centroid_id"), col("vec_id"))
+        .sortWithinPartitions("centroid_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$path/assign.next/$BaseDir")
+    } finally { live.unpersist(); () }
     fs.create(StoreSwap.markerPath(path, CompactReady)).close()
   }
 
