@@ -283,7 +283,11 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         base.filter(col("id") % 10 === 0).withColumn("put_seq", lit(2L)),
         s"$tmp/store")
       def snapshot(phase: String): org.apache.spark.sql.Row = {
-        val pts = store.live(Seq("put_seq"))
+        // one materialization feeds the phase's 4-5 jobs (range agg,
+        // total agg, knn probe loop) — otherwise each job re-reads the
+        // store THROUGH the tombstone fold (r19 optimization round)
+        val pts = graft.operators.CheckpointScope.checkpoint(
+          store.live(Seq("put_seq")))
         val r = PointStore.rangeQuery(pts, RX, RY)
           .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("x").cast("long")), lit(0L)),
@@ -335,7 +339,11 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         base.filter(inRect && col("id") % 2 === 0).withColumn("put_seq", lit(2L)),
         s"$tmp/store")
       def snapshot(phase: String): org.apache.spark.sql.Row = {
-        val pts = store.live(Seq("put_seq"))
+        // one materialization feeds the phase's 4-5 jobs (range agg,
+        // total agg, knn probe loop) — otherwise each job re-reads the
+        // store THROUGH the tombstone fold (r19 optimization round)
+        val pts = graft.operators.CheckpointScope.checkpoint(
+          store.live(Seq("put_seq")))
         val r = PointStore.rangeQuery(pts, RX, RY)
           .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("x").cast("long")), lit(0L)),
@@ -385,7 +393,9 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         base.filter(col("id") % 10 === 0).withColumn("put_seq", lit(2L)),
         s"$tmp/store")
       def snapshot(phase: String, bound: Long): org.apache.spark.sql.Row = {
-        val pts = store.snapshotAsOf(Seq("put_seq"), Seq(lit(bound)))
+        // same one-materialization-per-phase shape as delete_equiv (r19)
+        val pts = graft.operators.CheckpointScope.checkpoint(
+          store.snapshotAsOf(Seq("put_seq"), Seq(lit(bound))))
         val r = PointStore.rangeQuery(pts, RX, RY)
           .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("x").cast("long")), lit(0L)),

@@ -384,7 +384,10 @@ object StreamingQueries {
       try q.processAllAvailable() finally q.stop()
       def snapshot(phase: String): org.apache.spark.sql.Row = {
         // coalesce: an empty rectangle (possible at tiny sf) sums to 0,
-        // not NULL — mirrored in the oracle
+        // not NULL — mirrored in the oracle. NOT checkpointed: unlike
+        // the tombstone-folded gates, this view is a bare parquet read
+        // whose per-job column pruning + zkey row-group pruning beat a
+        // full-width materialization (r19: measured +0.35 s with one)
         val pts = s.read.parquet(s"$tmp/store")
         val r = PointStore.rangeQuery(pts, RX, RY)
           .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
@@ -737,7 +740,10 @@ object StreamingQueries {
         .start()
       try q.processAllAvailable() finally q.stop()
       def snapshot(phase: String): org.apache.spark.sql.Row = {
-        val pts = store.live(Seq("put_seq"))
+        // one materialization feeds the phase's 4-5 jobs (r19 — the
+        // delete_equiv/snapshot_asof gate shape)
+        val pts = graft.operators.CheckpointScope.checkpoint(
+          store.live(Seq("put_seq")))
         val r = PointStore.rangeQuery(pts, RX, RY)
           .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("x").cast("long")), lit(0L)),
@@ -811,8 +817,10 @@ object StreamingQueries {
         // markers first, THEN the upsert collapse: a re-put whose base
         // version ALSO survives the rectangles (unlike stream_takedown's
         // %5 ⊇ %10 markers, rect A doesn't cover every re-put) must
-        // count once, as its latest version
-        val pts = PointStore.latest(store.live(Seq("put_seq")), Seq(col("put_seq")))
+        // count once, as its latest version. One materialization feeds
+        // the phase's 4-5 jobs (r19 — the delete_equiv gate shape)
+        val pts = graft.operators.CheckpointScope.checkpoint(
+          PointStore.latest(store.live(Seq("put_seq")), Seq(col("put_seq"))))
         val r = PointStore.rangeQuery(pts, RX, RY)
           .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("x").cast("long")), lit(0L)),
