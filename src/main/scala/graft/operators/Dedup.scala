@@ -153,9 +153,14 @@ object Dedup {
   def lshRecall(df: DataFrame, num: Int = 1, den: Int = 2,
                 numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
                 maxDf: Int = 1000): DataFrame = {
+    // truth (the exact all-pairs Jaccard) and the candidate table each
+    // feed TWO branches (their own count + the hit join) — materialize
+    // the pair lists once so the shingle self-join and the banded LSH
+    // join never replay per branch
     val truth = jaccardPairs(df, num, den, maxDf = maxDf)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").scopedCheckpoint()
     val cand = lshCandidates(minhashSignatures(df, numHashes), bands, rowsPerBand)
+      .scopedCheckpoint()
     val t = truth.agg(count(lit(1)).as("n_true"))
     val c = cand.agg(count(lit(1)).as("n_cand"))
     val h = truth.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))

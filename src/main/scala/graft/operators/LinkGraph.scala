@@ -90,8 +90,8 @@ object LinkGraph {
     require(iters >= 1)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .scopedCheckpoint()
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct() // one edge pass, not one per endpoint branch (r19)
       .scopedCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .scopedCheckpoint()
@@ -171,8 +171,8 @@ object LinkGraph {
     require(iters >= 1)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .scopedCheckpoint()
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct() // one edge pass, not one per endpoint branch (r19)
       .scopedCheckpoint()
     def rescale(raw: DataFrame, out: String): DataFrame = {
       val m = raw.agg(max(col("raw")).as("m"))
@@ -305,8 +305,8 @@ p$t AS (SELECT v.v, CAST($base + s.s + coalesce(c.c, 0) AS BIGINT) AS rank
     require(iters >= 1)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .scopedCheckpoint()
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct() // one edge pass, not one per endpoint branch (r19)
       .scopedCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .scopedCheckpoint()
@@ -629,9 +629,10 @@ tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val tri = triangleEnum(und)
-    tri.select(col("u").as("v"))
-      .union(tri.select(col("x").as("v")))
-      .union(tri.select(col("y").as("v")))
+    // one corner row per triangle corner via explode — the 3-way union
+    // of projections spelled the SAME rows but re-ran the wedge join
+    // once per branch (r19: 3 triangleEnum evaluations → 1)
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
   }
 
@@ -641,9 +642,8 @@ tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
     * out-degree bound that keeps hub vertices from a wedge blowup.
     * Shared by [[triangles]] and the [[kTruss]] peel rounds. */
   private def triangleEnum(und: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("v"))
-      .union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d")) // one edge pass (r19)
     // orient a—b from lower (deg, id) to higher; carry the head's
     // order key for the wedge comparison
     val orient = und
@@ -711,12 +711,17 @@ tr0 AS (SELECT v, CAST($t0 AS BIGINT) AS arr FROM trverts WHERE $seedPred)"""
   /** Per-edge triangle support in the surviving subgraph. */
   private def trussSupport(e: DataFrame): DataFrame = {
     val tri = triangleEnum(e)
-    tri.select(least(col("u"), col("x")).as("a"),
-        greatest(col("u"), col("x")).as("b"))
-      .union(tri.select(least(col("u"), col("y")).as("a"),
-        greatest(col("u"), col("y")).as("b")))
-      .union(tri.select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b")))
+    // one side row per triangle side via explode — the 3-way union
+    // re-ran the wedge join once per branch, i.e. 3× PER PEEL ROUND
+    // (r19: 3 triangleEnum evaluations per round → 1)
+    tri.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 
@@ -827,8 +832,8 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     require(k >= 1)
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg")) // one edge pass (r19)
     var und = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -931,8 +936,8 @@ tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
       .select(col("doc_id").as("c_old"), col("cluster_id").as("c_new"))
     // coverage = prior vertices + every new-edge endpoint (new vertices
     // start as their own components, exactly like a fresh flood)
-    val newVerts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    val newVerts = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct() // one edge pass (r19)
       .join(lab.select("v"), Seq("v"), "left_anti")
       .withColumn("component", col("v"))
     // lab stays registered (3 readers in this lineage) — the caller's
