@@ -476,8 +476,20 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_keys":${results.size},"n_parts":${lines.size},"fork":$fork,"conc":$benchConcurrency,"sf":"$sfDir"}"""
     // print LAST, after any Spark shutdown chatter, bare on stdout, with
     // the compact summary as the very last line (bench_part chunks
-    // directly above it so the tail window catches the newest parts too)
+    // directly above it so the tail window catches the newest parts too).
+    // r20 (VERDICT r19 §2): the CONSOLIDATED one-line total JSON — the
+    // driver contract's `{"metric":"total",...,"queries":{...}}` shape,
+    // byte-identical to the `bench.json` line — is now ALSO printed to
+    // stdout in BOTH fork and non-fork mode, directly above the compact
+    // summary, so a full-stdout reader gets the per-query map without
+    // reassembling bench_part chunks. The compact summary stays the
+    // very last line because the driver's artifact keeps a 2000-char
+    // stdout tail (BENCH_r10: a >2 KB final line loses its own opening
+    // brace and the TOTAL parses as nothing — that failure mode must
+    // never come back); a ~6 KB 260-key line can only be read by a
+    // full-stdout consumer, and now it can be.
     lines.foreach(println)
+    println(full)
     println(summary)
     System.out.flush()
   }

@@ -142,7 +142,12 @@ object EmbeddingQueries {
     // serving must equal the from-scratch twins exactly
     "ann_store_equiv" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore").toString
       graft.operators.VectorStore.build(e, tmp, nCentroids = IvfCentroids)
       val fpred = col("vec_id") % 3 === 1
@@ -165,7 +170,12 @@ object EmbeddingQueries {
     // plain AND composed with a metadata predicate
     "ann_store_delete" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-del").toString
       graft.operators.VectorStore.build(e, tmp, nCentroids = IvfCentroids)
       graft.operators.VectorStore.deleteVecs(s, tmp,
@@ -191,7 +201,12 @@ object EmbeddingQueries {
     // to the prior-corpus centroids (Similarity.ivfTopKWith)
     "ann_store_append" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val prior = e.filter(col("vec_id") % 5 =!= 0)
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-app").toString
       graft.operators.VectorStore.build(prior, tmp, nCentroids = IvfCentroids)
@@ -211,7 +226,12 @@ object EmbeddingQueries {
     // replay (prior centroids, union corpus, takedown as a predicate)
     "ann_store_lifecycle" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val prior = e.filter(col("vec_id") % 5 =!= 0)
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-life").toString
       graft.operators.VectorStore.build(prior, tmp, nCentroids = IvfCentroids)
@@ -237,7 +257,12 @@ object EmbeddingQueries {
     // batch subtrees + versioned markers, no manifests, no rewrites
     "ann_store_asof" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val prior = e.filter(col("vec_id") % 5 =!= 0)
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-asof").toString
       graft.operators.VectorStore.build(prior, tmp, nCentroids = IvfCentroids)
@@ -262,7 +287,12 @@ object EmbeddingQueries {
     // seeds — batches and takedowns fold into the new base
     "ann_store_recluster" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val tmp = java.nio.file.Files.createTempDirectory("graft-vstore-rc").toString
       graft.operators.VectorStore.build(
         e.filter(col("vec_id") % 5 =!= 0), tmp, nCentroids = IvfCentroids)
@@ -291,7 +321,12 @@ object EmbeddingQueries {
     // phases share the one-shot lifecycle replay
     "stream_ann_store" -> ((s, dir) => {
       val e = emb(s, dir)
-      val qs = e.filter(col("vec_id") < NQueries)
+      // materialize the query batch ONCE per gate: every serve phase
+      // (and the direct replays) consumes the same 10 rows; without
+      // this each VectorStore serve pays its own localCheckpoint job
+      // (r20, guide §1.2 — serve skips re-materializing a LogicalRDD)
+      val qs = graft.operators.CheckpointScope.checkpoint(
+        e.filter(col("vec_id") < NQueries))
       val (tmp, schema) = graft.streaming.StreamMeter.setup {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream-vstore").toString
         graft.operators.VectorStore.build(

@@ -296,6 +296,10 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         val kn = PointStore.knn(pts, 25000, 75, 10)
           .agg(coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("dist2")), lit(0L))).head()
+        // every consumer of pts is a collected Row by here — release the
+        // phase's blocks NOW instead of letting phases accumulate until
+        // the run-boundary releaseAll (r19 ADVICE; r20)
+        graft.operators.CheckpointScope.release(pts)
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))
@@ -352,6 +356,10 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         val kn = PointStore.knn(pts, 25000, 75, 10)
           .agg(coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("dist2")), lit(0L))).head()
+        // every consumer of pts is a collected Row by here — release the
+        // phase's blocks NOW instead of letting phases accumulate until
+        // the run-boundary releaseAll (r19 ADVICE; r20)
+        graft.operators.CheckpointScope.release(pts)
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))
@@ -404,6 +412,10 @@ zpts AS (SELECT $ex id, CAST(x AS INT) AS x, CAST(y AS INT) AS y, (gx5<<1) | gy5
         val kn = PointStore.knn(pts, 25000, 75, 10)
           .agg(coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("dist2")), lit(0L))).head()
+        // every consumer of pts is a collected Row by here — release the
+        // phase's blocks NOW instead of letting phases accumulate until
+        // the run-boundary releaseAll (r19 ADVICE; r20)
+        graft.operators.CheckpointScope.release(pts)
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))

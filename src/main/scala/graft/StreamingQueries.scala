@@ -397,6 +397,10 @@ object StreamingQueries {
         val kn = PointStore.knn(pts, 25000, 75, 10)
           .agg(coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("dist2")), lit(0L))).head()
+        // every consumer of pts is a collected Row by here — release the
+        // phase's blocks NOW instead of letting phases accumulate until
+        // the run-boundary releaseAll (r19 ADVICE; r20)
+        graft.operators.CheckpointScope.release(pts)
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))
@@ -752,6 +756,10 @@ object StreamingQueries {
         val kn = PointStore.knn(pts, 25000, 75, 10)
           .agg(coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("dist2")), lit(0L))).head()
+        // every consumer of pts is a collected Row by here — release the
+        // phase's blocks NOW instead of letting phases accumulate until
+        // the run-boundary releaseAll (r19 ADVICE; r20)
+        graft.operators.CheckpointScope.release(pts)
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))
@@ -829,6 +837,10 @@ object StreamingQueries {
         val kn = PointStore.knn(pts, 25000, 75, 10)
           .agg(coalesce(sum(col("id")), lit(0L)),
             coalesce(sum(col("dist2")), lit(0L))).head()
+        // every consumer of pts is a collected Row by here — release the
+        // phase's blocks NOW instead of letting phases accumulate until
+        // the run-boundary releaseAll (r19 ADVICE; r20)
+        graft.operators.CheckpointScope.release(pts)
         org.apache.spark.sql.Row(phase, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3), tot.getLong(0), tot.getLong(1),
           kn.getLong(0), kn.getLong(1))
@@ -1281,13 +1293,18 @@ object StreamingQueries {
       def asOf(bound: Long, phase: String) = phaseAgg(
         graft.operators.PostingsStore.bm25DocTopKAsOf(s, s"$tmp/store", qs, 10, bound),
         phase)
-      val first = asOf(0L, "asof0")
-      val rows = first.collect().toSeq ++
-        asOf(2L, "asof2").collect().toSeq ++
-        asOf(3L, "asof3").collect().toSeq ++
-        phaseAgg(graft.operators.PostingsStore.bm25DocTopK(
-          s, s"$tmp/store", qs, 10), "live").collect().toSeq
-      val outSchema = first.schema
+      // all four phases read the same final store state (the stream and
+      // the takedown both precede them) — fold into ONE collect so the
+      // per-phase broadcast chains build concurrently instead of
+      // serializing 4 × 3 job rounds (guide §2.6; r20 — the
+      // postings_asof spelling)
+      val out = asOf(0L, "asof0")
+        .unionByName(asOf(2L, "asof2"))
+        .unionByName(asOf(3L, "asof3"))
+        .unionByName(phaseAgg(graft.operators.PostingsStore.bm25DocTopK(
+          s, s"$tmp/store", qs, 10), "live"))
+      val rows = out.collect().toSeq
+      val outSchema = out.schema
       StreamMeter.setup {
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(tmp), true)

@@ -232,19 +232,23 @@ object TextQueries {
         d.filter(col("doc_id") % 2 =!= 0), tmp, 2L)
       graft.operators.PostingsStore.deleteDocs(s, tmp,
         d.filter(col("doc_id") % 5 === 0).select("doc_id"), 3L)
-      def phase(r: org.apache.spark.sql.DataFrame, name: String) = {
-        val out = summarizeRetrieval(r, name)
-        (out.collect().toSeq, out.schema)
-      }
-      val (a1, outSchema) = phase(
-        graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 1L), "asof1")
-      val (a2, _) = phase(
-        graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 2L), "asof2")
-      val (a3, _) = phase(
-        graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 3L), "asof3")
-      val (live, _) = phase(
-        graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), "live")
-      val rows = a1 ++ a2 ++ a3 ++ live
+      // all four phases are READ-ONLY over the same final store state
+      // (every mutation precedes them), so they fold into ONE collect:
+      // the per-phase broadcast chains (stats → positive-idf df table,
+      // query terms) build CONCURRENTLY on the broadcast thread pool
+      // instead of serializing 4 × 3 job rounds (guide §2.6 — overlap
+      // independent jobs; r20). Union branch order pins the row order,
+      // exactly the postings_equiv / ann_store_asof spelling.
+      val out = summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 1L), "asof1")
+        .unionByName(summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 2L), "asof2"))
+        .unionByName(summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopKAsOf(s, tmp, qs, 10, 3L), "asof3"))
+        .unionByName(summarizeRetrieval(
+          graft.operators.PostingsStore.bm25DocTopK(s, tmp, qs, 10), "live"))
+      val rows = out.collect().toSeq
+      val outSchema = out.schema
       graft.operators.PostingsStore.drop(s, tmp)
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](

@@ -57,22 +57,30 @@ object PostingsStore {
     // shadow the fresh corpus (all new rows are op 0) while a leftover
     // negative partial corrupts the fresh stats
     RetireTrees.foreach(t => fs.delete(livePath(path, t), true))
-    val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
-    val pairs = pairs0.withColumn("op", lit(0L)) // operation id (versioned markers)
-    // three consumers re-run the tokenize+explode pass without a
-    // materialization: the range shuffle's SAMPLING job, the postings
-    // write itself, and the doclens sidecar (whose own range shuffle
-    // samples once more) — four corpus tokenizations per build. The
-    // [[appendBatch]] discipline applied at build scale: persist the
-    // pairs (MEMORY_AND_DISK — spills, never recomputes), tokenize once
-    pairs.persist()
+    // four consumers otherwise re-run the tokenize(+explode) pass: the
+    // range shuffle's SAMPLING job, the postings write itself, the
+    // doclens sidecar aggregate, and the stats partial (whose separate
+    // `docs.agg` plan the r19 pairs-only persist did NOT cover — that
+    // build still tokenized twice, r19 ADVICE). Persist the tokenized
+    // docs AND the exploded pairs (MEMORY_AND_DISK — spills, never
+    // recomputes): one tokenize, one explode per build, with the
+    // partial read off the docs cache (it cannot come from pairs —
+    // zero-token docs have no pairs row but count in n_docs)
+    val docs = TextAnalysis.bm25Docs(df)
+    docs.persist()
     try {
-      pairs.repartitionByRange(col("term"), col("doc_id"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
-      partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
-      writeDoclens(pairs, s"$path/doclens/$BaseDir")
-    } finally { pairs.unpersist(); () }
+      val pairs = TextAnalysis.bm25PairsFrom(docs)
+        .withColumn("op", lit(0L)) // operation id (versioned markers)
+      pairs.persist()
+      try {
+        pairs.repartitionByRange(col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
+        TextAnalysis.bm25PartialFrom(docs)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
+        writeDoclens(pairs, s"$path/doclens/$BaseDir")
+      } finally { pairs.unpersist(); () }
+    } finally { docs.unpersist(); () }
     // build-corpus identity for [[isStale]]: doc count from the just-
     // written stats partial (no extra corpus scan) + the file-listing/
     // plan fingerprint where the corpus is file-backed
@@ -133,7 +141,16 @@ object PostingsStore {
     * the mergeable stats partial sums to the offline build's numbers.
     * Per-batch files are term-clustered only within the batch — a
     * compaction (re-running [[build]] over the accumulated corpus)
-    * restores the global clustering, result-invisibly. */
+    * restores the global clustering, result-invisibly.
+    *
+    * `micro` CONTRACT (r19 VERDICT §4): the `true` default funnels the
+    * whole batch through ONE write task (`repartition(1)`) — correct
+    * for foreachBatch micro-batches (every current caller), WRONG for
+    * a bulk backfill, which must pass `micro = false` to keep in-batch
+    * range clustering and write-side parallelism (spec-pinned: "bulk
+    * append keeps in-batch range clustering"). Layout is
+    * result-invisible either way; the trade is write parallelism +
+    * footer-pruning granularity vs a per-call sampling job. */
   def appendBatch(df: DataFrame, path: String, batchId: Long,
                   micro: Boolean = true): Unit = {
     // converge an interrupted compaction FIRST — like every other
@@ -143,10 +160,15 @@ object PostingsStore {
     // subsequent read's resolve renames aside and deletes — a committed
     // streaming batch silently gone (spec-pinned in the crash battery)
     resolve(fsOf(df.sparkSession, path), path)
-    val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
-    val pairs = pairs0.withColumn("op", lit(batchId))
-    // two consumers (postings write + sidecar agg) — tokenize once;
-    // micro-batch scale, so the cached footprint is one batch's pairs
+    // three consumers (postings write + sidecar agg + stats partial) —
+    // tokenize once, explode once, with the partial off the docs cache
+    // (the [[build]] discipline; the r19 pairs-only persist left the
+    // stats partial re-tokenizing the batch). Micro-batch scale, so the
+    // cached footprint is one batch's docs + pairs
+    val docs = TextAnalysis.bm25Docs(df)
+    docs.persist()
+    val pairs = TextAnalysis.bm25PairsFrom(docs).withColumn("op", lit(batchId))
+    val partial = TextAnalysis.bm25PartialFrom(docs)
     pairs.persist()
     try {
       // `micro` (the foreachBatch default): one term-sorted file per
@@ -167,7 +189,7 @@ object PostingsStore {
       clustered.write.mode("overwrite").parquet(s"$path/postings/b$batchId")
       partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
       writeDoclens(pairs, s"$path/doclens/b$batchId", micro = true)
-    } finally { pairs.unpersist(); () }
+    } finally { pairs.unpersist(); docs.unpersist(); () }
   }
 
   /** Compact a batch-appended store back to the offline layout: one

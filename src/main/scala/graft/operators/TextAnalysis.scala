@@ -379,12 +379,26 @@ object TextAnalysis {
     * the summed totals, so online and offline stores serve identical
     * scores. Tokenization runs exactly once here — a served ranker
     * consumes the SAME rows from parquet instead. */
-  private[operators] def bm25Corpus(df: DataFrame): (DataFrame, DataFrame) = {
-    val docs = spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
+  private[operators] def bm25Corpus(df: DataFrame): (DataFrame, DataFrame) =
+    (bm25PairsFrom(bm25Docs(df)), bm25PartialFrom(bm25Docs(df)))
+
+  /** [[bm25Corpus]] split at the tokenized-docs stage, so a caller that
+    * MATERIALIZES the docs (the store build/append write paths) can
+    * derive the pairs AND the stats partial from one cache. Without the
+    * split, the partial's separate `docs.agg` plan re-tokenizes the
+    * whole corpus even when the pairs are persisted — the r19 build did
+    * two tokenizations, not one (r19 ADVICE). The partial MUST come
+    * from docs, never from pairs: a zero-token document has no pairs
+    * row but still counts in `n_docs`. */
+  private[operators] def bm25Docs(df: DataFrame): DataFrame =
+    spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
-    val partial = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
-    (tfExplode(docs, "ws", Seq("doc_id", "dl"), "term"), partial)
-  }
+
+  private[operators] def bm25PartialFrom(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+
+  private[operators] def bm25PairsFrom(docs: DataFrame): DataFrame =
+    tfExplode(docs, "ws", Seq("doc_id", "dl"), "term")
 
   /** Fold corpus-stats partials into the `(n_docs, avgdl)` row the
     * scorers consume — the single place the truncating avgdl division

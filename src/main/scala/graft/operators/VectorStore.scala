@@ -119,7 +119,13 @@ object VectorStore {
     * i.e. a re-cluster's, job) under a batch-id-keyed subtree, so a
     * foreachBatch replay is idempotent (overwrite of `b$batchId`).
     * Resolves a pending swap FIRST — the [[PostingsStore.appendBatch]]
-    * crash-window lesson, applied from day one. */
+    * crash-window lesson, applied from day one.
+    *
+    * `micro` CONTRACT (r19 VERDICT §4): the `true` default funnels the
+    * whole batch through ONE write task — correct for foreachBatch
+    * micro-batches (every current caller), WRONG for a bulk backfill,
+    * which must pass `micro = false` to keep in-batch cell clustering
+    * and write-side parallelism (spec-pinned). */
   def appendBatch(emb: DataFrame, path: String, batchId: Long,
                   micro: Boolean = true): Unit = {
     val s = emb.sparkSession
@@ -290,8 +296,17 @@ object VectorStore {
     // prefilter and the serve-side probe list must come from the SAME
     // rows — a re-evaluated non-deterministic query frame could produce
     // a prefilter inconsistent with the probes actually joined,
-    // silently dropping candidate cells
-    val queries = CheckpointScope.checkpoint(queries0)
+    // silently dropping candidate cells. A frame that is ALREADY
+    // materialized (a caller-side checkpoint or a local relation)
+    // satisfies the same-rows requirement by construction — skip the
+    // extra localCheckpoint job, so a gate serving several phases from
+    // one query batch pays the materialization once, not per serve
+    // (r20, guide §1.2)
+    val queries = queries0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD |
+           _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => queries0
+      case _ => CheckpointScope.checkpoint(queries0)
+    }
     val cents = centroids(s, path)
     // the query batch's distinct probe cells, inlined as ONE pushable
     // IN predicate: the cell-range-clustered files outside it never

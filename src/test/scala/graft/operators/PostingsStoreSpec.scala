@@ -732,4 +732,57 @@ class PostingsStoreSpec extends SparkSpec {
     PostingsStore.drop(spark, a)
     PostingsStore.drop(spark, b)
   }
+
+  test("bulk append (micro = false) keeps in-batch range clustering and serves identically") {
+    // the micro=true default funnels a batch through ONE write task —
+    // right for foreachBatch micro-batches, a footgun for a bulk
+    // backfill (r19 VERDICT): the bulk path must stay exercised and
+    // must keep the range-clustered layout a backfill relies on
+    val docs = (1L to 200L)
+      .map(i => (i, s"w${i % 37} w${(i * 7) % 37} w${(i * 11) % 37} common"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "w3 w11"), (11L, "w20 common")).toDF("query_id", "qtext")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-postings-bulk").toString
+    // AQE coalesces the advisory range shuffle to 1 partition at spec
+    // scale (at production scale it sizes partitions to the advisory
+    // byte target instead) — pin coalescing off so the range LAYOUT is
+    // observable as multiple files here
+    // (suites share one session and run in parallel — serialize the
+    // conf window on the session monitor so the other suite's unset
+    // cannot interleave)
+    graft.SparkSpec.session.synchronized {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try PostingsStore.appendBatch(docs, tmp, 0L, micro = false)
+      finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    // layout: the batch tree is range-clustered — more than one file,
+    // and the per-file term ranges are DISJOINT (each file owns a
+    // contiguous term range, the footer-pruning contract); a micro
+    // append would produce exactly one file here
+    val dir = new java.io.File(s"$tmp/postings/b0")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length > 1, s"bulk append wrote ${files.length} file(s)")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("term")), max(col("term"))).collect()(0)
+      (r.getString(0), r.getString(1))
+    }.sortBy(identity) // (lo, hi): boundary keys split WITHIN a term/cell,
+    // so two files may share a lo — tie-break by hi or the sliding
+    // check below sees a false overlap
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping term ranges: $hi > $lo2 (all: ${ranges.mkString(", ")})")
+      case _ => ()
+    }
+    // served result identical to the from-scratch ranker (layout is
+    // result-invisible), stats exact
+    val st = PostingsStore.stats(spark, tmp).collect()(0)
+    assert(st.getLong(0) === 200L)
+    val direct = TextAnalysis.bm25DocTopK(qs, docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val served = PostingsStore.bm25DocTopK(spark, tmp, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(served === direct)
+    assert(direct.nonEmpty)
+    PostingsStore.drop(spark, tmp)
+  }
 }
