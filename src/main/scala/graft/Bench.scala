@@ -80,6 +80,22 @@ object Bench {
   private val ExtraRunKeys =
     Set("span_dedup_chars_sparse", "span_dedup_chars_winnow_sparse")
 
+  // SOLO LANE for the high-variance heavy keys — implemented, MEASURED
+  // SLOWER, and REVERTED (r20, adjudicating VERDICT r19 §8). A solo
+  // child (no co-scheduled children, same 8-cpu pinned slice) measured
+  // the heavy stream gates 1.5-2× ABOVE their conc-4 numbers:
+  // stream_join steady 9.64/8.55 s solo (9.72 s solo-unpinned on all
+  // 32 cpus) vs 4.98 s in the conc-4 full run — and with a plain
+  // busy-loop spinning 8 OTHER cpus the same solo child dropped to
+  // 6.71 s. The co-schedule is not stealing these keys' cycles; it is
+  // keeping the box's cores OUT OF DEEP IDLE. The micro-batch loop is
+  // thousands of short sleep/wake cycles, so on an otherwise-idle
+  // host each wake pays exit latency and the steady-state number
+  // inflates — soloing the heavy keys therefore RAISES their measured
+  // seconds and the run-to-run "disk-burst" band is the host's
+  // power-management draw, not co-runner contention. Keys stay in the
+  // pooled schedule; the band is documented in README instead.
+
   /** All keys in report order. */
   private def allKeys: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(streamKeys.contains) ++

@@ -57,30 +57,31 @@ object PostingsStore {
     // shadow the fresh corpus (all new rows are op 0) while a leftover
     // negative partial corrupts the fresh stats
     RetireTrees.foreach(t => fs.delete(livePath(path, t), true))
-    // four consumers otherwise re-run the tokenize(+explode) pass: the
-    // range shuffle's SAMPLING job, the postings write itself, the
-    // doclens sidecar aggregate, and the stats partial (whose separate
-    // `docs.agg` plan the r19 pairs-only persist did NOT cover — that
-    // build still tokenized twice, r19 ADVICE). Persist the tokenized
-    // docs AND the exploded pairs (MEMORY_AND_DISK — spills, never
-    // recomputes): one tokenize, one explode per build, with the
-    // partial read off the docs cache (it cannot come from pairs —
-    // zero-token docs have no pairs row but count in n_docs)
-    val docs = TextAnalysis.bm25Docs(df)
-    docs.persist()
+    // three consumers re-run the tokenize+explode pass without a
+    // materialization: the range shuffle's SAMPLING job, the postings
+    // write itself, and the doclens sidecar aggregate. Persist the
+    // pairs (MEMORY_AND_DISK — spills, never recomputes): those three
+    // read one tokenize+explode. The STATS partial is a separate
+    // `docs.agg` plan the pairs cache cannot serve (zero-token docs
+    // have no pairs row but count in n_docs — r19 ADVICE), so it pays
+    // one more tokenize of the corpus BY CHOICE: persisting the
+    // tokenized docs to cover it was implemented in r20 and MEASURED
+    // SLOWER on every pure build/append key (+0.3–0.9 s/key, e.g.
+    // postings_equiv 4.95→5.66, stream_postings 9.52→10.41 min-of-3
+    // paired) — caching the full token arrays costs more than the
+    // scalar (count, sum(dl)) rollup pass they would save, at bench
+    // scale and, first-principles, at 100 TB too (the cache write of
+    // token arrays is bigger I/O than the text re-read it avoids).
+    val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
+    val pairs = pairs0.withColumn("op", lit(0L)) // operation id (versioned markers)
+    pairs.persist()
     try {
-      val pairs = TextAnalysis.bm25PairsFrom(docs)
-        .withColumn("op", lit(0L)) // operation id (versioned markers)
-      pairs.persist()
-      try {
-        pairs.repartitionByRange(col("term"), col("doc_id"))
-          .sortWithinPartitions("term", "doc_id")
-          .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
-        TextAnalysis.bm25PartialFrom(docs)
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
-        writeDoclens(pairs, s"$path/doclens/$BaseDir")
-      } finally { pairs.unpersist(); () }
-    } finally { docs.unpersist(); () }
+      pairs.repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings/$BaseDir")
+      partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$BaseDir")
+      writeDoclens(pairs, s"$path/doclens/$BaseDir")
+    } finally { pairs.unpersist(); () }
     // build-corpus identity for [[isStale]]: doc count from the just-
     // written stats partial (no extra corpus scan) + the file-listing/
     // plan fingerprint where the corpus is file-backed
@@ -160,15 +161,12 @@ object PostingsStore {
     // subsequent read's resolve renames aside and deletes — a committed
     // streaming batch silently gone (spec-pinned in the crash battery)
     resolve(fsOf(df.sparkSession, path), path)
-    // three consumers (postings write + sidecar agg + stats partial) —
-    // tokenize once, explode once, with the partial off the docs cache
-    // (the [[build]] discipline; the r19 pairs-only persist left the
-    // stats partial re-tokenizing the batch). Micro-batch scale, so the
-    // cached footprint is one batch's docs + pairs
-    val docs = TextAnalysis.bm25Docs(df)
-    docs.persist()
-    val pairs = TextAnalysis.bm25PairsFrom(docs).withColumn("op", lit(batchId))
-    val partial = TextAnalysis.bm25PartialFrom(docs)
+    // two consumers (postings write + sidecar agg) — tokenize once;
+    // micro-batch scale, so the cached footprint is one batch's pairs.
+    // The stats partial re-tokenizes the batch BY CHOICE — the docs
+    // cache that would cover it measured slower (see [[build]])
+    val (pairs0, partial) = TextAnalysis.bm25Corpus(df)
+    val pairs = pairs0.withColumn("op", lit(batchId))
     pairs.persist()
     try {
       // `micro` (the foreachBatch default): one term-sorted file per
@@ -189,7 +187,7 @@ object PostingsStore {
       clustered.write.mode("overwrite").parquet(s"$path/postings/b$batchId")
       partial.coalesce(1).write.mode("overwrite").parquet(s"$path/stats/b$batchId")
       writeDoclens(pairs, s"$path/doclens/b$batchId", micro = true)
-    } finally { pairs.unpersist(); docs.unpersist(); () }
+    } finally { pairs.unpersist(); () }
   }
 
   /** Compact a batch-appended store back to the offline layout: one

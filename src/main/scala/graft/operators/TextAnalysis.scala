@@ -382,14 +382,14 @@ object TextAnalysis {
   private[operators] def bm25Corpus(df: DataFrame): (DataFrame, DataFrame) =
     (bm25PairsFrom(bm25Docs(df)), bm25PartialFrom(bm25Docs(df)))
 
-  /** [[bm25Corpus]] split at the tokenized-docs stage, so a caller that
-    * MATERIALIZES the docs (the store build/append write paths) can
-    * derive the pairs AND the stats partial from one cache. Without the
-    * split, the partial's separate `docs.agg` plan re-tokenizes the
-    * whole corpus even when the pairs are persisted — the r19 build did
-    * two tokenizations, not one (r19 ADVICE). The partial MUST come
-    * from docs, never from pairs: a zero-token document has no pairs
-    * row but still counts in `n_docs`. */
+  /** [[bm25Corpus]] split at the tokenized-docs stage. The partial MUST
+    * come from docs, never from pairs: a zero-token document has no
+    * pairs row but still counts in `n_docs` (r19 ADVICE). NOTE: a
+    * caller-side docs cache covering both derivations was implemented
+    * in r20 and measured SLOWER than letting the partial re-tokenize
+    * (+0.3–0.9 s/key across the store build/append keys — caching the
+    * full token arrays costs more than the scalar rollup pass it
+    * saves); the store paths persist only the pairs. */
   private[operators] def bm25Docs(df: DataFrame): DataFrame =
     spread(df).select(col("doc_id"), tokens(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
