@@ -489,7 +489,12 @@ object TextAnalysis {
     val qterms = if (broadcastQueries) broadcast(qterms0) else qterms0
     // positive-idf vocabulary joins FIRST: stopword posting lists (the
     // corpus-scale ones) drop map-side, so neither the broadcast-hash
-    // probe nor the non-broadcast term shuffle ever carries them
+    // probe nor the non-broadcast term shuffle ever carries them. The
+    // stats crossJoin sits INSIDE the broadcast build (not on the
+    // probe side): it is one row, and folding it here keeps the
+    // df-positivity filter ahead of the corpus join — the broadcast
+    // pool builds the stats and df exchanges concurrently either way,
+    // the df build just waits one tiny job for the stats row
     val dfreqPos = dfreq.crossJoin(broadcast(stats))
       .filter(expr("div(n_docs, df) >= 2"))
     val scored = pairs.join(broadcast(dfreqPos), "term")
